@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Reads are plain
+  * `spark.read.parquet` so Catalyst gets full pushdown/pruning; at
+  * cluster scale these would be partitioned table paths — the query
+  * code is agnostic to that.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads via `spark.sql.legacy.parquet.nanosAsLong` (set in
+    * [[GraftSession]]/Verify/Bench). Re-expose it as a microsecond
+    * timestamp (`ts div 1000` — integer division; a double division
+    * would lose precision on ~1.7e18 ns epochs). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

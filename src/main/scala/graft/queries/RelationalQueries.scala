@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Q._
+
+/** Oracle-checked coverage of SURVEY.md §2's relational operator
+  * inventory, expressed over the driver's TPC-H-ish tables.
+  *
+  * Each entry has a matching DuckDB oracle in [[oracles]]; column names
+  * and value arithmetic are kept bit-identical between the two (see
+  * [[Q]] for the decimal-sum parity strategy). The §2 row(s) each query
+  * covers are noted inline (reference file:line cites live in SURVEY.md).
+  */
+object RelationalQueries {
+
+  /** §2.5 A3/A4 + §2.3 P2 — the flagship scan→filter→aggregate (TPC-H Q1 shape). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** §2.1 S6 + §2.3 P1 — projection with predicate pushed to the scan. */
+  def qScanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** §2.3 P2/P3 — conjunctive range predicates (numeric + temporal). */
+  def qFilterRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_quantity").between(10, 20) &&
+        col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** §2.3 P5 — membership (IN-list) filter. */
+  def qFilterIsin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE") && col("c_acctbal") > 0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sumMoney(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
+  /** §2.3 P4/P6 — null/zero drop before aggregation. */
+  def qNullPositive(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("value").isNotNull && col("value") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** §2.4 J1 — fact enriched by two dimension left-joins (dims broadcast). */
+  def qJoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderstatus")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+        col("c_name"), col("c_mktsegment"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** §2.4 J2 + §2.9 F9/F13 — multi-way left-join "graph" query with
+    * coalesced fact and the promoted risk-score expression. */
+  def qJoinGraph(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate").between(lit("1995-01-01").cast("timestamp"), lit("1995-03-31").cast("timestamp")))
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val liCnt = Tables.lineitem(s, dir).groupBy("l_orderkey").agg(count(lit(1)).as("li_cnt"))
+    val base = col("o_totalprice") / 2000.0 + col("n_regionkey") * 10.0
+    val cnt = coalesce(col("li_cnt"), lit(0L))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(liCnt, o("o_orderkey") === liCnt("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), cnt.as("li_cnt"),
+        when(cnt > 0, least(lit(100.0), greatest(lit(80.0), base + cnt * 5.0)))
+          .otherwise(least(lit(100.0), base)).as("score"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.4 J6 — left-anti join scoped by a date range (the reference's
+    * idempotent-append pattern: keys not already present in the window). */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate").between(lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** §2.8 U1 + §2.5 A8 — union-all then dedup. */
+  def qUnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.where(col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    val b = c.where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
+      .select("c_custkey", "c_mktsegment")
+    a.unionByName(b).distinct().orderBy("c_custkey", "c_mktsegment")
+  }
+
+  /** §2.5 A8 — key-subset dedup. */
+  def qDedupKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_custkey", "o_orderstatus").distinct()
+      .orderBy("o_custkey", "o_orderstatus")
+
+  /** §2.5 A2/A9 — global min/max scalar aggregate. */
+  def qMinmaxDates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      dstr(min(col("o_orderdate"))).as("min_date"),
+      dstr(max(col("o_orderdate"))).as("max_date"),
+      count(lit(1)).as("n"))
+
+  /** §2.5 A7 — grouped counts. */
+  def qGroupCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+
+  /** §2.5 A3 — weighted mean decomposed to Σxw/Σw (no UDAF). */
+  def qWeightedMean(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_discount") > 0)
+      .groupBy("l_returnflag")
+      .agg((sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast("double") /
+        sum(dec2(col("l_discount"))).cast("double")).as("wmean_price"))
+      .orderBy("l_returnflag")
+
+  /** §2.7 T1/T3 — top-k by dynamic sort key. */
+  def qTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), dstr(col("o_orderdate")).as("o_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** §2.7 T3 — offset/limit pagination. */
+  def qPaginate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), dstr(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .offset(100).limit(20)
+
+  /** §2.7 T2 — multi-key sort over a dim join. */
+  def qSortMulti(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** §2.9 F6 — date parse/parts. */
+  def qDateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_price"))
+      .orderBy("y", "m")
+
+  /** §2.9 F7/F8 — longitude wrap + trig/area math (per-row, deterministic). */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (((col("l_partkey") % 360) + 360) % 360 - 180).as("lon_wrap"),
+        round(cos(radians(col("l_quantity"))), 6).as("w"),
+        round(col("l_quantity") * 111.32 * 111.32 * 0.05 * 0.05 *
+          cos(radians(col("l_quantity"))) * 1000.0 / 1e6, 6).as("vol"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** §2.9 F1/F2/F11 — text normalization chain (trim, collapse, lower). */
+  def qTextNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(substring(col("text"), 1, 80), "\\s+", " "))).as("norm"))
+      .orderBy("doc_id")
+
+  /** §2.9 F4/F5 — class_to_num + avg_to_level bucket chains. */
+  def qCaseBuckets(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val bucket = when(v >= 0 && v <= 100,
+      when(v * 3 <= 100, 1).when(v * 3 <= 200, 2).otherwise(3))
+      .otherwise(least(lit(3), greatest(lit(1), round(v / 100).cast("int"))))
+    Tables.events(s, dir)
+      .where(v.isNotNull)
+      .withColumn("bucket", bucket)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg(col("bucket")).as("avg_bucket"))
+      .withColumn("level",
+        when(col("avg_bucket") <= 1.5, 1).when(col("avg_bucket") <= 2.1, 2).otherwise(3))
+      .orderBy("event_type")
+  }
+
+  /** §2.4 J8 + §2.9 F9/F10 — left join with coalesce/fill of missing side. */
+  def qCoalesceFill(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), max(col("o_orderdate")).as("last_dt"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(dstr(col("last_dt")), lit("none")).as("last_order"))
+      .orderBy("c_custkey")
+  }
+
+  /** §2.6-adjacent — deterministic keep-first dedup via row_number (the
+    * engine-internal window the reference's drop_duplicates implies). */
+  def qWindowRownum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), dstr(col("o_orderdate")).as("first_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** Streaming-shaped batch aggregate — tumbling 1h event-time window
+    * (same plan Structured Streaming produces for the events stream). */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("hour")
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_scan_project" -> (qScanProject _),
+    "q_filter_range" -> (qFilterRange _),
+    "q_filter_isin" -> (qFilterIsin _),
+    "q_null_positive" -> (qNullPositive _),
+    "q_join_enrich" -> (qJoinEnrich _),
+    "q_join_graph" -> (qJoinGraph _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_union_dedup" -> (qUnionDedup _),
+    "q_dedup_keys" -> (qDedupKeys _),
+    "q_minmax_dates" -> (qMinmaxDates _),
+    "q_group_count" -> (qGroupCount _),
+    "q_weighted_mean" -> (qWeightedMean _),
+    "q_topk" -> (qTopk _),
+    "q_paginate" -> (qPaginate _),
+    "q_sort_multi" -> (qSortMulti _),
+    "q_date_parts" -> (qDateParts _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_text_norm" -> (qTextNorm _),
+    "q_case_buckets" -> (qCaseBuckets _),
+    "q_coalesce_fill" -> (qCoalesceFill _),
+    "q_window_rownum" -> (qWindowRownum _),
+    "q_window_tumbling" -> (qWindowTumbling _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) / cast(count(*) as double) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_range" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_shipdate BETWEEN timestamp '1996-01-01 00:00:00' AND timestamp '1996-12-31 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_filter_isin" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_bal
+        |FROM customer
+        |WHERE c_mktsegment IN ('AUTOMOBILE','FURNITURE') AND c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_null_positive" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events WHERE value IS NOT NULL AND value > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_join_enrich" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, c.c_name, c.c_mktsegment, l.l_extendedprice
+        |FROM lineitem l
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY l.l_extendedprice DESC, l.l_orderkey, l.l_linenumber LIMIT 20""".stripMargin,
+    "q_join_graph" ->
+      """WITH li AS (SELECT l_orderkey, count(*) AS li_cnt FROM lineitem GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, c.c_name, n.n_name,
+        | coalesce(li.li_cnt, 0) AS li_cnt,
+        | CASE WHEN coalesce(li.li_cnt, 0) > 0
+        |   THEN least(100.0, greatest(80.0, o.o_totalprice/2000.0 + n.n_regionkey*10.0 + coalesce(li.li_cnt,0)*5.0))
+        |   ELSE least(100.0, o.o_totalprice/2000.0 + n.n_regionkey*10.0) END AS score
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+        |WHERE o.o_orderdate BETWEEN timestamp '1995-01-01 00:00:00' AND timestamp '1995-03-31 00:00:00'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_no_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate BETWEEN timestamp '1995-01-01 00:00:00' AND timestamp '1995-12-31 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT DISTINCT c_custkey, c_mktsegment FROM (
+        | SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+        | UNION ALL
+        | SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+        |) ORDER BY c_custkey, c_mktsegment""".stripMargin,
+    "q_dedup_keys" ->
+      "SELECT DISTINCT o_custkey, o_orderstatus FROM orders ORDER BY o_custkey, o_orderstatus",
+    "q_minmax_dates" ->
+      """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        | strftime(max(o_orderdate), '%Y-%m-%d') AS max_date, count(*) AS n FROM orders""".stripMargin,
+    "q_group_count" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double)
+        |  / cast(sum(cast(l_discount as decimal(18,2))) as double) AS wmean_price
+        |FROM lineitem WHERE l_discount > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q_paginate" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+        |FROM orders ORDER BY o_date, o_orderkey LIMIT 20 OFFSET 100""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT r.r_name, n.n_name FROM nation n
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q_date_parts" ->
+      """SELECT cast(year(o_orderdate) as int) AS y, cast(month(o_orderdate) as int) AS m,
+        | count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ((l_partkey % 360) + 360) % 360 - 180 AS lon_wrap,
+        | round(cos(radians(l_quantity)), 6) AS w,
+        | round(l_quantity * 111.32 * 111.32 * 0.05 * 0.05 * cos(radians(l_quantity)) * 1000.0 / 1e6, 6) AS vol
+        |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_text_norm" ->
+      """SELECT doc_id, lower(trim(regexp_replace(substr(text, 1, 80), '\s+', ' ', 'g'))) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_case_buckets" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  CASE WHEN value >= 0 AND value <= 100 THEN
+        |    (CASE WHEN value*3 <= 100 THEN 1 WHEN value*3 <= 200 THEN 2 ELSE 3 END)
+        |  ELSE least(3, greatest(1, cast(round(value/100) as int))) END AS bucket
+        | FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, count(*) AS n, avg(bucket) AS avg_bucket,
+        | CASE WHEN avg(bucket) <= 1.5 THEN 1 WHEN avg(bucket) <= 2.1 THEN 2 ELSE 3 END AS level
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_coalesce_fill" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS cnt, max(o_orderdate) AS last_dt
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, coalesce(o.cnt, 0) AS n_orders,
+        | coalesce(strftime(o.last_dt, '%Y-%m-%d'), 'none') AS last_order
+        |FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, first_date FROM (
+        | SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_date,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        | count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+  )
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each query dir under <verifyOutDir>, loads the Spark-written parquet
+and runs the matching oracle SQL (from oracle_sql.json) in DuckDB over
+the raw tables in <sfDir>; compares schema (column names), row count and
+values (exact, plus a 1e-9-relative float fallback so we can tell
+"bit-mismatch only" from "wrong answer").
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    # driver sorts columns by name; we also sort rows for comparison
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def vals_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_exact = 0
+    for name in names:
+        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        gcols, grows = got_rel.columns, got_rel.fetchall()
+        if name not in oracles:
+            print(f"  {name:24s} rows-only: {len(grows)} rows")
+            continue
+        try:
+            exp_rel = con.sql(oracles[name])
+            ecols, erows = exp_rel.columns, exp_rel.fetchall()
+        except Exception as e:
+            print(f"✗ {name:24s} ORACLE SQL ERROR: {e}")
+            continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"✗ {name:24s} SCHEMA got={gc} exp={ec}")
+            continue
+        if len(gr) != len(er):
+            print(f"✗ {name:24s} ROWS got={len(gr)} exp={len(er)}")
+            continue
+        exact = gr == er
+        ok = exact or all(
+            all(vals_equal(a, b) for a, b in zip(rg, re))
+            for rg, re in zip(gr, er))
+        if ok:
+            n_pass += 1
+            n_exact += int(exact)
+            print(f"✓ {name:24s} {len(gr)} rows" + ("" if exact else "  (tolerance only!)"))
+        else:
+            bad = next((rg, re) for rg, re in zip(gr, er)
+                       if not all(vals_equal(a, b) for a, b in zip(rg, re)))
+            print(f"✗ {name:24s} VALUES e.g. got={bad[0]} exp={bad[1]}")
+    print(f"-- {n_pass} pass ({n_exact} exact) / {len(names)} queries")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
