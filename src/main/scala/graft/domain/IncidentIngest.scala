@@ -1,0 +1,115 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Excel incident log → deduplicated, idempotent incident counts
+  * (SURVEY.md §3; reference `backend/app/utils.py:470-616`).
+  *
+  * The sheet choice / dual-header reshaping (S5) happens before any
+  * DataFrame exists — see [[normalizeColumns]] and
+  * [[TextNorm.chooseSheet]]; this object owns everything after the
+  * file is rows of (Disaster Date, Province, District).
+  *
+  * Idempotency is the reference's anti-join pattern (J6): incoming keys
+  * are checked against rows already in the table, scoped to the file's
+  * own [min, max] date range so the existing-side scan partition-prunes
+  * (the fact table is year-partitioned). Re-ingesting a file inserts 0.
+  *
+  * Scale notes: dims broadcast; the per-key count and the in-file dedup
+  * share one shuffle key (disaster_date, province_id, district_id); the
+  * anti-join's build side is only the date-scoped slice of the table.
+  */
+object IncidentIngest {
+
+  val RequiredCols: Seq[String] = Seq("Disaster Date", "Province", "District")
+
+  /** Thai→English header rename for format-2 files (utils.py:501). */
+  val ThaiHeaderRename: Map[String, String] = Map(
+    "วันที่เกิดภัย" -> "Disaster Date",
+    "จังหวัด" -> "Province",
+    "อำเภอ" -> "District")
+
+  /** S5 header handling: trim header names; if the English headers are
+    * absent the caller re-reads with two rows skipped and this applies
+    * the Thai rename. Returns None when required columns are still
+    * missing (format detection, utils.py:487-501). */
+  def normalizeColumns(df: DataFrame): Option[DataFrame] = {
+    val trimmed = df.toDF(df.columns.map(_.trim): _*)
+    val renamed = trimmed.columns.foldLeft(trimmed) { (d, c) =>
+      ThaiHeaderRename.get(c).map(d.withColumnRenamed(c, _)).getOrElse(d)
+    }
+    if (RequiredCols.forall(renamed.columns.contains)) Some(renamed) else None
+  }
+
+  /** Incident rows to APPEND (the caller writes them): dedup within the
+    * file, anti-join against `existing`, re-attach per-key counts.
+    *
+    * @param file     rows with (Disaster Date, Province, District) — strings
+    * @param existing current incident_statistics_points table (may be empty)
+    */
+  def ingest(
+      spark: SparkSession,
+      file: DataFrame,
+      provinces: DataFrame,
+      districts: DataFrame,
+      existing: DataFrame): DataFrame = {
+
+    // J5 (dict-lookup ≡ broadcast left join on trimmed names; the
+    // reference's dict keeps the LAST duplicate name — mirror that)
+    import org.apache.spark.sql.expressions.Window
+    val lastWins = Window.partitionBy(col("k")).orderBy(col("id").desc)
+    val provMap = provinces
+      .select(trim(col("province_name")).as("k"), col("province_id").as("id"))
+      .withColumn("rn", row_number().over(lastWins)).where(col("rn") === 1)
+      .select(col("k").as("prov_name_key"), col("id").as("province_id"))
+    val distMap = districts
+      .select(trim(col("district_name")).as("k"), col("district_id").as("id"))
+      .withColumn("rn", row_number().over(lastWins)).where(col("rn") === 1)
+      .select(col("k").as("dist_name_key"), col("id").as("district_id"))
+
+    // F6: strict yyyy-MM-dd parse, null on failure (≡ errors="coerce")
+    val parsed = file
+      .withColumn("prov_name_key", trim(col("Province").cast("string")))
+      .withColumn("dist_name_key", trim(col("District").cast("string")))
+      .join(broadcast(provMap), Seq("prov_name_key"), "left")
+      .join(broadcast(distMap), Seq("dist_name_key"), "left")
+      .withColumn("disaster_date",
+        try_to_timestamp(col("Disaster Date").cast("string"), lit("yyyy-MM-dd")).cast("date"))
+      .withColumn("year", year(col("disaster_date")))
+
+    // P6: drop rows whose dimension match failed
+    val matched = parsed
+      .na.drop(Seq("province_id", "district_id"))
+      .select(col("disaster_date"), col("year").cast("int"),
+        col("province_id").cast("int"), col("district_id").cast("int"))
+
+    // A7: incidents per key, computed over ALL matched rows (pre-dedup)
+    val perKeyCounts = matched
+      .groupBy("disaster_date", "province_id", "district_id")
+      .agg(count(lit(1)).cast("int").as("count_of_disasters"))
+
+    // A8: in-file dedup (rows identical per key after projection)
+    val dedupInfile = matched.dropDuplicates("disaster_date", "province_id", "district_id")
+
+    // A9 + S7: date range of the incoming file scopes the existing scan
+    val range = dedupInfile.agg(min("disaster_date"), max("disaster_date")).first()
+    val toInsert =
+      if (range.isNullAt(0)) dedupInfile // empty file → nothing to scope
+      else {
+        val existingKeys = existing
+          .where(col("disaster_date").between(range.getDate(0), range.getDate(1)))
+          .select("disaster_date", "province_id", "district_id")
+        // J6: keep only keys not already present
+        dedupInfile.join(existingKeys,
+          Seq("disaster_date", "province_id", "district_id"), "left_anti")
+      }
+
+    // J8: re-attach counts; missing → 1 (F10)
+    toInsert
+      .join(perKeyCounts, Seq("disaster_date", "province_id", "district_id"), "left")
+      .na.fill(Map("count_of_disasters" -> 1))
+      .select(col("disaster_date"), col("year"), col("province_id"),
+        col("district_id"), col("count_of_disasters"))
+  }
+}
