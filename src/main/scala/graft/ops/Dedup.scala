@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), MinHash+LSH banding, SimHash,
+  * and n-gram Jaccard verification.
+  *
+  * Scale design:
+  *   - exact dedup is one shuffle on the 16-byte fingerprint — the
+  *     canonical 100 TB pattern (never groupBy the full text);
+  *   - MinHash signatures/bands are per-row expressions (codegen, no
+  *     shuffle); candidate generation shuffles on (band, bandHash)
+  *     buckets only, so cost tracks the number of near-duplicates,
+  *     not n² — the standard shingle→minhash→band→bucket-join;
+  *   - SimHash packs to one 64-bit key; near-dup candidates via
+  *     Hamming-ball band join on 16-bit chunks;
+  *   - exact Jaccard (the verifier) only runs on LSH candidates.
+  */
+object Dedup {
+
+  /** Keep one row per distinct key expression: deterministic keep-first
+    * (min tie-break id) — a window, not dropDuplicates, so results are
+    * reproducible run-to-run. */
+  def exact(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tieBreak)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of normalized text, deduplicated. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextOps.tokens(lower(text))
+    // sequence(0, -1) would produce a DESCENDING range — guard short docs
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** k-permutation MinHash signature of a shingle array. Each hash is
+    * min over shingles of an affine rehash of xxhash64(shingle) —
+    * static per-k expressions, fully codegen'd. */
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column = {
+    val sigs = (0 until k).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2 * i + 1) // odd multipliers
+      val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
+      array_min(transform(shingleCol, s => xxhash64(s) * lit(a) + lit(b)))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: hash of each r-row slice of the signature.
+    * bands × r must equal the signature length. */
+  def lshBands(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map(b => xxhash64(lit(b), concat_ws(",", slice(sig, b * r + 1, r)))): _*)
+
+  /** Candidate near-duplicate pairs (id1 < id2) via MinHash LSH:
+    * explode band keys, self-join per bucket. `df` must have an `id`
+    * column and a `text` column. */
+  def minhashCandidates(df: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sig = df
+      .withColumn("__sh", shingles(col("text"), n))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__bands", lshBands(minhashSignature(col("__sh"), k), bands, r))
+      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bkey")))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two docs' shingle arrays. */
+  def jaccard(sh1: Column, sh2: Column): Column = {
+    val inter = size(array_intersect(sh1, sh2)).cast("double")
+    val union = (size(sh1) + size(sh2)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(0.0)
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥
+    * threshold. The verify join touches only candidate pairs. */
+  def minhashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val withSh = df.select(col("id"), shingles(col("text"), n).as("sh"))
+    val cands = minhashCandidates(df, n, k, bands)
+    cands
+      .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per bit, sum ±1 across token hashes;
+    * sign → bit. Pure array expressions (one aggregate over tokens). */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(lower(text)))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
+    * via 16-bit chunk banding (any chunk equal → candidate; complete
+    * for maxDist ≤ 3 by pigeonhole). */
+  def simhashNearDups(df: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = df.select(col("id"), simhash(col("text")).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+}

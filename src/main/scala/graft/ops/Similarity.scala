@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): exact
+  * brute-force cosine top-k as the baseline, and an LSH-bucketed
+  * (random-hyperplane) variant as the 100 TB path.
+  *
+  * Scale design: brute force is a broadcast of the (small) query set
+  * against a full scan — one pass, no shuffle except the per-query
+  * top-k; fine when queries are few. The LSH variant buckets both
+  * sides on sign-pattern keys so each query only scans its bucket —
+  * the standard approximate trade (recall < 1, cost ∝ bucket size).
+  * All vector math is `zip_with`/`aggregate` expressions — codegen,
+  * no UDFs, no driver collects.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (sequential left-to-right sum). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(0.0)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k nearest neighbours for each query vector.
+    *
+    * @param corpus  (id, embedding array<numeric>)
+    * @param queries (qid, embedding) — must be small enough to broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+    val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane LSH bucket key for one hash table: `nBits` sign
+    * bits of dot products against deterministic pseudo-random
+    * hyperplanes (components derived from xxhash64(table, bit, dim) →
+    * [-1, 1]). No training step, reproducible across runs. */
+  def lshKey(vec: Column, nBits: Int = 8, table: Int = 0): Column = {
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * (pmod(xxhash64(lit(table), lit(b), i), lit(2001L)).cast("double") / 1000.0 - 1.0)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** All (table, bucket) keys for a vector — multi-table LSH raises
+    * recall (a candidate only needs to collide in ONE table). */
+  private def lshKeys(vec: Column, nBits: Int, nTables: Int): Column =
+    array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), lshKey(vec, nBits, t).as("bucket"))): _*)
+
+  /** Approximate top-k: candidates restricted to LSH bucket collisions
+    * in any of `nTables` tables, then exact cosine rank. Cost per query
+    * ∝ Σ bucket sizes instead of corpus size — the 100 TB trade. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, nTables: Int = 8): DataFrame = {
+    val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+      .select(col("id"), col("vec"), explode(lshKeys(col("vec"), nBits, nTables)).as("tb"))
+    val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
+      .select(col("qid"), col("qvec"), explode(lshKeys(col("qvec"), nBits, nTables)).as("tb"))
+    val cands = c.join(broadcast(q), Seq("tb"))
+      .where(col("id") =!= col("qid"))
+      .select("qid", "qvec", "id", "vec")
+      .dropDuplicates("qid", "id") // collided in ≥1 table
+    val scored = cands.withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** All embedding near-duplicate pairs (id1 < id2) with cosine ≥
+    * threshold — brute force n² for modest n; at scale route through
+    * [[lshKey]] buckets first (same pattern as [[Dedup]]). */
+  def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("id1"), asDouble(col("embedding")).as("v1"))
+    val b = corpus.select(col("id").as("id2"), asDouble(col("embedding")).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

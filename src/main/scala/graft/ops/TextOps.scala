@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language-ID heuristics, quality scoring, document
+  * fingerprinting. All pure `Column` expressions (whole-stage codegen,
+  * no UDFs) so they survive 100 TB scans — per-row work, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (empty string → 1 empty token, like the
+    * reference ecosystems' str.split semantics; trim first to avoid
+    * leading-separator artifacts). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: alpha runs, digit runs, and single
+    * non-alnum marks each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Common-English stopwords used by the heuristics below. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "was", "are", "be")
+
+  /** Fraction of tokens that are English stopwords — the language-ID
+    * signal (n-gram/stopword heuristic; no external models). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(0.0)
+  }
+
+  /** Heuristic language ID: stopword ratio ≥ threshold → "en";
+    * any Thai-block char → "th"; else "und". */
+  def langId(text: Column, enThreshold: Double = 0.08): Column =
+    when(text.rlike("[ก-๙]"), "th")
+      .when(stopwordRatio(text) >= enThreshold, "en")
+      .otherwise(lit("und"))
+
+  /** Punctuation fraction of all characters. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / n.cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double")).otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: length band, stopword presence,
+    * sane punctuation, sane token length. The shape mirrors common
+    * pretraining-corpus filters (Gopher/C4-style rules). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val lengthOk = when(nChars.between(50, 100000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val tokOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lengthOk + stopOk + punctOk + tokOk) / 4.0
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Polynomial rolling hash over tokens (base-31 mod 2^61-1 style,
+    * in long arithmetic with natural wrap) — an order-sensitive
+    * fingerprint, cheap to compute distributively. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + crc32(t).cast("long"))
+}

@@ -1,0 +1,365 @@
+package graft.queries
+
+import graft.Tables
+import graft.domain._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked end-to-end runs of the DOMAIN engine (the reference's
+  * three ingest pipelines and serving queries), with inputs derived
+  * deterministically from the driver's TPC-H-ish tables so the DuckDB
+  * oracle can replay the exact same semantics.
+  *
+  * Float-bearing outputs (the rain aggregates) are rounded to 4 dp on
+  * both sides: the pipelines themselves sum doubles faithfully (no
+  * decimal quantization — that would change domain semantics), so
+  * cross-engine bit equality is re-established at output time.
+  */
+object DomainQueries {
+
+  // ---- shared synthetic dims ----
+
+  private def provFromNation(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      (col("n_nationkey") + 1).cast("int").as("province_id"),
+      col("n_name").as("province_name"),
+      col("n_name").as("province_name_en"))
+
+  /** q_rain_pipeline — RainIngest end-to-end on an events-derived grid:
+    * lon wrap no-op, bbox clip, positivity drop, cell-map join with
+    * province scope, resolution inference, weighted mean + volume,
+    * name→id resolution. */
+  def qRainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir).select(
+      date_trunc("day", col("ts")).as("time"),
+      (lit(5.6) + (col("user_id") % 160).cast("double") * 0.1).as("latitude"),
+      (lit(97.3) + (col("event_id") % 90).cast("double") * 0.1).as("longitude"),
+      (col("value") - 5.0).as("precip"))
+    val cellMap = grid
+      .where(col("latitude").between(RainIngest.LatMin, RainIngest.LatMax) &&
+        col("longitude").between(RainIngest.LonMin, RainIngest.LonMax))
+      .select("latitude", "longitude").distinct()
+      .withColumn("province",
+        concat(lit("P"), (round((col("latitude") - 5.6) / 0.1).cast("int") % 5).cast("string")))
+      .withColumn("district",
+        concat(lit("D"), (round((col("longitude") - 97.3) / 0.1).cast("int") % 17).cast("string")))
+    val provinces = s.range(5).select(
+      (col("id") + 1).cast("int").as("province_id"),
+      concat(lit("P"), col("id").cast("string")).as("province_name"),
+      concat(lit("P"), col("id").cast("string")).as("province_name_en"))
+    val districts = s.range(5).select(col("id").as("p"))
+      .crossJoin(s.range(17).select(col("id").as("d")))
+      .select(
+        (col("p") * 100 + col("d")).cast("int").as("district_id"),
+        concat(lit("D"), col("d").cast("string")).as("district_name"),
+        concat(lit("D"), col("d").cast("string")).as("district_name_en"),
+        (col("p") + 1).cast("int").as("province_id"))
+    RainIngest.ingest(s, grid, cellMap, provinces, districts, uploadId = 1L,
+        northProvsEn = Seq("P0", "P1", "P2", "P3"))
+      .select(col("upload_id"),
+        date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("year"), col("province_id"), col("district_id"),
+        round(col("rain_mm_wmean"), 4).as("rain_mm_wmean"),
+        round(col("rainfall_mm"), 4).as("rainfall_mm"))
+      .orderBy("date", "district_id")
+  }
+
+  /** q_risk_pipeline — RiskIngest end-to-end: class mapping (text +
+    * numeric + unmapped), avg→level, name matching, fill-missing-with-1.
+    * Integer outputs ⇒ exact oracle parity. */
+  def qRiskPipeline(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val provinces = provFromNation(s, dir)
+    val districts = Tables.supplier(s, dir).select(
+      col("s_suppkey").cast("int").as("district_id"),
+      concat(lit("D"), (col("s_suppkey") % 40).cast("string")).as("district_name"),
+      (col("s_nationkey") + 1).cast("int").as("province_id"))
+    val dbf = Tables.orders(s, dir).where(col("o_orderkey") < 3000)
+      .join(n, n("n_nationkey") === col("o_custkey") % 30, "left")
+      .select(
+        concat(lit("D"), (col("o_orderkey") % 50).cast("string")).as("amphoe_t"),
+        coalesce(col("n_name"), lit("NOWHERE")).as("prov_nam_t"),
+        when(col("o_orderkey") % 7 === 0, "low")
+          .when(col("o_orderkey") % 7 === 1, "high")
+          .when(col("o_orderkey") % 7 === 2, "medium")
+          .when(col("o_orderkey") % 7 === 3, "2.5")
+          .when(col("o_orderkey") % 7 === 4, "0.2")
+          .when(col("o_orderkey") % 7 === 5, "junk")
+          .otherwise(lit("สูง")).as("class"))
+    RiskIngest.ingest(s, dbf, provinces, districts, uploadRiskId = 1L)
+      .orderBy("district_id")
+  }
+
+  /** q_incident_pipeline — IncidentIngest end-to-end incl. the
+    * null-date quirk and the date-scoped anti-join idempotency. */
+  def qIncidentPipeline(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    val provinces = provFromNation(s, dir)
+    val districts = Tables.customer(s, dir).where(col("c_custkey") <= 300).select(
+      col("c_custkey").cast("int").as("district_id"),
+      concat(lit("C"), col("c_custkey").cast("string")).as("district_name"),
+      (col("c_nationkey") + 1).cast("int").as("province_id"))
+    val ev = Tables.events(s, dir)
+    val file = ev.join(nat, nat("n_nationkey") === col("user_id") % 25, "left")
+      .select(
+        when(col("event_id") % 97 === 0, "oops")
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd")).as("Disaster Date"),
+        col("n_name").as("Province"),
+        concat(lit("C"), ((col("user_id") * 7) % 320).cast("string")).as("District"))
+    val existing = ev.where(col("event_id") < 2000).select(
+      col("ts").cast("date").as("disaster_date"),
+      (col("user_id") % 25 + 1).cast("int").as("province_id"),
+      ((col("user_id") * 7) % 320).cast("int").as("district_id"))
+    IncidentIngest.ingest(s, file, provinces, districts, existing)
+      .select(
+        date_format(col("disaster_date"), "yyyy-MM-dd").as("disaster_date"),
+        col("year"), col("province_id"), col("district_id"), col("count_of_disasters"))
+      .orderBy(asc_nulls_last("disaster_date"), col("province_id"), col("district_id"))
+  }
+
+  /** q_list_page — the generic paginator end-to-end (count, envelope,
+    * whitelist sort, offset/limit) over an orders-derived rain table. */
+  def qListPage(s: SparkSession, dir: String): DataFrame = {
+    val provinces = provFromNation(s, dir)
+    val districts = Tables.customer(s, dir).where(col("c_custkey") < 500).select(
+      col("c_custkey").cast("int").as("district_id"),
+      concat(lit("C"), col("c_custkey").cast("string")).as("district_name"),
+      concat(lit("CE"), col("c_custkey").cast("string")).as("district_name_en"),
+      (col("c_nationkey") + 1).cast("int").as("province_id"))
+    val provs = provinces // province_name_en == province_name here
+    val rain = Tables.orders(s, dir).select(
+      col("o_orderkey").as("pk_id"),
+      col("o_orderdate").cast("date").as("date"),
+      col("o_orderkey").cast("double").as("rain_mm_wmean"), // unique sort key
+      (col("o_custkey") % 25 + 1).cast("int").as("province_id"),
+      (col("o_custkey") % 500).cast("int").as("district_id"))
+    val res = ListQueries.listRain(rain, provs, districts,
+      ListQueries.FactFilters(provinceId = Some(7)),
+      ListQueries.PageRequest(page = 2, pageSize = 50, orderBy = "rain_mm_wmean"))
+    res.items
+      .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+      .withColumn("total", lit(res.total))
+      .withColumn("all_page", lit(res.allPage))
+      .withColumn("page", lit(res.page.toLong))
+      .orderBy("rain_mm_wmean")
+  }
+
+  /** q_graph_day — the four-way graph join + promoted risk score for
+    * one day, incl. the risk-fanout quirk (join on district only). */
+  def qGraphDay(s: SparkSession, dir: String): DataFrame = {
+    val day = "1996-06-15"
+    val provinces = provFromNation(s, dir)
+    val districts = Tables.customer(s, dir).where(col("c_custkey") < 500).select(
+      col("c_custkey").cast("int").as("district_id"),
+      concat(lit("C"), col("c_custkey").cast("string")).as("district_name"),
+      concat(lit("CE"), col("c_custkey").cast("string")).as("district_name_en"),
+      (col("c_nationkey") + 1).cast("int").as("province_id"))
+    val rain = Tables.orders(s, dir).select(
+      col("o_orderkey").as("pk_id"),
+      col("o_orderdate").cast("date").as("date"),
+      (col("o_orderkey").cast("double") / 1000.0).as("rain_mm_wmean"),
+      (col("o_custkey") % 25 + 1).cast("int").as("province_id"),
+      (col("o_custkey") % 100).cast("int").as("district_id"))
+    val sup = Tables.supplier(s, dir)
+    val risk = sup.select(lit(1L).as("upload_risk_id"),
+        (col("s_nationkey") + 1).cast("int").as("province_id"),
+        (col("s_suppkey") % 500).cast("int").as("district_id"),
+        (col("s_suppkey") % 3 + 1).cast("int").as("risk_level"))
+      .unionByName(sup.select(lit(2L).as("upload_risk_id"),
+        (col("s_nationkey") + 1).cast("int").as("province_id"),
+        (col("s_suppkey") % 500).cast("int").as("district_id"),
+        (col("s_suppkey") % 2 + 1).cast("int").as("risk_level")))
+    // events live in 2024, orders in 1995-2001 — sample incidents by id
+    // and pin them to the graph day so the incident-join path is hit
+    val incidents = Tables.events(s, dir)
+      .where(col("event_id") % 11 === 0)
+      .groupBy(((col("user_id") * 7) % 100).cast("int").as("district_id"))
+      .agg(count(lit(1)).cast("int").as("count_of_disasters"))
+      .select(to_date(lit(day)).as("disaster_date"),
+        lit(1).cast("int").as("province_id"), col("district_id"), col("count_of_disasters"))
+    ListQueries.graph(day, rain, provinces, districts, risk, incidents)
+      .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("rain_mm_wmean"), col("province_id"), col("district_id"),
+        col("province_name"), col("province_name_en"),
+        col("district_name"), col("district_name_en"),
+        col("risk_level"), col("count_of_disasters"), col("score"))
+      .orderBy(col("district_id"), col("rain_mm_wmean"), asc_nulls_last("risk_level"))
+  }
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q_rain_pipeline" -> (qRainPipeline _),
+    "q_risk_pipeline" -> (qRiskPipeline _),
+    "q_incident_pipeline" -> (qIncidentPipeline _),
+    "q_list_page" -> (qListPage _),
+    "q_graph_day" -> (qGraphDay _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rain_pipeline" ->
+      """WITH grid AS (
+        |  SELECT date_trunc('day', ts) AS t,
+        |         5.6 + (user_id % 160) * 0.1 AS lat,
+        |         97.3 + (event_id % 90) * 0.1 AS lon,
+        |         value - 5.0 AS precip
+        |  FROM events),
+        |clipped AS (
+        |  SELECT * FROM grid
+        |  WHERE lat BETWEEN 5.6 AND 20.5 AND lon BETWEEN 97.3 AND 105.7
+        |    AND precip IS NOT NULL AND precip > 0),
+        |cellmap AS (
+        |  SELECT lat, lon,
+        |   'P' || cast(cast(round((lat - 5.6) / 0.1) as int) % 5 as varchar) AS province,
+        |   'D' || cast(cast(round((lon - 97.3) / 0.1) as int) % 17 as varchar) AS district
+        |  FROM (SELECT DISTINCT lat, lon FROM grid
+        |        WHERE lat BETWEEN 5.6 AND 20.5 AND lon BETWEEN 97.3 AND 105.7)),
+        |mapped AS (
+        |  SELECT c.t, c.lat, c.lon, c.precip, m.province, m.district
+        |  FROM clipped c JOIN cellmap m USING (lat, lon)
+        |  WHERE m.province IN ('P0','P1','P2','P3')),
+        |latstep AS (SELECT min(d) AS dlat FROM (
+        |  SELECT lat - lag(lat) OVER (ORDER BY lat) AS d
+        |  FROM (SELECT DISTINCT lat FROM mapped)) WHERE d IS NOT NULL),
+        |lonstep AS (SELECT min(d) AS dlon FROM (
+        |  SELECT lon - lag(lon) OVER (ORDER BY lon) AS d
+        |  FROM (SELECT DISTINCT lon FROM mapped)) WHERE d IS NOT NULL),
+        |measured AS (
+        |  SELECT t, province, district, precip, cos(radians(lat)) AS w,
+        |   precip * (111.32 * (SELECT dlat FROM latstep) * 111.32 * (SELECT dlon FROM lonstep) * cos(radians(lat))) * 1000.0 / 1e6 AS rainfall
+        |  FROM mapped),
+        |daily AS (
+        |  SELECT t, province, district,
+        |   sum(precip * w) / sum(w) AS wmean, sum(rainfall) AS rainfall
+        |  FROM measured GROUP BY t, province, district),
+        |prov AS (SELECT cast(i + 1 as int) AS province_id, 'P' || cast(i as varchar) AS name_en FROM range(5) t(i)),
+        |dist AS (SELECT cast(p.i * 100 + d.i as int) AS district_id, cast(p.i + 1 as int) AS province_id,
+        |         'D' || cast(d.i as varchar) AS name_en FROM range(5) p(i), range(17) d(i))
+        |SELECT cast(1 as bigint) AS upload_id, strftime(dy.t, '%Y-%m-%d') AS date,
+        | cast(year(dy.t) as int) AS year, p.province_id, di.district_id,
+        | round(dy.wmean, 4) AS rain_mm_wmean, round(dy.rainfall, 4) AS rainfall_mm
+        |FROM daily dy
+        |JOIN prov p ON dy.province = p.name_en
+        |JOIN dist di ON di.province_id = p.province_id AND di.name_en = dy.district
+        |ORDER BY date, district_id""".stripMargin,
+    "q_risk_pipeline" ->
+      """WITH f AS (
+        |  SELECT 'D' || cast(o_orderkey % 50 as varchar) AS dist_key,
+        |   coalesce(nn.n_name, 'NOWHERE') AS prov_key,
+        |   CASE o_orderkey % 7 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |     WHEN 3 THEN 2 WHEN 4 THEN 1 WHEN 5 THEN NULL ELSE 3 END AS class_num
+        |  FROM orders o LEFT JOIN nation nn ON nn.n_nationkey = o.o_custkey % 30
+        |  WHERE o.o_orderkey < 3000),
+        |risk AS (SELECT prov_key, dist_key, avg(class_num) AS risk_avg
+        |  FROM f WHERE class_num IS NOT NULL GROUP BY prov_key, dist_key),
+        |lvl AS (SELECT prov_key, dist_key,
+        |  CASE WHEN risk_avg <= 1.5 THEN 1 WHEN risk_avg <= 2.1 THEN 2 ELSE 3 END AS risk_level
+        |  FROM risk),
+        |prov AS (SELECT cast(n_nationkey + 1 as int) AS province_id, n_name AS prov_key FROM nation),
+        |dist AS (SELECT cast(s_suppkey as int) AS district_id,
+        |  'D' || cast(s_suppkey % 40 as varchar) AS dist_key,
+        |  cast(s_nationkey + 1 as int) AS province_id FROM supplier),
+        |matched AS (
+        |  SELECT d.province_id, d.district_id, l.risk_level
+        |  FROM lvl l
+        |  JOIN prov p ON p.prov_key = l.prov_key
+        |  JOIN dist d ON d.province_id = p.province_id AND d.dist_key = l.dist_key),
+        |fill AS (
+        |  SELECT d.province_id, d.district_id, 1 AS risk_level FROM dist d
+        |  WHERE d.province_id IN (SELECT province_id FROM prov WHERE prov_key IN (SELECT DISTINCT prov_key FROM lvl))
+        |   AND NOT EXISTS (SELECT 1 FROM matched m
+        |                   WHERE m.province_id = d.province_id AND m.district_id = d.district_id))
+        |SELECT cast(1 as bigint) AS upload_risk_id, province_id, district_id,
+        |  cast(risk_level as int) AS risk_level
+        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM fill)
+        |ORDER BY district_id""".stripMargin,
+    "q_incident_pipeline" ->
+      """WITH cust AS (SELECT cast(c_custkey as int) AS district_id,
+        |  'C' || cast(c_custkey as varchar) AS dist_name,
+        |  cast(c_nationkey + 1 as int) AS province_id
+        | FROM customer WHERE c_custkey <= 300),
+        |prov AS (SELECT cast(n_nationkey + 1 as int) AS province_id, n_name FROM nation),
+        |f AS (SELECT
+        |  CASE WHEN event_id % 97 = 0 THEN 'oops' ELSE strftime(ts, '%Y-%m-%d') END AS ds,
+        |  nn.n_name AS prov_name,
+        |  'C' || cast((user_id * 7) % 320 as varchar) AS dist_name
+        | FROM events e LEFT JOIN nation nn ON nn.n_nationkey = e.user_id % 25),
+        |parsed AS (SELECT cast(try_strptime(f.ds, '%Y-%m-%d') as date) AS disaster_date,
+        |  p.province_id, c.district_id
+        | FROM f LEFT JOIN prov p ON p.n_name = trim(f.prov_name)
+        |        LEFT JOIN cust c ON c.dist_name = trim(f.dist_name)),
+        |matched AS (SELECT * FROM parsed WHERE province_id IS NOT NULL AND district_id IS NOT NULL),
+        |counts AS (SELECT disaster_date, province_id, district_id, cast(count(*) as int) AS cnt
+        | FROM matched GROUP BY disaster_date, province_id, district_id),
+        |dedup AS (SELECT DISTINCT disaster_date, province_id, district_id FROM matched),
+        |rng AS (SELECT min(disaster_date) AS mn, max(disaster_date) AS mx FROM dedup),
+        |existing AS (SELECT cast(ts as date) AS dd,
+        |  cast(user_id % 25 + 1 as int) AS province_id,
+        |  cast((user_id * 7) % 320 as int) AS district_id
+        | FROM events WHERE event_id < 2000),
+        |scoped AS (SELECT e.* FROM existing e, rng WHERE e.dd >= rng.mn AND e.dd <= rng.mx),
+        |ins AS (SELECT d.* FROM dedup d WHERE NOT EXISTS (
+        |  SELECT 1 FROM scoped s WHERE s.dd = d.disaster_date
+        |   AND s.province_id = d.province_id AND s.district_id = d.district_id))
+        |SELECT strftime(i.disaster_date, '%Y-%m-%d') AS disaster_date,
+        | cast(year(i.disaster_date) as int) AS year,
+        | i.province_id, i.district_id, coalesce(c.cnt, 1) AS count_of_disasters
+        |FROM ins i LEFT JOIN counts c USING (disaster_date, province_id, district_id)
+        |ORDER BY disaster_date NULLS LAST, province_id, district_id""".stripMargin,
+    "q_list_page" ->
+      """WITH prov AS (SELECT cast(n_nationkey + 1 as int) AS province_id,
+        |  n_name AS province_name, n_name AS province_name_en FROM nation),
+        |dist AS (SELECT cast(c_custkey as int) AS district_id,
+        |  'C' || cast(c_custkey as varchar) AS district_name,
+        |  'CE' || cast(c_custkey as varchar) AS district_name_en,
+        |  cast(c_nationkey + 1 as int) AS province_id
+        | FROM customer WHERE c_custkey < 500),
+        |rain AS (SELECT o_orderkey AS pk_id, cast(o_orderdate as date) AS dt,
+        |  cast(o_orderkey as double) AS rain_mm_wmean,
+        |  cast(o_custkey % 25 + 1 as int) AS province_id,
+        |  cast(o_custkey % 500 as int) AS district_id
+        | FROM orders),
+        |filt AS (SELECT * FROM rain WHERE province_id = 7),
+        |tot AS (SELECT count(*) AS t FROM filt)
+        |SELECT f.pk_id, strftime(f.dt, '%Y-%m-%d') AS date, f.rain_mm_wmean,
+        | f.province_id, f.district_id,
+        | p.province_name, p.province_name_en, d.district_name, d.district_name_en,
+        | (SELECT t FROM tot) AS total,
+        | cast(ceil((SELECT t FROM tot) / 50.0) as bigint) AS all_page,
+        | cast(2 as bigint) AS page
+        |FROM filt f
+        |LEFT JOIN prov p ON p.province_id = f.province_id
+        |LEFT JOIN dist d ON d.district_id = f.district_id
+        |ORDER BY f.rain_mm_wmean LIMIT 50 OFFSET 50""".stripMargin,
+    "q_graph_day" ->
+      """WITH prov AS (SELECT cast(n_nationkey + 1 as int) AS province_id,
+        |  n_name AS province_name, n_name AS province_name_en FROM nation),
+        |dist AS (SELECT cast(c_custkey as int) AS district_id,
+        |  'C' || cast(c_custkey as varchar) AS district_name,
+        |  'CE' || cast(c_custkey as varchar) AS district_name_en,
+        |  cast(c_nationkey + 1 as int) AS province_id
+        | FROM customer WHERE c_custkey < 500),
+        |rain AS (SELECT cast(o_orderdate as date) AS dt,
+        |  cast(o_orderkey as double) / 1000.0 AS rain_mm_wmean,
+        |  cast(o_custkey % 25 + 1 as int) AS province_id,
+        |  cast(o_custkey % 100 as int) AS district_id
+        | FROM orders WHERE cast(o_orderdate as date) = date '1996-06-15'),
+        |risk AS (
+        | SELECT cast(s_suppkey % 500 as int) AS district_id, cast(s_suppkey % 3 + 1 as int) AS risk_level FROM supplier
+        | UNION ALL
+        | SELECT cast(s_suppkey % 500 as int), cast(s_suppkey % 2 + 1 as int) FROM supplier),
+        |inc AS (SELECT cast((user_id * 7) % 100 as int) AS district_id,
+        |  cast(count(*) as int) AS cnt
+        | FROM events WHERE event_id % 11 = 0 GROUP BY 1)
+        |SELECT strftime(r.dt, '%Y-%m-%d') AS date, r.rain_mm_wmean, r.province_id, r.district_id,
+        | p.province_name, p.province_name_en, d.district_name, d.district_name_en,
+        | k.risk_level, coalesce(i.cnt, 0) AS count_of_disasters,
+        | CASE WHEN coalesce(i.cnt, 0) > 0
+        |   THEN least(100.0, greatest(80.0, r.rain_mm_wmean / 2.0 + k.risk_level * 10.0 + coalesce(i.cnt, 0) * 5.0))
+        |   ELSE least(100.0, r.rain_mm_wmean / 2.0 + k.risk_level * 10.0) END AS score
+        |FROM rain r
+        |LEFT JOIN prov p ON p.province_id = r.province_id
+        |LEFT JOIN dist d ON d.district_id = r.district_id
+        |LEFT JOIN risk k ON k.district_id = r.district_id
+        |LEFT JOIN inc i ON i.district_id = r.district_id
+        |ORDER BY r.district_id, r.rain_mm_wmean, k.risk_level NULLS LAST""".stripMargin,
+  )
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked coverage of the training-data pipeline extensions
+  * (dedup, similarity search, text analysis, multimodal plumbing) over
+  * the driver's `documents`/`embeddings` tables.
+  *
+  * Queries whose operators are not SQL-expressible in DuckDB (MinHash
+  * LSH, SimHash, the LSH-bucketed ANN, the typed mapPartitions feature
+  * extractor) ship without an oracle → the driver's rows-only check;
+  * their exact semantics are pinned by ScalaTest instead.
+  */
+object ExtensionQueries {
+
+  /** Exact dedup: hash-groupBy on the content fingerprint (never on the
+    * full text — the 16-byte key is the 100 TB pattern). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  /** Content fingerprints per doc. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace + BPE-ish. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"))
+      .orderBy("doc_id")
+
+  /** Quality scoring (length/stopword/punctuation/token-shape bands). */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard near-dup pairs (the brute-force verifier;
+    * threshold catches the planted near-duplicates). */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("text"))
+      .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= 0.8)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** MinHash+LSH near-dups verified by exact Jaccard — must find the
+    * same planted pairs as the brute-force query at far lower cost.
+    * No SQL oracle (rows-only); equivalence to brute force is pinned
+    * in DedupSpec. */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(
+      Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+      threshold = 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+
+  /** SimHash near-dups (rows-only; pinned in DedupSpec). */
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(
+      Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+      maxDist = 3)
+      .orderBy("id1", "id2")
+
+  /** Embedding near-dup pairs: brute-force cosine ≥ 0.4. */
+  def qEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(
+      Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id1", "id2")
+
+  /** Exact ANN baseline: brute-force top-5 neighbours for 10 queries. */
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(
+      e.select(col("vec_id").as("id"), col("embedding")),
+      e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+      k = 5)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed ANN (the scale path; recall vs brute force pinned in
+    * SimilaritySpec — rows-only here). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(
+      e.select(col("vec_id").as("id"), col("embedding")),
+      e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+      k = 5, nBits = 4, nTables = 8)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Multimodal metadata plumbing: binary payload + typed meta (the
+    * decode itself is the stubbed step; this part is SQL-checkable). */
+  def qMediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise(lit("video")).as("kind"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+      .orderBy("media_id")
+
+  /** Typed mapPartitions feature extraction through the stub decoder
+    * (rows-only; exact values pinned in MultimodalSpec). */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromText(s, Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"),
+        col("width"), col("height"), col("duration_ms"))
+      .orderBy("media_id")
+  }
+
+  /** Deterministic frame sampling over video payloads. */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val meta = qMediaMeta(s, dir)
+    Multimodal.sampleFrames(meta, stride = 100)
+      .orderBy("media_id", "frame_offset")
+  }
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_embed_cosine" -> (qEmbedCosine _),
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_media_meta" -> (qMediaMeta _),
+    "q_media_features" -> (qMediaFeatures _),
+    "q_frame_sample" -> (qFrameSample _),
+  )
+
+  private val fpSql = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT $fpSql AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "q_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    "q_token_count" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tok,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |r AS (SELECT doc_id, lang, text,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    cast(len(list_filter(toks, x -> x IN ($stopList))) as double) / cast(len(toks) as double)
+         |  ELSE 0.0 END AS stop_ratio FROM t)
+         |SELECT doc_id, lang,
+         | CASE WHEN regexp_matches(text, '[ก-๙]') THEN 'th'
+         |      WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'und' END AS pred,
+         | stop_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars,
+         |  $toksSql AS toks,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |  CASE WHEN n_chars > 0 THEN
+         |    cast(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) as double) / cast(n_chars as double)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+         |  ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN len(ltoks) > 0 THEN
+         |    cast(len(list_filter(ltoks, x -> x IN ($stopList))) as double) / cast(len(ltoks) as double)
+         |  ELSE 0.0 END AS stop_ratio
+         | FROM t)
+         |SELECT doc_id, n_chars, punct_ratio, mean_tok_len,
+         | ((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |  (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+         |  (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |  (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
+        |  cast(len(a.sh) + len(b.sh) as double) AS tot
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
+        |FROM p WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    "q_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(b.v, x -> x * x))) AS den
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |c AS (SELECT id1, id2, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p)
+        |SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        | octet_length(encode(text)) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, unnest(range(0, greatest(byte_len - 1, 0) + 1, 100)) AS frame_offset
+        |FROM m ORDER BY media_id, frame_offset""".stripMargin,
+  )
+}

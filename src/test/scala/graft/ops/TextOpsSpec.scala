@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
+    Seq(text).toDF("t").select(c(col("t"))).head().getAs[T](0)
+
+  test("tokenCount: whitespace runs, trim; empty → 1 (split semantics)") {
+    assert(one[Int]("a b  c\td", TextOps.tokenCount) == 4)
+    assert(one[Int]("  hi  ", TextOps.tokenCount) == 1)
+    assert(one[Int]("", TextOps.tokenCount) == 1)
+  }
+
+  test("bpeishTokenCount: alpha runs + digit runs + marks") {
+    assert(one[Int]("hello world42, ok!", TextOps.bpeishTokenCount) == 6)
+    // hello | world | 42 | , | ok | !
+  }
+
+  test("stopwordRatio and langId") {
+    assert(one[Double]("the cat sat on the mat", TextOps.stopwordRatio) == 3.0 / 6.0)
+    assert(one[String]("the cat sat on the mat", c => TextOps.langId(c)) == "en")
+    assert(one[String]("ดินถล่มภาคเหนือ", c => TextOps.langId(c)) == "th")
+    assert(one[String]("xyzzy plugh foobar", c => TextOps.langId(c)) == "und")
+  }
+
+  test("punctRatio and meanTokenLen") {
+    assert(one[Double]("ab.,cd", TextOps.punctRatio) == 2.0 / 6.0)
+    assert(one[Double]("ab cdef", TextOps.meanTokenLen) == 3.0)
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val f1 = one[String]("Hello   World", TextOps.fingerprint)
+    val f2 = one[String]("  hello world ", TextOps.fingerprint)
+    val f3 = one[String]("hello worlds", TextOps.fingerprint)
+    assert(f1 == f2 && f1 != f3)
+  }
+
+  test("rollingHash is order-sensitive where fingerprint-set ops are not") {
+    val h1 = one[Long]("a b c", TextOps.rollingHash)
+    val h2 = one[Long]("c b a", TextOps.rollingHash)
+    val h3 = one[Long]("a b c", TextOps.rollingHash)
+    assert(h1 == h3 && h1 != h2)
+  }
+
+  test("qualityScore bands") {
+    val good = "the quick brown fox jumps over the lazy dog and then keeps running today."
+    assert(one[Double](good, TextOps.qualityScore) == 1.0)
+    assert(one[Double]("x", TextOps.qualityScore) <= 0.5)
+  }
+}
