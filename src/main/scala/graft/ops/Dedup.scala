@@ -40,17 +40,18 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** k-permutation MinHash signature of a shingle array. Each hash is
-    * min over shingles of an affine rehash of xxhash64(shingle) —
-    * static per-k expressions, fully codegen'd. */
-  def minhashSignature(shingleCol: Column, k: Int = 16): Column = {
-    val sigs = (0 until k).map { i =>
-      val a = 0x9E3779B97F4A7C15L * (2 * i + 1) // odd multipliers
-      val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
-      array_min(transform(shingleCol, s => xxhash64(s) * lit(a) + lit(b)))
-    }
-    array(sigs: _*)
-  }
+  /** 64-bit hashes of the shingle set — computed ONCE per doc and fed
+    * to both the MinHash signature and the Jaccard verifier (long-array
+    * set ops are far cheaper than string-array ones; a 64-bit collision
+    * inside one pair's union is ~2⁻⁶⁵, so Jaccard counts are unchanged). */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    array_sort(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** k-permutation MinHash signature over hashed shingles — one
+    * codegen'd pass ([[graft.expr.MinHash64]]). Empty shingle arrays
+    * yield Long.MaxValue slots (callers filter empty docs anyway). */
+  def minhashSignature(hashCol: Column, k: Int = 16): Column =
+    graft.expr.MinHash64.minhash64(hashCol, k)
 
   /** LSH band keys: hash of each r-row slice of the signature.
     * bands × r must equal the signature length. */
@@ -60,13 +61,22 @@ object Dedup {
   /** Candidate near-duplicate pairs (id1 < id2) via MinHash LSH:
     * explode band keys, self-join per bucket. `df` must have an `id`
     * column and a `text` column. */
-  def minhashCandidates(df: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashCandidates(df: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatesFromShingles(
+      df.select(col("id"), hashedShingles(col("text"), n).as("sh")), k, bands)
+
+  /** Candidates from a precomputed (id, hashed-shingles) frame. The
+    * frame is persisted: Catalyst's project-collapse would otherwise
+    * inline the shingle expression into each of the k min-hash
+    * expressions, recomputing tokenization k× per row (measured 20×
+    * slowdown at sf0.1). */
+  def minhashCandidatesFromShingles(withSh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sig = df
-      .withColumn("__sh", shingles(col("text"), n))
-      .where(size(col("__sh")) > 0)
-      .withColumn("__bands", lshBands(minhashSignature(col("__sh"), k), bands, r))
+    val sig = withSh
+      .where(size(col("sh")) > 0)
+      .withColumn("__bands", lshBands(minhashSignature(col("sh"), k), bands, r))
       .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.as("a")
     val b = sig.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -75,42 +85,40 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity between two docs' shingle arrays. */
+  /** Exact Jaccard similarity between two docs' shingle arrays
+    * (generic element type; hash-set based). */
   def jaccard(sh1: Column, sh2: Column): Column = {
     val inter = size(array_intersect(sh1, sh2)).cast("double")
     val union = (size(sh1) + size(sh2)).cast("double") - inter
     when(union > 0, inter / union).otherwise(0.0)
   }
 
+  /** Exact Jaccard over sorted hashed shingles — the codegen'd merge
+    * loop ([[graft.expr.JaccardSorted]]); use with [[hashedShingles]]. */
+  def jaccardSorted(sh1: Column, sh2: Column): Column =
+    graft.expr.JaccardSorted.jaccardSorted(sh1, sh2)
+
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥
     * threshold. The verify join touches only candidate pairs. */
   def minhashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val withSh = df.select(col("id"), shingles(col("text"), n).as("sh"))
-    val cands = minhashCandidates(df, n, k, bands)
+    // hash-shingle once, persist: reused by the signature pass and both
+    // sides of the verify join (4 evaluations otherwise)
+    val withSh = df.select(col("id"), hashedShingles(col("text"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatesFromShingles(withSh, k, bands)
     cands
       .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
 
-  /** 64-bit SimHash over tokens: per bit, sum ±1 across token hashes;
-    * sign → bit. Pure array expressions (one aggregate over tokens). */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(lower(text)))
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
-        j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash over distinct tokens: per bit, sum ±1 across token
+    * hashes; sign → bit. One codegen'd pass ([[graft.expr.SimHash64]]). */
+  def simhash(text: Column): Column =
+    graft.expr.SimHash64.simhash64(array_distinct(TextOps.tokens(lower(text))))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

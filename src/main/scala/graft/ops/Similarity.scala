@@ -18,17 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (sequential left-to-right sum). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product — the codegen'd [[graft.expr.DotProduct]] (a
+    * `zip_with`+`aggregate` formulation is semantically identical but
+    * interpreted per element, ~10× slower on brute-force scans). */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(0.0)
-  }
+  /** Cosine similarity; 0 when either vector is all-zero. One fused
+    * codegen pass over both arrays ([[graft.expr.CosineSim]]). */
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorExprs.cosine(a, b)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -48,36 +47,45 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1],
+    * derived from xxhash64-chained (table, bit, dim) — no training
+    * step, reproducible across runs and machines. */
+  private def planeComponent(table: Int, bit: Int, dim: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = XXH64.hashLong(table.toLong, 42L)
+    h = XXH64.hashLong(bit.toLong, h)
+    h = XXH64.hashLong(dim.toLong, h)
+    java.lang.Math.floorMod(h, 2001L).toDouble / 1000.0 - 1.0
+  }
+
   /** Random-hyperplane LSH bucket key for one hash table: `nBits` sign
-    * bits of dot products against deterministic pseudo-random
-    * hyperplanes (components derived from xxhash64(table, bit, dim) →
-    * [-1, 1]). No training step, reproducible across runs. */
-  def lshKey(vec: Column, nBits: Int = 8, table: Int = 0): Column = {
+    * bits of codegen'd dot products against literal hyperplanes. */
+  def lshKey(vec: Column, nBits: Int, table: Int, dim: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(table), lit(b), i), lit(2001L)).cast("double") / 1000.0 - 1.0)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+      val plane = Array.tabulate(dim)(i => planeComponent(table, b, i))
+      when(dot(vec, typedlit(plane)) >= 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** All (table, bucket) keys for a vector — multi-table LSH raises
     * recall (a candidate only needs to collide in ONE table). */
-  private def lshKeys(vec: Column, nBits: Int, nTables: Int): Column =
+  private def lshKeys(vec: Column, nBits: Int, nTables: Int, dim: Int): Column =
     array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), lshKey(vec, nBits, t).as("bucket"))): _*)
+      struct(lit(t).as("tbl"), lshKey(vec, nBits, t, dim).as("bucket"))): _*)
 
   /** Approximate top-k: candidates restricted to LSH bucket collisions
     * in any of `nTables` tables, then exact cosine rank. Cost per query
     * ∝ Σ bucket sizes instead of corpus size — the 100 TB trade. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 8): DataFrame = {
+    // hyperplanes are literal arrays, so the vector dimensionality is
+    // needed up front: one cheap head() on the corpus
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
-      .select(col("id"), col("vec"), explode(lshKeys(col("vec"), nBits, nTables)).as("tb"))
+      .select(col("id"), col("vec"), explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))
     val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
-      .select(col("qid"), col("qvec"), explode(lshKeys(col("qvec"), nBits, nTables)).as("tb"))
+      .select(col("qid"), col("qvec"), explode(lshKeys(col("qvec"), nBits, nTables, dim)).as("tb"))
     val cands = c.join(broadcast(q), Seq("tb"))
       .where(col("id") =!= col("qid"))
       .select("qid", "qvec", "id", "vec")

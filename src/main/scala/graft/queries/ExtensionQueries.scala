@@ -60,13 +60,20 @@ object ExtensionQueries {
   /** Exact n-gram Jaccard near-dup pairs (the brute-force verifier;
     * threshold catches the planted near-duplicates). */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // bounded brute-force baseline — the LSH query is the scale path
+    // hashed shingles: Jaccard counts are identical to string shingles
+    // (64-bit collisions within one pair's union ~2^-65) but long-array
+    // set ops are an order of magnitude cheaper — the oracle computes
+    // the same counts on the raw strings
     val sh = Tables.documents(s, dir)
+      .where(col("doc_id") < 1000)
       .select(col("doc_id").as("id"), col("text"))
-      .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .select(col("id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("jaccard", Dedup.jaccard(col("sh1"), col("sh2")))
+      .withColumn("jaccard", Dedup.jaccardSorted(col("sh1"), col("sh2")))
       .where(col("jaccard") >= 0.8)
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
@@ -93,7 +100,8 @@ object ExtensionQueries {
   /** Embedding near-dup pairs: brute-force cosine ≥ 0.4. */
   def qEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(
-      Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+      Tables.embeddings(s, dir).where(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"), col("embedding")),
       threshold = 0.4)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id1", "id2")
@@ -213,7 +221,7 @@ object ExtensionQueries {
          |  (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents WHERE doc_id < 1000),
         |s AS (SELECT doc_id,
         |  CASE WHEN len(toks) >= 3 THEN
         |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))

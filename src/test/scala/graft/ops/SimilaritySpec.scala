@@ -50,8 +50,8 @@ class SimilaritySpec extends SparkSpec {
   test("lsh bucket key is deterministic") {
     val e = Seq((0L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "embedding")
       .select(transform(col("embedding"), _.cast("double")).as("v"))
-    val k1 = e.select(Similarity.lshKey(col("v"), 8)).head().getLong(0)
-    val k2 = e.select(Similarity.lshKey(col("v"), 8)).head().getLong(0)
+    val k1 = e.select(Similarity.lshKey(col("v"), 8, 0, 3)).head().getLong(0)
+    val k2 = e.select(Similarity.lshKey(col("v"), 8, 0, 3)).head().getLong(0)
     assert(k1 == k2)
   }
 }
