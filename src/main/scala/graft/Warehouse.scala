@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet warehouse for the engine's tables (SURVEY.md §4).
+  *
+  * Facts are partitioned by `year` — the Spark replacement for the
+  * reference's b-tree indexes on date/year: date-range predicates
+  * partition-prune, and parquet row-group min/max stats cover the
+  * within-year `date` bounds. Dims and metadata tables are single
+  * unpartitioned files (they are tiny).
+  *
+  * At 100 TB the same layout holds: year (or year+month) partitions
+  * keep any one scan bounded, appends are new files inside existing
+  * partitions (no rewrite), and writers never touch readers (parquet
+  * committer atomicity per job).
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private val partitionedBy: Map[String, Seq[String]] = Map(
+    "rain_points" -> Seq("year"),
+    "incident_statistics_points" -> Seq("year"))
+
+  def path(table: String): String = s"$root/$table"
+
+  def write(table: String, df: DataFrame, mode: SaveMode = SaveMode.Append): Unit = {
+    val w = df.write.mode(mode)
+    partitionedBy.get(table).filter(_.forall(df.columns.contains))
+      .fold(w)(cols => w.partitionBy(cols: _*))
+      .parquet(path(table))
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (exists(table)) read(table)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}

@@ -36,9 +36,19 @@ object DbfReader {
     }.next()
   }
 
-  def read(spark: SparkSession, path: String, encoding: String = "TIS-620"): DataFrame = {
+  /** @param encoding  used unless a `.cpg` sidecar declares the charset
+    *                   (shapefile convention — the admin ADM2 table
+    *                   ships UTF-8 with a cpg, the risk tables TIS-620)
+    * @param withRecno  prepend a `_recno` long column (0-based file
+    *                   order) — dim seeding assigns ids in file order. */
+  def read(spark: SparkSession, path: String, encoding: String = "TIS-620",
+      withRecno: Boolean = false): DataFrame = {
     val bytes = Files.readAllBytes(Paths.get(path))
-    val cs = charsetFor(encoding)
+    val cpg = Paths.get(path.replaceAll("\\.dbf$", ".cpg"))
+    val declared =
+      if (Files.exists(cpg)) new String(Files.readAllBytes(cpg), "ASCII").trim
+      else encoding
+    val cs = charsetFor(declared)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     val numRecords = bb.getInt(4)
@@ -66,7 +76,9 @@ object DbfReader {
       }
       StructField(f.name, dt)
     }
-    val schema = StructType(sparkFields.toSeq)
+    val schema = StructType(
+      (if (withRecno) Seq(StructField("_recno", LongType, nullable = false)) else Nil) ++
+        sparkFields.toSeq)
 
     val rows = ArrayBuffer.empty[Row]
     var rec = headerLen
@@ -93,7 +105,8 @@ object DbfReader {
             case _ => if (s.isEmpty) null else s
           }
         }
-        rows += Row.fromSeq(vals.toSeq)
+        rows += Row.fromSeq(
+          (if (withRecno) Seq(rows.length.toLong) else Nil) ++ vals.toSeq)
       }
       rec += recordLen
       i += 1

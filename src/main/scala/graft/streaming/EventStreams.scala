@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.Warehouse
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface of the engine (an extension — the
+  * reference is batch-only, SURVEY.md §2.10; its only incremental
+  * behavior, the idempotent incident append, is re-expressed here as a
+  * streaming upsert).
+  *
+  * Everything is `readStream`-shape agnostic: functions take the
+  * streaming DataFrame/Dataset and return transformed streams; sinks
+  * are the caller's choice except [[idempotentAppend]] which owns its
+  * foreachBatch. Watermarks bound state; aggregations are the same
+  * plans Catalyst produces for the batch twins (q_window_tumbling).
+  */
+object EventStreams {
+
+  final case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window aggregate with a watermark (late data
+    * beyond `watermark` is dropped; state is bounded). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time sessionization with Spark's native session windows:
+    * a session closes after `gap` of inactivity per user. */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user
+    * totals across triggers (update mode). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserTotals(uid, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** The reference's idempotent append (J6) as a streaming upsert:
+    * each micro-batch is deduped on `keys`, anti-joined against the
+    * target table, and only the new keys are appended — re-delivered
+    * events insert nothing (exactly-once effect on at-least-once
+    * delivery). */
+  def idempotentAppend(
+      stream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      keys: Seq[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = batch.dropDuplicates(keys)
+        val existing = wh.readOrEmpty(table,
+          org.apache.spark.sql.types.StructType(
+            deduped.schema.fields))
+        val fresh = deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
+        wh.write(table, fresh, SaveMode.Append)
+      }
+      .start()
+}

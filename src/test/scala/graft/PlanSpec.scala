@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.{DomainQueries, RelationalQueries}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions (SURVEY.md §4): these pin the
+  * *scale* properties — pushdown reaching the parquet scan, dims
+  * broadcasting, partial aggregation, fused top-k — so a refactor
+  * that silently regresses a plan fails CI, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("projection + predicate reach the parquet scan (pushdown/pruning)") {
+    val p = plan(RelationalQueries.qScanProject(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), p)
+    // column pruning: the scan reads only the projected columns
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("dim joins broadcast (no shuffle for small sides)") {
+    val p = plan(RelationalQueries.qJoinEnrich(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregation is partial→final (map-side combine) under codegen") {
+    val df = RelationalQueries.q1Agg(spark, dir)
+    val p = plan(df)
+    assert(p.contains("partial_"), p) // partial aggregate stage present
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // '*'-prefixed operators are inside WholeStageCodegen spans; the
+    // whole scan→filter→project→partial-agg pipeline must be fused
+    assert(codegen.contains("* HashAggregate") && codegen.contains("* Filter"), codegen)
+  }
+
+  test("top-k fuses sort+limit (TakeOrderedAndProject, no global sort)") {
+    val p = plan(RelationalQueries.qTopk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rain ingest: ONE shuffle total; cell map and dims broadcast") {
+    val df = DomainQueries.qRainPipeline(spark, dir)
+    val p = plan(df)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // the groupBy on (time, province, district) — and nothing else —
+    // may shuffle (the final orderBy of the oracle wrapper adds a
+    // range exchange; allow it, reject more)
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("anti-join executes as a broadcast/hash anti join, not a cartesian") {
+    val p = plan(RelationalQueries.qAntiJoin(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

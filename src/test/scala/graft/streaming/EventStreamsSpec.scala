@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.{SparkSpec, Warehouse}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(s: String, uid: Long, typ: String, v: Double) =
+    Event(ts(s), uid, typ, v)
+
+  test("windowedCounts: tumbling windows with watermark (complete batch run)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      ev("2024-01-01 00:05:00", 1, "click", 1.0),
+      ev("2024-01-01 00:55:00", 1, "click", 2.0),
+      ev("2024-01-01 01:05:00", 2, "view", 3.0))
+    val q = windowedCounts(in.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wc")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .orderBy("w", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("00:00", "click", 2L), ("01:00", "view", 1L)))
+  }
+
+  test("sessionized: native session windows close after the gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      ev("2024-01-01 00:00:00", 1, "click", 1.0),
+      ev("2024-01-01 00:10:00", 1, "click", 1.0), // same session (gap 30m)
+      ev("2024-01-01 01:00:00", 1, "click", 1.0), // new session
+      ev("2024-01-01 00:00:00", 2, "view", 5.0))
+    val q = sessionized(in.toDF(), "30 minutes", "4 hours")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess")
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("n_events").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("runningUserTotals: state carries across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("tot").outputMode("update").start()
+    in.addData(ev("2024-01-01 00:00:00", 1, "click", 1.5))
+    q.processAllAvailable()
+    in.addData(ev("2024-01-01 00:01:00", 1, "click", 2.5))
+    q.processAllAvailable(); q.stop()
+    // update mode: last emitted row for user 1 has the running totals
+    val last = spark.table("tot").where(col("user_id") === 1)
+      .orderBy(col("n_events").desc).head()
+    assert(last.getAs[Long]("n_events") == 2L)
+    assert(last.getAs[Double]("total_value") == 4.0)
+  }
+
+  test("idempotentAppend: re-delivered keys insert nothing") {
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, root)
+    val in = MemoryStream[Event]
+    val keys = Seq("ts", "user_id")
+
+    in.addData(ev("2024-01-01 00:00:00", 1, "click", 1.0),
+      ev("2024-01-01 00:00:00", 1, "click", 9.0), // in-batch dup key
+      ev("2024-01-01 00:01:00", 2, "view", 2.0))
+    val q1 = idempotentAppend(in.toDF(), wh, "events_ledger", keys, s"$root/cp1")
+    q1.awaitTermination(60000); // AvailableNow terminates when drained
+    assert(wh.read("events_ledger").count() == 2)
+
+    // re-deliver one old key + one new key in a fresh query
+    val in2 = MemoryStream[Event]
+    in2.addData(ev("2024-01-01 00:00:00", 1, "click", 1.0), // dup of ledger
+      ev("2024-01-01 00:02:00", 3, "error", 7.0))
+    val q2 = idempotentAppend(in2.toDF(), wh, "events_ledger", keys, s"$root/cp2")
+    q2.awaitTermination(60000)
+    val rows = wh.read("events_ledger").orderBy("ts", "user_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L))
+  }
+}
