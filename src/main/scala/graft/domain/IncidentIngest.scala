@@ -68,14 +68,25 @@ object IncidentIngest {
       .withColumn("rn", row_number().over(lastWins)).where(col("rn") === 1)
       .select(col("k").as("dist_name_key"), col("id").as("district_id"))
 
-    // F6: strict yyyy-MM-dd parse, null on failure (≡ errors="coerce")
+    // F6: yyyy-MM-dd parse, null on failure (≡ errors="coerce"). The
+    // extra branches accept what raw-XML xlsx reads surface for real
+    // date cells: datetime strings and Excel day serials (epoch
+    // 1899-12-30) — pandas sees those as datetimes before its strict
+    // format check, so this matches the reference's accepted inputs.
+    val ds = col("Disaster Date").cast("string")
+    val serial = ds.try_cast("double")
     val parsed = file
       .withColumn("prov_name_key", trim(col("Province").cast("string")))
       .withColumn("dist_name_key", trim(col("District").cast("string")))
       .join(broadcast(provMap), Seq("prov_name_key"), "left")
       .join(broadcast(distMap), Seq("dist_name_key"), "left")
       .withColumn("disaster_date",
-        try_to_timestamp(col("Disaster Date").cast("string"), lit("yyyy-MM-dd")).cast("date"))
+        coalesce(
+          try_to_timestamp(ds, lit("yyyy-MM-dd")).cast("date"),
+          try_to_timestamp(ds, lit("yyyy-MM-dd HH:mm:ss")).cast("date"),
+          try_to_timestamp(ds, lit("yyyy-MM-dd'T'HH:mm:ss")).cast("date"),
+          when(serial.between(20000, 80000),
+            date_add(to_date(lit("1899-12-30")), serial.cast("int")))))
       .withColumn("year", year(col("disaster_date")))
 
     // P6: drop rows whose dimension match failed
