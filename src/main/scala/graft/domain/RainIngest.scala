@@ -1,7 +1,6 @@
 package graft.domain
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** NetCDF rainfall grid → per-(day, district) rain aggregates
@@ -43,17 +42,21 @@ object RainIngest {
   }
 
   /** Grid resolution = min abs diff of sorted distinct coordinate
-    * values (utils.py:113-114), computed distributively via lag —
-    * the distinct coordinate sets are tiny (grid resolution), so this
-    * is a trivially cheap job at any scale. */
-  private def minStep(df: DataFrame, c: String): Double = {
-    val w = Window.orderBy(col(c))
-    val r = df.select(col(c)).distinct()
-      .withColumn("d", abs(col(c) - lag(col(c), 1).over(w)))
-      .agg(min("d")).first()
-    require(!r.isNullAt(0),
-      s"cannot infer grid resolution: fewer than two distinct '$c' values among matched cells")
-    r.getDouble(0)
+    * values (utils.py:113-114). Both axes resolve in ONE distributed
+    * job (`collect_set` aggregates partial per partition); the
+    * distinct coordinate sets are grid-resolution-sized (~10²-10³
+    * values even on a global 0.05° grid), so the driver-side sort is
+    * trivial and the subtraction math is bit-identical to the
+    * distributed lag formulation. */
+  private def minSteps(df: DataFrame): (Double, Double) = {
+    val r = df.agg(collect_set("latitude"), collect_set("longitude")).first()
+    def step(vals: Seq[Double], name: String): Double = {
+      val sorted = vals.sorted
+      require(sorted.length >= 2,
+        s"cannot infer grid resolution: fewer than two distinct '$name' values among matched cells")
+      sorted.sliding(2).map(p => math.abs(p(1) - p(0))).min
+    }
+    (step(r.getSeq[Double](0), "latitude"), step(r.getSeq[Double](1), "longitude"))
   }
 
   /** Full ingest: grid rows → `rain_points`-shaped rows (unwritten).
@@ -86,8 +89,7 @@ object RainIngest {
 
     // §2.5 A5: grid resolution, inferred from the MATCHED points (the
     // reference derives it from the post-sjoin frame, utils.py:113-114)
-    val dlat = minStep(mapped, "latitude")
-    val dlon = minStep(mapped, "longitude")
+    val (dlat, dlon) = minSteps(mapped)
 
     // §2.9 F8: cosine weight + cell area + volume (million m³)
     val withMeasures = mapped

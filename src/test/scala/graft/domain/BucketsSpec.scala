@@ -46,6 +46,12 @@ class BucketsSpec extends SparkSpec {
     assert(out == Seq(1, 2, 2, 3, 3))
   }
 
+  test("scoreColor buckets: ≥75 red, ≥50 yellow, else green (F14)") {
+    val out = Seq(80.0, 75.0, 74.9, 50.0, 49.9).toDF("s")
+      .select(Buckets.scoreColor(col("s"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("red", "red", "yellow", "yellow", "green"))
+  }
+
   test("riskScore: base, boost-to-80 on any disaster, clamp at 100") {
     val rows = Seq(
       (20.0, 1, 0),  // base = 10 + 10 = 20
