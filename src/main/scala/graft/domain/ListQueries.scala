@@ -58,12 +58,14 @@ object ListQueries {
       dateStart: Option[String] = None,
       dateEnd: Option[String] = None)
 
-  private def conds(f: FactFilters, dateCol: String): Seq[Column] =
+  private def conds(f: FactFilters, dateCol: Option[String]): Seq[Column] =
     f.provinceId.map(col("province_id") === _).toSeq ++
       f.districtId.map(col("district_id") === _) ++
       f.riskLevel.map(col("risk_level") === _) ++
-      f.dateStart.map(d => col(dateCol) >= to_date(lit(d))) ++
-      f.dateEnd.map(d => col(dateCol) <= to_date(lit(d)))
+      dateCol.toSeq.flatMap { dc =>
+        f.dateStart.map(d => col(dc) >= to_date(lit(d))) ++
+          f.dateEnd.map(d => col(dc) <= to_date(lit(d)))
+      }
 
   private def applyConds(df: DataFrame, cs: Seq[Column]): DataFrame =
     if (cs.isEmpty) df else df.where(cs.reduce(_ && _))
@@ -84,7 +86,7 @@ object ListQueries {
   /** GET /list_rain (main.py:240-330). Fallback sort: `date`. */
   def listRain(rain: DataFrame, provinces: DataFrame, districts: DataFrame,
       filters: FactFilters = FactFilters(), req: PageRequest = PageRequest()): PageResult = {
-    val base = applyConds(rain, conds(filters, "date"))
+    val base = applyConds(rain, conds(filters, Some("date")))
     val joined = withDims(base, provinces, districts)
       .select(col("pk_id"), col("date"), col("rain_mm_wmean"),
         col("province_id"), col("district_id"),
@@ -102,7 +104,7 @@ object ListQueries {
     * dim's province_id (main.py:503 quirk — not the fact's). */
   def listRisk(risk: DataFrame, provinces: DataFrame, districts: DataFrame,
       filters: FactFilters = FactFilters(), req: PageRequest = PageRequest()): PageResult = {
-    val base = applyConds(risk, conds(filters, "date"))
+    val base = applyConds(risk, conds(filters, dateCol = None))
     val joined = withDims(base, provinces, districts)
       .select(col("risk_id"), col("risk_level"), col("province_id"), col("district_id"),
         col("province_name"), col("province_name_en"),
@@ -119,7 +121,7 @@ object ListQueries {
     * district-dim fallback quirk (main.py:614). */
   def listIncidents(incidents: DataFrame, provinces: DataFrame, districts: DataFrame,
       filters: FactFilters = FactFilters(), req: PageRequest = PageRequest()): PageResult = {
-    val base = applyConds(incidents, conds(filters, "disaster_date"))
+    val base = applyConds(incidents, conds(filters, Some("disaster_date")))
     val joined = withDims(base, provinces, districts)
       .select(col("incident_id"), col("disaster_date"), col("province_id"), col("district_id"),
         col("count_of_disasters"),
@@ -140,7 +142,7 @@ object ListQueries {
       filters: FactFilters = FactFilters(), req: PageRequest = PageRequest()): PageResult = {
     val p = provinces.select(col("province_id").as("p_province_id"),
       col("province_name"), col("province_name_en"))
-    val base = applyConds(districts, conds(filters, "date"))
+    val base = applyConds(districts, conds(filters, dateCol = None))
     val joined = base
       .join(broadcast(p), base("province_id") === p("p_province_id"), "left")
       .select(col("province_id"), col("district_id"),

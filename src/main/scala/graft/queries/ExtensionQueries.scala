@@ -156,7 +156,19 @@ object ExtensionQueries {
       .orderBy("media_id", "frame_offset")
   }
 
+  /** Skew-safe two-phase aggregation must equal the plain GROUP BY —
+    * proven against the oracle (decimal-quantized sums, so the salted
+    * re-association cannot drift). */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("value", Q.dec2(col("value")))
+    graft.ops.Skew.saltedSumCount(ev, Seq("event_type"), "value", buckets = 32)
+      .select(col("event_type"), col("n"), col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
+    "q_skew_agg" -> (qSkewAgg _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_fingerprint" -> (qFingerprint _),
     "q_token_count" -> (qTokenCount _),
@@ -178,6 +190,10 @@ object ExtensionQueries {
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT $fpSql AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
