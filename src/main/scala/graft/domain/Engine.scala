@@ -1,0 +1,145 @@
+package graft.domain
+
+import graft.Warehouse
+import graft.sources.{DbfReader, XlsxReader}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine facade — the drop-in replacement surface for the
+  * reference backend (SURVEY.md §0): dimension seeding, the three
+  * upload ingests (with upload-metadata rows and primary keys), and
+  * every serving query, all against a [[graft.Warehouse]].
+  *
+  * Primary keys: each append gets `max(existing)+row_number` over the
+  * batch. Upload files are request-scoped (≤ a few hundred thousand
+  * rows — SURVEY §6: ~38k rows/year-file), so the single-partition
+  * window inside one append is bounded by construction; fact-table
+  * scans never pay it.
+  */
+final class Engine(spark: SparkSession, wh: Warehouse) {
+
+  import Engine._
+
+  // ---- dimension access ----
+
+  def provinces: DataFrame = wh.readOrEmpty(ProvinceT,
+    org.apache.spark.sql.types.StructType(Schemas.province.filter(_.name != "time_create")))
+  def districts: DataFrame = wh.readOrEmpty(DistrictT,
+    org.apache.spark.sql.types.StructType(Schemas.district.filter(_.name != "time_create")))
+
+  /** POST /init analog: seed dims from the ADM2 attribute table
+    * (idempotent — reruns add nothing). */
+  def initDims(adm2DbfPath: String,
+      northProvsEn: Seq[String] = RainIngest.NorthProvsEn): DimInit.Dims = {
+    val adm2 = DbfReader.read(spark, adm2DbfPath, withRecno = true)
+    val dims = DimInit.seed(spark, adm2, provinces, districts, northProvsEn)
+    wh.write(ProvinceT, dims.provinces, SaveMode.Overwrite)
+    wh.write(DistrictT, dims.districts, SaveMode.Overwrite)
+    DimInit.Dims(provinces, districts)
+  }
+
+  // ---- uploads ----
+
+  private def nextId(df: DataFrame, idCol: String): Long =
+    df.agg(coalesce(max(col(idCol)), lit(0L))).first().getLong(0)
+
+  private def withPk(df: DataFrame, idCol: String, start: Long): DataFrame =
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(monotonically_increasing_id())) + start).cast("long"))
+
+  private def recordUpload(table: String, filename: String, sizeBytes: Long, ownerId: Int): Long = {
+    val existing = wh.readOrEmpty(table, Schemas.uploadMeta)
+    val id = nextId(existing, "upload_id") + 1
+    import spark.implicits._
+    wh.write(table, Seq((id, filename, s"storage/$filename", sizeBytes, "application/octet-stream", ownerId))
+      .toDF("upload_id", "filename", "storage_path", "size_bytes", "content_type", "owner_id")
+      .withColumn("time_create", current_timestamp()))
+    id
+  }
+
+  /** POST /upload analog (NetCDF → rain_points). The grid arrives
+    * pre-flattened (Schemas.rainGrid); `cellMap` is the J3 spatial
+    * assignment (see [[graft.spatial.CellDistrictMap]]). Returns the
+    * number of appended rows. */
+  def ingestRainGrid(grid: DataFrame, cellMap: DataFrame, filename: String,
+      ownerId: Int = 0, northProvsEn: Seq[String] = RainIngest.NorthProvsEn): Long = {
+    val uploadId = recordUpload(UploadRainT, filename, 0L, ownerId)
+    val rows = RainIngest.ingest(spark, grid, cellMap, provinces, districts, uploadId, northProvsEn)
+    val existing = wh.readOrEmpty(RainT, Schemas.rainPoints)
+    val out = withPk(rows, "pk_id", nextId(existing, "pk_id"))
+      .select("pk_id", "upload_id", "date", "year", "province_id", "district_id",
+        "rain_mm_wmean", "rainfall_mm")
+    wh.write(RainT, out)
+    out.count()
+  }
+
+  /** POST /upload_dbf analog (risk map → risk_points). */
+  def ingestRiskDbf(path: String, specialFix: Boolean = false, ownerId: Int = 0): Long = {
+    val dbf = DbfReader.read(spark, path)
+    val uploadRiskId = recordUpload(UploadRiskT, new java.io.File(path).getName,
+      new java.io.File(path).length(), ownerId)
+    val rows = RiskIngest.ingest(spark, dbf, provinces, districts, uploadRiskId, specialFix)
+    val existing = wh.readOrEmpty(RiskT, Schemas.riskPoints)
+    val out = withPk(rows, "risk_id", nextId(existing, "risk_id"))
+      .select("risk_id", "upload_risk_id", "province_id", "district_id", "risk_level")
+    wh.write(RiskT, out)
+    out.count()
+  }
+
+  /** POST /upload_excel analog (incident log → incident counts),
+    * including sheet choice and the dual header format; idempotent via
+    * the date-scoped anti-join. */
+  def ingestIncidentXlsx(bytes: Array[Byte], requestedSheet: Option[String] = None): Long = {
+    val wb = XlsxReader.parse(bytes)
+    val sheet = TextNorm.chooseSheet(wb.sheetNames, requestedSheet)
+    val attempt1 = XlsxReader.readSheet(spark, wb, Some(sheet))
+    val file = IncidentIngest.normalizeColumns(attempt1).getOrElse {
+      IncidentIngest.normalizeColumns(XlsxReader.readSheet(spark, wb, Some(sheet), skipRows = 2))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sheet '$sheet' carries neither header format"))
+    }
+    val existing = wh.readOrEmpty(IncidentT, Schemas.incidentStatisticsPoints)
+    val rows = IncidentIngest.ingest(spark, file, provinces, districts, existing)
+    val out = withPk(rows, "incident_id", nextId(existing, "incident_id"))
+      .select("incident_id", "disaster_date", "year", "province_id", "district_id",
+        "count_of_disasters")
+    wh.write(IncidentT, out)
+    out.count()
+  }
+
+  // ---- serving ----
+
+  private def rain = wh.readOrEmpty(RainT, Schemas.rainPoints)
+  private def risk = wh.readOrEmpty(RiskT, Schemas.riskPoints)
+  private def incidents = wh.readOrEmpty(IncidentT, Schemas.incidentStatisticsPoints)
+
+  def listProvince(): DataFrame = ListQueries.listProvince(provinces)
+  def listDistrict(provinceId: Option[Int] = None): DataFrame =
+    ListQueries.listDistrict(districts, provinceId)
+  def listRain(filters: ListQueries.FactFilters = ListQueries.FactFilters(),
+      req: ListQueries.PageRequest = ListQueries.PageRequest()): ListQueries.PageResult =
+    ListQueries.listRain(rain, provinces, districts, filters, req)
+  def listRisk(filters: ListQueries.FactFilters = ListQueries.FactFilters(),
+      req: ListQueries.PageRequest = ListQueries.PageRequest()): ListQueries.PageResult =
+    ListQueries.listRisk(risk, provinces, districts, filters, req)
+  def listIncidents(filters: ListQueries.FactFilters = ListQueries.FactFilters(),
+      req: ListQueries.PageRequest = ListQueries.PageRequest()): ListQueries.PageResult =
+    ListQueries.listIncidents(incidents, provinces, districts, filters, req)
+  def listProvinceDistrict(filters: ListQueries.FactFilters = ListQueries.FactFilters(),
+      req: ListQueries.PageRequest = ListQueries.PageRequest()): ListQueries.PageResult =
+    ListQueries.listProvinceDistrict(provinces, districts, filters, req)
+  def dateLimit(): DataFrame = ListQueries.dateLimit(rain)
+  def graph(date: String): DataFrame =
+    ListQueries.graph(date, rain, provinces, districts, risk, incidents)
+}
+
+object Engine {
+  val ProvinceT = "province"
+  val DistrictT = "district"
+  val RainT = "rain_points"
+  val RiskT = "risk_points"
+  val IncidentT = "incident_statistics_points"
+  val UploadRainT = "upload_rain_point"
+  val UploadRiskT = "upload_risk"
+}

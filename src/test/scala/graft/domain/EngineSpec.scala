@@ -1,0 +1,124 @@
+package graft.domain
+
+import graft.{SparkSpec, Warehouse}
+import graft.testutil.FileBuilders
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+/** End-to-end drive of the engine facade — the "a user of the reference
+  * switches to this library" flow: init dims from the real ADM2 table,
+  * upload a rain grid, a risk DBF, an incident XLSX (twice, proving
+  * idempotency), then serve every query. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val adm2Path = "/root/reference/backend/storage/admin/tha_admbnda_adm2_rtsd_20220121.dbf"
+
+  private def newEngine(): Engine = {
+    val root = Files.createTempDirectory("graft-engine").toString
+    new Engine(spark, new Warehouse(spark, root))
+  }
+
+  test("full reference flow: init → three uploads → serving queries") {
+    assume(Files.exists(Paths.get(adm2Path)))
+    val eng = newEngine()
+
+    // ---- /init ----
+    eng.initDims(adm2Path)
+    assert(eng.provinces.count() == 9)
+    assert(eng.districts.count() == 112)
+    assert(eng.listProvince().count() == 9)
+
+    // ---- rain upload: grid over Mueang Chiang Mai ----
+    val cmProv = eng.provinces.where($"province_name_en" === "Chiang Mai").head().getInt(0)
+    val cmDistRow = eng.districts
+      .where($"district_name_en" === "Mueang Chiang Mai").head()
+    val t1 = Timestamp.valueOf("2023-06-01 00:00:00")
+    val grid = Seq(
+      (t1, 18.75, 98.95, 12.0),
+      (t1, 18.80, 98.95, 8.0),
+      (t1, 18.75, 99.00, 4.0),
+      (t1, 18.80, 99.00, 0.0), // dropped (zero precip)
+    ).toDF("time", "latitude", "longitude", "precip")
+    val cellMap = Seq(
+      (18.75, 98.95, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.80, 98.95, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.75, 99.00, "Chiang Mai", "Mueang Chiang Mai"),
+    ).toDF("latitude", "longitude", "province", "district")
+    val nRain = eng.ingestRainGrid(grid, cellMap, "chirps-2023.nc")
+    assert(nRain == 1) // one district-day row
+
+    // ---- risk upload (TIS-620 DBF bytes) ----
+    val dbfBytes = FileBuilders.dbf(
+      fields = Seq(("AMPHOE_T", 40), ("PROV_NAM_T", 40), ("CLASS", 20)),
+      records = Seq(
+        Seq("เมืองเชียงใหม่", "เชียงใหม่", "สูง"),
+        Seq("ฝาง", "เชียงใหม่", "low")))
+    val dbfPath = Files.createTempFile("risk", ".dbf")
+    Files.write(dbfPath, dbfBytes)
+    val nRisk = eng.ingestRiskDbf(dbfPath.toString)
+    // 2 matched + every other Chiang Mai district filled with 1 → 25 rows
+    assert(nRisk == 25)
+    val riskLevels = eng.listRisk(req = ListQueries.PageRequest(pageSize = 200))
+    assert(riskLevels.total == 25)
+    val mueangRisk = riskLevels.items
+      .where($"district_id" === cmDistRow.getInt(0)).head().getAs[Int]("risk_level")
+    assert(mueangRisk == 3)
+
+    // ---- incident upload (XLSX bytes), idempotent re-upload ----
+    val xlsxBytes = FileBuilders.xlsx(Seq(
+      "พื้นที่เกิด" -> Seq(
+        Seq("Disaster Date", "Province", "District"),
+        Seq("2023-06-01", "เชียงใหม่", "เมืองเชียงใหม่"),
+        Seq("2023-06-01", "เชียงใหม่", "เมืองเชียงใหม่"),
+        Seq("2023-06-02", "เชียงใหม่", "ฝาง"))))
+    assert(eng.ingestIncidentXlsx(xlsxBytes) == 2) // two (date, district) keys
+    assert(eng.ingestIncidentXlsx(xlsxBytes) == 0) // idempotent
+
+    // ---- serving ----
+    val page = eng.listRain(
+      ListQueries.FactFilters(provinceId = Some(cmProv)),
+      ListQueries.PageRequest(pageSize = 10, orderBy = "date"))
+    assert(page.total == 1)
+    val rainRow = page.items.head()
+    assert(rainRow.getAs[String]("province_name") == "เชียงใหม่")
+    assert(rainRow.getAs[Double]("rain_mm_wmean") > 0)
+
+    val lim = eng.dateLimit().head()
+    assert(lim.getAs[java.sql.Date]("min_date").toString == "2023-06-01")
+
+    val g = eng.graph("2023-06-01").collect()
+    assert(g.length == 1)
+    val row = g.head
+    assert(row.getAs[Int]("risk_level") == 3)
+    assert(row.getAs[Int]("count_of_disasters") == 2)
+    // score: boost path — 2 incidents that day
+    val wmean = row.getAs[Double]("rain_mm_wmean")
+    val expected = math.min(100.0, math.max(80.0, wmean / 2 + 3 * 10 + 2 * 5))
+    assert(math.abs(row.getAs[Double]("score") - expected) < 1e-9)
+
+    // pk uniqueness
+    assert(eng.listIncidents(req = ListQueries.PageRequest(pageSize = 200))
+      .items.select("incident_id").collect().map(_.getLong(0)).distinct.length == 2)
+  }
+
+  test("second rain upload continues primary keys and upload ids") {
+    assume(Files.exists(Paths.get(adm2Path)))
+    val eng = newEngine()
+    eng.initDims(adm2Path)
+    val t = Timestamp.valueOf("2023-07-01 00:00:00")
+    def grid(p: Double) = Seq((t, 18.75, 98.95, p), (t, 18.80, 99.00, p))
+      .toDF("time", "latitude", "longitude", "precip")
+    val cellMap = Seq(
+      (18.75, 98.95, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.80, 99.00, "Chiang Mai", "Mueang Chiang Mai"),
+    ).toDF("latitude", "longitude", "province", "district")
+    eng.ingestRainGrid(grid(5.0), cellMap, "a.nc")
+    eng.ingestRainGrid(grid(7.0), cellMap, "b.nc")
+    val rows = eng.listRain(req = ListQueries.PageRequest(pageSize = 200)).items.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("pk_id")).distinct.length == 2)
+    // two upload rows with distinct ids → two distinct upload_ids … the
+    // grain is one row per district per day PER UPLOAD (models.py:44-55)
+  }
+}

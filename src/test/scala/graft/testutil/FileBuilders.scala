@@ -1,0 +1,76 @@
+package graft.testutil
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Byte-level builders for the reference's upload formats, so specs can
+  * drive the engine end-to-end from real file bytes. */
+object FileBuilders {
+
+  /** dBASE III file with all-character fields. */
+  def dbf(fields: Seq[(String, Int)], records: Seq[Seq[String]],
+      charset: String = "TIS-620"): Array[Byte] = {
+    val recordLen = 1 + fields.map(_._2).sum
+    val headerLen = 32 + fields.size * 32 + 1
+    val out = new ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(0, 0x03.toByte)
+    head.putInt(4, records.size)
+    head.putShort(8, headerLen.toShort)
+    head.putShort(10, recordLen.toShort)
+    out.write(head.array())
+    fields.foreach { case (name, len) =>
+      val fd = ByteBuffer.allocate(32)
+      fd.position(0); fd.put(name.getBytes("ASCII"))
+      fd.put(11, 'C'.toByte)
+      fd.put(16, len.toByte)
+      out.write(fd.array())
+    }
+    out.write(0x0d)
+    records.foreach { cells =>
+      out.write(' ')
+      cells.zip(fields).foreach { case (v, (_, len)) =>
+        val b = v.getBytes(charset)
+        require(b.length <= len, s"value '$v' exceeds field width $len")
+        out.write(b)
+        out.write(Array.fill(len - b.length)(' '.toByte))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Minimal xlsx: inline strings for text, raw <v> for numeric-looking
+    * cells; one or more sheets. */
+  def xlsx(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    val wbSheets = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="$name" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$wbSheets</sheets></workbook>""")
+    val rels = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    put("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
+    sheets.zipWithIndex.foreach { case ((_, rows), si) =>
+      val rowsXml = rows.zipWithIndex.map { case (cells, ri) =>
+        val cellXml = cells.zipWithIndex.map { case (v, ci) =>
+          val ref = s"${('A' + ci).toChar}${ri + 1}"
+          if (v.matches("-?[0-9.]+")) s"""<c r="$ref"><v>$v</v></c>"""
+          else s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+        }.mkString
+        s"""<row r="${ri + 1}">$cellXml</row>"""
+      }.mkString
+      put(s"xl/worksheets/sheet${si + 1}.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rowsXml</sheetData></worksheet>""")
+    }
+    z.close()
+    out.toByteArray
+  }
+}
