@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbour search — the
+  * second scale path next to [[Similarity.lshTopK]]: a k-means coarse
+  * quantizer partitions the corpus into `nlist` cells; a query probes
+  * its `nprobe` nearest centroids and ranks only those cells' vectors.
+  *
+  * Training is Lloyd's algorithm expressed as DataFrame ops: assign =
+  * broadcast-centroid argmin (codegen'd [[graft.expr.CosineSim]]-style
+  * dot math), update = per-dimension mean via posexplode + groupBy —
+  * both fully distributed, centroids live on the driver only between
+  * iterations (nlist × dim doubles — KB-scale). Deterministic: initial
+  * centroids are the first `nlist` vectors by id, iterations fixed.
+  *
+  * At 100 TB the index build is a handful of full scans and the cell
+  * assignment persists as a `cell` column (partition/bucket key);
+  * query cost ∝ corpus/nlist × nprobe.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[(Int, Array[Double])]) {
+    def nlist: Int = centroids.length
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Squared L2 distance to a literal centroid (fused codegen dot). */
+  private def dist2(vec: Column, centroid: Array[Double]): Column = {
+    val c = typedlit(centroid)
+    // |v - c|² = v·v - 2 v·c + c·c ; v·v is rank-invariant per row but
+    // cheap, compute the exact form for clarity
+    graft.expr.VectorExprs.dot(vec, vec) -
+      lit(2.0) * graft.expr.VectorExprs.dot(vec, c) +
+      lit(centroid.map(x => x * x).sum)
+  }
+
+  /** argmin over the current centroids as one `least`-chain of structs
+    * (distance, id) — single projection, no explode. */
+  private def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val pairs = centroids.map { case (id, c) => struct(dist2(vec, c).as("d"), lit(id).as("c")) }
+    least(pairs: _*).getField("c")
+  }
+
+  /** Train the coarse quantizer. */
+  def fit(corpus: DataFrame, nlist: Int = 16, iters: Int = 5): Model = {
+    val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .orderBy("id").limit(nlist).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell", nearestCentroid(col("vec"), centroids))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      // empty cells keep their previous centroid
+      val byId = updated.toMap
+      centroids = centroids.map { case (i, c) => i -> byId.getOrElse(i, c) }
+    }
+    vecs.unpersist(blocking = false)
+    Model(centroids)
+  }
+
+  /** Cell assignment of the corpus under a trained model — persist this
+    * (or bucket by it) to make probes partition-local. */
+  def assign(corpus: DataFrame, model: Model): DataFrame =
+    corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("cell", nearestCentroid(col("vec"), model.centroids))
+
+  /** Top-k by cosine among the query's `nprobe` nearest cells. */
+  def topK(corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val cells = assign(corpus, model)
+    val probeCells = array((0 until model.nlist).map { cid =>
+      struct(dist2(col("qvec"), model.centroids(cid)._2).as("d"), lit(cid).as("c"))
+    }: _*)
+    val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
+      .withColumn("probe", slice(array_sort(probeCells), 1, nprobe))
+      .select(col("qid"), col("qvec"), explode(col("probe").getField("c")).as("cell"))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+}

@@ -129,6 +129,19 @@ object ExtensionQueries {
       .orderBy("qid", "rank")
   }
 
+  /** IVF ANN (k-means coarse quantizer, nprobe cells — the second
+    * scale path; rows-only, exactness-at-full-probe pinned in IvfSpec). */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 10).select(col("id").as("qid"), col("embedding"))
+    val model = graft.ops.Ivf.fit(e, nlist = 16, iters = 3)
+    graft.ops.Ivf.topK(e, q, model, k = 5, nprobe = 4)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Multimodal metadata plumbing: binary payload + typed meta (the
     * decode itself is the stubbed step; this part is SQL-checkable). */
   def qMediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -180,6 +193,7 @@ object ExtensionQueries {
     "q_embed_cosine" -> (qEmbedCosine _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_frame_sample" -> (qFrameSample _),

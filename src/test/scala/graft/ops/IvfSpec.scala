@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit separates obvious clusters; assign is consistent") {
+    // two tight blobs around (10,0,0) and (0,10,0)
+    val vecs = ((0 until 20).map(i => (i.toLong, Array(10f + i * 0.01f, 0f, 0f))) ++
+      (20 until 40).map(i => (i.toLong, Array(0f, 10f + i * 0.01f, 0f))))
+      .toDF("id", "embedding")
+    val model = Ivf.fit(vecs, nlist = 2, iters = 4)
+    val cells = Ivf.assign(vecs, model)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blob1 = (0L until 20L).map(cells)
+    val blob2 = (20L until 40L).map(cells)
+    assert(blob1.distinct.size == 1 && blob2.distinct.size == 1)
+    assert(blob1.head != blob2.head)
+  }
+
+  test("topK with full probe equals brute force; reduced probe keeps decent recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 10).select(col("id").as("qid"), col("embedding"))
+    val model = Ivf.fit(e, nlist = 8, iters = 3)
+
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Ivf.topK(e, q, model, k = 5, nprobe = 8) // all cells = exact
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+
+    val probed = Ivf.topK(e, q, model, k = 5, nprobe = 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect probed).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+}
