@@ -62,6 +62,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped by key; state for keys
+    * older than the watermark is evicted (the streaming twin of
+    * [[graft.ops.Dedup.exact]]). */
+  def dedupedWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** The reference's idempotent append (J6) as a streaming upsert:
     * each micro-batch is deduped on `keys`, anti-joined against the
     * target table, and only the new keys are appended — re-delivered

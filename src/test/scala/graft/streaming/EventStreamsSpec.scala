@@ -65,6 +65,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.getAs[Double]("total_value") == 4.0)
   }
 
+  test("dedupedWithinWatermark drops in-horizon duplicate keys") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      ev("2024-01-01 00:00:00", 1, "click", 1.0),
+      ev("2024-01-01 00:00:00", 1, "click", 2.0), // dup key (ts,user)
+      ev("2024-01-01 00:05:00", 1, "click", 3.0),
+      ev("2024-01-01 00:05:00", 2, "view", 4.0))
+    val q = dedupedWithinWatermark(in.toDF(), Seq("ts", "user_id"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dd").count()
+    assert(n == 3)
+  }
+
   test("idempotentAppend: re-delivered keys insert nothing") {
     implicit val sc = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
