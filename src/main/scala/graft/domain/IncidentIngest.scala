@@ -95,32 +95,34 @@ object IncidentIngest {
       .select(col("disaster_date"), col("year").cast("int"),
         col("province_id").cast("int"), col("district_id").cast("int"))
 
-    // A7: incidents per key, computed over ALL matched rows (pre-dedup)
-    val perKeyCounts = matched
+    // A7 + A8 fused: the per-key count aggregate's key set IS the
+    // in-file dedup set (one shuffle instead of three — the reference's
+    // separate dedup + count-merge recombine to the same rows). `year`
+    // rides along via min (constant within a date group).
+    //
+    // Null-date quirk preserved: the reference's count join can never
+    // match a null key, so null-date rows always insert with count 1
+    // regardless of how many bad-date rows shared the key.
+    val perKey = matched
       .groupBy("disaster_date", "province_id", "district_id")
-      .agg(count(lit(1)).cast("int").as("count_of_disasters"))
-
-    // A8: in-file dedup (rows identical per key after projection)
-    val dedupInfile = matched.dropDuplicates("disaster_date", "province_id", "district_id")
+      .agg(count(lit(1)).cast("int").as("count_of_disasters"), min("year").as("year"))
+      .withColumn("count_of_disasters",
+        when(col("disaster_date").isNull, lit(1)).otherwise(col("count_of_disasters")))
 
     // A9 + S7: date range of the incoming file scopes the existing scan
-    val range = dedupInfile.agg(min("disaster_date"), max("disaster_date")).first()
+    val range = perKey.agg(min("disaster_date"), max("disaster_date")).first()
     val toInsert =
-      if (range.isNullAt(0)) dedupInfile // empty file → nothing to scope
+      if (range.isNullAt(0)) perKey // no parseable dates → nothing to scope
       else {
         val existingKeys = existing
           .where(col("disaster_date").between(range.getDate(0), range.getDate(1)))
           .select("disaster_date", "province_id", "district_id")
         // J6: keep only keys not already present
-        dedupInfile.join(existingKeys,
+        perKey.join(existingKeys,
           Seq("disaster_date", "province_id", "district_id"), "left_anti")
       }
 
-    // J8: re-attach counts; missing → 1 (F10)
-    toInsert
-      .join(perKeyCounts, Seq("disaster_date", "province_id", "district_id"), "left")
-      .na.fill(Map("count_of_disasters" -> 1))
-      .select(col("disaster_date"), col("year"), col("province_id"),
-        col("district_id"), col("count_of_disasters"))
+    toInsert.select(col("disaster_date"), col("year"), col("province_id"),
+      col("district_id"), col("count_of_disasters"))
   }
 }

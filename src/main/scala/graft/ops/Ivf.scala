@@ -53,6 +53,7 @@ object Ivf {
       .orderBy("id").limit(nlist).collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    require(centroids.nonEmpty, "cannot fit an IVF model on an empty corpus")
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cell", nearestCentroid(col("vec"), centroids))
       val updated = assigned

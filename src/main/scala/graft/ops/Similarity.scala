@@ -80,8 +80,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     // hyperplanes are literal arrays, so the vector dimensionality is
-    // needed up front: one cheap head() on the corpus
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    // needed up front: one cheap head() on the corpus (empty corpus →
+    // empty result with the right shape)
+    val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) {
+      return corpus.select(col("id").as("qid"), col("id"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    }
+    val dim = dimOpt.get
     val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .select(col("id"), col("vec"), explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))
     val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))

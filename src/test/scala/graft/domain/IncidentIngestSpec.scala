@@ -39,6 +39,9 @@ class IncidentIngestSpec extends SparkSpec {
     ("not-a-date", "เชียงใหม่", "เมือง"),     // coerced to NULL date — the
     // reference KEEPS this row (only null ids drop) and inserts it with
     // a null date and count 1 (utils.py:533 drops ids only)
+    ("also-bad", "เชียงใหม่", "เมือง"),       // second bad-date row, same
+    // district: still ONE null-date insert with count 1 (the reference's
+    // count join can't match null keys, so fillna(1) wins)
     ("2024-05-03", "ไม่รู้จัก", "เมือง"),     // unmatched province → dropped
   ).toDF("Disaster Date", "Province", "District")
 
