@@ -233,6 +233,18 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** Gap-based sessionization with Spark's native session_window —
+    * the oracle replays it as lag/cumsum session ids (same semantics:
+    * a session breaks at gaps ≥ 30 minutes). */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Streaming-shaped batch aggregate — tumbling 1h event-time window
     * (same plan Structured Streaming produces for the events stream). */
   def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
@@ -265,6 +277,7 @@ object RelationalQueries {
     "q_coalesce_fill" -> (qCoalesceFill _),
     "q_window_rownum" -> (qWindowRownum _),
     "q_window_tumbling" -> (qWindowTumbling _),
+    "q_session_window" -> (qSessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,6 +401,16 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_session_window" ->
+      """WITH p AS (SELECT user_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM p)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         | count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
