@@ -233,6 +233,25 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** Hierarchical subtotals via ROLLUP (grouping-set aggregation with
+    * grouping_id, bit-compatible with DuckDB's GROUPING_ID). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
+
+  /** HLL sketch: approx distinct users per event type — the idiomatic
+    * "sketch" operator (rows-only: sketch estimates are engine-
+    * specific; accuracy vs exact is pinned in SketchSpec). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Gap-based sessionization with Spark's native session_window —
     * the oracle replays it as lag/cumsum session ids (same semantics:
     * a session breaks at gaps ≥ 30 minutes). */
@@ -278,6 +297,8 @@ object RelationalQueries {
     "q_window_rownum" -> (qWindowRownum _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_session_window" -> (qSessionWindow _),
+    "q_rollup" -> (qRollup _),
+    "q_approx_distinct" -> (qApproxDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,6 +422,11 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, grouping_id(l_returnflag, l_linestatus) AS gid,
+        | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
     "q_session_window" ->
       """WITH p AS (SELECT user_id, ts, value,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
