@@ -169,6 +169,36 @@ object ExtensionQueries {
       .orderBy("media_id", "frame_offset")
   }
 
+  /** Mean-pooled embedding centroid per label (the class-prototype op):
+    * element-wise average via posexplode → per-dimension avg →
+    * re-assembled, 6-dp rounded array. */
+  def qEmbedCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        e => round(e.getField("m"), 6)).as("centroid"),
+        count(lit(1)).as("dim"))
+      .orderBy("label")
+
+  /** Vocabulary top-k: most frequent tokens across the corpus
+    * (deterministic tie-break on the token). */
+  def qTopTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Document-length histogram (100-char buckets) — corpus-shape
+    * analysis for quality filtering. */
+  def qLenHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy((floor(length(col("text")) / 100) * 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   /** Skew-safe two-phase aggregation must equal the plain GROUP BY —
     * proven against the oracle (decimal-quantized sums, so the salted
     * re-association cannot drift). */
@@ -182,6 +212,9 @@ object ExtensionQueries {
 
   val all: Map[String, Q.QueryFn] = Map(
     "q_skew_agg" -> (qSkewAgg _),
+    "q_embed_centroid" -> (qEmbedCentroid _),
+    "q_top_terms" -> (qTopTerms _),
+    "q_len_hist" -> (qLenHist _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_fingerprint" -> (qFingerprint _),
     "q_token_count" -> (qTokenCount _),
@@ -204,6 +237,21 @@ object ExtensionQueries {
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_embed_centroid" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |u AS (SELECT label, t.i AS i, v[t.i] AS x FROM e, unnest(range(1, len(v) + 1)) AS t(i))
+        |SELECT label,
+        | list(round(m, 6) ORDER BY i) AS centroid,
+        | count(*) AS dim
+        |FROM (SELECT label, i, avg(x) AS m FROM u GROUP BY label, i)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_top_terms" ->
+      """SELECT t.token AS token, count(*) AS n
+        |FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token)
+        |GROUP BY t.token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_len_hist" ->
+      """SELECT cast(floor(length(text) / 100) * 100 as bigint) AS bucket, count(*) AS n
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
