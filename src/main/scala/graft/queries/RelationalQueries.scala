@@ -233,6 +233,65 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** JSON column extraction (events.props carries a JSON payload). */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** LIKE predicate + fact⟕part join with conditional aggregation
+    * (TPC-H Q14 shape: promo revenue share). */
+  def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val revenue = dec2(col("l_extendedprice")) * (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2)) - dec2(col("l_discount")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(substring(col("p_type"), 1, 5).as("type_prefix"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p_type").like("%a%"), revenue).otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .cast("double").as("promo_rev"),
+        sum(revenue).cast("double").as("total_rev"))
+      .orderBy("type_prefix")
+  }
+
+  /** Semi-join: customers having at least one high-value order. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).where(col("o_totalprice") > 100000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Running total per customer (cumulative window aggregate; exact
+    * decimal accumulation so the running values are order-independent
+    * of partial-aggregation details). */
+  def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), dstr(col("o_orderdate")).as("o_date"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_date", "o_orderkey")
+  }
+
+  /** Pivot: order counts by status × year (Spark pivot ≡ conditional
+    * aggregation in the oracle; fixed status values keep columns
+    * deterministic). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("y")
+
   /** Hierarchical subtotals via ROLLUP (grouping-set aggregation with
     * grouping_id, bit-compatible with DuckDB's GROUPING_ID). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -299,6 +358,11 @@ object RelationalQueries {
     "q_session_window" -> (qSessionWindow _),
     "q_rollup" -> (qRollup _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_promo_revenue" -> (qPromoRevenue _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_pivot" -> (qPivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,6 +486,37 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(cast(cast(json_extract_string(props, '$.k') as int) as bigint)) AS sum_k,
+        | max(cast(json_extract_string(props, '$.k') as int)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_promo_revenue" ->
+      """SELECT substr(p.p_type, 1, 5) AS type_prefix, count(*) AS n,
+        | cast(sum(CASE WHEN p.p_type LIKE '%a%'
+        |   THEN cast(l.l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l.l_discount as decimal(18,2)))
+        |   ELSE cast(0 as decimal(18,2)) END) as double) AS promo_rev,
+        | cast(sum(cast(l.l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l.l_discount as decimal(18,2)))) as double) AS total_rev
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY type_prefix ORDER BY type_prefix""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT cast(year(o_orderdate) as int) AS y,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY y ORDER BY y""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, grouping_id(l_returnflag, l_linestatus) AS gid,
         | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
