@@ -26,6 +26,9 @@ object Tables {
     * timestamp (`ts div 1000` — integer division; a double division
     * would lose precision on ~1.7e18 ns epochs). */
   def events(s: SparkSession, d: String): DataFrame = {
+    // defensively enable nanos reads even on sessions the caller built
+    // without the flag (it is a runtime-settable SQL conf)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
