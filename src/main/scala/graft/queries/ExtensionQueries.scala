@@ -199,6 +199,18 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Deterministic hash-based train/test split (the reproducible-split
+    * pattern: content-hash bucket, not RNG — identical across engines,
+    * runs, and cluster sizes). 80/20 on an md5-derived bucket. */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    Tables.documents(s, dir)
+      .withColumn("split", when(bucket < 80, "train").otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("split", "lang")
+  }
+
   /** Skew-safe two-phase aggregation must equal the plain GROUP BY —
     * proven against the oracle (decimal-quantized sums, so the salted
     * re-association cannot drift). */
@@ -213,6 +225,7 @@ object ExtensionQueries {
   val all: Map[String, Q.QueryFn] = Map(
     "q_skew_agg" -> (qSkewAgg _),
     "q_embed_centroid" -> (qEmbedCentroid _),
+    "q_train_split" -> (qTrainSplit _),
     "q_top_terms" -> (qTopTerms _),
     "q_len_hist" -> (qLenHist _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -237,6 +250,11 @@ object ExtensionQueries {
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_train_split" ->
+      """SELECT CASE WHEN ('0x' || substr(md5(text), 1, 8))::bigint % 100 < 80
+        |  THEN 'train' ELSE 'test' END AS split, lang,
+        | count(*) AS n, min(doc_id) AS first_doc
+        |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_embed_centroid" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         |u AS (SELECT label, t.i AS i, v[t.i] AS x FROM e, unnest(range(1, len(v) + 1)) AS t(i))
