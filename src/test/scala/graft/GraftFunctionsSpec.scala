@@ -1,0 +1,41 @@
+package graft
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  GraftFunctions.register(spark)
+
+  test("native expressions are callable from spark.sql") {
+    val r = spark.sql(
+      """SELECT
+        | nfc_normalize('é') AS nfc,
+        | vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        | vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+        | simhash64(array('a', 'b')) AS sh,
+        | minhash64(array(5L, 9L), 4) AS mh,
+        | jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j
+      """.stripMargin).head()
+    assert(r.getAs[String]("nfc") == "é")
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
+    assert(r.getAs[Double]("j") == 2.0 / 4.0)
+    assert(r.getLong(r.fieldIndex("sh")) != 0L)
+  }
+
+  test("SQL results match the Column-API formulations") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("the quick brown fox", 1L)).toDF("text", "id")
+    val viaApi = df.select(graft.ops.Dedup.simhash(col("text"))).head().getLong(0)
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql(
+      "SELECT simhash64(array_distinct(split(trim(lower(text)), '\\\\s+'))) FROM t")
+      .head().getLong(0)
+    assert(viaApi == viaSql)
+  }
+
+  test("wrong arity yields a clear error") {
+    val e = intercept[Exception](spark.sql("SELECT vec_dot(array(1.0d))").head())
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("vec_dot"))
+  }
+}
