@@ -27,6 +27,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(_.byte_len > 0))
   }
 
+  test("extracted features compose into the ANN path (media → vectors → top-k)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Multimodal.mediaFromText(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(m).toDF()
+      .select(col("media_id").as("id"), col("feature").as("embedding"))
+    val q = feats.where(col("id") < 3).select(col("id").as("qid"), col("embedding"))
+    val nn = Similarity.bruteForceTopK(feats, q, k = 3).collect()
+    assert(nn.length == 9) // 3 queries × top-3
+    assert(nn.forall(r => r.getAs[Double]("cosine") >= -1.0 && r.getAs[Double]("cosine") <= 1.0 + 1e-12))
+  }
+
   test("sampleFrames: stride offsets for videos only") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(feats, stride = 5)
