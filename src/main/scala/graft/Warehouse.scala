@@ -24,7 +24,9 @@ final class Warehouse(spark: SparkSession, root: String) {
   def path(table: String): String = s"$root/$table"
 
   def write(table: String, df: DataFrame, mode: SaveMode = SaveMode.Append): Unit = {
-    val w = df.write.mode(mode)
+    // zstd: ~30% smaller than snappy at comparable scan cost — at
+    // 100 TB the scan is IO-bound, so smaller files win twice
+    val w = df.write.mode(mode).option("compression", "zstd")
     partitionedBy.get(table).filter(_.forall(df.columns.contains))
       .fold(w)(cols => w.partitionBy(cols: _*))
       .parquet(path(table))

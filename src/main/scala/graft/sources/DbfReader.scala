@@ -43,6 +43,16 @@ object DbfReader {
     *                   order) — dim seeding assigns ids in file order. */
   def read(spark: SparkSession, path: String, encoding: String = "TIS-620",
       withRecno: Boolean = false): DataFrame = {
+    val (schema, rows) = parseWithSchema(path, encoding, withRecno)
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Executor-safe row parse (used by [[DbfDataSource]] partitions). */
+  def parseRows(path: String, encoding: String): Seq[Row] =
+    parseWithSchema(path, encoding, withRecno = false)._2
+
+  def parseWithSchema(path: String, encoding: String,
+      withRecno: Boolean): (StructType, Seq[Row]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val cpg = Paths.get(path.replaceAll("\\.dbf$", ".cpg"))
     val declared =
@@ -112,6 +122,6 @@ object DbfReader {
       i += 1
     }
 
-    spark.createDataFrame(rows.asJava, schema)
+    (schema, rows.toSeq)
   }
 }

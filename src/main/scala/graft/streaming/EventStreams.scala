@@ -62,6 +62,12 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: the streaming fact joined to batch
+    * dimension tables (broadcast each micro-batch — the serving-layer
+    * J1 join, streaming edition). */
+  def enriched(events: DataFrame, dims: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
+
   /** Streaming exact dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped by key; state for keys
     * older than the watermark is evicted (the streaming twin of

@@ -65,6 +65,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.getAs[Double]("total_value") == 4.0)
   }
 
+  test("stream-static enrich: micro-batches join the batch dim") {
+    implicit val sc = spark.sqlContext
+    val dims = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val in = MemoryStream[Event]
+    in.addData(ev("2024-01-01 00:00:00", 1, "click", 1.0),
+      ev("2024-01-01 00:01:00", 3, "view", 2.0)) // no dim row → null name
+    val q = enriched(in.toDF(), dims, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enr").orderBy("user_id")
+      .select("user_id", "name").collect()
+    assert(rows.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("alice")), (3L, None)))
+  }
+
   test("dedupedWithinWatermark drops in-horizon duplicate keys") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
