@@ -28,6 +28,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
+      // runtime bloom-filter pushdown for selective join sides — free
+      // row-group skipping on the 100 TB probe side
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // explicit split sizing: 128 MiB keeps one task's working set in
+      // executor memory at any SF (raise shuffle.partitions, not this,
+      // when scaling out)
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

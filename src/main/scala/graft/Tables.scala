@@ -10,8 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * code is agnostic to that.
   */
 object Tables {
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` works over the
+    * warehouse directly (events pre-converted to µs timestamps). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else t(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

@@ -34,6 +34,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaApi == viaSql)
   }
 
+  test("registerViews: spark.sql over the warehouse tables + native fns") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT count(*) FROM lineitem WHERE l_orderkey < 100").head().getLong(0)
+    assert(n > 0)
+    val dup = spark.sql(
+      """SELECT count(*) FROM documents a JOIN documents b
+        |ON a.doc_id < b.doc_id
+        |AND jaccard_sorted(
+        |  array_sort(transform(array_distinct(split(lower(trim(a.text)), '\\s+')), x -> xxhash64(x))),
+        |  array_sort(transform(array_distinct(split(lower(trim(b.text)), '\\s+')), x -> xxhash64(x)))) > 0.9
+      """.stripMargin).head().getLong(0)
+    assert(dup >= 0) // plumbing check: native fn inside a SQL join condition
+  }
+
   test("wrong arity yields a clear error") {
     val e = intercept[Exception](spark.sql("SELECT vec_dot(array(1.0d))").head())
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("vec_dot"))
