@@ -115,6 +115,46 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs — the final dedup
+    * stage: each doc gets its cluster's minimum id as the component
+    * (= the canonical keeper). Iterative min-label propagation; each
+    * round is one join+aggregate, rounds bounded by component diameter
+    * (near-dup clusters are shallow — a handful of rounds in practice;
+    * `maxIter` caps pathological chains).
+    *
+    * @param pairs (id1, id2) undirected near-dup edges
+    * @return (id, component) for every id that appears in a pair
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint truncates lineage each round — the iterative plan
+    // otherwise doubles per iteration (labels feeds both the neighbor
+    // join and the merge) and analysis blows up exponentially
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("component"))
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nc"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nc")).as("nc"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** 64-bit SimHash over distinct tokens: per bit, sum ±1 across token
     * hashes; sign → bit. One codegen'd pass ([[graft.expr.SimHash64]]). */
   def simhash(text: Column): Column =

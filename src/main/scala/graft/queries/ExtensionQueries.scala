@@ -79,6 +79,13 @@ object ExtensionQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Near-dup clusters: connected components over the exact-Jaccard
+    * pair set, with the minimum doc_id as each cluster's canonical id
+    * (oracle: recursive CTE reachability). */
+  def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(qNgramJaccard(s, dir).select("id1", "id2"))
+      .orderBy("id", "component")
+
   /** MinHash+LSH near-dups verified by exact Jaccard — must find the
     * same planted pairs as the brute-force query at far lower cost.
     * No SQL oracle (rows-only); equivalence to brute force is pinned
@@ -234,6 +241,7 @@ object ExtensionQueries {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_groups" -> (qDedupGroups _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_embed_cosine" -> (qEmbedCosine _),
@@ -330,6 +338,28 @@ object ExtensionQueries {
         |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
         |FROM p WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 1000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
+        |  cast(len(a.sh) + len(b.sh) as double) AS tot
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT id1, id2 FROM p
+        | WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8),
+        |nodes AS (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach(id, root) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id, min(root) AS component FROM reach GROUP BY id
+        |ORDER BY id, component""".stripMargin,
     "q_embed_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
