@@ -155,6 +155,16 @@ object Dedup {
     labels
   }
 
+  /** Filter a corpus to its near-dup cluster representatives: drop
+    * every doc whose component id is a different (smaller) doc — the
+    * end product of the dedup pipeline. Docs in no pair pass through. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over distinct tokens: per bit, sum ±1 across token
     * hashes; sign → bit. One codegen'd pass ([[graft.expr.SimHash64]]). */
   def simhash(text: Column): Column =

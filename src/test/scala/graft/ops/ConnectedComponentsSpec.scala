@@ -17,6 +17,15 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("keepCanonical retains one doc per cluster plus unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"), (11L, "b'"), (99L, "solo"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L))
+  }
+
   test("long chain converges within iteration bound") {
     val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id1", "id2")
     val out = Dedup.connectedComponents(pairs, maxIter = 20)
