@@ -34,8 +34,14 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
-  def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  // Resolved through Hadoop's FileSystem, not java.io.File: with an
+  // hdfs:// or s3a:// warehouse root a local-File check would always
+  // say "missing", making readOrEmpty silently empty and breaking the
+  // anti-join idempotency (every key would re-insert).
+  def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (exists(table)) read(table)

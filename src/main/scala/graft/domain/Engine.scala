@@ -34,8 +34,14 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
       northProvsEn: Seq[String] = RainIngest.NorthProvsEn): DimInit.Dims = {
     val adm2 = DbfReader.read(spark, adm2DbfPath, withRecno = true)
     val dims = DimInit.seed(spark, adm2, provinces, districts, northProvsEn)
-    wh.write(ProvinceT, dims.provinces, SaveMode.Overwrite)
-    wh.write(DistrictT, dims.districts, SaveMode.Overwrite)
+    // The seeded frames are lazy plans that READ the same parquet paths
+    // they are about to overwrite (readOrEmpty → union in DimInit.seed);
+    // Spark refuses to overwrite a path it is reading from, so a re-seed
+    // would throw. Materialize first (dims are ≤ 928 rows), then swap.
+    val provMat = dims.provinces.localCheckpoint(true)
+    val distMat = dims.districts.localCheckpoint(true)
+    wh.write(ProvinceT, provMat, SaveMode.Overwrite)
+    wh.write(DistrictT, distMat, SaveMode.Overwrite)
     DimInit.Dims(provinces, districts)
   }
 

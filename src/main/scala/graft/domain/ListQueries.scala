@@ -44,7 +44,12 @@ object ListQueries {
       val page = math.min(req.page.toLong, allPage).toInt
       val key = sortable.getOrElse(req.orderBy, fallback)
       val sorted = cached.orderBy(if (req.orderType == "asc") key.asc else key.desc)
+      // Materialize the page (≤ 200 rows) BEFORE the unpersist below:
+      // a lazy `items` would recompute the whole lineage after the
+      // cache is gone, and could even disagree with `total` if the
+      // underlying table changed between the count and the fetch.
       val items = sorted.offset((page - 1) * req.pageSize).limit(req.pageSize)
+        .localCheckpoint(true)
       PageResult(page, req.pageSize, total, allPage, items)
     } finally cached.unpersist(blocking = false)
   }

@@ -22,13 +22,16 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "jaccard_sorted"
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // non-null elements required: the merge loop reads with getLong and
+    // a null slot would silently compare as 0 (see MinHash64)
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sorted requires two array<bigint> arguments, got ${left.dataType} / ${right.dataType}")
+      s"jaccard_sorted requires two array<bigint> arguments with non-null elements, " +
+        s"got ${left.dataType} / ${right.dataType}")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

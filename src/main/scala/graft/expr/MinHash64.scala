@@ -20,7 +20,12 @@ case class MinHash64(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash64"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull inputs are rejected: the eval/codegen loops read
+    // elements with getLong and would silently treat a null slot as 0,
+    // corrupting the signature. Callers filter nulls first.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "minhash64 requires array<bigint> with non-null elements — apply filter(x -> x IS NOT NULL) first")
     case t => TypeCheckResult.TypeCheckFailure(s"minhash64 requires array<bigint>, got $t")
   }
 

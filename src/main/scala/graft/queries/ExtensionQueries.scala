@@ -177,15 +177,25 @@ object ExtensionQueries {
   }
 
   /** Mean-pooled embedding centroid per label (the class-prototype op):
-    * element-wise average via posexplode → per-dimension avg →
-    * re-assembled, 6-dp rounded array. */
+    * element-wise average via posexplode → per-dimension avg. Emitted as
+    * exploded (label, dim, m) rows — scalar columns only, so the driver's
+    * pandas harness can sort/hash the result (array cells cannot be
+    * factorized); the re-assembled array form is `embedCentroidVec`. */
   def qEmbedCentroid(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("label", "i").agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .select(col("label"), col("i").cast("long").as("dim"), col("m"))
+      .orderBy("label", "dim")
+
+  /** Array-valued centroid per label (one row per class, `centroid` as a
+    * rounded double array) — the form a training pipeline consumes;
+    * value-equivalence with qEmbedCentroid pinned in EngineSpec. */
+  def embedCentroidVec(s: SparkSession, dir: String): DataFrame =
+    qEmbedCentroid(s, dir)
       .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-        e => round(e.getField("m"), 6)).as("centroid"),
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("centroid"),
         count(lit(1)).as("dim"))
       .orderBy("label")
 
@@ -265,12 +275,9 @@ object ExtensionQueries {
         |FROM documents GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_embed_centroid" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-        |u AS (SELECT label, t.i AS i, v[t.i] AS x FROM e, unnest(range(1, len(v) + 1)) AS t(i))
-        |SELECT label,
-        | list(round(m, 6) ORDER BY i) AS centroid,
-        | count(*) AS dim
-        |FROM (SELECT label, i, avg(x) AS m FROM u GROUP BY label, i)
-        |GROUP BY label ORDER BY label""".stripMargin,
+        |u AS (SELECT label, t.i - 1 AS dim, v[t.i] AS x FROM e, unnest(range(1, len(v) + 1)) AS t(i))
+        |SELECT label, dim, round(avg(x), 6) AS m
+        |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q_top_terms" ->
       """SELECT t.token AS token, count(*) AS n
         |FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token)

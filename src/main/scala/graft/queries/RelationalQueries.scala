@@ -486,9 +486,11 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    // DuckDB sum(BIGINT) yields HUGEINT, which pandas reads as float64 and
+    // hash-mismatches Spark's int64 — the outer cast keeps sum_k BIGINT.
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        | sum(cast(cast(json_extract_string(props, '$.k') as int) as bigint)) AS sum_k,
+        | cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint) AS sum_k,
         | max(cast(json_extract_string(props, '$.k') as int)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_promo_revenue" ->

@@ -102,6 +102,19 @@ class EngineSpec extends SparkSpec {
       .items.select("incident_id").collect().map(_.getLong(0)).distinct.length == 2)
   }
 
+  test("initDims re-seed is idempotent (overwrite-while-reading guarded)") {
+    assume(Files.exists(Paths.get(adm2Path)))
+    val eng = newEngine()
+    eng.initDims(adm2Path)
+    // second seed reads the freshly-written dims while overwriting the
+    // same paths — must neither throw UNSUPPORTED_OVERWRITE.PATH nor
+    // change the dimension contents
+    eng.initDims(adm2Path)
+    assert(eng.provinces.count() == 9)
+    assert(eng.districts.count() == 112)
+    assert(eng.provinces.select("province_id").distinct().count() == 9)
+  }
+
   test("second rain upload continues primary keys and upload ids") {
     assume(Files.exists(Paths.get(adm2Path)))
     val eng = newEngine()
