@@ -16,10 +16,11 @@ object Bench {
     // query doesn't absorb session startup (~4s on a cold JVM)
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    // best-of-2 per query: reports steady-state cost, not codegen
-    // compilation or page-cache luck of the first pass
+    // best-of-3 per query: reports steady-state cost, not codegen
+    // compilation or page-cache luck of the first pass (3 reps keep
+    // round-over-round totals within ~±10% under machine-load noise)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -45,6 +45,41 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
     DimInit.Dims(provinces, districts)
   }
 
+  // ---- users (models.py:7-13; main.py:66-107) ----
+
+  private def users: DataFrame = wh.readOrEmpty(UsersT, Schemas.users)
+
+  /** POST /register analog (main.py:66-86): append a user row unless
+    * the username is taken (the endpoint's 400). The password hash is
+    * stored opaque — hashing is transport-layer concern, not analytics. */
+  def registerUser(username: String, passwordHash: String, fullName: String = ""): Int = {
+    val u = username.trim
+    require(u.nonEmpty, "username required")
+    if (users.where(col("username") === u).limit(1).count() > 0)
+      throw new IllegalArgumentException(s"username already registered: $u")
+    val id = users.agg(coalesce(max(col("user_id")), lit(0))).first().getInt(0) + 1
+    import spark.implicits._
+    wh.write(UsersT, Seq((id, u, passwordHash, fullName))
+      .toDF("user_id", "username", "password_hash", "full_name")
+      .withColumn("time_create", current_timestamp()))
+    id
+  }
+
+  /** POST /login analog (main.py:89-107): stored-hash equality →
+    * user_id. */
+  def authenticate(username: String, passwordHash: String): Option[Int] =
+    users.where(col("username") === username && col("password_hash") === passwordHash)
+      .select("user_id").collect().headOption.map(_.getInt(0))
+
+  /** Upload metadata with the owner resolved through the users table —
+    * the upload-ownership flow (`owner_id` FK, models.py:15-24). */
+  def listUploads(table: String): DataFrame =
+    wh.readOrEmpty(table, Schemas.uploadMeta)
+      .join(broadcast(users.select(col("user_id"), col("username"), col("full_name"))),
+        col("owner_id") === col("user_id"), "left")
+      .drop("user_id")
+      .orderBy("upload_id")
+
   // ---- uploads ----
 
   private def nextId(df: DataFrame, idCol: String): Long =
@@ -148,4 +183,5 @@ object Engine {
   val IncidentT = "incident_statistics_points"
   val UploadRainT = "upload_rain_point"
   val UploadRiskT = "upload_risk"
+  val UsersT = "users"
 }

@@ -105,12 +105,45 @@ object Similarity {
   }
 
   /** All embedding near-duplicate pairs (id1 < id2) with cosine ≥
-    * threshold — brute force n² for modest n; at scale route through
-    * [[lshKey]] buckets first (same pattern as [[Dedup]]). */
+    * threshold — brute force n²: the bounded verification baseline and
+    * the oracle-checked form; [[cosineNearDupsBucketed]] is the scale
+    * path. */
   def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("id").as("id1"), asDouble(col("embedding")).as("v1"))
     val b = corpus.select(col("id").as("id2"), asDouble(col("embedding")).as("v2"))
     a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** LSH-bucketed embedding near-dups: candidates from hyperplane
+    * bucket collisions (any of `nTables` tables), then EXACT cosine
+    * verification — the same candidates→verify shape as
+    * [[Dedup.minhashNearDups]]. Returned pairs are always a subset of
+    * the brute-force set with identical cosines; recall rises with
+    * `nTables` (pinned vs brute force in SimilaritySpec). Cost ∝
+    * Σ bucket-pair sizes, never n² — the 100 TB path. */
+  def cosineNearDupsBucketed(corpus: DataFrame, threshold: Double,
+      nBits: Int = 4, nTables: Int = 16): DataFrame = {
+    val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) {
+      return corpus.select(col("id").as("id1"), col("id").as("id2"),
+        lit(0.0).as("cosine")).limit(0)
+    }
+    val dim = dimOpt.get
+    // persisted: both sides of the bucket self-join read it (the same
+    // project-collapse guard as the MinHash band frame)
+    val keyed = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+      .select(col("id"), col("vec"),
+        explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = keyed.select(col("tb"), col("id").as("id1"), col("vec").as("v1"))
+    val b = keyed.select(col("tb"), col("id").as("id2"), col("vec").as("v2"))
+    a.join(b, Seq("tb")).where(col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+      .dropDuplicates("id1", "id2") // collided in ≥1 table; verify once
       .withColumn("cosine", cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")

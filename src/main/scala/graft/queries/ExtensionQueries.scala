@@ -113,6 +113,17 @@ object ExtensionQueries {
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id1", "id2")
 
+  /** LSH-bucketed embedding near-dups (the scale path; exact-verified
+    * subset of q_embed_cosine — rows-only here, the subset/recall
+    * contract pinned in SimilaritySpec). */
+  def qEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupsBucketed(
+      Tables.embeddings(s, dir).where(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"), col("embedding")),
+      threshold = 0.4)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id1", "id2")
+
   /** Exact ANN baseline: brute-force top-5 neighbours for 10 queries. */
   def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -255,6 +266,7 @@ object ExtensionQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_embed_cosine" -> (qEmbedCosine _),
+    "q_embed_cosine_lsh" -> (qEmbedCosineLsh _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),

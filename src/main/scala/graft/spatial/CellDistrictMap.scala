@@ -68,6 +68,24 @@ object CellDistrictMap {
     } else throw new IllegalArgumentException(s"unsupported WKT: ${t.take(30)}…")
   }
 
+  /** Build the mapping table straight from a shapefile pair: the `.shp`
+    * main file supplies the district polygons ([[graft.sources.ShpReader]]),
+    * the sibling `.dbf` the province/district names, paired by record
+    * order — the reference's `gpd.read_file` input (utils.py:80).
+    *
+    * @param provinceField,districtField attribute columns naming each
+    *        polygon's ADM1/ADM2 (the reference renames ADM1_EN/ADM2_EN
+    *        at utils.py:89)
+    */
+  def fromShapefile(spark: SparkSession, cells: DataFrame, shpPath: String,
+      provinceField: String = "ADM1_EN", districtField: String = "ADM2_EN"): DataFrame = {
+    val attrs = graft.sources.DbfReader
+      .read(spark, shpPath.replaceAll("\\.shp$", ".dbf"), withRecno = true)
+      .select(col("_recno"), col(provinceField).as("province"), col(districtField).as("district"))
+    val geom = graft.sources.ShpReader.readWkt(spark, shpPath)
+    fromPolygons(spark, cells, attrs.join(geom, Seq("_recno")))
+  }
+
   /** Build the mapping table.
     *
     * @param cells    distinct grid cells: (latitude, longitude)

@@ -102,6 +102,33 @@ class EngineSpec extends SparkSpec {
       .items.select("incident_id").collect().map(_.getLong(0)).distinct.length == 2)
   }
 
+  test("register → upload → list with owner join (upload-ownership flow)") {
+    assume(Files.exists(Paths.get(adm2Path)))
+    val eng = newEngine()
+    eng.initDims(adm2Path)
+    val uid = eng.registerUser("analyst", "opaque-hash", "A. Nalyst")
+    assert(uid == 1)
+    assert(eng.registerUser("second", "h2") == 2)
+    intercept[IllegalArgumentException](eng.registerUser("analyst", "other"))
+    assert(eng.authenticate("analyst", "opaque-hash").contains(uid))
+    assert(eng.authenticate("analyst", "wrong").isEmpty)
+
+    val t = Timestamp.valueOf("2023-08-01 00:00:00")
+    val grid = Seq((t, 18.75, 98.95, 3.0), (t, 18.80, 99.00, 5.0))
+      .toDF("time", "latitude", "longitude", "precip")
+    val cellMap = Seq(
+      (18.75, 98.95, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.80, 99.00, "Chiang Mai", "Mueang Chiang Mai"))
+      .toDF("latitude", "longitude", "province", "district")
+    eng.ingestRainGrid(grid, cellMap, "owned.nc", ownerId = uid)
+
+    val uploads = eng.listUploads(Engine.UploadRainT).collect()
+    assert(uploads.length == 1)
+    assert(uploads.head.getAs[Int]("owner_id") == uid)
+    assert(uploads.head.getAs[String]("username") == "analyst")
+    assert(uploads.head.getAs[String]("full_name") == "A. Nalyst")
+  }
+
   test("initDims re-seed is idempotent (overwrite-while-reading guarded)") {
     assume(Files.exists(Paths.get(adm2Path)))
     val eng = newEngine()

@@ -47,6 +47,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("cosineNearDupsBucketed: subset of brute force with identical cosines, high recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = toMap(Similarity.cosineNearDups(e, threshold = 0.4))
+    val bucketed = toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4))
+    // exact verification ⇒ every returned pair is a true near-dup with
+    // the same cosine as brute force (no false positives, ever)
+    bucketed.foreach { case (pair, c) =>
+      assert(brute.contains(pair), s"false positive $pair")
+      assert(math.abs(brute(pair) - c) < 1e-12)
+    }
+    val recall = bucketed.size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low (${bucketed.size}/${brute.size})")
+  }
+
   test("lsh bucket key is deterministic") {
     val e = Seq((0L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "embedding")
       .select(transform(col("embedding"), _.cast("double")).as("v"))

@@ -40,6 +40,52 @@ object FileBuilders {
     out.toByteArray
   }
 
+  /** ESRI `.shp` main file of polygon records. Each record is a list of
+    * rings, each ring a closed list of (x, y) — callers supply outer
+    * rings clockwise and holes counter-clockwise per the spec. */
+  def shp(records: Seq[Seq[Seq[(Double, Double)]]]): Array[Byte] = {
+    val contents = records.map { rings =>
+      val numPoints = rings.map(_.size).sum
+      val len = 44 + 4 * rings.size + 16 * numPoints
+      val b = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, 5) // polygon
+      val allX = rings.flatten.map(_._1); val allY = rings.flatten.map(_._2)
+      b.putDouble(4, allX.min); b.putDouble(12, allY.min)
+      b.putDouble(20, allX.max); b.putDouble(28, allY.max)
+      b.putInt(36, rings.size)
+      b.putInt(40, numPoints)
+      var start = 0
+      rings.zipWithIndex.foreach { case (r, i) =>
+        b.putInt(44 + 4 * i, start); start += r.size
+      }
+      var off = 44 + 4 * rings.size
+      rings.flatten.foreach { case (x, y) =>
+        b.putDouble(off, x); b.putDouble(off + 8, y); off += 16
+      }
+      b.array()
+    }
+    val fileLen = 100 + contents.map(8 + _.length).sum
+    val out = ByteBuffer.allocate(fileLen)
+    out.order(ByteOrder.BIG_ENDIAN)
+    out.putInt(0, 9994)
+    out.putInt(24, fileLen / 2) // length in 16-bit words
+    out.order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(28, 1000) // version
+    out.putInt(32, 5) // shape type: polygon
+    val xs = records.flatten.flatten.map(_._1); val ys = records.flatten.flatten.map(_._2)
+    out.putDouble(36, xs.min); out.putDouble(44, ys.min)
+    out.putDouble(52, xs.max); out.putDouble(60, ys.max)
+    var off = 100
+    out.order(ByteOrder.BIG_ENDIAN)
+    contents.zipWithIndex.foreach { case (c, i) =>
+      out.putInt(off, i + 1) // record numbers are 1-based in the file
+      out.putInt(off + 4, c.length / 2)
+      off += 8
+      c.foreach { byte => out.put(off, byte); off += 1 }
+    }
+    out.array()
+  }
+
   /** Minimal xlsx: inline strings for text, raw <v> for numeric-looking
     * cells; one or more sheets. */
   def xlsx(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
