@@ -115,6 +115,16 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
     out.count()
   }
 
+  /** POST /upload analog from the raw `.nc` file itself — the repo's
+    * own NetCDF flatten ([[graft.sources.NetcdfReader]]) feeding
+    * [[ingestRainGrid]], completing the reference's upload path
+    * (main.py:109-156) without a pre-flattened intermediate. */
+  def ingestRainNc(ncPath: String, cellMap: DataFrame, ownerId: Int = 0,
+      northProvsEn: Seq[String] = RainIngest.NorthProvsEn): Long = {
+    val grid = graft.sources.NetcdfReader.readGrid(spark, ncPath)
+    ingestRainGrid(grid, cellMap, new java.io.File(ncPath).getName, ownerId, northProvsEn)
+  }
+
   /** POST /upload_dbf analog (risk map → risk_points). */
   def ingestRiskDbf(path: String, specialFix: Boolean = false, ownerId: Int = 0): Long = {
     val dbf = DbfReader.read(spark, path)

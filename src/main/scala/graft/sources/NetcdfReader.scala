@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal NetCDF *classic* format (CDF-1/CDF-2) reader — the repo's
+  * own flatten tool for the rainfall grid (SURVEY.md §2.1 S1; the
+  * reference opens these with `xr.open_dataset` at
+  * `backend/app/utils.py:63-77` and flattens to long-form rows).
+  *
+  * Format per the public NetCDF classic specification: a header of
+  * [magic 'CDF' + version byte, numrecs, dim_list, gatt_list,
+  * var_list]; names are length-prefixed and 4-byte padded; all values
+  * big-endian. Each variable carries its dim ids, attributes, external
+  * type, per-slab vsize, and a begin offset (4 bytes in CDF-1, 8 in
+  * CDF-2). Variables over the record (unlimited) dimension store one
+  * slab per record, interleaved with stride = Σ record-var vsizes
+  * (single record var: its own slab size, unpadded when it is the only
+  * one and byte/char/short-typed).
+  *
+  * Scope: the grid-ingest subset — numeric types, `_FillValue` →
+  * null, `scale_factor`/`add_offset` applied, CF "days/hours/seconds
+  * since <epoch>" time units decoded. Like the DBF/XLSX/SHP readers
+  * this is driver-side staged-ingest I/O: the flattened frame then
+  * parallelizes and every downstream operator is a plain DataFrame
+  * over it. (At real 100 TB scale one would flatten each year-file in
+  * parallel tasks; the per-file parse is identical.)
+  */
+object NetcdfReader {
+
+  final case class NcDim(name: String, length: Int) { def isRecord: Boolean = length == 0 }
+  final case class NcAtt(name: String, values: Any)
+  final case class NcVar(name: String, dimIds: Seq[Int], atts: Seq[NcAtt],
+      ncType: Int, vsize: Int, begin: Long) {
+    def att(n: String): Option[Any] = atts.find(_.name == n).map(_.values)
+    /** First numeric value of an attribute, if present. */
+    def numAtt(n: String): Option[Double] = att(n).flatMap {
+      case a: Array[Double] => a.headOption
+      case _ => None
+    }
+  }
+  final case class NcFile(numRecs: Int, dims: Seq[NcDim], gatts: Seq[NcAtt],
+      vars: Seq[NcVar], bytes: Array[Byte], version: Int) {
+    def variable(name: String): NcVar = vars.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$name' not in file (have: ${vars.map(_.name).mkString(", ")})"))
+  }
+
+  private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
+  private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+
+  private def typeSize(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case _ => throw new IllegalArgumentException(s"unsupported nc_type $t")
+  }
+
+  private def pad4(n: Int): Int = (n + 3) & ~3
+
+  def open(path: String): NcFile = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(bytes.length > 4 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
+      s"not a classic NetCDF file: $path")
+    val version = bytes(3).toInt // 1 = 32-bit offsets, 2 = 64-bit
+    require(version == 1 || version == 2, s"unsupported CDF version $version (HDF5-based NetCDF-4 not in scope)")
+    var off = 4
+    val numRecs = bb.getInt(off); off += 4 // 0xFFFFFFFF (streaming) reads as -1
+
+    def readName(): String = {
+      val len = bb.getInt(off); off += 4
+      val s = new String(bytes, off, len, "UTF-8")
+      off += pad4(len)
+      s
+    }
+    def readAttValues(t: Int, n: Int): Any = {
+      val v: Any = t match {
+        case NcChar => val s = new String(bytes, off, n, "UTF-8"); s
+        case NcByte => Array.tabulate(n)(i => bytes(off + i).toDouble)
+        case NcShort => Array.tabulate(n)(i => bb.getShort(off + 2 * i).toDouble)
+        case NcInt => Array.tabulate(n)(i => bb.getInt(off + 4 * i).toDouble)
+        case NcFloat => Array.tabulate(n)(i => bb.getFloat(off + 4 * i).toDouble)
+        case NcDouble => Array.tabulate(n)(i => bb.getDouble(off + 8 * i))
+      }
+      off += pad4(n * typeSize(t))
+      v
+    }
+    def readAttList(): Seq[NcAtt] = {
+      val tag = bb.getInt(off); val count = bb.getInt(off + 4); off += 8
+      require(tag == 0x0C || (tag == 0 && count == 0), s"bad att_list tag $tag")
+      (0 until count).map { _ =>
+        val name = readName()
+        val t = bb.getInt(off); off += 4
+        val n = bb.getInt(off); off += 4
+        NcAtt(name, readAttValues(t, n))
+      }
+    }
+
+    // dim_list
+    val dimTag = bb.getInt(off); val dimCount = bb.getInt(off + 4); off += 8
+    require(dimTag == 0x0A || (dimTag == 0 && dimCount == 0), s"bad dim_list tag $dimTag")
+    val dims = (0 until dimCount).map { _ =>
+      val name = readName()
+      val len = bb.getInt(off); off += 4
+      NcDim(name, len)
+    }
+    val gatts = readAttList()
+    // var_list
+    val varTag = bb.getInt(off); val varCount = bb.getInt(off + 4); off += 8
+    require(varTag == 0x0B || (varTag == 0 && varCount == 0), s"bad var_list tag $varTag")
+    val vars = (0 until varCount).map { _ =>
+      val name = readName()
+      val ndims = bb.getInt(off); off += 4
+      val dimIds = (0 until ndims).map { i => bb.getInt(off + 4 * i) }
+      off += 4 * ndims
+      val atts = readAttList()
+      val t = bb.getInt(off); off += 4
+      val vsize = bb.getInt(off); off += 4
+      val begin = if (version == 1) { val b = bb.getInt(off).toLong; off += 4; b }
+        else { val b = bb.getLong(off); off += 8; b }
+      NcVar(name, dimIds, atts, t, vsize, begin)
+    }
+    NcFile(numRecs, dims, gatts, vars, bytes, version)
+  }
+
+  /** Read a variable's full data as doubles in row-major dim order,
+    * with `_FillValue`→NaN and scale/offset applied. */
+  def readValues(nc: NcFile, v: NcVar): Array[Double] = {
+    val bb = ByteBuffer.wrap(nc.bytes).order(ByteOrder.BIG_ENDIAN)
+    val isRec = v.dimIds.headOption.exists(nc.dims(_).isRecord)
+    val fixedLens = v.dimIds.map(nc.dims(_)).filterNot(_.isRecord).map(_.length)
+    val perSlab = fixedLens.product
+    val nRecs = if (isRec) nc.numRecs else 1
+    val ts = typeSize(v.ncType)
+    val recVars = nc.vars.filter(_.dimIds.headOption.exists(nc.dims(_).isRecord))
+    val recSize =
+      if (!isRec) 0L
+      else if (recVars.size == 1) perSlab.toLong * ts // sole record var: unpadded stride
+      else recVars.map(_.vsize.toLong).sum
+    val fill = v.numAtt("_FillValue")
+    val scale = v.numAtt("scale_factor").getOrElse(1.0)
+    val offset = v.numAtt("add_offset").getOrElse(0.0)
+    val out = new Array[Double](perSlab * nRecs)
+    var r = 0
+    while (r < nRecs) {
+      val base = v.begin + r * recSize
+      var i = 0
+      while (i < perSlab) {
+        val p = (base + i.toLong * ts).toInt
+        val raw = v.ncType match {
+          case NcByte => nc.bytes(p).toDouble
+          case NcShort => bb.getShort(p).toDouble
+          case NcInt => bb.getInt(p).toDouble
+          case NcFloat => bb.getFloat(p).toDouble
+          case NcDouble => bb.getDouble(p)
+          case t => throw new IllegalArgumentException(s"unsupported data nc_type $t")
+        }
+        out(r * perSlab + i) =
+          if (fill.exists(f => raw == f || raw.isNaN)) Double.NaN
+          else raw * scale + offset
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** CF time decoding: "<days|hours|minutes|seconds> since <epoch>". */
+  private[sources] def decodeTime(values: Array[Double], units: String): Array[Timestamp] = {
+    val m = "(?i)(days|hours|minutes|seconds)\\s+since\\s+(\\d{4}-\\d{2}-\\d{2})([T ](\\d{2}:\\d{2}(:\\d{2})?))?".r
+      .findFirstMatchIn(units)
+      .getOrElse(throw new IllegalArgumentException(s"unsupported time units: '$units'"))
+    val unitMs = m.group(1).toLowerCase match {
+      case "days" => 86400000L
+      case "hours" => 3600000L
+      case "minutes" => 60000L
+      case "seconds" => 1000L
+    }
+    val epoch = java.time.LocalDate.parse(m.group(2)).atStartOfDay
+    val withTime = Option(m.group(4)).fold(epoch) { t =>
+      val p = t.split(":"); epoch.plusSeconds(p(0).toLong * 3600 + p(1).toLong * 60 +
+        (if (p.length > 2) p(2).toLong else 0L))
+    }
+    val epochMs = withTime.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    values.map(v => new Timestamp(epochMs + (v * unitMs).toLong))
+  }
+
+  /** Flatten a gridded `dataVar[time, lat, lon]` to the long-form rows
+    * RainIngest consumes (Schemas.rainGrid) — the Spark-side equal of
+    * the reference's `to_dataframe().reset_index()` (utils.py:77).
+    * Fill values become nulls (dropped downstream by P4). Coordinate
+    * variables are matched to the data variable's dims by name. */
+  def readGrid(spark: SparkSession, path: String, dataVar: String = "precip",
+      timeDim: String = "time", latDim: String = "latitude", lonDim: String = "longitude"): DataFrame = {
+    val nc = open(path)
+    val v = nc.variable(dataVar)
+    val dimNames = v.dimIds.map(nc.dims(_).name)
+    require(dimNames == Seq(timeDim, latDim, lonDim),
+      s"expected $dataVar[$timeDim,$latDim,$lonDim], file has $dataVar[${dimNames.mkString(",")}]")
+    val tv = nc.variable(timeDim)
+    val times = decodeTime(readValues(nc, tv),
+      tv.att("units").collect { case s: String => s }
+        .getOrElse(throw new IllegalArgumentException(s"$timeDim has no units attribute")))
+    val lats = readValues(nc, nc.variable(latDim))
+    val lons = readValues(nc, nc.variable(lonDim))
+    val data = readValues(nc, v)
+
+    val rows = new ArrayBuffer[Row](data.length)
+    var t = 0
+    while (t < times.length) {
+      var la = 0
+      while (la < lats.length) {
+        var lo = 0
+        while (lo < lons.length) {
+          val d = data(t * lats.length * lons.length + la * lons.length + lo)
+          rows += Row(times(t), lats(la), lons(lo),
+            if (d.isNaN) null else java.lang.Double.valueOf(d))
+          lo += 1
+        }
+        la += 1
+      }
+      t += 1
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), StructType(Seq(
+      StructField("time", TimestampType),
+      StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType),
+      StructField("precip", DoubleType))))
+  }
+}

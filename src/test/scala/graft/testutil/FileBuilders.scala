@@ -40,6 +40,69 @@ object FileBuilders {
     out.toByteArray
   }
 
+  /** Classic NetCDF (CDF-1) file with a CHIRPS-shaped layout: record
+    * dimension `time` (double, CF units), fixed `latitude`/`longitude`
+    * (double coords), and `precip[time,latitude,longitude]` (float,
+    * `_FillValue`). precip is indexed (t)(lat)(lon). */
+  def nc(times: Seq[Double], timeUnits: String, lats: Seq[Double], lons: Seq[Double],
+      precip: Seq[Seq[Seq[Float]]], fillValue: Float = -9999f): Array[Byte] = {
+    def pad4(n: Int): Int = (n + 3) & ~3
+    val precipSlab = pad4(4 * lats.size * lons.size)
+
+    def header(beginLat: Int, beginLon: Int, beginTime: Int, beginPrecip: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def name(s: String): Unit = {
+        o.writeInt(s.length); o.write(s.getBytes("UTF-8"))
+        (s.length until pad4(s.length)).foreach(_ => o.write(0))
+      }
+      o.write('C'); o.write('D'); o.write('F'); o.write(1)
+      o.writeInt(times.size) // numrecs
+      o.writeInt(0x0A); o.writeInt(3) // dim_list
+      name("time"); o.writeInt(0) // record dim
+      name("latitude"); o.writeInt(lats.size)
+      name("longitude"); o.writeInt(lons.size)
+      o.writeInt(0); o.writeInt(0) // gatt_list absent
+      o.writeInt(0x0B); o.writeInt(4) // var_list
+      name("latitude"); o.writeInt(1); o.writeInt(1)
+      o.writeInt(0); o.writeInt(0) // no atts
+      o.writeInt(6); o.writeInt(pad4(8 * lats.size)); o.writeInt(beginLat)
+      name("longitude"); o.writeInt(1); o.writeInt(2)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(6); o.writeInt(pad4(8 * lons.size)); o.writeInt(beginLon)
+      name("time"); o.writeInt(1); o.writeInt(0)
+      o.writeInt(0x0C); o.writeInt(1) // atts: units
+      name("units"); o.writeInt(2); o.writeInt(timeUnits.length)
+      o.write(timeUnits.getBytes("UTF-8"))
+      (timeUnits.length until pad4(timeUnits.length)).foreach(_ => o.write(0))
+      o.writeInt(6); o.writeInt(8); o.writeInt(beginTime)
+      name("precip"); o.writeInt(3); o.writeInt(0); o.writeInt(1); o.writeInt(2)
+      o.writeInt(0x0C); o.writeInt(1) // atts: _FillValue
+      name("_FillValue"); o.writeInt(5); o.writeInt(1); o.writeFloat(fillValue)
+      o.writeInt(5); o.writeInt(precipSlab); o.writeInt(beginPrecip)
+      o.flush(); bos.toByteArray
+    }
+
+    val headerLen = header(0, 0, 0, 0).length
+    val beginLat = headerLen
+    val beginLon = beginLat + pad4(8 * lats.size)
+    val beginTime = beginLon + pad4(8 * lons.size)
+    val beginPrecip = beginTime + 8 // first record: time then precip slab
+
+    val bos = new ByteArrayOutputStream()
+    bos.write(header(beginLat, beginLon, beginTime, beginPrecip))
+    val o = new java.io.DataOutputStream(bos)
+    lats.foreach(o.writeDouble)
+    lons.foreach(o.writeDouble)
+    times.zipWithIndex.foreach { case (t, r) =>
+      o.writeDouble(t)
+      val flat = precip(r).flatten
+      flat.foreach(o.writeFloat)
+      (4 * flat.size until precipSlab).foreach(_ => o.write(0))
+    }
+    o.flush(); bos.toByteArray
+  }
+
   /** ESRI `.shp` main file of polygon records. Each record is a list of
     * rings, each ring a closed list of (x, y) — callers supply outer
     * rings clockwise and holes counter-clockwise per the spec. */
