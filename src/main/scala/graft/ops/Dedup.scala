@@ -143,12 +143,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nc"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nc")).as("nc"))
+      // the changed flag rides inside the checkpointed frame, so
+      // convergence detection is a filter over already-materialized
+      // rows — not an extra labels⋈labels job per round
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+          coalesce(col("nc") < col("component"), lit(false)).as("__chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .where(col("component") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = next.where(col("__chg")).limit(1).count() > 0
+      labels = next.drop("__chg")
       iter += 1
     }
     edges.unpersist(blocking = false)

@@ -239,6 +239,51 @@ object ExtensionQueries {
       .orderBy("split", "lang")
   }
 
+  /** Full corpus-cleaning composition — every stage of a pretraining
+    * data pipeline in one query: quality filter → exact dedup (keep
+    * min doc_id per content fingerprint) → deterministic hash split →
+    * per-(split, lang) corpus stats. Each stage is also covered alone
+    * (q_quality_score / q_dedup_exact / q_train_split); this pins the
+    * composition. */
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .where(TextOps.qualityScore(col("text")) >= 0.75)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .withColumn("split", when(bucket < 80, "train").otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tok"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("split", "lang")
+  }
+
+  /** Train/test contamination detection: for each test-split doc, the
+    * fraction of its distinct word 3-grams that also occur anywhere in
+    * the train split. Shuffles on the shingle key (corpus-sized, never
+    * pairwise) — the scale-sane containment formulation of benchmark
+    * decontamination. Docs with no 3-gram (< 3 tokens) are excluded. */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val sh = Tables.documents(s, dir)
+      .withColumn("split", when(bucket < 80, "train").otherwise(lit("test")))
+      .select(col("doc_id"), col("split"),
+        explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+    val train = sh.where(col("split") === "train")
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    sh.where(col("split") === "test")
+      .join(train, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0)).cast("long")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** Skew-safe two-phase aggregation must equal the plain GROUP BY —
     * proven against the oracle (decimal-quantized sums, so the salted
     * re-association cannot drift). */
@@ -252,6 +297,8 @@ object ExtensionQueries {
 
   val all: Map[String, Q.QueryFn] = Map(
     "q_skew_agg" -> (qSkewAgg _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_contamination" -> (qContamination _),
     "q_embed_centroid" -> (qEmbedCentroid _),
     "q_train_split" -> (qTrainSplit _),
     "q_top_terms" -> (qTopTerms _),
@@ -290,6 +337,56 @@ object ExtensionQueries {
         |u AS (SELECT label, t.i - 1 AS dim, v[t.i] AS x FROM e, unnest(range(1, len(v) + 1)) AS t(i))
         |SELECT label, dim, round(avg(x), 6) AS m
         |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q_corpus_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, length(text) AS n_chars,
+         |  $toksSql AS toks,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks FROM documents),
+         |m AS (SELECT doc_id, lang, text, n_chars, toks,
+         |  CASE WHEN n_chars > 0 THEN
+         |    cast(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) as double) / cast(n_chars as double)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+         |  ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN len(ltoks) > 0 THEN
+         |    cast(len(list_filter(ltoks, x -> x IN ($stopList))) as double) / cast(len(ltoks) as double)
+         |  ELSE 0.0 END AS stop_ratio
+         | FROM t),
+         |q AS (SELECT *,
+         |  ((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+         | FROM m),
+         |f AS (SELECT doc_id, lang, text, toks,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         | FROM q WHERE quality >= 0.75),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+         |k AS (SELECT doc_id, lang, toks,
+         |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::bigint % 100 < 80
+         |    THEN 'train' ELSE 'test' END AS split
+         | FROM d WHERE rn = 1)
+         |SELECT split, lang, count(*) AS n_docs,
+         | cast(sum(len(toks)) as bigint) AS n_tok, min(doc_id) AS first_doc
+         |FROM k GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::bigint % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, split,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, split, unnest(sh) AS shingle FROM s),
+        |tr AS (SELECT DISTINCT shingle FROM e WHERE split = 'train'),
+        |te AS (SELECT doc_id, shingle FROM e WHERE split = 'test')
+        |SELECT te.doc_id AS doc_id, count(*) AS n_shingles,
+        | cast(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_overlap,
+        | round(cast(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) as double)
+        |   / cast(count(*) as double), 6) AS contamination
+        |FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+        |GROUP BY te.doc_id ORDER BY doc_id""".stripMargin,
     "q_top_terms" ->
       """SELECT t.token AS token, count(*) AS n
         |FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token)
