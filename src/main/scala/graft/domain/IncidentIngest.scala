@@ -103,11 +103,16 @@ object IncidentIngest {
     // Null-date quirk preserved: the reference's count join can never
     // match a null key, so null-date rows always insert with count 1
     // regardless of how many bad-date rows shared the key.
+    // Materialized eagerly (one row per (date, district) — small):
+    // the A9 range probe below and the anti-join both consume it, and
+    // without the checkpoint each would re-run the whole file parse +
+    // dim joins + shuffle.
     val perKey = matched
       .groupBy("disaster_date", "province_id", "district_id")
       .agg(count(lit(1)).cast("int").as("count_of_disasters"), min("year").as("year"))
       .withColumn("count_of_disasters",
         when(col("disaster_date").isNull, lit(1)).otherwise(col("count_of_disasters")))
+      .localCheckpoint(true)
 
     // A9 + S7: date range of the incoming file scopes the existing scan
     val range = perKey.agg(min("disaster_date"), max("disaster_date")).first()
