@@ -210,6 +210,56 @@ object ExtensionQueries {
         count(lit(1)).as("dim"))
       .orderBy("label")
 
+  /** The dedup family's end product: the corpus filtered to near-dup
+    * cluster representatives (min doc_id per component keeps; docs in
+    * no pair pass through) — oracle via the recursive-CTE component
+    * set. */
+  def qKeepCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 1000)
+    Dedup.keepCanonical(docs, "doc_id", qNgramJaccard(s, dir).select("id1", "id2"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top-3 terms per document (docs < 100): tf · ln(N/df) with
+    * deterministic (score desc, token) tie-break — the classic
+    * relevance scoring every text pipeline needs; one shuffle on the
+    * token key for df, one on doc_id for the rank. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tokens = docs.select(col("doc_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("token"))
+    val tf = tokens.where(col("doc_id") < 100)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tokens.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df_, Seq("token"))
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Exact length percentiles per language (corpus-shape stats beyond
+    * the reference's min/max): Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the same linear-interpolation definition,
+    * so the oracle is exact. */
+  def qLenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    def pct(p: Double) = round(expr(s"percentile(n_chars, $p)"), 6)
+    Tables.documents(s, dir)
+      .select(col("lang"), length(col("text")).as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        pct(0.25).as("p25"), pct(0.5).as("p50"),
+        pct(0.75).as("p75"), pct(0.9).as("p90"))
+      .orderBy("lang")
+  }
+
   /** Vocabulary top-k: most frequent tokens across the corpus
     * (deterministic tie-break on the token). */
   def qTopTerms(s: SparkSession, dir: String): DataFrame =
@@ -299,6 +349,9 @@ object ExtensionQueries {
     "q_skew_agg" -> (qSkewAgg _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_contamination" -> (qContamination _),
+    "q_keep_canonical" -> (qKeepCanonical _),
+    "q_tfidf" -> (qTfidf _),
+    "q_len_quantiles" -> (qLenQuantiles _),
     "q_embed_centroid" -> (qEmbedCentroid _),
     "q_train_split" -> (qTrainSplit _),
     "q_top_terms" -> (qTopTerms _),
@@ -476,6 +529,50 @@ object ExtensionQueries {
         | SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id, min(root) AS component FROM reach GROUP BY id
         |ORDER BY id, component""".stripMargin,
+    "q_keep_canonical" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 1000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
+        |  cast(len(a.sh) + len(b.sh) as double) AS tot
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT id1, id2 FROM p
+        | WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8),
+        |nodes AS (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach(id, root) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang FROM documents d
+        |WHERE d.doc_id < 1000
+        |  AND d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, t.token AS token
+        |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token)),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  round(tf.tf * ln(cast((SELECT n FROM n) as double) / cast(df.df as double)), 6) AS score
+        | FROM tf JOIN df USING (token)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc)
+        |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q_len_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        | round(quantile_cont(length(text), 0.25), 6) AS p25,
+        | round(quantile_cont(length(text), 0.5), 6) AS p50,
+        | round(quantile_cont(length(text), 0.75), 6) AS p75,
+        | round(quantile_cont(length(text), 0.9), 6) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_embed_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
