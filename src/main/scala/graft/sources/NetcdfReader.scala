@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -46,7 +47,7 @@ object NetcdfReader {
     }
   }
   final case class NcFile(numRecs: Int, dims: Seq[NcDim], gatts: Seq[NcAtt],
-      vars: Seq[NcVar], bytes: Array[Byte], version: Int) {
+      vars: Seq[NcVar], bb: ByteBuffer, version: Int) {
     def variable(name: String): NcVar = vars.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"variable '$name' not in file (have: ${vars.map(_.name).mkString(", ")})"))
@@ -65,26 +66,36 @@ object NetcdfReader {
 
   private def pad4(n: Int): Int = (n + 3) & ~3
 
+  /** Memory-maps the file: header/coordinate parsing and per-record
+    * slab reads only touch the pages they address, so opening a
+    * multi-GB year file to plan partitions costs header-sized I/O. */
   def open(path: String): NcFile = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    require(bytes.length > 4 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val bb = try ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+      .order(ByteOrder.BIG_ENDIAN) finally ch.close()
+    require(bb.limit() > 4 && bb.get(0) == 'C' && bb.get(1) == 'D' && bb.get(2) == 'F',
       s"not a classic NetCDF file: $path")
-    val version = bytes(3).toInt // 1 = 32-bit offsets, 2 = 64-bit
+    val version = bb.get(3).toInt // 1 = 32-bit offsets, 2 = 64-bit
     require(version == 1 || version == 2, s"unsupported CDF version $version (HDF5-based NetCDF-4 not in scope)")
     var off = 4
     val numRecs = bb.getInt(off); off += 4 // 0xFFFFFFFF (streaming) reads as -1
 
+    def bytesAt(o: Int, len: Int): Array[Byte] = {
+      val a = new Array[Byte](len)
+      var i = 0
+      while (i < len) { a(i) = bb.get(o + i); i += 1 }
+      a
+    }
     def readName(): String = {
       val len = bb.getInt(off); off += 4
-      val s = new String(bytes, off, len, "UTF-8")
+      val s = new String(bytesAt(off, len), "UTF-8")
       off += pad4(len)
       s
     }
     def readAttValues(t: Int, n: Int): Any = {
       val v: Any = t match {
-        case NcChar => val s = new String(bytes, off, n, "UTF-8"); s
-        case NcByte => Array.tabulate(n)(i => bytes(off + i).toDouble)
+        case NcChar => new String(bytesAt(off, n), "UTF-8")
+        case NcByte => Array.tabulate(n)(i => bb.get(off + i).toDouble)
         case NcShort => Array.tabulate(n)(i => bb.getShort(off + 2 * i).toDouble)
         case NcInt => Array.tabulate(n)(i => bb.getInt(off + 4 * i).toDouble)
         case NcFloat => Array.tabulate(n)(i => bb.getFloat(off + 4 * i).toDouble)
@@ -128,49 +139,55 @@ object NetcdfReader {
         else { val b = bb.getLong(off); off += 8; b }
       NcVar(name, dimIds, atts, t, vsize, begin)
     }
-    NcFile(numRecs, dims, gatts, vars, bytes, version)
+    NcFile(numRecs, dims, gatts, vars, bb, version)
   }
 
-  /** Read a variable's full data as doubles in row-major dim order,
-    * with `_FillValue`→NaN and scale/offset applied. */
-  def readValues(nc: NcFile, v: NcVar): Array[Double] = {
-    val bb = ByteBuffer.wrap(nc.bytes).order(ByteOrder.BIG_ENDIAN)
-    val isRec = v.dimIds.headOption.exists(nc.dims(_).isRecord)
-    val fixedLens = v.dimIds.map(nc.dims(_)).filterNot(_.isRecord).map(_.length)
-    val perSlab = fixedLens.product
-    val nRecs = if (isRec) nc.numRecs else 1
-    val ts = typeSize(v.ncType)
+  /** Stride between record slabs (the interleaved record section). */
+  def recordStride(nc: NcFile, v: NcVar): Long = {
     val recVars = nc.vars.filter(_.dimIds.headOption.exists(nc.dims(_).isRecord))
-    val recSize =
-      if (!isRec) 0L
-      else if (recVars.size == 1) perSlab.toLong * ts // sole record var: unpadded stride
-      else recVars.map(_.vsize.toLong).sum
+    if (recVars.size == 1) { // sole record var: unpadded stride
+      val perSlab = v.dimIds.map(nc.dims(_)).filterNot(_.isRecord).map(_.length).product
+      perSlab.toLong * typeSize(v.ncType)
+    } else recVars.map(_.vsize.toLong).sum
+  }
+
+  /** Read one record slab (or the whole fixed-size variable when it has
+    * no record dimension) as doubles, `_FillValue`→NaN, scale/offset
+    * applied. Only the addressed pages of the mapped file are touched. */
+  def readSlab(nc: NcFile, v: NcVar, record: Int): Array[Double] = {
+    val bb = nc.bb
+    val isRec = v.dimIds.headOption.exists(nc.dims(_).isRecord)
+    val perSlab = v.dimIds.map(nc.dims(_)).filterNot(_.isRecord).map(_.length).product
+    val ts = typeSize(v.ncType)
+    val base = if (isRec) v.begin + record * recordStride(nc, v) else v.begin
     val fill = v.numAtt("_FillValue")
     val scale = v.numAtt("scale_factor").getOrElse(1.0)
     val offset = v.numAtt("add_offset").getOrElse(0.0)
-    val out = new Array[Double](perSlab * nRecs)
-    var r = 0
-    while (r < nRecs) {
-      val base = v.begin + r * recSize
-      var i = 0
-      while (i < perSlab) {
-        val p = (base + i.toLong * ts).toInt
-        val raw = v.ncType match {
-          case NcByte => nc.bytes(p).toDouble
-          case NcShort => bb.getShort(p).toDouble
-          case NcInt => bb.getInt(p).toDouble
-          case NcFloat => bb.getFloat(p).toDouble
-          case NcDouble => bb.getDouble(p)
-          case t => throw new IllegalArgumentException(s"unsupported data nc_type $t")
-        }
-        out(r * perSlab + i) =
-          if (fill.exists(f => raw == f || raw.isNaN)) Double.NaN
-          else raw * scale + offset
-        i += 1
+    val out = new Array[Double](perSlab)
+    var i = 0
+    while (i < perSlab) {
+      val p = (base + i.toLong * ts).toInt
+      val raw = v.ncType match {
+        case NcByte => bb.get(p).toDouble
+        case NcShort => bb.getShort(p).toDouble
+        case NcInt => bb.getInt(p).toDouble
+        case NcFloat => bb.getFloat(p).toDouble
+        case NcDouble => bb.getDouble(p)
+        case t => throw new IllegalArgumentException(s"unsupported data nc_type $t")
       }
-      r += 1
+      out(i) =
+        if (fill.exists(f => raw == f || raw.isNaN)) Double.NaN
+        else raw * scale + offset
+      i += 1
     }
     out
+  }
+
+  /** Read a variable's full data as doubles in row-major dim order. */
+  def readValues(nc: NcFile, v: NcVar): Array[Double] = {
+    val isRec = v.dimIds.headOption.exists(nc.dims(_).isRecord)
+    val nRecs = if (isRec) nc.numRecs else 1
+    (0 until nRecs).flatMap(r => readSlab(nc, v, r)).toArray
   }
 
   /** CF time decoding: "<days|hours|minutes|seconds> since <epoch>". */

@@ -64,4 +64,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("contamination containment join keys on the shingle — no cartesian, partial agg") {
+    val p = plan(graft.queries.ExtensionQueries.qContamination(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p) // per-doc counts combine map-side
+  }
+
+  test("bucketed cosine near-dups join on bucket keys, never all-pairs") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(graft.ops.Similarity.cosineNearDupsBucketed(e, threshold = 0.4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact-verify cosine runs AFTER candidate dedup, not per
+    // collision: the vec_cosine projection sits above the (id1,id2)
+    // first-agg in the plan text (plans print top-down)
+    val cosAt = p.indexOf("vec_cosine")
+    val aggAt = p.indexOf("Aggregate(key=[id1")
+    assert(cosAt >= 0 && aggAt >= 0 && cosAt < aggAt, p)
+  }
+
+  test("corpus pipeline: one dedup window, aggregation partial→final") {
+    val p = plan(graft.queries.ExtensionQueries.qCorpusPipeline(spark, dir))
+    assert("WindowExec|Window".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("partial_"), p)
+  }
 }
