@@ -183,6 +183,28 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
   def dateLimit(): DataFrame = ListQueries.dateLimit(rain)
   def graph(date: String): DataFrame =
     ListQueries.graph(date, rain, provinces, districts, risk, incidents)
+
+  /** The complete choropleth the reference renders client-side
+    * (frontend `page.tsx:129-269`): the day's scored graph rows keyed
+    * to district polygons by (district_en, province_en) — exactly the
+    * frontend's join key (`page.tsx:146-161`) — with the F14 color
+    * bucket, exported as GeoJSON. `polygons` is (province, district,
+    * wkt), e.g. from [[graft.sources.ShpReader]] + the admin `.dbf`. */
+  def graphGeoJson(date: String, polygons: DataFrame): String = {
+    val g = graph(date)
+    val keyed = g.join(
+      polygons.select(col("province").as("p_en"), col("district").as("d_en"), col("wkt")),
+      g("district_name_en") === col("d_en") && g("province_name_en") === col("p_en"),
+      "inner")
+      .withColumn("color", Buckets.scoreColor(col("score")))
+      .select(col("wkt"),
+        col("province_name_en").as("province"), col("district_name_en").as("district"),
+        col("date").cast("string").as("date"),
+        round(col("rain_mm_wmean"), 2).as("rain_mm_wmean"),
+        col("risk_level"), col("count_of_disasters"),
+        round(col("score"), 2).as("score"), col("color"))
+    graft.spatial.GeoJson.featureCollection(keyed)
+  }
 }
 
 object Engine {

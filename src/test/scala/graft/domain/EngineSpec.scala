@@ -100,6 +100,17 @@ class EngineSpec extends SparkSpec {
     // pk uniqueness
     assert(eng.listIncidents(req = ListQueries.PageRequest(pageSize = 200))
       .items.select("incident_id").collect().map(_.getLong(0)).distinct.length == 2)
+
+    // ---- scored choropleth export (the frontend's map, server-side) ----
+    val polys = Seq(("Chiang Mai", "Mueang Chiang Mai",
+      "POLYGON ((98.9 18.7, 98.9 18.9, 99.1 18.9, 99.1 18.7, 98.9 18.7))"))
+      .toDF("province", "district", "wkt")
+    val fc = eng.graphGeoJson("2023-06-01", polys)
+    assert(fc.contains(""""type":"FeatureCollection""""))
+    assert(fc.contains(""""district":"Mueang Chiang Mai""""))
+    assert(fc.contains(""""risk_level":3"""))
+    // boost path put the score ≥ 80 → red bucket
+    assert(fc.contains(""""color":"red""""))
   }
 
   test("register → upload → list with owner join (upload-ownership flow)") {
