@@ -80,8 +80,13 @@ object Ivf {
 
   /** Top-k by cosine among the query's `nprobe` nearest cells. */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int = 4): DataFrame =
+    topKFromCells(assign(corpus, model), queries, model, k, nprobe)
+
+  /** Top-k against a pre-assigned (id, vec, cell) frame — the path a
+    * persisted index takes ([[load]]). */
+  def topKFromCells(cells: DataFrame, queries: DataFrame, model: Model,
       k: Int, nprobe: Int = 4): DataFrame = {
-    val cells = assign(corpus, model)
     val probeCells = array((0 until model.nlist).map { cid =>
       struct(dist2(col("qvec"), model.centroids(cid)._2).as("d"), lit(cid).as("c"))
     }: _*)
@@ -96,4 +101,32 @@ object Ivf {
       .where(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
   }
+
+  /** A loaded on-disk index: quantizer + cell-assigned corpus. */
+  final case class Index(model: Model, cells: DataFrame)
+
+  /** Persist the index: centroids (KB-scale) plus the corpus with its
+    * cell assignment, PARTITIONED BY cell — build once, query many.
+    * At 100 TB this write is the index-build artifact: a probe's
+    * cell-key join touches only its partitions' files, so per-query
+    * I/O ∝ corpus/nlist × nprobe, not corpus size. */
+  def save(spark: SparkSession, model: Model, corpus: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assign(corpus, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  def load(spark: SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    Index(Model(centroids), spark.read.parquet(s"$path/cells"))
+  }
+
+  /** Top-k over a persisted index. */
+  def topKIndexed(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    topKFromCells(index.cells, queries, index.model, k, nprobe)
 }

@@ -38,4 +38,30 @@ class IvfSpec extends SparkSpec {
     val recall = (brute intersect probed).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("save/load round trip: persisted index answers identically") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val model = Ivf.fit(e, nlist = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+
+    Ivf.save(spark, model, e, path)
+    val index = Ivf.load(spark, path)
+    assert(index.model.centroids.map(_._1).toSeq == model.centroids.map(_._1).toSeq)
+    index.model.centroids.zip(model.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // the cells frame is partitioned by cell on disk (one dir per cell)
+    assert(new java.io.File(s"$path/cells").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = key(Ivf.topK(e, q, model, k = 5, nprobe = 3))
+    val loaded = key(Ivf.topKIndexed(index, q, k = 5, nprobe = 3))
+    assert(loaded == direct)
+  }
 }
