@@ -46,8 +46,25 @@ object NetcdfReader {
       case _ => None
     }
   }
+  /** Region-mapped access to the file: each read maps only [off,
+    * off+len) — so a 2 GB+ year file never needs one whole-file map
+    * (MappedByteBuffer is Int-limited), and slab reads touch only
+    * their own pages. */
+  final class NcSource(val path: String) {
+    def buffer(off: Long, len: Long): ByteBuffer = {
+      val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+      try ch.map(FileChannel.MapMode.READ_ONLY, off, math.min(len, ch.size() - off))
+        .order(ByteOrder.BIG_ENDIAN)
+      finally ch.close()
+    }
+    def size: Long = {
+      val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+      try ch.size() finally ch.close()
+    }
+  }
+
   final case class NcFile(numRecs: Int, dims: Seq[NcDim], gatts: Seq[NcAtt],
-      vars: Seq[NcVar], bb: ByteBuffer, version: Int) {
+      vars: Seq[NcVar], source: NcSource, version: Int) {
     def variable(name: String): NcVar = vars.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"variable '$name' not in file (have: ${vars.map(_.name).mkString(", ")})"))
@@ -66,13 +83,12 @@ object NetcdfReader {
 
   private def pad4(n: Int): Int = (n + 3) & ~3
 
-  /** Memory-maps the file: header/coordinate parsing and per-record
-    * slab reads only touch the pages they address, so opening a
-    * multi-GB year file to plan partitions costs header-sized I/O. */
+  /** Header parse: maps only the header region (≤16 MB — classic
+    * headers are KB-scale), so opening a multi-GB year file to plan
+    * partitions costs header-sized I/O. */
   def open(path: String): NcFile = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    val bb = try ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
-      .order(ByteOrder.BIG_ENDIAN) finally ch.close()
+    val source = new NcSource(path)
+    val bb = source.buffer(0, math.min(source.size, 16L * 1024 * 1024))
     require(bb.limit() > 4 && bb.get(0) == 'C' && bb.get(1) == 'D' && bb.get(2) == 'F',
       s"not a classic NetCDF file: $path")
     val version = bb.get(3).toInt // 1 = 32-bit offsets, 2 = 64-bit
@@ -139,7 +155,7 @@ object NetcdfReader {
         else { val b = bb.getLong(off); off += 8; b }
       NcVar(name, dimIds, atts, t, vsize, begin)
     }
-    NcFile(numRecs, dims, gatts, vars, bb, version)
+    NcFile(numRecs, dims, gatts, vars, source, version)
   }
 
   /** Stride between record slabs (the interleaved record section). */
@@ -153,20 +169,21 @@ object NetcdfReader {
 
   /** Read one record slab (or the whole fixed-size variable when it has
     * no record dimension) as doubles, `_FillValue`→NaN, scale/offset
-    * applied. Only the addressed pages of the mapped file are touched. */
+    * applied. Maps exactly the slab's byte range — long offsets, so
+    * slabs anywhere in a multi-GB file are addressable. */
   def readSlab(nc: NcFile, v: NcVar, record: Int): Array[Double] = {
-    val bb = nc.bb
     val isRec = v.dimIds.headOption.exists(nc.dims(_).isRecord)
     val perSlab = v.dimIds.map(nc.dims(_)).filterNot(_.isRecord).map(_.length).product
     val ts = typeSize(v.ncType)
     val base = if (isRec) v.begin + record * recordStride(nc, v) else v.begin
+    val bb = nc.source.buffer(base, perSlab.toLong * ts)
     val fill = v.numAtt("_FillValue")
     val scale = v.numAtt("scale_factor").getOrElse(1.0)
     val offset = v.numAtt("add_offset").getOrElse(0.0)
     val out = new Array[Double](perSlab)
     var i = 0
     while (i < perSlab) {
-      val p = (base + i.toLong * ts).toInt
+      val p = i * ts
       val raw = v.ncType match {
         case NcByte => bb.get(p).toDouble
         case NcShort => bb.getShort(p).toDouble
