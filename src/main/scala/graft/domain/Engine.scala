@@ -51,7 +51,11 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
 
   /** POST /register analog (main.py:66-86): append a user row unless
     * the username is taken (the endpoint's 400). The password hash is
-    * stored opaque — hashing is transport-layer concern, not analytics. */
+    * stored opaque — hashing is transport-layer concern, not analytics.
+    * Like every metadata mutation on this facade (recordUpload's
+    * max+1 ids, initDims' overwrite), check-then-append assumes a
+    * single-writer control plane; the reference gets the equivalent
+    * guarantee from its DB's unique constraint. */
   def registerUser(username: String, passwordHash: String, fullName: String = ""): Int = {
     val u = username.trim
     require(u.nonEmpty, "username required")

@@ -25,7 +25,8 @@ case class MinHash64(child: Expression, k: Int) extends UnaryExpression {
     // corrupting the signature. Callers filter nulls first.
     case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
-      "minhash64 requires array<bigint> with non-null elements — apply filter(x -> x IS NOT NULL) first")
+      "minhash64 requires array<bigint> with non-null elements — apply array_compact " +
+        "first (filter() keeps containsNull=true and would be rejected again)")
     case t => TypeCheckResult.TypeCheckFailure(s"minhash64 requires array<bigint>, got $t")
   }
 

@@ -134,7 +134,11 @@ object Similarity {
     }
     val dim = dimOpt.get
     // persisted: both sides of the bucket self-join read it (the same
-    // project-collapse guard as the MinHash band frame)
+    // project-collapse guard as the MinHash band frame). Retained for
+    // the session like the MinHash path — the result is lazy, so there
+    // is no safe unpersist point inside this function; long-lived
+    // sessions calling this repeatedly should unpersist via the
+    // catalog (spark.catalog.clearCache) between corpora.
     val keyed = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .select(col("id"), col("vec"),
         explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))

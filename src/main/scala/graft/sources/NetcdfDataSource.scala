@@ -17,14 +17,17 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   spark.read.format("netcdf")
   *     .option("var", "precip")          // data variable (default precip)
-  *     .load("/path/a.nc,/path/b.nc")    // comma list of year files
+  *     .load("/path/a.nc", "/path/b.nc") // or one comma-separated path
   *     .where($"latitude".between(5.6, 20.5) && ...)
   * }}}
   *
   * Scale design (this is the 100 TB path for S1):
   *   - **one input partition per (file, record)** — a year of CHIRPS
-  *     parallelizes into 365 tasks per file, each mapping only its own
-  *     record slab's pages (the reader is offset-addressed);
+  *     parallelizes into 365 tasks per file;
+  *   - **all header work happens once at planning**: each partition
+  *     ships its slab's byte range plus the (pruned) coordinate
+  *     values, so an executor maps exactly its record's bytes — no
+  *     header re-parse, no coordinate re-read per task;
   *   - **coordinate pushdown**: =/</>/between predicates on
   *     latitude/longitude prune the cell index sets, and on `time`
   *     prune whole records at PLANNING time — a bbox clip reads ~0.2%
@@ -52,6 +55,18 @@ private object NetcdfTable {
     StructField("latitude", DoubleType),
     StructField("longitude", DoubleType),
     StructField(dataVar, DoubleType)))
+
+  /** Spark passes load(p1, p2, …) as a JSON-array "paths" option and a
+    * single load(p) as "path" — accept both. */
+  def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val single = Option(options.get("path")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    (multi ++ single).distinct
+  }
 }
 
 private class NetcdfTable(options: CaseInsensitiveStringMap)
@@ -61,13 +76,15 @@ private class NetcdfTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = NetcdfTable.schemaFor(dataVar)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(opts.asCaseSensitiveMap())
     new NetcdfScanBuilder(schema(),
-      Option(opts.get("path")).orElse(Option(options.get("path"))).getOrElse(""),
-      dataVar)
+      NetcdfTable.pathsOf(new CaseInsensitiveStringMap(merged)), dataVar)
+  }
 }
 
-private class NetcdfScanBuilder(full: StructType, path: String, dataVar: String)
+private class NetcdfScanBuilder(full: StructType, paths: Seq[String], dataVar: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -90,13 +107,16 @@ private class NetcdfScanBuilder(full: StructType, path: String, dataVar: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new NetcdfScan(full, required, path.split(",").map(_.trim).filter(_.nonEmpty), dataVar, pushed)
+  override def build(): Scan = new NetcdfScan(full, required, paths, dataVar, pushed)
 }
 
-/** One (file, record) slab plus the surviving cell indices. */
-private case class NetcdfPartition(path: String, record: Int, timeMicros: Long,
-    latIdx: Array[Int], lonIdx: Array[Int]) extends InputPartition
+/** One (file, record) slab: byte range + read params + the surviving
+  * (pruned) coordinate values — everything the executor needs without
+  * touching the header. */
+private case class NetcdfPartition(path: String, timeMicros: Long,
+    slabBase: Long, ncType: Int, fill: Double, scale: Double, addOffset: Double,
+    nLonTotal: Int, latIdx: Array[Int], latVals: Array[Double],
+    lonIdx: Array[Int], lonVals: Array[Double]) extends InputPartition
 
 private class NetcdfScan(full: StructType, required: StructType, paths: Seq[String],
     dataVar: String, pushed: Array[Filter]) extends Scan with Batch {
@@ -147,44 +167,61 @@ private class NetcdfScan(full: StructType, required: StructType, paths: Seq[Stri
       val latIdx = lats.indices.filter(i => lats(i) >= latLo && lats(i) <= latHi).toArray
       val lonIdx = lons.indices.filter(i => lons(i) >= lonLo && lons(i) <= lonHi).toArray
       if (latIdx.isEmpty || lonIdx.isEmpty) Seq.empty
-      else times.indices.collect {
-        case r if times(r).getTime * 1000.0 >= tLo && times(r).getTime * 1000.0 <= tHi =>
-          NetcdfPartition(p, r, times(r).getTime * 1000L, latIdx, lonIdx)
+      else {
+        val stride = NetcdfReader.recordStride(nc, v)
+        times.indices.collect {
+          case r if times(r).getTime * 1000.0 >= tLo && times(r).getTime * 1000.0 <= tHi =>
+            NetcdfPartition(p, times(r).getTime * 1000L,
+              v.begin + r * stride, v.ncType,
+              v.numAtt("_FillValue").getOrElse(Double.NaN),
+              v.numAtt("scale_factor").getOrElse(1.0),
+              v.numAtt("add_offset").getOrElse(0.0),
+              lons.length,
+              latIdx, latIdx.map(lats), lonIdx, lonIdx.map(lons))
+        }
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NetcdfReaderFactory(full, required, dataVar)
+    new NetcdfReaderFactory(full, required)
 }
 
-private class NetcdfReaderFactory(full: StructType, required: StructType, dataVar: String)
+private class NetcdfReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[NetcdfPartition]
     new PartitionReader[InternalRow] {
-      // executor-side: map the file, read ONLY this record's slab
-      private val nc = NetcdfReader.open(part.path)
-      private val v = nc.variable(dataVar)
-      private val lats = NetcdfReader.readValues(nc, nc.variable(nc.dims(v.dimIds(1)).name))
-      private val lons = NetcdfReader.readValues(nc, nc.variable(nc.dims(v.dimIds(2)).name))
-      private val slab = NetcdfReader.readSlab(nc, v, part.record)
-      private val nLon = lons.length
+      // executor-side: map ONLY this record's slab bytes
+      private val ts = NetcdfReader.typeSize(part.ncType)
+      private val slabLen = part.nLonTotal.toLong *
+        (part.latIdx.lastOption.getOrElse(0) + 1) * ts
+      private val bb = new NetcdfReader.NcSource(part.path).buffer(part.slabBase, slabLen)
       private val colIdx = required.fields.map(f => full.fieldIndex(f.name))
       private var li = 0
       private var lj = -1
       private var current: InternalRow = _
+      private def rawAt(cell: Int): Double = part.ncType match {
+        case 1 => bb.get(cell * ts).toDouble
+        case 3 => bb.getShort(cell * ts).toDouble
+        case 4 => bb.getInt(cell * ts).toDouble
+        case 5 => bb.getFloat(cell * ts).toDouble
+        case 6 => bb.getDouble(cell * ts)
+        case t => throw new IllegalArgumentException(s"unsupported data nc_type $t")
+      }
       override def next(): Boolean = {
         lj += 1
         if (lj >= part.lonIdx.length) { lj = 0; li += 1 }
         if (li >= part.latIdx.length) return false
-        val la = part.latIdx(li)
-        val lo = part.lonIdx(lj)
-        val d = slab(la * nLon + lo)
+        val raw = rawAt(part.latIdx(li) * part.nLonTotal + part.lonIdx(lj))
+        val d =
+          if (!part.fill.isNaN && (raw == part.fill || raw.isNaN)) Double.NaN
+          else if (raw.isNaN) Double.NaN
+          else raw * part.scale + part.addOffset
         val all: Array[Any] = Array(
           part.timeMicros,
-          lats(la),
-          lons(lo),
+          part.latVals(li),
+          part.lonVals(lj),
           if (d.isNaN) null else java.lang.Double.valueOf(d))
         current = InternalRow.fromSeq(colIdx.toSeq.map(all))
         true

@@ -73,7 +73,7 @@ object NetcdfReader {
   private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
   private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
 
-  private def typeSize(t: Int): Int = t match {
+  private[sources] def typeSize(t: Int): Int = t match {
     case NcByte | NcChar => 1
     case NcShort => 2
     case NcInt | NcFloat => 4
@@ -155,7 +155,20 @@ object NetcdfReader {
         else { val b = bb.getLong(off); off += 8; b }
       NcVar(name, dimIds, atts, t, vsize, begin)
     }
-    NcFile(numRecs, dims, gatts, vars, source, version)
+    // streaming sentinel (0xFFFFFFFF → -1): the spec says derive the
+    // record count from the file size — without this a streaming-
+    // written file would silently read as zero records
+    val resolvedRecs =
+      if (numRecs >= 0) numRecs
+      else {
+        val pre = NcFile(0, dims, gatts, vars, source, version)
+        val recVars = vars.filter(_.dimIds.headOption.exists(dims(_).isRecord))
+        require(recVars.nonEmpty, s"streaming numrecs but no record variables in $path")
+        val first = recVars.map(_.begin).min
+        val stride = recordStride(pre, recVars.head)
+        ((source.size - first) / stride).toInt
+      }
+    NcFile(resolvedRecs, dims, gatts, vars, source, version)
   }
 
   /** Stride between record slabs (the interleaved record section). */
@@ -207,9 +220,12 @@ object NetcdfReader {
     (0 until nRecs).flatMap(r => readSlab(nc, v, r)).toArray
   }
 
-  /** CF time decoding: "<days|hours|minutes|seconds> since <epoch>". */
+  /** CF time decoding: "<days|hours|...|milliseconds> since <epoch>".
+    * The unit word is matched on a word boundary — without it,
+    * "milliseconds since ..." would silently match the "seconds"
+    * alternative and decode every timestamp 1000× off. */
   private[sources] def decodeTime(values: Array[Double], units: String): Array[Timestamp] = {
-    val m = "(?i)(days|hours|minutes|seconds)\\s+since\\s+(\\d{4}-\\d{2}-\\d{2})([T ](\\d{2}:\\d{2}(:\\d{2})?))?".r
+    val m = "(?i)\\b(milliseconds|seconds|minutes|hours|days)\\s+since\\s+(\\d{4}-\\d{2}-\\d{2})([T ](\\d{2}:\\d{2}(:\\d{2})?))?".r
       .findFirstMatchIn(units)
       .getOrElse(throw new IllegalArgumentException(s"unsupported time units: '$units'"))
     val unitMs = m.group(1).toLowerCase match {
@@ -217,6 +233,7 @@ object NetcdfReader {
       case "hours" => 3600000L
       case "minutes" => 60000L
       case "seconds" => 1000L
+      case "milliseconds" => 1L
     }
     val epoch = java.time.LocalDate.parse(m.group(2)).atStartOfDay
     val withTime = Option(m.group(4)).fold(epoch) { t =>

@@ -27,6 +27,9 @@ object GeoJson {
     case null => "null"
     case s: String => "\"" + esc(s) + "\""
     case b: Boolean => b.toString
+    // JSON has no NaN/Infinity tokens — emit null or the export is unparseable
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: java.lang.Number => n.toString
     case d: java.sql.Date => "\"" + d.toString + "\""
     case t: java.sql.Timestamp => "\"" + t.toString + "\""

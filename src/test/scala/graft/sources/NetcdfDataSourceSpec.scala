@@ -53,6 +53,14 @@ class NetcdfDataSourceSpec extends SparkSpec {
     assert(vals == Seq(25.0, 26.0, 45.0, 46.0))
   }
 
+  test("multi-path load (Spark's 'paths' JSON option) unions the files") {
+    val p1 = writeNc()
+    val p2 = writeNc()
+    val df = spark.read.format("netcdf").load(p1, p2)
+    assert(df.count() == 72)
+    assert(df.rdd.getNumPartitions == 6) // 3 records × 2 files
+  }
+
   test("empty result when the bbox misses the grid entirely") {
     val df = spark.read.format("netcdf").load(writeNc())
       .where(col("latitude") > 30.0)

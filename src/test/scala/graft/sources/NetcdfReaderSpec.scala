@@ -62,4 +62,9 @@ class NetcdfReaderSpec extends SparkSpec {
     assert(ts(0).toString == "2000-01-01 06:00:00.0")
     assert(ts(1).toString == "2000-01-02 07:00:00.0")
   }
+
+  test("decodeTime does not mistake milliseconds for seconds") {
+    val ts = NetcdfReader.decodeTime(Array(86400000.0), "milliseconds since 2000-01-01")
+    assert(ts(0).toString == "2000-01-02 00:00:00.0") // 1 day, not 1000 days
+  }
 }
