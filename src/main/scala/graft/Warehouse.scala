@@ -46,4 +46,44 @@ final class Warehouse(spark: SparkSession, root: String) {
   def readOrEmpty(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (exists(table)) read(table)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Compact a table's small files: every append writes new files into
+    * the year partitions, and at upload-per-request cadence a year of
+    * traffic is thousands of KB-scale files — the classic small-file
+    * problem (scan tasks, namenode pressure, footer overhead all scale
+    * with file count). Rewrites each partition dir to
+    * ⌈dirBytes/target⌉ files (a deterministic row-hash salt spreads a
+    * big partition over several writers; `partitionBy` alone would
+    * otherwise emit one file per shuffle task per dir). Staged write +
+    * swap: readers in flight keep their already-opened files. Run from
+    * the single-writer control plane, like all mutations here. */
+  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(conf)
+    require(fs.exists(live), s"no such table: $table")
+    val bytes = fs.getContentSummary(live).getLength
+    val staged = new org.apache.hadoop.fs.Path(s"${path(table)}__compacting")
+    fs.delete(staged, true)
+    val df = read(table)
+    val parts = partitionedBy.get(table).filter(_.forall(df.columns.contains))
+    val writer = parts match {
+      case Some(cols) =>
+        val dirs = math.max(1, fs.listStatus(live)
+          .count(s => s.isDirectory && s.getPath.getName.contains("=")))
+        val perDir = math.max(1, math.ceil(bytes.toDouble / dirs / targetBytes).toInt)
+        df.withColumn("__salt",
+            pmod(xxhash64(df.columns.map(col): _*), lit(perDir.toLong)))
+          .repartition((cols.map(col) :+ col("__salt")): _*)
+          .drop("__salt")
+          .write.partitionBy(cols: _*)
+      case None =>
+        df.repartition(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)).write
+    }
+    writer.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(staged.toString)
+    fs.delete(live, true)
+    require(fs.rename(staged, live), s"compaction swap failed for $table")
+  }
 }

@@ -32,6 +32,35 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("province").count() == 1)
   }
 
+  test("compact merges many small append files, preserves rows and partitioning") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    val wh = new Warehouse(spark, root)
+    def row(pk: Long, y: Int) = Seq((pk, 1L, Date.valueOf(s"$y-06-01"), y, 1, 11, 1.0, 2.0))
+      .toDF("pk_id", "upload_id", "date", "year", "province_id", "district_id", "rain_mm_wmean", "rainfall_mm")
+    // 6 appends → ≥6 parquet files across two year dirs
+    (1 to 3).foreach(i => wh.write("rain_points", row(i, 2023)))
+    (4 to 6).foreach(i => wh.write("rain_points", row(i, 2024)))
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else d.listFiles().map { f =>
+        if (f.isDirectory) parquetFiles(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    assert(parquetFiles(s"$root/rain_points") >= 6)
+    val before = wh.read("rain_points").orderBy("pk_id").collect().toSeq
+
+    wh.compact("rain_points")
+    // tiny table → one file per year dir
+    assert(parquetFiles(s"$root/rain_points") == 2, s"got ${parquetFiles(s"$root/rain_points")}")
+    assert(new java.io.File(s"$root/rain_points/year=2023").exists())
+    assert(wh.read("rain_points").orderBy("pk_id").collect().toSeq == before)
+    // appends still work after the swap
+    wh.write("rain_points", row(7, 2024))
+    assert(wh.read("rain_points").count() == 7)
+  }
+
   test("readOrEmpty yields a typed empty frame for missing tables") {
     val root = java.nio.file.Files.createTempDirectory("graft-wh2").toString
     val wh = new Warehouse(spark, root)
