@@ -16,10 +16,15 @@ object Bench {
     // query doesn't absorb session startup (~4s on a cold JVM)
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
+    // SPARK_GRAFT_BENCH_ISOLATE=1: clear the catalog cache between
+    // queries so each row is measured order-independent — confirms (or
+    // refutes) cache-pressure stories when totals drift between runs
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     // best-of-3 per query: reports steady-state cost, not codegen
     // compilation or page-cache luck of the first pass (3 reps keep
     // round-over-round totals within ~±10% under machine-load noise)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (isolate) spark.catalog.clearCache()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -11,31 +11,43 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash of a token array in one codegen'd pass.
   *
-  * Per token: h = xxhash64(token) (seed 42, identical to
-  * `functions.xxhash64`); each of the 64 output bits accumulates ±1 by
-  * the corresponding bit of h; the sign of each accumulator becomes the
-  * bit. Equivalent to the `aggregate`/`zip_with` formulation but ~20×
-  * faster — higher-order-function lambdas are interpreted per element,
-  * and the HOF version walks a 64-slot array per token.
+  * Over `array<string>`: per token, h = xxhash64(token) (seed 42,
+  * identical to `functions.xxhash64`). Over `array<long>`: elements are
+  * used as the per-token hashes directly — the portable path, where the
+  * caller supplies hashes any engine can reproduce (e.g. a 60-bit md5
+  * prefix) so the result is oracle-checkable outside Spark. Each of the
+  * 64 output bits accumulates ±1 by the corresponding bit of h; the
+  * sign of each accumulator becomes the bit. Equivalent to the
+  * `aggregate`/`zip_with` formulation but ~20× faster —
+  * higher-order-function lambdas are interpreted per element, and the
+  * HOF version walks a 64-slot array per token.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  private def preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<string>, got $t")
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<string> or array<long>, got $t")
   }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val hashed = preHashed
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = if (hashed) arr.getLong(i) else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
         var j = 0
         while (j < 64) {
           counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
@@ -61,13 +73,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val h = ctx.freshName("h")
       val s = ctx.freshName("s")
       val out = ctx.freshName("out")
+      val hashOf =
+        if (preHashed) s"long $h = $a.getLong($i);"
+        else
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+             |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+             |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);""".stripMargin
       s"""
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    $hashOf
          |    for (int $j = 0; $j < 64; $j++) {
          |      $counts[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
          |    }

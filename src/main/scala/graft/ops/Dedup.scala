@@ -66,10 +66,12 @@ object Dedup {
       df.select(col("id"), hashedShingles(col("text"), n).as("sh")), k, bands)
 
   /** Candidates from a precomputed (id, hashed-shingles) frame. The
-    * frame is persisted: Catalyst's project-collapse would otherwise
-    * inline the shingle expression into each of the k min-hash
-    * expressions, recomputing tokenization k× per row (measured 20×
-    * slowdown at sf0.1). */
+    * band frame is persisted while the bucket self-join runs (Catalyst's
+    * project-collapse would otherwise inline the shingle expression into
+    * each of the k min-hash expressions, recomputing tokenization k× per
+    * row — measured 20× slowdown at sf0.1), then released: the (small)
+    * candidate-pair result is materialized eagerly and the cache entry
+    * dropped, so the function owns its cache lifetime. */
   def minhashCandidatesFromShingles(withSh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
     val sig = withSh
@@ -77,12 +79,15 @@ object Dedup {
       .withColumn("__bands", lshBands(minhashSignature(col("sh"), k), bands, r))
       .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    try {
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally sig.unpersist(blocking = false)
   }
 
   /** Exact Jaccard similarity between two docs' shingle arrays
@@ -103,16 +108,21 @@ object Dedup {
   def minhashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
       k: Int = 16, bands: Int = 4): DataFrame = {
     // hash-shingle once, persist: reused by the signature pass and both
-    // sides of the verify join (4 evaluations otherwise)
+    // sides of the verify join (4 evaluations otherwise); released after
+    // the verified pairs are eagerly materialized — no session-lifetime
+    // cache accumulation across repeated calls.
     val withSh = df.select(col("id"), hashedShingles(col("text"), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidatesFromShingles(withSh, k, bands)
-    cands
-      .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
-      .where(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    try {
+      val cands = minhashCandidatesFromShingles(withSh, k, bands)
+      cands
+        .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+        .where(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+        .localCheckpoint(true)
+    } finally withSh.unpersist(blocking = false)
   }
 
   /** Connected components over near-duplicate pairs — the final dedup
@@ -174,14 +184,34 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.expr.SimHash64.simhash64(array_distinct(TextOps.tokens(lower(text))))
 
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5 —
+    * reproducible in any SQL engine (`('0x'||substr(md5(t),1,15))::bigint`
+    * in DuckDB), unlike xxhash64. 60 bits keeps the value positive in a
+    * signed 64-bit int so `>>` sees identical bits everywhere. */
+  def md5Hash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over [[md5Hash60]] token hashes — same algorithm as
+    * [[simhash]] but oracle-checkable outside Spark (the xxhash64 form
+    * is faster; this one exists so the verified near-dup output can be
+    * cross-checked against an independent engine). Bits 60–63 are
+    * constant 0 (the hash is 60-bit), which shifts no Hamming
+    * distances. */
+  def simhashPortable(text: Column): Column =
+    graft.expr.SimHash64.simhash64(
+      transform(array_distinct(TextOps.tokens(lower(text))), md5Hash60(_)))
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * via 16-bit chunk banding (any chunk equal → candidate; complete
-    * for maxDist ≤ 3 by pigeonhole). */
-  def simhashNearDups(df: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col("id"), simhash(col("text")).as("sh"))
+    * for maxDist ≤ 3 by pigeonhole). `sim` picks the simhash variant
+    * (default: the fast xxhash64 one; [[simhashPortable]] for
+    * cross-engine-verifiable output). */
+  def simhashNearDups(df: DataFrame, maxDist: Int = 3,
+      sim: Column => Column = simhash): DataFrame = {
+    val sh = df.select(col("id"), sim(col("text")).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "chunk")))

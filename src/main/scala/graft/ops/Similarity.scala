@@ -123,9 +123,23 @@ object Similarity {
     * [[Dedup.minhashNearDups]]. Returned pairs are always a subset of
     * the brute-force set with identical cosines; recall rises with
     * `nTables` (pinned vs brute force in SimilaritySpec). Cost ∝
-    * Σ bucket-pair sizes, never n² — the 100 TB path. */
+    * Σ bucket-pair sizes, never n² — the 100 TB path.
+    *
+    * Tunables: recall and cost both rise with `nTables` and fall with
+    * `nBits` (buckets hold ~n/2^nBits vectors). Rule of thumb: pick
+    * `nBits` ≈ log2(corpus) − 6 so buckets stay ~64 vectors, and
+    * 8–16 tables depending on the recall target; at gate scale
+    * (≤ 100 k vectors) 8 tables × 4 bits already reaches the
+    * SimilaritySpec recall bound.
+    *
+    * `materialize = false` returns the lazy plan (no persist, no
+    * checkpoint) — for embedding in a larger pipeline or plan
+    * inspection; the default eagerly materializes the (small) pair set
+    * and releases the bucket cache before returning, so the function
+    * owns its cache lifetime and repeated calls never accumulate
+    * CacheManager entries. */
   def cosineNearDupsBucketed(corpus: DataFrame, threshold: Double,
-      nBits: Int = 4, nTables: Int = 16): DataFrame = {
+      nBits: Int = 4, nTables: Int = 8, materialize: Boolean = true): DataFrame = {
     val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0))
     if (dimOpt.isEmpty) {
@@ -133,23 +147,28 @@ object Similarity {
         lit(0.0).as("cosine")).limit(0)
     }
     val dim = dimOpt.get
-    // persisted: both sides of the bucket self-join read it (the same
-    // project-collapse guard as the MinHash band frame). Retained for
-    // the session like the MinHash path — the result is lazy, so there
-    // is no safe unpersist point inside this function; long-lived
-    // sessions calling this repeatedly should unpersist via the
-    // catalog (spark.catalog.clearCache) between corpora.
-    val keyed = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+    def pairsOf(keyed: DataFrame): DataFrame = {
+      val a = keyed.select(col("tb"), col("id").as("id1"), col("vec").as("v1"))
+      val b = keyed.select(col("tb"), col("id").as("id2"), col("vec").as("v2"))
+      a.join(b, Seq("tb")).where(col("id1") < col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .dropDuplicates("id1", "id2") // collided in ≥1 table; verify once
+        .withColumn("cosine", cosine(col("v1"), col("v2")))
+        .where(col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    }
+    val keyedPlan = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .select(col("id"), col("vec"),
         explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = keyed.select(col("tb"), col("id").as("id1"), col("vec").as("v1"))
-    val b = keyed.select(col("tb"), col("id").as("id2"), col("vec").as("v2"))
-    a.join(b, Seq("tb")).where(col("id1") < col("id2"))
-      .select("id1", "id2", "v1", "v2")
-      .dropDuplicates("id1", "id2") // collided in ≥1 table; verify once
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
-      .where(col("cosine") >= threshold)
-      .select("id1", "id2", "cosine")
+    if (!materialize) return pairsOf(keyedPlan)
+    // persisted: both sides of the bucket self-join read it (the same
+    // project-collapse guard as the MinHash band frame). The (small)
+    // verified-pair result is materialized eagerly via
+    // localCheckpoint(true) — whose blocks the ContextCleaner reclaims
+    // once the returned frame is unreferenced — then the bucket cache
+    // is dropped.
+    val keyed = keyedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try pairsOf(keyed).localCheckpoint(true)
+    finally keyed.unpersist(blocking = false)
   }
 }

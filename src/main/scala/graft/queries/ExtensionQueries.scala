@@ -70,13 +70,16 @@ object ExtensionQueries {
       .select(col("doc_id").as("id"), col("text"))
       .select(col("id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
-    val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("jaccard", Dedup.jaccardSorted(col("sh1"), col("sh2")))
-      .where(col("jaccard") >= 0.8)
-      .select("id1", "id2", "jaccard")
-      .orderBy("id1", "id2")
+    try {
+      val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+      val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("jaccard", Dedup.jaccardSorted(col("sh1"), col("sh2")))
+        .where(col("jaccard") >= 0.8)
+        .select("id1", "id2", "jaccard")
+        .localCheckpoint(true) // own the cache lifetime: pairs are tiny
+        .orderBy("id1", "id2")
+    } finally sh.unpersist(blocking = false)
   }
 
   /** Near-dup clusters: connected components over the exact-Jaccard
@@ -86,22 +89,29 @@ object ExtensionQueries {
     Dedup.connectedComponents(qNgramJaccard(s, dir).select("id1", "id2"))
       .orderBy("id", "component")
 
-  /** MinHash+LSH near-dups verified by exact Jaccard — must find the
-    * same planted pairs as the brute-force query at far lower cost.
-    * No SQL oracle (rows-only); equivalence to brute force is pinned
-    * in DedupSpec. */
+  /** MinHash+LSH near-dups verified by exact Jaccard. The gate runs
+    * 32 perms × 16 bands (r=2): a true pair at the 0.8 threshold
+    * escapes every band with probability (1−j²)¹⁶ ≤ 8·10⁻⁸, so the
+    * verified output equals the brute-force pair set and is
+    * oracle-checked against DuckDB's n² Jaccard (the candidates stay
+    * engine-specific; the verified output doesn't). */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
       Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
-      threshold = 0.8)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      threshold = 0.8, k = 32, bands = 16)
+      .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy("id1", "id2")
 
-  /** SimHash near-dups (rows-only; pinned in DedupSpec). */
+  /** SimHash near-dups over the PORTABLE (md5-60-bit) token hash —
+    * banding is complete for Hamming ≤ 3, so the output is exactly all
+    * pairs within the Hamming ball and DuckDB can reproduce it
+    * bit-for-bit (the xxhash64 variant stays the fast in-engine
+    * default, pinned in DedupSpec). */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(
       Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
-      maxDist = 3)
+      maxDist = 3, sim = Dedup.simhashPortable)
+      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
       .orderBy("id1", "id2")
 
   /** Embedding near-dup pairs: brute-force cosine ≥ 0.4. */
@@ -506,6 +516,38 @@ object ExtensionQueries {
         |SELECT id1, id2,
         |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
         |FROM p WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    // The verified MinHash output equals the brute-force Jaccard pair
+    // set (32 perms × 16 bands: miss probability ≤ 8e-8 per true pair
+    // at j = 0.8), so the oracle is the same n² Jaccard as
+    // q_ngram_jaccard, unrestricted.
+    "q_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
+        |  cast(len(a.sh) + len(b.sh) as double) AS tot
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
+        |FROM p WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    // Bit-for-bit portable simhash: 60-bit md5 token hashes, ±1 per bit
+    // over distinct tokens, sign → bit; banding is complete for
+    // Hamming ≤ 3 so the engine output is the full Hamming ball.
+    "q_simhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, x -> ('0x'||substr(md5(x),1,15))::bigint) AS hs FROM t),
+        |sh AS (SELECT doc_id, list_sum(list_transform(range(0,60), b ->
+        |    CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN (1::bigint << b) ELSE 0::bigint END)) AS sh
+        |  FROM h)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, cast(bit_count(xor(a.sh, b.sh)) as bigint) AS dist
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id1, id2""".stripMargin,
     "q_dedup_groups" ->
       """WITH RECURSIVE

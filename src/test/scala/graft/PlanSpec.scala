@@ -75,7 +75,10 @@ class PlanSpec extends SparkSpec {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
         org.apache.spark.sql.functions.col("embedding"))
-    val p = plan(graft.ops.Similarity.cosineNearDupsBucketed(e, threshold = 0.4))
+    // materialize=false: the lazy plan (the default eagerly checkpoints
+    // the pair set, which truncates the visible plan to an RDD scan)
+    val p = plan(graft.ops.Similarity.cosineNearDupsBucketed(e, threshold = 0.4,
+      materialize = false))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the exact-verify cosine runs AFTER candidate dedup, not per
     // collision: the vec_cosine projection sits above the (id1,id2)
