@@ -83,7 +83,20 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
     writer.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(staged.toString)
-    fs.delete(live, true)
-    require(fs.rename(staged, live), s"compaction swap failed for $table")
+    // Swap in the crash-safe order: live→__old, staged→live, drop __old.
+    // delete-then-rename would leave NO live table if the rename fails
+    // or the process dies between the two (and on object stores rename
+    // is a slow copy, widening that window). Here every intermediate
+    // state still has the data adjacent: if staged→live fails, __old is
+    // restored; __old delete is last and failure there leaves a stale
+    // copy, not a missing table.
+    val old = new org.apache.hadoop.fs.Path(s"${path(table)}__old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compaction: cannot stage out live $table")
+    if (!fs.rename(staged, live)) {
+      require(fs.rename(old, live), s"compaction: $table lost — data in ${old}")
+      throw new IllegalStateException(s"compaction swap failed for $table; live restored")
+    }
+    fs.delete(old, true)
   }
 }

@@ -49,31 +49,65 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
 
   private def users: DataFrame = wh.readOrEmpty(UsersT, Schemas.users)
 
+  // Salted password hashing (the reference hashes via passlib and
+  // verifies on login, main.py:66-107). Scheme: PBKDF2-HMAC-SHA256,
+  // 100k iterations, 16-byte random salt, stored as
+  // "pbkdf2_sha256:<iters>:<salt b64>:<hash b64>" — JDK-only, no
+  // dependency, same register→login contract as the reference's
+  // bcrypt flow (round-trip + wrong-password rejection).
+  private def pbkdf2(password: String, salt: Array[Byte], iters: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(password.toCharArray, salt, iters, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  def hashPassword(password: String): String = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    val iters = 100000
+    val enc = java.util.Base64.getEncoder
+    s"pbkdf2_sha256:$iters:${enc.encodeToString(salt)}:" +
+      enc.encodeToString(pbkdf2(password, salt, iters))
+  }
+
+  def verifyPassword(password: String, stored: String): Boolean =
+    stored.split(":") match {
+      case Array("pbkdf2_sha256", it, s, h) =>
+        val dec = java.util.Base64.getDecoder
+        // constant-time compare — no early-exit timing oracle
+        java.security.MessageDigest.isEqual(
+          pbkdf2(password, dec.decode(s), it.toInt), dec.decode(h))
+      case _ => false
+    }
+
   /** POST /register analog (main.py:66-86): append a user row unless
-    * the username is taken (the endpoint's 400). The password hash is
-    * stored opaque — hashing is transport-layer concern, not analytics.
-    * Like every metadata mutation on this facade (recordUpload's
-    * max+1 ids, initDims' overwrite), check-then-append assumes a
-    * single-writer control plane; the reference gets the equivalent
-    * guarantee from its DB's unique constraint. */
-  def registerUser(username: String, passwordHash: String, fullName: String = ""): Int = {
+    * the username is taken (the endpoint's 400). The password is
+    * salted-hashed server-side ([[hashPassword]]), like the
+    * reference's passlib flow. Like every metadata mutation on this
+    * facade (recordUpload's max+1 ids, initDims' overwrite),
+    * check-then-append assumes a single-writer control plane; the
+    * reference gets the equivalent guarantee from its DB's unique
+    * constraint. */
+  def registerUser(username: String, password: String, fullName: String = ""): Int = {
     val u = username.trim
     require(u.nonEmpty, "username required")
     if (users.where(col("username") === u).limit(1).count() > 0)
       throw new IllegalArgumentException(s"username already registered: $u")
     val id = users.agg(coalesce(max(col("user_id")), lit(0))).first().getInt(0) + 1
     import spark.implicits._
-    wh.write(UsersT, Seq((id, u, passwordHash, fullName))
+    wh.write(UsersT, Seq((id, u, hashPassword(password), fullName))
       .toDF("user_id", "username", "password_hash", "full_name")
       .withColumn("time_create", current_timestamp()))
     id
   }
 
-  /** POST /login analog (main.py:89-107): stored-hash equality →
-    * user_id. */
-  def authenticate(username: String, passwordHash: String): Option[Int] =
-    users.where(col("username") === username && col("password_hash") === passwordHash)
-      .select("user_id").collect().headOption.map(_.getInt(0))
+  /** POST /login analog (main.py:89-107): fetch the user's stored
+    * salted hash, verify the presented password against it → user_id. */
+  def authenticate(username: String, password: String): Option[Int] =
+    users.where(col("username") === username)
+      .select("user_id", "password_hash").collect().headOption
+      .filter(r => verifyPassword(password, r.getString(1)))
+      .map(_.getInt(0))
 
   /** Upload metadata with the owner resolved through the users table —
     * the upload-ownership flow (`owner_id` FK, models.py:15-24). */
@@ -119,13 +153,18 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
     out.count()
   }
 
-  /** POST /upload analog from the raw `.nc` file itself — the repo's
-    * own NetCDF flatten ([[graft.sources.NetcdfReader]]) feeding
-    * [[ingestRainGrid]], completing the reference's upload path
-    * (main.py:109-156) without a pre-flattened intermediate. */
+  /** POST /upload analog from the raw `.nc` file itself — the DSv2
+    * scan (`spark.read.format("netcdf")`, one partition per record,
+    * lat/lon/time pushdown) feeding [[ingestRainGrid]], completing the
+    * reference's upload path (main.py:109-156) without a pre-flattened
+    * intermediate. This is the 100 TB path: RainIngest's bbox clip
+    * reaches the source as planning-time cell pruning, so a clipped
+    * ingest reads only the matching slab bytes — the driver-side
+    * [[graft.sources.NetcdfReader.readGrid]] twin stays for small
+    * ad-hoc loads. */
   def ingestRainNc(ncPath: String, cellMap: DataFrame, ownerId: Int = 0,
       northProvsEn: Seq[String] = RainIngest.NorthProvsEn): Long = {
-    val grid = graft.sources.NetcdfReader.readGrid(spark, ncPath)
+    val grid = spark.read.format("netcdf").load(ncPath)
     ingestRainGrid(grid, cellMap, new java.io.File(ncPath).getName, ownerId, northProvsEn)
   }
 

@@ -118,6 +118,13 @@ object Dedup {
       cands
         .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
         .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        // provable prefilter: jaccard = |∩|/|∪| ≤ min/max of the set
+        // sizes, so any pair failing the size-ratio test cannot reach
+        // the threshold — skip the sorted-merge for it (at aggressive
+        // band settings false-positive candidates dominate; this drops
+        // them at size-compare cost)
+        .where(size(col("sh1")).cast("double") >= lit(threshold) * size(col("sh2")) &&
+          size(col("sh2")).cast("double") >= lit(threshold) * size(col("sh1")))
         .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
         .where(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")

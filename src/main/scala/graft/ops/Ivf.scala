@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * dot math), update = per-dimension mean via posexplode + groupBy —
   * both fully distributed, centroids live on the driver only between
   * iterations (nlist × dim doubles — KB-scale). Deterministic: initial
-  * centroids are the first `nlist` vectors by id, iterations fixed.
+  * centroids come from a hash-ordered sample refined by farthest-point
+  * selection (see [[fit]]), iterations fixed.
   *
   * At 100 TB the index build is a handful of full scans and the cell
   * assignment persists as a `cell` column (partition/bucket key);
@@ -45,15 +46,34 @@ object Ivf {
     least(pairs: _*).getField("c")
   }
 
-  /** Train the coarse quantizer. */
+  /** Train the coarse quantizer.
+    *
+    * Seeding is deterministic AND content-spread: a hash-ordered sample
+    * (`xxhash64(id)` order — uniform over the corpus no matter how ids
+    * correlate with content, unlike first-n-by-id which degenerates on
+    * sorted/clustered corpora) of 8×nlist candidates, refined by greedy
+    * farthest-point selection on the driver (KB-scale work). Well-
+    * separated clusters present in the sample each get a seed before
+    * any cluster gets two, so no cell starts starved. */
   def fit(corpus: DataFrame, nlist: Int = 16, iters: Int = 5): Model = {
     val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[(Int, Array[Double])] = vecs
-      .orderBy("id").limit(nlist).collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
-    require(centroids.nonEmpty, "cannot fit an IVF model on an empty corpus")
+    val cand: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("id")), col("id")).limit(nlist * 8).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cand.nonEmpty, "cannot fit an IVF model on an empty corpus")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    while (chosen.size < nlist && chosen.size < cand.length) {
+      // deterministic: maxBy keeps the first (hash-order) argmax on ties
+      chosen += cand.maxBy(v => chosen.iterator.map(c => d2(v, c)).min)
+    }
+    var centroids: Array[(Int, Array[Double])] =
+      chosen.toArray.zipWithIndex.map { case (c, i) => i -> c }
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cell", nearestCentroid(col("vec"), centroids))
       val updated = assigned

@@ -57,14 +57,20 @@ private object NetcdfTable {
     StructField(dataVar, DoubleType)))
 
   /** Spark passes load(p1, p2, …) as a JSON-array "paths" option and a
-    * single load(p) as "path" — accept both. */
+    * single load(p) as "path" — accept both. A comma-separated "path"
+    * is split ONLY when the raw string is not itself an existing file,
+    * so a legitimate path containing a comma still resolves; multi-file
+    * loads should prefer load(p1, p2, …) / "paths". */
   def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { json =>
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       m.readValue(json, classOf[Array[String]]).toSeq
     }
-    val single = Option(options.get("path")).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val single = Option(options.get("path")).toSeq.flatMap { raw =>
+      if (!raw.contains(",") || java.nio.file.Files.exists(java.nio.file.Paths.get(raw)))
+        Seq(raw)
+      else raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
     (multi ++ single).distinct
   }
 }

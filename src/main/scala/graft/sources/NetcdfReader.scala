@@ -46,16 +46,28 @@ object NetcdfReader {
       case _ => None
     }
   }
-  /** Region-mapped access to the file: each read maps only [off,
-    * off+len) — so a 2 GB+ year file never needs one whole-file map
-    * (MappedByteBuffer is Int-limited), and slab reads touch only
-    * their own pages. */
+  /** Region access to the file: each read loads only [off, off+len)
+    * via positioned FileChannel reads into a heap buffer — so a 2 GB+
+    * year file never needs a whole-file map, and (unlike mmap) nothing
+    * outlives the call: a long-lived executor scanning thousands of
+    * (file, record) partitions accumulates no mapped regions awaiting
+    * GC and holds no file handles between reads. */
   final class NcSource(val path: String) {
     def buffer(off: Long, len: Long): ByteBuffer = {
       val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-      try ch.map(FileChannel.MapMode.READ_ONLY, off, math.min(len, ch.size() - off))
-        .order(ByteOrder.BIG_ENDIAN)
-      finally ch.close()
+      try {
+        val n = math.min(len, ch.size() - off)
+        require(n <= Int.MaxValue, s"slab read of $n bytes exceeds 2 GB: $path")
+        val bb = ByteBuffer.allocate(math.max(n, 0L).toInt)
+        var pos = off
+        while (bb.hasRemaining) {
+          val r = ch.read(bb, pos)
+          if (r < 0) throw new java.io.EOFException(s"unexpected EOF at $pos in $path")
+          pos += r
+        }
+        bb.flip()
+        bb.order(ByteOrder.BIG_ENDIAN)
+      } finally ch.close()
     }
     def size: Long = {
       val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
@@ -83,12 +95,23 @@ object NetcdfReader {
 
   private def pad4(n: Int): Int = (n + 3) & ~3
 
-  /** Header parse: maps only the header region (≤16 MB — classic
+  private val HeaderCap = 16L * 1024 * 1024
+
+  /** Header parse: reads only the header region (≤16 MB — classic
     * headers are KB-scale), so opening a multi-GB year file to plan
-    * partitions costs header-sized I/O. */
-  def open(path: String): NcFile = {
+    * partitions costs header-sized I/O. A header larger than the cap
+    * fails with a diagnosable message, not a raw buffer overrun. */
+  def open(path: String): NcFile =
+    try openImpl(path)
+    catch {
+      case _: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"NetCDF header exceeds the ${HeaderCap / (1024 * 1024)} MB parse cap: $path")
+    }
+
+  private def openImpl(path: String): NcFile = {
     val source = new NcSource(path)
-    val bb = source.buffer(0, math.min(source.size, 16L * 1024 * 1024))
+    val bb = source.buffer(0, math.min(source.size, HeaderCap))
     require(bb.limit() > 4 && bb.get(0) == 'C' && bb.get(1) == 'D' && bb.get(2) == 'F',
       s"not a classic NetCDF file: $path")
     val version = bb.get(3).toInt // 1 = 32-bit offsets, 2 = 64-bit
@@ -182,7 +205,7 @@ object NetcdfReader {
 
   /** Read one record slab (or the whole fixed-size variable when it has
     * no record dimension) as doubles, `_FillValue`→NaN, scale/offset
-    * applied. Maps exactly the slab's byte range — long offsets, so
+    * applied. Reads exactly the slab's byte range — long offsets, so
     * slabs anywhere in a multi-GB file are addressable. */
   def readSlab(nc: NcFile, v: NcVar, record: Int): Array[Double] = {
     val isRec = v.dimIds.headOption.exists(nc.dims(_).isRecord)

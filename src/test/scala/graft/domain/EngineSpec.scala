@@ -113,16 +113,69 @@ class EngineSpec extends SparkSpec {
     assert(fc.contains(""""color":"red""""))
   }
 
+  test("rain ingest through the NetCDF DSv2: bbox reaches the scan, prunes partitions") {
+    assume(Files.exists(Paths.get(adm2Path)))
+    val eng = newEngine()
+    eng.initDims(adm2Path)
+    val nc = Files.createTempFile("chirps", ".nc")
+    Files.write(nc, FileBuilders.nc(
+      times = Seq(0.0, 1.0), timeUnits = "days since 2023-06-01",
+      lats = Seq(18.75, 18.80), lons = Seq(98.95, 99.00),
+      precip = Seq(
+        Seq(Seq(12.0f, 4.0f), Seq(8.0f, 0.0f)),
+        Seq(Seq(2.0f, 3.0f), Seq(1.0f, 5.0f)))))
+    val cellMap = Seq(
+      (18.75, 98.95, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.80, 98.95, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.75, 99.00, "Chiang Mai", "Mueang Chiang Mai"),
+      (18.80, 99.00, "Chiang Mai", "Mueang Chiang Mai"),
+    ).toDF("latitude", "longitude", "province", "district")
+    // end-to-end: raw .nc → DSv2 scan → RainIngest → rain_points
+    val n = eng.ingestRainNc(nc.toString, cellMap)
+    assert(n == 2) // one district-day row per time record
+    assert(eng.listRain().total == 2)
+
+    // the ingest's Thailand bbox composes with the DSv2: filters are
+    // pushed to the netcdf scan, not evaluated post-hoc
+    val clipped = spark.read.format("netcdf").load(nc.toString)
+      .where($"latitude".between(RainIngest.LatMin, RainIngest.LatMax) &&
+        $"longitude".between(RainIngest.LonMin, RainIngest.LonMax))
+    // the plan reaches the DSv2 scan (pushdown itself is proven by the
+    // zero-partition planning below — NetcdfScan doesn't echo a
+    // PushedFilters list in its node description)
+    val plan = clipped.queryExecution.sparkPlan.toString
+    assert(plan.contains("BatchScan netcdf"), plan)
+    assert(clipped.count() == 8)
+
+    // and a grid wholly outside the bbox plans ZERO input partitions —
+    // the 100 TB property: a clipped ingest reads only matching slabs
+    val ncFar = Files.createTempFile("far", ".nc")
+    Files.write(ncFar, FileBuilders.nc(
+      times = Seq(0.0), timeUnits = "days since 2023-06-01",
+      lats = Seq(45.0, 45.05), lons = Seq(10.0, 10.05),
+      precip = Seq(Seq(Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))))
+    val far = spark.read.format("netcdf").load(ncFar.toString)
+      .where($"latitude".between(RainIngest.LatMin, RainIngest.LatMax) &&
+        $"longitude".between(RainIngest.LonMin, RainIngest.LonMax))
+    assert(far.rdd.getNumPartitions == 0)
+  }
+
   test("register → upload → list with owner join (upload-ownership flow)") {
     assume(Files.exists(Paths.get(adm2Path)))
     val eng = newEngine()
     eng.initDims(adm2Path)
-    val uid = eng.registerUser("analyst", "opaque-hash", "A. Nalyst")
+    val uid = eng.registerUser("analyst", "s3cret-pw", "A. Nalyst")
     assert(uid == 1)
     assert(eng.registerUser("second", "h2") == 2)
     intercept[IllegalArgumentException](eng.registerUser("analyst", "other"))
-    assert(eng.authenticate("analyst", "opaque-hash").contains(uid))
+    // register→login round trip through the real salted hash: the
+    // stored value is a pbkdf2 record, never the password itself
+    assert(eng.authenticate("analyst", "s3cret-pw").contains(uid))
     assert(eng.authenticate("analyst", "wrong").isEmpty)
+    assert(eng.authenticate("nobody", "s3cret-pw").isEmpty)
+    assert(eng.hashPassword("x") != eng.hashPassword("x")) // salted: distinct records
+    assert(eng.verifyPassword("x", eng.hashPassword("x")))
+    assert(!eng.verifyPassword("y", eng.hashPassword("x")))
 
     val t = Timestamp.valueOf("2023-08-01 00:00:00")
     val grid = Seq((t, 18.75, 98.95, 3.0), (t, 18.80, 99.00, 5.0))

@@ -20,6 +20,21 @@ class IvfSpec extends SparkSpec {
     assert(blob1.head != blob2.head)
   }
 
+  test("seeding spreads over a sorted/clustered corpus: no empty cells, bounded skew") {
+    // ids sorted BY cluster — the adversarial case for first-n-by-id
+    // seeding (all seeds land in cluster 0 and Lloyd's never splits a
+    // starved cell). 4 well-separated blobs of 25, nlist=4.
+    val centers = Seq((0f, 0f), (50f, 0f), (0f, 50f), (50f, 50f))
+    val vecs = centers.zipWithIndex.flatMap { case ((cx, cy), c) =>
+      (0 until 25).map(i => ((c * 25 + i).toLong, Array(cx + i * 0.1f, cy - i * 0.1f)))
+    }.toDF("id", "embedding")
+    val model = Ivf.fit(vecs, nlist = 4, iters = 4)
+    val sizes = Ivf.assign(vecs, model).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.size == 4, s"expected 4 non-empty cells, got $sizes")
+    assert(sizes.values.max <= 2 * sizes.values.min, s"cell skew too high: $sizes")
+  }
+
   test("topK with full probe equals brute force; reduced probe keeps decent recall") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
