@@ -43,9 +43,12 @@ object Dedup {
   /** 64-bit hashes of the shingle set — computed ONCE per doc and fed
     * to both the MinHash signature and the Jaccard verifier (long-array
     * set ops are far cheaper than string-array ones; a 64-bit collision
-    * inside one pair's union is ~2⁻⁶⁵, so Jaccard counts are unchanged). */
+    * inside one pair's union is ~2⁻⁶⁵, so Jaccard counts are unchanged).
+    * One codegen'd pass ([[graft.expr.HashedShingles]]): per-token
+    * hashes chained per window, sorted distinct — no shingle strings
+    * are ever built. */
   def hashedShingles(text: Column, n: Int = 3): Column =
-    array_sort(transform(shingles(text, n), s => xxhash64(s)))
+    graft.expr.HashedShingles.hashedShingles(TextOps.tokens(lower(text)), n)
 
   /** k-permutation MinHash signature over hashed shingles — one
     * codegen'd pass ([[graft.expr.MinHash64]]). Empty shingle arrays
@@ -54,9 +57,20 @@ object Dedup {
     graft.expr.MinHash64.minhash64(hashCol, k)
 
   /** LSH band keys: hash of each r-row slice of the signature.
-    * bands × r must equal the signature length. */
+    * bands × r must equal the signature length. NOTE: composing this
+    * with [[minhashSignature]] through a projection invites Catalyst's
+    * project-collapse to inline the signature into every band
+    * expression (bands× recompute per row) — prefer [[minhashBands]],
+    * which fuses both into one pass. */
   def lshBands(sig: Column, bands: Int, r: Int): Column =
     array((0 until bands).map(b => xxhash64(lit(b), concat_ws(",", slice(sig, b * r + 1, r)))): _*)
+
+  /** Signature + band keys fused in one codegen'd pass
+    * ([[graft.expr.MinHashBands]]) — immune to project-collapse
+    * signature re-inlining; the per-row cost is k×|shingles| + bands×r
+    * no matter how the plan rewrites. */
+  def minhashBands(hashCol: Column, k: Int = 16, bands: Int = 4): Column =
+    graft.expr.MinHashBands.minhashBands(hashCol, k, bands)
 
   /** Candidate near-duplicate pairs (id1 < id2) via MinHash LSH:
     * explode band keys, self-join per bucket. `df` must have an `id`
@@ -73,11 +87,9 @@ object Dedup {
     * candidate-pair result is materialized eagerly and the cache entry
     * dropped, so the function owns its cache lifetime. */
   def minhashCandidatesFromShingles(withSh: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val r = k / bands
     val sig = withSh
       .where(size(col("sh")) > 0)
-      .withColumn("__bands", lshBands(minhashSignature(col("sh"), k), bands, r))
-      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bkey")))
+      .select(col("id"), posexplode(minhashBands(col("sh"), k, bands)).as(Seq("band", "bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val a = sig.as("a")
