@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak smoke: replicate the sf corpus N× (deterministically —
+  * copy i shifts ids and appends a marker token, so every doc gains
+  * N−1 planted near-duplicates and the embedding corpus N−1 near-equal
+  * vectors) and run the dedup/ANN family once, timing each stage.
+  * Catches scale cliffs (plan blow-ups, candidate explosions, empty
+  * IVF cells) before the designs meet real 100 TB data. Not part of
+  * the correctness gate — timings go to stdout for NOTES.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_SOAK_X=10 runMain graft.Soak
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[soak] $label%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    def replicate(df: DataFrame, idCol: String, marker: Option[String]): DataFrame =
+      (0 until mult).map { i =>
+        val shifted = df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L))
+        marker match {
+          case Some(c) if i > 0 =>
+            shifted.withColumn(c, concat(col(c), lit(s" soakrep$i")))
+          case _ => shifted
+        }
+      }.reduce(_ unionByName _)
+
+    val docs = replicate(
+      Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")),
+      "id", Some("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = time("docs materialize")(docs.count())
+    println(s"[soak] corpus: $nDocs docs (${mult}x)")
+
+    time("exact dedup") {
+      ops.Dedup.exact(
+        docs.withColumn("fp", md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))),
+        col("fp"), col("id")).count()
+    }
+    val pairs = time("minhash near-dups (k=48 b=16)") {
+      ops.Dedup.minhashNearDups(docs, threshold = 0.8, k = 48, bands = 16)
+    }
+    println(s"[soak] near-dup pairs: ${pairs.count()}")
+    val cc = time("connected components")(ops.Dedup.connectedComponents(pairs.select("id1", "id2")))
+    println(s"[soak] clustered docs: ${cc.count()}")
+    time("keep-canonical anti-join") {
+      ops.Dedup.keepCanonical(docs, "id", pairs.select("id1", "id2")).count()
+    }
+    time("simhash near-dups") {
+      ops.Dedup.simhashNearDups(docs, maxDist = 3).count()
+    }
+    docs.unpersist(blocking = false)
+
+    val emb = replicate(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding")),
+      "id", None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[soak] embeddings: ${emb.count()}")
+    val q = emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
+
+    time("ann brute-force topk")(ops.Similarity.bruteForceTopK(emb, q, k = 10).count())
+    time("ann lsh topk")(ops.Similarity.lshTopK(emb, q, k = 10).count())
+    time("cosine near-dups bucketed") {
+      ops.Similarity.cosineNearDupsBucketed(emb, threshold = 0.4).count()
+    }
+    // larger nlist than the gate's 16 — exercises the O(1)-plan argmin
+    // and seeding at a cell count closer to production
+    val model = time("ivf fit nlist=64")(ops.Ivf.fit(emb, nlist = 64, iters = 3))
+    val cells = ops.Ivf.assign(emb, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = time("ivf assign")(cells.groupBy("cell").count()
+      .agg(min("count"), max("count"), count("*")).first())
+    println(s"[soak] ivf cells: ${sizes.getLong(2)} non-empty, " +
+      s"sizes ${sizes.getLong(0)}..${sizes.getLong(1)}")
+    time("ivf topk nprobe=8")(ops.Ivf.topKFromCells(cells, q, model, k = 10, nprobe = 8).count())
+    cells.unpersist(blocking = false)
+    emb.unpersist(blocking = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Centroid argmin/ranking over a literal centroid matrix, carried as
+  * ONE reference object instead of nlist sub-expressions.
+  *
+  * The `least(struct(dist, id)…)` / `array_sort(array(struct…))`
+  * formulations are correct but build O(nlist) expression nodes: at
+  * nlist = 4096 the plan bloats, analysis slows, and codegen methods
+  * overflow. Here the matrix rides in the expression's references
+  * array — plan size O(1) in nlist, per-row cost nlist × dim fused
+  * multiply-adds in compiled Scala.
+  */
+object CentroidExprs {
+
+  private def check(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<double>, got $t")
+  }
+
+  private def dist2(arr: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(arr.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = arr.getDouble(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Index (into `centroids`) of the nearest centroid by L2. */
+  case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    require(centroids.nonEmpty, "empty centroid matrix")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_cell"
+    override def checkInputDataTypes(): TypeCheckResult = check(child.dataType)
+
+    def compute(arr: ArrayData): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = dist2(arr, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCell", this, classOf[NearestCell].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCell =
+      copy(child = newChild)
+  }
+
+  /** The `nprobe` nearest centroid indexes, ascending by distance
+    * (deterministic tie-break: lower index wins) — the probe list for
+    * IVF queries. Partial selection, not a full sort: cost
+    * nlist × dim + nlist × nprobe. */
+  case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression {
+    require(centroids.nonEmpty, "empty centroid matrix")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_cells"
+    override def checkInputDataTypes(): TypeCheckResult = check(child.dataType)
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = centroids.length
+      val take = math.min(nprobe, n)
+      val d = new Array[Double](n)
+      var c = 0
+      while (c < n) { d(c) = dist2(arr, centroids(c)); c += 1 }
+      val out = new Array[Int](take)
+      val used = new Array[Boolean](n)
+      var s = 0
+      while (s < take) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!used(i) && d(i) < bestD) { bestD = d(i); best = i }
+          i += 1
+        }
+        used(best) = true
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+  }
+
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, nprobe))
+}

@@ -29,22 +29,21 @@ object Ivf {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Squared L2 distance to a literal centroid (fused codegen dot). */
-  private def dist2(vec: Column, centroid: Array[Double]): Column = {
-    val c = typedlit(centroid)
-    // |v - c|² = v·v - 2 v·c + c·c ; v·v is rank-invariant per row but
-    // cheap, compute the exact form for clarity
-    graft.expr.VectorExprs.dot(vec, vec) -
-      lit(2.0) * graft.expr.VectorExprs.dot(vec, c) +
-      lit(centroid.map(x => x * x).sum)
+  /** Centroid matrix in id order — [[graft.expr.CentroidExprs]] returns
+    * INDEXES, so ids must be dense 0..nlist−1 (fit and load both
+    * guarantee it; this catches a hand-built model that doesn't). */
+  private def matrixOf(centroids: Array[(Int, Array[Double])]): Array[Array[Double]] = {
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "centroid ids must be dense 0..nlist-1 in order")
+    centroids.map(_._2)
   }
 
-  /** argmin over the current centroids as one `least`-chain of structs
-    * (distance, id) — single projection, no explode. */
-  private def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
-    val pairs = centroids.map { case (id, c) => struct(dist2(vec, c).as("d"), lit(id).as("c")) }
-    least(pairs: _*).getField("c")
-  }
+  /** argmin over the current centroids via [[graft.expr.CentroidExprs]]:
+    * the matrix rides as one reference object, so plan size is O(1) in
+    * nlist — a `least`-chain of per-centroid distance expressions would
+    * be O(nlist) plan nodes and break down around nlist ≈ 10³. */
+  private def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    graft.expr.CentroidExprs.nearestCell(vec, matrixOf(centroids))
 
   /** Train the coarse quantizer.
     *
@@ -107,12 +106,10 @@ object Ivf {
     * persisted index takes ([[load]]). */
   def topKFromCells(cells: DataFrame, queries: DataFrame, model: Model,
       k: Int, nprobe: Int = 4): DataFrame = {
-    val probeCells = array((0 until model.nlist).map { cid =>
-      struct(dist2(col("qvec"), model.centroids(cid)._2).as("d"), lit(cid).as("c"))
-    }: _*)
     val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
-      .withColumn("probe", slice(array_sort(probeCells), 1, nprobe))
-      .select(col("qid"), col("qvec"), explode(col("probe").getField("c")).as("cell"))
+      .select(col("qid"), col("qvec"), explode(
+        graft.expr.CentroidExprs.nearestCells(
+          col("qvec"), matrixOf(model.centroids), nprobe)).as("cell"))
     val scored = cells.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("qid"))
       .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec")))

@@ -126,11 +126,16 @@ object Similarity {
     * Σ bucket-pair sizes, never n² — the 100 TB path.
     *
     * Tunables: recall and cost both rise with `nTables` and fall with
-    * `nBits` (buckets hold ~n/2^nBits vectors). Rule of thumb: pick
-    * `nBits` ≈ log2(corpus) − 6 so buckets stay ~64 vectors, and
-    * 8–16 tables depending on the recall target; at gate scale
-    * (≤ 100 k vectors) 8 tables × 4 bits already reaches the
-    * SimilaritySpec recall bound.
+    * `nBits` (buckets hold ~n/2^nBits vectors). `nBits = 0` (default)
+    * auto-sizes to ⌈log2(n)⌉ − 6, clamped to [4, 16], keeping buckets
+    * ~64 vectors at any corpus size — the 10× soak showed a fixed
+    * nBits=4 melting down at 20 k vectors (1250-vector buckets → ~10⁸
+    * candidate rows), where auto (8 bits) keeps candidates ∝ n.
+    *
+    * Candidate generation is NARROW: the bucket self-join carries only
+    * (bucket, id), dedups pairs, and joins the vectors back for the
+    * single exact verification — vectors never ride through the
+    * candidate shuffle.
     *
     * `materialize = false` returns the lazy plan (no persist, no
     * checkpoint) — for embedding in a larger pipeline or plan
@@ -139,36 +144,43 @@ object Similarity {
     * owns its cache lifetime and repeated calls never accumulate
     * CacheManager entries. */
   def cosineNearDupsBucketed(corpus: DataFrame, threshold: Double,
-      nBits: Int = 4, nTables: Int = 8, materialize: Boolean = true): DataFrame = {
-    val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
-      .headOption.map(_.getInt(0))
-    if (dimOpt.isEmpty) {
+      nBits: Int = 0, nTables: Int = 8, materialize: Boolean = true): DataFrame = {
+    val probe = corpus
+      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
+    val n = probe.getLong(0)
+    if (n == 0) {
       return corpus.select(col("id").as("id1"), col("id").as("id2"),
         lit(0.0).as("cosine")).limit(0)
     }
-    val dim = dimOpt.get
-    def pairsOf(keyed: DataFrame): DataFrame = {
-      val a = keyed.select(col("tb"), col("id").as("id1"), col("vec").as("v1"))
-      val b = keyed.select(col("tb"), col("id").as("id2"), col("vec").as("v2"))
-      a.join(b, Seq("tb")).where(col("id1") < col("id2"))
-        .select("id1", "id2", "v1", "v2")
-        .dropDuplicates("id1", "id2") // collided in ≥1 table; verify once
+    val dim = probe.getInt(1)
+    val bits =
+      if (nBits > 0) nBits
+      else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
+    def pairsOf(vecs: DataFrame): DataFrame = {
+      val keyed = vecs.select(col("id"),
+        explode(lshKeys(col("vec"), bits, nTables, dim)).as("tb"))
+      val cands = keyed.select(col("tb"), col("id").as("id1"))
+        .join(keyed.select(col("tb"), col("id").as("id2")), Seq("tb"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2")
+        .distinct() // collided in ≥1 table; verify once
+      cands
+        .join(vecs.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
+        .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
         .withColumn("cosine", cosine(col("v1"), col("v2")))
         .where(col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     }
-    val keyedPlan = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
-      .select(col("id"), col("vec"),
-        explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))
-    if (!materialize) return pairsOf(keyedPlan)
-    // persisted: both sides of the bucket self-join read it (the same
-    // project-collapse guard as the MinHash band frame). The (small)
-    // verified-pair result is materialized eagerly via
-    // localCheckpoint(true) — whose blocks the ContextCleaner reclaims
-    // once the returned frame is unreferenced — then the bucket cache
-    // is dropped.
-    val keyed = keyedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try pairsOf(keyed).localCheckpoint(true)
-    finally keyed.unpersist(blocking = false)
+    val vecsPlan = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+    if (!materialize) return pairsOf(vecsPlan)
+    // persisted: the bucket-key projection and both vector re-joins
+    // read it (the same project-collapse guard as the MinHash band
+    // frame). The (small) verified-pair result is materialized eagerly
+    // via localCheckpoint(true) — whose blocks the ContextCleaner
+    // reclaims once the returned frame is unreferenced — then the
+    // cache is dropped.
+    val vecs = vecsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try pairsOf(vecs).localCheckpoint(true)
+    finally vecs.unpersist(blocking = false)
   }
 }

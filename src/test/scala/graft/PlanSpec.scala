@@ -84,8 +84,12 @@ class PlanSpec extends SparkSpec {
     // collision: the vec_cosine projection sits above the (id1,id2)
     // first-agg in the plan text (plans print top-down)
     val cosAt = p.indexOf("vec_cosine")
-    val aggAt = p.indexOf("Aggregate(key=[id1")
+    val aggAt = p.indexOf("Aggregate(keys=[id1")
     assert(cosAt >= 0 && aggAt >= 0 && cosAt < aggAt, p)
+    // candidates are NARROW: the pair-dedup aggregate keys carry ids
+    // only — vectors join back after, never ride the candidate shuffle
+    val aggLine = p.substring(aggAt, p.indexOf("\n", aggAt) max (aggAt + 1))
+    assert(!aggLine.contains("v1") && !aggLine.contains("vec"), aggLine)
   }
 
   test("corpus pipeline: one dedup window, aggregation partial→final") {
