@@ -165,14 +165,21 @@ object ExtensionQueries {
       .orderBy("qid", "rank")
   }
 
-  /** IVF ANN (k-means coarse quantizer, nprobe cells — the second
-    * scale path; rows-only, exactness-at-full-probe pinned in IvfSpec). */
+  /** IVF ANN (k-means coarse quantizer). The gate runs FULL probe
+    * (nprobe = nlist), which is provably exact — every cell is
+    * scanned, so the ranking equals brute force and DuckDB can oracle
+    * it — while still exercising the whole IVF machinery (fit, cell
+    * assignment, probe explode, per-cell join). The production
+    * reduced-probe path's recall is pinned in IvfSpec. Distinct query
+    * set (10 ≤ id < 20) from q_ann_topk so the two gates don't
+    * collapse into one. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding"))
-    val q = e.where(col("id") < 10).select(col("id").as("qid"), col("embedding"))
+    val q = e.where(col("id") >= 10 && col("id") < 20)
+      .select(col("id").as("qid"), col("embedding"))
     val model = graft.ops.Ivf.fit(e, nlist = 16, iters = 3)
-    graft.ops.Ivf.topK(e, q, model, k = 5, nprobe = 4)
+    graft.ops.Ivf.topK(e, q, model, k = 5, nprobe = 16)
       .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
         col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
@@ -332,16 +339,27 @@ object ExtensionQueries {
     * fraction of its distinct word 3-grams that also occur anywhere in
     * the train split. Shuffles on the shingle key (corpus-sized, never
     * pairwise) — the scale-sane containment formulation of benchmark
-    * decontamination. Docs with no 3-gram (< 3 tokens) are excluded. */
+    * decontamination. Docs with no 3-gram (< 3 tokens) are excluded.
+    *
+    * The train side (the 100 TB side in production) is prefiltered by
+    * a broadcast Bloom filter built over the SMALL test shingle set —
+    * no false negatives, so composing with the exact join is
+    * semantics-free (oracle unchanged), but the train-side
+    * distinct+join shuffle shrinks from corpus-sized to ~matched-size. */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
     val sh = Tables.documents(s, dir)
       .withColumn("split", when(bucket < 80, "train").otherwise(lit("test")))
       .select(col("doc_id"), col("split"),
         explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+    val test = sh.where(col("split") === "test").select("doc_id", "shingle")
+    val bloom = graft.ops.Bloom.buildLongFilter(
+      test.select(xxhash64(col("shingle")).as("h")), "h",
+      expectedItems = test.count(), fpp = 0.01)
     val train = sh.where(col("split") === "train")
+      .where(graft.ops.Bloom.mightContain(bloom, xxhash64(col("shingle"))))
       .select("shingle").distinct().withColumn("hit", lit(1))
-    sh.where(col("split") === "test")
+    test
       .join(train, Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -633,6 +651,20 @@ object ExtensionQueries {
         |c AS (SELECT id1, id2, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p)
         |SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+    // full-probe IVF scans every cell, so its ranking is exactly the
+    // brute-force cosine top-k over the 10≤qid<20 query set
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
