@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `simhash64(tokens)`          — 64-bit SimHash of array<string>
   *   - `minhash64(hashes, k)`       — k-slot MinHash signature
   *   - `jaccard_sorted(a, b)`       — Jaccard of sorted long arrays
+  *   - `hashed_shingles(tokens, n)` — sorted distinct n-gram hashes
+  *   - `minhash_bands(hashes, k, b)`— fused signature→LSH band keys
   *
   * Two entry points: set `spark.sql.extensions=graft.GraftExtensions`
   * at session build (the SparkSessionExtensions path), or call
@@ -60,7 +62,20 @@ object GraftFunctions {
       }),
     ("jaccard_sorted", info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of sorted distinct array<bigint>"),
       arity("jaccard_sorted", 2)(a => JaccardSorted(a(0), a(1)))),
+    ("hashed_shingles", info("hashed_shingles",
+      "hashed_shingles(tokens, n) - sorted distinct 64-bit hashes of word n-grams"),
+      arity("hashed_shingles", 2)(a => HashedShingles(a.head, intLit("hashed_shingles n", a(1))))),
+    ("minhash_bands", info("minhash_bands",
+      "minhash_bands(hashes, k, bands) - LSH band keys of the k-slot MinHash signature"),
+      arity("minhash_bands", 3)(a =>
+        MinHashBands(a.head, intLit("minhash_bands k", a(1)), intLit("minhash_bands bands", a(2))))),
   )
+
+  private def intLit(what: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -77,6 +77,85 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
+  final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
+
+  /** Streaming near-duplicate detection — dedup-on-ingest for a
+    * training-data pipeline: each arriving document is MinHash-banded
+    * ([[graft.expr.MinHashBands]]); per LSH bucket, keyed state holds
+    * the (id, hashed-shingles) of previously seen members, and each
+    * newcomer is exact-Jaccard-verified against them. Emits one
+    * [[NearDupHit]] per (new doc, earlier doc) pair at ≥ `threshold`
+    * (a pair colliding in several buckets can emit more than once —
+    * dedup downstream if exact-once pairs matter; the batch twin
+    * [[graft.ops.Dedup.minhashNearDups]] is the reconciliation path).
+    *
+    * State is bounded two ways: per bucket it keeps at most
+    * `maxPerBucket` members (FIFO — a bucket that large means the
+    * corpus needs more bands/bits, same tuning rule as batch LSH), and
+    * optionally buckets idle longer than `stateTtl` expire via
+    * processing-time timeout (off by default: the timeout mode makes
+    * Spark schedule continuous no-data micro-batches, which is the
+    * right trade on a real cluster but pure overhead in bounded tests).
+    * At scale the stream shuffles once, on the band key — exactly the
+    * batch candidate topology, incrementalized.
+    *
+    * @param docs streaming (id: long, text: string)
+    */
+  def nearDupHits(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+      k: Int = 48, bands: Int = 16, maxPerBucket: Int = 64,
+      stateTtl: Option[String] = None): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .withColumn("sh", graft.ops.Dedup.hashedShingles(col("text"), n))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        explode(graft.ops.Dedup.minhashBands(col("sh"), k, bands)).as("band_key"))
+      .select(col("band_key"), col("id"), col("sh"))
+      .as[BandedDoc]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupHit](
+        OutputMode.Append(), timeout) {
+        (_, docsInBucket, state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            docsInBucket.foreach { d =>
+              seen.foreach { case (pid, psh) =>
+                if (pid != d.id) {
+                  val j = jaccardSortedArrays(d.sh, psh)
+                  if (j >= threshold) hits += NearDupHit(d.id, pid, j)
+                }
+              }
+              seen = ((d.id, d.sh) :: seen).take(maxPerBucket)
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            hits.iterator
+          }
+      }
+  }
+
+  /** Exact Jaccard of two sorted distinct long arrays (the executor-
+    * side twin of [[graft.expr.JaccardSorted]]'s merge loop). */
+  private def jaccardSortedArrays(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union > 0) inter.toDouble / union else 0.0
+  }
+
   /** The reference's idempotent append (J6) as a streaming upsert:
     * each micro-batch is deduped on `keys`, anti-joined against the
     * target table, and only the new keys are appended — re-delivered

@@ -12,7 +12,9 @@ class GraftFunctionsSpec extends SparkSpec {
         | vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
         | simhash64(array('a', 'b')) AS sh,
         | minhash64(array(5L, 9L), 4) AS mh,
-        | jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j
+        | jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        | hashed_shingles(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS hs,
+        | minhash_bands(array(5L, 9L), 8, 4) AS mb
       """.stripMargin).head()
     assert(r.getAs[String]("nfc") == "é")
     assert(r.getAs[Double]("dot") == 11.0)
@@ -20,6 +22,10 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
     assert(r.getAs[Double]("j") == 2.0 / 4.0)
     assert(r.getLong(r.fieldIndex("sh")) != 0L)
+    // 6 tokens → 4 windows, of which "a b c" appears twice → 3 distinct
+    val hs = r.getSeq[Long](r.fieldIndex("hs"))
+    assert(hs.length == 3 && hs == hs.sorted)
+    assert(r.getSeq[Long](r.fieldIndex("mb")).length == 4)
   }
 
   test("SQL results match the Column-API formulations") {

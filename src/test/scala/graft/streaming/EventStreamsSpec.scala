@@ -95,6 +95,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val q = nearDupHits(in.toDF().toDF("id", "text"), threshold = 0.8)
+      .writeStream.format("memory").queryName("ndh").outputMode("append").start()
+    // batch 1: an original and an unrelated doc — no hits
+    in.addData((1L, base), (2L, "completely different words about spark catalyst and tungsten engines"))
+    q.processAllAvailable()
+    assert(spark.table("ndh").count() == 0)
+    // batch 2: a near-copy of doc 1 arrives later — flagged against state
+    in.addData((3L, base + " tonight"))
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("ndh").select("id", "dup_of", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hits.nonEmpty && hits.forall { case (id, dup, j) => id == 3L && dup == 1L && j >= 0.8 })
+  }
+
   test("idempotentAppend: re-delivered keys insert nothing") {
     implicit val sc = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
