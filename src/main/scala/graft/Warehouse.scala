@@ -10,24 +10,43 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * within-year `date` bounds. Dims and metadata tables are single
   * unpartitioned files (they are tiny).
   *
-  * At 100 TB the same layout holds: year (or year+month) partitions
-  * keep any one scan bounded, appends are new files inside existing
-  * partitions (no rewrite), and writers never touch readers (parquet
-  * committer atomicity per job).
+  * `monthGrain = true` adds a derived `month` column under each year
+  * dir (year=…/month=…): at 100 TB a year of daily grid facts is
+  * hundreds of GB per partition, and month-scoped queries (the
+  * dashboard's common window) should open 1/12th of it. Readers see
+  * the extra `month` column; date predicates written as
+  * `month(col("date"))` comparisons prune the dirs.
+  *
+  * At 100 TB the same layout holds: year/month partitions keep any
+  * one scan bounded, appends are new files inside existing partitions
+  * (no rewrite), and writers never touch readers (parquet committer
+  * atomicity per job).
   */
-final class Warehouse(spark: SparkSession, root: String) {
+final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = false) {
 
   private val partitionedBy: Map[String, Seq[String]] = Map(
     "rain_points" -> Seq("year"),
     "incident_statistics_points" -> Seq("year"))
+
+  private def partCols(table: String, cols: Seq[String]): Option[Seq[String]] =
+    partitionedBy.get(table)
+      .map(base => if (monthGrain) base :+ "month" else base)
+      .filter(_.forall(c => cols.contains(c) || c == "month"))
 
   def path(table: String): String = s"$root/$table"
 
   def write(table: String, df: DataFrame, mode: SaveMode = SaveMode.Append): Unit = {
     // zstd: ~30% smaller than snappy at comparable scan cost — at
     // 100 TB the scan is IO-bound, so smaller files win twice
-    val w = df.write.mode(mode).option("compression", "zstd")
-    partitionedBy.get(table).filter(_.forall(df.columns.contains))
+    val parts = partCols(table, df.columns.toSeq)
+    val withGrain =
+      if (monthGrain && parts.isDefined && !df.columns.contains("month")
+          && df.columns.contains("date"))
+        df.withColumn("month", org.apache.spark.sql.functions.month(
+          org.apache.spark.sql.functions.col("date")))
+      else df
+    val w = withGrain.write.mode(mode).option("compression", "zstd")
+    parts.filter(_.forall(withGrain.columns.contains))
       .fold(w)(cols => w.partitionBy(cols: _*))
       .parquet(path(table))
   }
@@ -67,7 +86,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     val staged = new org.apache.hadoop.fs.Path(s"${path(table)}__compacting")
     fs.delete(staged, true)
     val df = read(table)
-    val parts = partitionedBy.get(table).filter(_.forall(df.columns.contains))
+    val parts = partCols(table, df.columns.toSeq).filter(_.forall(df.columns.contains))
     val writer = parts match {
       case Some(cols) =>
         val dirs = math.max(1, fs.listStatus(live)

@@ -59,6 +59,32 @@ class WarehouseSpec extends SparkSpec {
     // appends still work after the swap
     wh.write("rain_points", row(7, 2024))
     assert(wh.read("rain_points").count() == 7)
+    // the staged/backup dirs from the crash-safe swap are gone
+    assert(!new java.io.File(s"$root/rain_points__compacting").exists())
+    assert(!new java.io.File(s"$root/rain_points__old").exists())
+  }
+
+  test("month grain: year=/month= layout, month predicates prune, compact preserves it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whm").toString
+    val wh = new Warehouse(spark, root, monthGrain = true)
+    def row(pk: Long, d: String) = {
+      val y = d.take(4).toInt
+      Seq((pk, 1L, Date.valueOf(d), y, 1, 11, 1.0, 2.0))
+        .toDF("pk_id", "upload_id", "date", "year", "province_id", "district_id", "rain_mm_wmean", "rainfall_mm")
+    }
+    wh.write("rain_points", row(1, "2023-06-01"))
+    wh.write("rain_points", row(2, "2023-07-01"))
+    wh.write("rain_points", row(3, "2024-06-01"))
+    assert(new java.io.File(s"$root/rain_points/year=2023/month=6").exists())
+    assert(new java.io.File(s"$root/rain_points/year=2023/month=7").exists())
+    val q = wh.read("rain_points")
+      .where(col("year") === 2023 && col("month") === 6)
+    assert(q.count() == 1)
+    assert(q.queryExecution.executedPlan.toString.contains("month=6") ||
+      q.queryExecution.executedPlan.toString.toLowerCase.contains("partitionfilters"))
+    wh.compact("rain_points")
+    assert(new java.io.File(s"$root/rain_points/year=2023/month=7").exists())
+    assert(wh.read("rain_points").count() == 3)
   }
 
   test("readOrEmpty yields a typed empty frame for missing tables") {
