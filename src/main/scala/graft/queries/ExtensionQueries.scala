@@ -341,24 +341,38 @@ object ExtensionQueries {
     * pairwise) — the scale-sane containment formulation of benchmark
     * decontamination. Docs with no 3-gram (< 3 tokens) are excluded.
     *
-    * The train side (the 100 TB side in production) is prefiltered by
-    * a broadcast Bloom filter built over the SMALL test shingle set —
-    * no false negatives, so composing with the exact join is
-    * semantics-free (oracle unchanged), but the train-side
-    * distinct+join shuffle shrinks from corpus-sized to ~matched-size. */
-  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    * When the corpus is large (≥ `bloomThreshold` docs — the regime
+    * where the train side is the 100 TB side), the train shingle
+    * stream is prefiltered by a broadcast Bloom filter built over the
+    * SMALL test shingle set: no false negatives, so composing with the
+    * exact join is semantics-free (oracle unchanged), but the
+    * train-side distinct+join shuffle shrinks from corpus-sized to
+    * ~matched-size. Below the threshold the two extra test-side passes
+    * cost more than they save (measured at sf0.1), so the plain join
+    * runs — the same semantics-constant, scale-picked plan choice AQE
+    * makes; ContaminationSpec pins bloom ≡ plain. */
+  def qContamination(s: SparkSession, dir: String): DataFrame =
+    contamination(s, dir, bloomThreshold = 200000L)
+
+  private[graft] def contamination(s: SparkSession, dir: String,
+      bloomThreshold: Long): DataFrame = {
     val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
-    val sh = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val sh = docs
       .withColumn("split", when(bucket < 80, "train").otherwise(lit("test")))
       .select(col("doc_id"), col("split"),
         explode(Dedup.shingles(col("text"), 3)).as("shingle"))
     val test = sh.where(col("split") === "test").select("doc_id", "shingle")
-    val bloom = graft.ops.Bloom.buildLongFilter(
-      test.select(xxhash64(col("shingle")).as("h")), "h",
-      expectedItems = test.count(), fpp = 0.01)
-    val train = sh.where(col("split") === "train")
-      .where(graft.ops.Bloom.mightContain(bloom, xxhash64(col("shingle"))))
-      .select("shingle").distinct().withColumn("hit", lit(1))
+    val trainSh = sh.where(col("split") === "train")
+    val trainPre =
+      if (docs.count() < bloomThreshold) trainSh
+      else {
+        val bloom = graft.ops.Bloom.buildLongFilter(
+          test.select(xxhash64(col("shingle")).as("h")), "h",
+          expectedItems = test.count(), fpp = 0.01)
+        trainSh.where(graft.ops.Bloom.mightContain(bloom, xxhash64(col("shingle"))))
+      }
+    val train = trainPre.select("shingle").distinct().withColumn("hit", lit(1))
     test
       .join(train, Seq("shingle"), "left")
       .groupBy("doc_id")
@@ -641,8 +655,10 @@ object ExtensionQueries {
         | round(quantile_cont(length(text), 0.75), 6) AS p75,
         | round(quantile_cont(length(text), 0.9), 6) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // vec_id < 1000 on BOTH sides: the Spark query bounds its n² scan
+    // the same way, and at sf ≥ 0.1 the table is larger than 1000
     "q_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings WHERE vec_id < 1000),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) AS dotp,
         |  sqrt(list_sum(list_transform(a.v, x -> x * x))) *

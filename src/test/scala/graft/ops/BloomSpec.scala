@@ -18,6 +18,14 @@ class BloomSpec extends SparkSpec {
     assert(fp < 10000 * 0.05, s"$fp false positives out of 10000") // 1% nominal, 5% slack
   }
 
+  test("contamination: bloom-prefiltered plan equals the plain one row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(threshold: Long) =
+      graft.queries.ExtensionQueries.contamination(spark, dir, threshold)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(0L) == rows(Long.MaxValue)) // bloom forced vs bloom off
+  }
+
   test("prefiltered containment join equals the unfiltered one") {
     val big = Seq.tabulate(5000)(i => (i.toLong, s"tok${i % 700}")).toDF("id", "s")
     val small = Seq.tabulate(40)(i => (i.toLong, s"tok${i * 13}")).toDF("id", "s")

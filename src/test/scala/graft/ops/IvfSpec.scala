@@ -35,6 +35,20 @@ class IvfSpec extends SparkSpec {
     assert(sizes.values.max <= 2 * sizes.values.min, s"cell skew too high: $sizes")
   }
 
+  test("assign plan size is O(1) in nlist (centroid matrix rides as a reference object)") {
+    val vecs = (0 until 64).map(i => (i.toLong, Array(i.toFloat, (64 - i).toFloat)))
+      .toDF("id", "embedding")
+    def planLen(nlist: Int): Int = {
+      val m = Ivf.fit(vecs, nlist = nlist, iters = 1)
+      Ivf.assign(vecs, m).queryExecution.sparkPlan.toString.length
+    }
+    val small = planLen(2)
+    val big = planLen(32)
+    // a least-chain formulation grows the plan ~16x here; the reference
+    // -object form stays flat (allow slack for id-string noise)
+    assert(big < small * 2, s"plan grew with nlist: $small -> $big")
+  }
+
   test("topK with full probe equals brute force; reduced probe keeps decent recall") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
