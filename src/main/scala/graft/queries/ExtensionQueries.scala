@@ -185,6 +185,26 @@ object ExtensionQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantization ANN, end to end (fit → encode → ADC
+    * shortlist → exact re-rank). The gate's shortlist (k×400 ≥ corpus
+    * at gate scale) covers every vector, making the re-ranked output
+    * provably the exact cosine top-k — the same exact-by-construction
+    * configuration q_ann_ivf uses — while still executing the whole
+    * compressed-scoring machinery. ADC-only recall (the genuinely
+    * approximate path) is pinned in PqSpec. Query set 20 ≤ id < 30,
+    * distinct from the other ANN gates. */
+  def qPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") >= 20 && col("id") < 30)
+      .select(col("id").as("qid"), col("embedding"))
+    val model = graft.ops.Pq.fit(e, m = 8, k = 16, iters = 3)
+    graft.ops.Pq.topKReranked(e, q, model, k = 5, shortlist = 400)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Multimodal metadata plumbing: binary payload + typed meta (the
     * decode itself is the stubbed step; this part is SQL-checkable). */
   def qMediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -420,6 +440,7 @@ object ExtensionQueries {
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_pq_topk" -> (qPqTopk _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_frame_sample" -> (qFrameSample _),
@@ -667,6 +688,20 @@ object ExtensionQueries {
         |c AS (SELECT id1, id2, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p)
         |SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+    // corpus-covering shortlist + exact re-rank ⇒ the PQ pipeline's
+    // output is exactly the brute-force cosine top-k (qids 20–29)
+    "q_pq_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 20 AND q.vec_id < 30 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     // full-probe IVF scans every cell, so its ranking is exactly the
     // brute-force cosine top-k over the 10≤qid<20 query set
     "q_ann_ivf" ->
