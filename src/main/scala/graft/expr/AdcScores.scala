@@ -62,4 +62,49 @@ case class AdcScores(child: Expression, luts: Array[Array[Array[Double]]])
 object AdcScores {
   def adcScores(codes: Column, luts: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(AdcScores(ColumnBridge.expression(codes), luts))
+
+  def adcScore(codes: Column, queryIndex: Column, luts: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(AdcScoreOne(ColumnBridge.expression(codes),
+      ColumnBridge.expression(queryIndex), luts))
+}
+
+/** One query's ADC score for a code row — the shape joins want: when a
+  * probe join already pinned WHICH query a row is scored against,
+  * computing all queries' scores ([[AdcScores]]) would be nQueries×
+  * wasted lookups. */
+case class AdcScoreOne(codes: Expression, queryIndex: Expression,
+    luts: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(luts.nonEmpty, "no query LUTs")
+
+  override def left: Expression = codes
+  override def right: Expression = queryIndex
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = (codes.dataType, queryIndex.dataType) match {
+    case (ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (c, q) => TypeCheckResult.TypeCheckFailure(
+      s"adc_score requires (array<int>, int), got ($c, $q)")
+  }
+
+  def compute(codesArr: ArrayData, qi: Int): Double = {
+    val lut = luts(qi)
+    val m = math.min(codesArr.numElements(), lut.length)
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut(j)(codesArr.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(c: Any, q: Any): Any =
+    compute(c.asInstanceOf[ArrayData], q.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcScoreOne", this, classOf[AdcScoreOne].getName)
+    nullSafeCodeGen(ctx, ev, (c, q) => s"${ev.value} = $ref.compute($c, $q);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcScoreOne = copy(codes = newLeft, queryIndex = newRight)
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding"))
+
+  test("full probe + corpus-covering shortlist is exact (equals brute force)") {
+    val e = corpus
+    val q = e.where(col("id") < 8).select(col("id").as("qid"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3)
+    val exact = IvfPq.topK(IvfPq.index(e, model), e, q, model,
+      k = 5, nprobe = 8, shortlist = 200)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == brute)
+  }
+
+  test("reduced probe keeps useful recall at a fraction of the rows touched") {
+    val e = corpus
+    val q = e.where(col("id") < 8).select(col("id").as("qid"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3)
+    val approx = IvfPq.topK(IvfPq.index(e, model), e, q, model,
+      k = 5, nprobe = 3, shortlist = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("save/load round trip answers identically and partitions by cell") {
+    val e = corpus
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val model = IvfPq.fit(e, nlist = 8, m = 4, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    IvfPq.save(spark, model, e, path)
+    val loaded = IvfPq.load(spark, path)
+    assert(new java.io.File(s"$path/cells").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = key(IvfPq.topK(IvfPq.index(e, model), e, q, model, k = 5, nprobe = 3))
+    val viaDisk = key(IvfPq.topK(loaded.cells, e, q, loaded.model, k = 5, nprobe = 3))
+    assert(direct == viaDisk)
+  }
+}
