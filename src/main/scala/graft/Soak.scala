@@ -92,6 +92,21 @@ object Soak {
       s"sizes ${sizes.getLong(0)}..${sizes.getLong(1)}")
     time("ivf topk nprobe=8")(ops.Ivf.topKFromCells(cells, q, model, k = 10, nprobe = 8).count())
     cells.unpersist(blocking = false)
+
+    val pqModel = time("pq fit m=8 k=64")(ops.Pq.fit(emb, m = 8, k = 64, iters = 3))
+    val codes = ops.Pq.encode(emb, pqModel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pq encode")(codes.count())
+    time("pq adc topk")(ops.Pq.topK(codes, q, pqModel, k = 10).count())
+    time("pq topk reranked")(ops.Pq.topKReranked(emb, q, pqModel, k = 10).count())
+    codes.unpersist(blocking = false)
+
+    val ivfpq = time("ivfpq fit nlist=64")(ops.IvfPq.fit(emb, nlist = 64, m = 8, k = 64, iters = 3))
+    val idx = ops.IvfPq.index(emb, ivfpq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("ivfpq index")(idx.count())
+    time("ivfpq topk nprobe=8")(ops.IvfPq.topK(idx, emb, q, ivfpq, k = 10, nprobe = 8).count())
+    idx.unpersist(blocking = false)
     emb.unpersist(blocking = false)
     spark.stop()
   }
