@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * lookups per row instead of a dim-length dot product, m bytes of
   * storage instead of 4·dim).
   *
-  * This variant encodes raw vectors (not cell residuals): the codes
-  * are cell-independent, so one LUT per query serves every probed
-  * cell, the index is a plain (id, cell, codes) frame, and the two
-  * stages stay independently testable. Residual encoding — sharper at
-  * the same code budget, at the cost of per-(query, cell) LUTs — is
-  * the documented refinement if recall at a fixed byte budget ever
-  * becomes the binding constraint.
+  * Two encodings:
+  *   - raw (`residual = false`): codes compress the vectors
+  *     themselves — cell-independent, one LUT per query serves every
+  *     probed cell, stages stay independently testable;
+  *   - residual (`residual = true`, the classic IVF-PQ form): codes
+  *     compress `v − centroid(cell(v))`. Residuals concentrate near
+  *     the origin, so the same codebook budget quantizes them more
+  *     finely — sharper at the same m bytes — at the cost of one LUT
+  *     per (query, probed cell) (still KB-scale, built driver-side).
   *
   * Query cost: corpus/nlist × nprobe rows touched, m lookups each,
   * then an exact re-rank of only the shortlist's full vectors — every
@@ -24,20 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  final case class Model(coarse: Ivf.Model, pq: Pq.Model)
+  final case class Model(coarse: Ivf.Model, pq: Pq.Model, residual: Boolean = false)
 
-  /** Train both stages on the same corpus (coarse cells first, PQ
-    * codebooks on the full vectors). */
+  private def centroidMap(coarse: Ivf.Model): Map[Int, Seq[Double]] =
+    coarse.centroids.map { case (i, c) => i -> c.toSeq }.toMap
+
+  /** (id, cell, rvec = v − centroid(cell)) — the residual frame. */
+  private def residuals(corpus: DataFrame, coarse: Ivf.Model): DataFrame =
+    Ivf.assign(corpus, coarse)
+      .withColumn("__cent", element_at(typedlit(centroidMap(coarse)), col("cell")))
+      .select(col("id"), col("cell"),
+        zip_with(col("vec"), col("__cent"), (a, b) => a - b).as("rvec"))
+
+  /** Train both stages on the same corpus: coarse cells first, then PQ
+    * codebooks on either the full vectors or the cell residuals. */
   def fit(corpus: DataFrame, nlist: Int = 16, m: Int = 8, k: Int = 16,
-      iters: Int = 4): Model =
-    Model(Ivf.fit(corpus, nlist, iters), Pq.fit(corpus, m, k, iters))
+      iters: Int = 4, residual: Boolean = false): Model = {
+    val coarse = Ivf.fit(corpus, nlist, iters)
+    val pqInput =
+      if (residual) residuals(corpus, coarse).select(col("id"), col("rvec").as("embedding"))
+      else corpus
+    Model(coarse, Pq.fit(pqInput, m, k, iters), residual)
+  }
 
   /** The index: (id, cell, codes). Persist `partitionBy("cell")` (see
     * [[save]]) so probes are partition-pruned file reads. */
   def index(corpus: DataFrame, model: Model): DataFrame =
-    Ivf.assign(corpus, model.coarse)
-      .join(Pq.encode(corpus, model.pq), Seq("id"))
-      .select("id", "cell", "codes")
+    if (model.residual)
+      residuals(corpus, model.coarse)
+        .select(col("id"), col("cell"), Pq.codesFor(col("rvec"), model.pq).as("codes"))
+    else
+      Ivf.assign(corpus, model.coarse)
+        .select(col("id"), col("cell"), Pq.codesFor(col("vec"), model.pq).as("codes"))
 
   def save(spark: SparkSession, model: Model, corpus: DataFrame, path: String): Unit = {
     import spark.implicits._
@@ -48,6 +68,8 @@ object IvfPq {
       .flatMap { case (cb, sub) => cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) } }
       .toDF("sub", "code", "centroid")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq(model.residual).toDF("residual")
+      .write.mode("overwrite").parquet(s"$path/meta")
     index(corpus, model)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -64,7 +86,8 @@ object IvfPq {
       cbRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
     }
     val dsub = codebooks(0)(0).length
-    Index(Model(Ivf.Model(centroids), Pq.Model(m, dsub, codebooks)),
+    val residual = spark.read.parquet(s"$path/meta").head().getBoolean(0)
+    Index(Model(Ivf.Model(centroids), Pq.Model(m, dsub, codebooks), residual),
       spark.read.parquet(s"$path/cells"))
   }
 
@@ -83,32 +106,44 @@ object IvfPq {
     val qs = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qs.nonEmpty, "no query vectors")
-    val luts: Array[Array[Array[Double]]] = qs.map { case (_, qv) =>
+    // One LUT per (query, probed cell): for raw codes the cell makes
+    // no difference (the LUT repeats nprobe×, KB-scale waste); for
+    // residual codes the LUT quantizes q − centroid(cell) — the
+    // asymmetric side of classic IVF-PQ.
+    val matrix = model.coarse.centroids.map(_._2)
+    def lutOf(v: Array[Double]): Array[Array[Double]] =
       Array.tabulate(model.pq.m) { j =>
         val off = j * model.pq.dsub
         model.pq.codebooks(j).map { c =>
           var s = 0.0; var i = 0
-          while (i < c.length) { val d = qv(off + i) - c(i); s += d * d; i += 1 }
+          while (i < c.length) { val d = v(off + i) - c(i); s += d * d; i += 1 }
           s
         }
       }
-    }
-    import queries.sparkSession.implicits._
-    // (qi, qid, cell) probe rows — tiny (nQueries × nprobe), broadcast
-    val matrix = model.coarse.centroids.map(_._2)
-    val probes = qs.zipWithIndex.flatMap { case ((qid, qv), qi) =>
+    val probeRows: Array[(Long, Int, Array[Double])] = qs.flatMap { case (qid, qv) =>
       val dists = matrix.map { c =>
         var s = 0.0; var i = 0
         while (i < c.length) { val d = qv(i) - c(i); s += d * d; i += 1 }
         s
       }
       dists.zipWithIndex.sortBy { case (d, cid) => (d, cid) }.take(nprobe)
-        .map { case (_, cid) => (qi, qid, cid) }
-    }.toSeq.toDF("qi", "qid", "cell")
+        .map { case (_, cid) => (qid, cid, qv) }
+    }
+    val luts: Array[Array[Array[Double]]] = probeRows.map { case (_, cid, qv) =>
+      if (model.residual) {
+        val cent = matrix(cid)
+        lutOf(Array.tabulate(qv.length)(i => qv(i) - cent(i)))
+      } else lutOf(qv)
+    }
+    import queries.sparkSession.implicits._
+    // (li, qid, cell) probe rows — tiny (nQueries × nprobe), broadcast
+    val probes = probeRows.zipWithIndex
+      .map { case ((qid, cid, _), li) => (li, qid, cid) }.toSeq
+      .toDF("li", "qid", "cell")
 
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("id"))
-      .withColumn("dist2", graft.expr.AdcScores.adcScore(col("codes"), col("qi"), luts))
+      .withColumn("dist2", graft.expr.AdcScores.adcScore(col("codes"), col("li"), luts))
     val wShort = Window.partitionBy("qid").orderBy(col("dist2").asc, col("id"))
     val short = scored.withColumn("srank", row_number().over(wShort))
       .where(col("srank") <= k * shortlist)

@@ -91,13 +91,16 @@ object Pq {
     } finally vecs.unpersist(blocking = false)
   }
 
-  /** Compress the corpus: (id, codes array<int> of length m). */
-  def encode(corpus: DataFrame, model: Model): DataFrame = {
-    val vec = asDouble(col("embedding"))
-    val codes = array((0 until model.m).map(j =>
+  /** The m-code column for an `array<double>` vector column — exposed
+    * so composers ([[IvfPq]]) can encode derived vectors (residuals)
+    * without materializing an intermediate frame. */
+  def codesFor(vec: Column, model: Model): Column =
+    array((0 until model.m).map(j =>
       graft.expr.CentroidExprs.nearestCell(subvec(vec, j, model.dsub), model.codebooks(j))): _*)
-    corpus.select(col("id"), codes.as("codes"))
-  }
+
+  /** Compress the corpus: (id, codes array<int> of length m). */
+  def encode(corpus: DataFrame, model: Model): DataFrame =
+    corpus.select(col("id"), codesFor(asDouble(col("embedding")), model).as("codes"))
 
   /** Approximate top-k nearest (smallest L2 — on normalized vectors the
     * cosine ranking) for each query over a PQ-encoded corpus.

@@ -35,6 +35,30 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("residual encoding: exact at full probe; recall at least matches raw codes") {
+    val e = corpus
+    val q = e.where(col("id") < 8).select(col("id").as("qid"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3, residual = true)
+    assert(res.residual)
+    // full probe + covering shortlist: exact regardless of encoding
+    val exact = IvfPq.topK(IvfPq.index(e, res), e, q, res,
+      k = 5, nprobe = 8, shortlist = 200)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == brute)
+    // reduced probe, small shortlist: residual codes quantize finer
+    def recallOf(m: IvfPq.Model): Double = {
+      val approx = IvfPq.topK(IvfPq.index(e, m), e, q, m, k = 5, nprobe = 3, shortlist = 4)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect approx).size.toDouble / brute.size
+    }
+    val raw = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3)
+    val (rRaw, rRes) = (recallOf(raw), recallOf(res))
+    assert(rRes >= rRaw - 0.1, s"residual recall $rRes much worse than raw $rRaw")
+    assert(rRes >= 0.3, s"residual recall $rRes")
+  }
+
   test("save/load round trip answers identically and partitions by cell") {
     val e = corpus
     val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
