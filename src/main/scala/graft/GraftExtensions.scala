@@ -33,7 +33,7 @@ object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   private def arity(name: String, n: Int)(f: Seq[Expression] => Expression): Builder =
     args => {

@@ -93,7 +93,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
           .count(s => s.isDirectory && s.getPath.getName.contains("=")))
         val perDir = math.max(1, math.ceil(bytes.toDouble / dirs / targetBytes).toInt)
         df.withColumn("__salt",
-            pmod(xxhash64(df.columns.map(col): _*), lit(perDir.toLong)))
+            pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perDir.toLong)))
           .repartition((cols.map(col) :+ col("__salt")): _*)
           .drop("__salt")
           .write.partitionBy(cols: _*)

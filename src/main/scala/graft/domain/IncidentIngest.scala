@@ -35,7 +35,7 @@ object IncidentIngest {
     * the Thai rename. Returns None when required columns are still
     * missing (format detection, utils.py:487-501). */
   def normalizeColumns(df: DataFrame): Option[DataFrame] = {
-    val trimmed = df.toDF(df.columns.map(_.trim): _*)
+    val trimmed = df.toDF(df.columns.toIndexedSeq.map(_.trim): _*)
     val renamed = trimmed.columns.foldLeft(trimmed) { (d, c) =>
       ThaiHeaderRename.get(c).map(d.withColumnRenamed(c, _)).getOrElse(d)
     }

@@ -36,7 +36,7 @@ object RiskIngest {
       specialFix: Boolean = false): DataFrame = {
 
     // case-insensitive column acceptance, then schema assertion
-    val lowered = dbf.toDF(dbf.columns.map(_.toLowerCase): _*)
+    val lowered = dbf.toDF(dbf.columns.toIndexedSeq.map(_.toLowerCase): _*)
     val missing = RequiredCols -- lowered.columns.toSet
     require(missing.isEmpty,
       s"DBF missing required columns ${missing.mkString(", ")} (have: ${lowered.columns.mkString(", ")})")
