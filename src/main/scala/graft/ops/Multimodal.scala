@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * for distributed execution (`mapPartitions` over typed rows — the
   * Scala analog of `mapInPandas` batch UDFs).
   *
-  * The actual codec step is STUBBED (this container ships no image or
-  * audio libraries): [[FakeDecoder]] derives deterministic properties
-  * from the payload bytes. Everything around it — schema, batch
-  * iteration, partitioning, output shape — is real and tested; a
-  * production deployment swaps `FakeDecoder` for a JNI/javacv codec
-  * with no plan changes.
+  * Container metadata comes from REAL byte parsing: [[RealDecoder]]
+  * sniffs BMP/PNG/GIF/WAV/AVI headers via [[MediaCodec]] (JDK-only,
+  * cross-validated against `javax.imageio`/`javax.sound.sampled` in
+  * MultimodalSpec). Only the semantic-feature step (the `feature`
+  * vector a vision/audio model would embed) stays a deterministic
+  * byte-derived stand-in — this container ships no ML codecs; a
+  * production deployment swaps that one function for a JNI/ONNX model
+  * with no plan changes. [[FakeDecoder]] remains as the test double.
   */
 object Multimodal {
 
@@ -51,14 +53,67 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder: container dimensions/duration parsed from the raw
+    * payload bytes ([[MediaCodec.decode]] — BMP/PNG/GIF/WAV/AVI header
+    * sniffing, no pixel/sample decompress). Unparseable payloads get
+    * width/height/duration −1 — the explicit quarantine marker a
+    * pipeline filters to a dead-letter sink (never a task failure).
+    * The 8-dim `feature` vector stays the deterministic byte-derived
+    * stand-in for a real embedding model. */
+  object RealDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = if (r.payload == null) 0 else r.payload.length
+      MediaCodec.decode(r.payload) match {
+        case Some(d) =>
+          MediaFeatures(r.media_id, r.kind, len, d.width, d.height, d.durationMs,
+            byteFeature(r.payload))
+        case None =>
+          MediaFeatures(r.media_id, r.kind, len, -1, -1, -1L, byteFeature(r.payload))
+      }
+    }
+  }
+
+  private def byteFeature(payload: Array[Byte]): Array[Double] = {
+    val len = if (payload == null) 0 else payload.length
+    val h = if (len == 0) 0L else java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+    Array.tabulate(8) { i =>
+      if (len == 0) 0.0 else (payload(((h + i * 31) % len).toInt) & 0xff) / 255.0
+    }
+  }
+
   /** Batch decode: one decoder instance per partition (the expensive
     * init a real codec needs), rows streamed through it — the exact
-    * shape a `mapInPandas`/Arrow-batch pipeline has. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * shape a `mapInPandas`/Arrow-batch pipeline has. Defaults to the
+    * real header-parsing decoder. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decode: MediaRow => MediaFeatures = RealDecoder.decode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here
-      rows.map(FakeDecoder.decode)
+      rows.map(decode)
+    }
+  }
+
+  /** Deterministic REAL-media synthesis from an id-keyed table: each
+    * row becomes a genuine BMP/PNG (image), WAV (audio), or AVI
+    * (video) whose dimensions/duration are arithmetic in the id — so a
+    * SQL oracle can state the expected decode output without parsing
+    * bytes, while the engine-side decode exercises the real parsers on
+    * real files. (Fixture/gate generator; production reads real blobs.) */
+  def synthesizeMedia(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val kind = id % 3 match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val payload = kind match {
+        case "image" =>
+          val w = (id % 60).toInt + 1
+          val h = (id % 40).toInt + 1
+          if (id % 2 == 0) MediaCodec.bmp(w, h) else MediaCodec.png(w, h)
+        case "audio" => MediaCodec.wav((id % 250).toInt + 1)
+        case _ => MediaCodec.avi((id % 64).toInt + 16, (id % 48).toInt + 12,
+          (id % 100).toInt + 1) // 40000 µs/frame ⇒ duration = 40·frames ms
+      }
+      MediaRow(id, kind, payload)
     }
   }
 

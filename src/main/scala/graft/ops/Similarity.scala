@@ -59,8 +59,13 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket key for one hash table: `nBits` sign
-    * bits of codegen'd dot products against literal hyperplanes. */
+    * bits of codegen'd dot products against literal hyperplanes.
+    * `nBits = 0` is the degenerate-but-legal 2⁰ = 1 bucket per table —
+    * full coverage, which makes any LSH pipeline built on it provably
+    * exact (every pair collides) while the bucketing machinery still
+    * executes. */
   def lshKey(vec: Column, nBits: Int, table: Int, dim: Int): Column = {
+    if (nBits == 0) return lit(0L)
     val bits = (0 until nBits).map { b =>
       val plane = Array.tabulate(dim)(i => planeComponent(table, b, i))
       when(dot(vec, typedlit(plane)) >= 0, shiftleft(lit(1L), b)).otherwise(0L)
@@ -76,7 +81,11 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to LSH bucket collisions
     * in any of `nTables` tables, then exact cosine rank. Cost per query
-    * ∝ Σ bucket sizes instead of corpus size — the 100 TB trade. */
+    * ∝ Σ bucket sizes instead of corpus size — the 100 TB trade.
+    * `nBits = 0` → one bucket per table: the candidate set covers the
+    * whole corpus and the exact-cosine rank makes the output provably
+    * equal to [[bruteForceTopK]] (pinned in SimilaritySpec; the gate's
+    * oracle-exact configuration). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 8): DataFrame = {
     // hyperplanes are literal arrays, so the vector dimensionality is
@@ -126,11 +135,14 @@ object Similarity {
     * Σ bucket-pair sizes, never n² — the 100 TB path.
     *
     * Tunables: recall and cost both rise with `nTables` and fall with
-    * `nBits` (buckets hold ~n/2^nBits vectors). `nBits = 0` (default)
+    * `nBits` (buckets hold ~n/2^nBits vectors). `nBits < 0` (default)
     * auto-sizes to ⌈log2(n)⌉ − 6, clamped to [4, 16], keeping buckets
     * ~64 vectors at any corpus size — the 10× soak showed a fixed
     * nBits=4 melting down at 20 k vectors (1250-vector buckets → ~10⁸
     * candidate rows), where auto (8 bits) keeps candidates ∝ n.
+    * `nBits = 0` → one bucket: every pair is a candidate and the exact
+    * verification makes the output provably EQUAL to [[cosineNearDups]]
+    * (the gate's oracle-exact configuration; pinned in SimilaritySpec).
     *
     * Candidate generation is NARROW: the bucket self-join carries only
     * (bucket, id), dedups pairs, and joins the vectors back for the
@@ -144,7 +156,7 @@ object Similarity {
     * owns its cache lifetime and repeated calls never accumulate
     * CacheManager entries. */
   def cosineNearDupsBucketed(corpus: DataFrame, threshold: Double,
-      nBits: Int = 0, nTables: Int = 8, materialize: Boolean = true): DataFrame = {
+      nBits: Int = -1, nTables: Int = 8, materialize: Boolean = true): DataFrame = {
     val probe = corpus
       .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
     val n = probe.getLong(0)
@@ -154,7 +166,7 @@ object Similarity {
     }
     val dim = probe.getInt(1)
     val bits =
-      if (nBits > 0) nBits
+      if (nBits >= 0) nBits
       else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
     def pairsOf(vecs: DataFrame): DataFrame = {
       val keyed = vecs.select(col("id"),

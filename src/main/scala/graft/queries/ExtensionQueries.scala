@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * (dedup, similarity search, text analysis, multimodal plumbing) over
   * the driver's `documents`/`embeddings` tables.
   *
-  * Queries whose operators are not SQL-expressible in DuckDB (MinHash
-  * LSH, SimHash, the LSH-bucketed ANN, the typed mapPartitions feature
-  * extractor) ship without an oracle → the driver's rows-only check;
-  * their exact semantics are pinned by ScalaTest instead.
+  * Every query here is oracle-checked: operators whose PRODUCTION
+  * configurations are engine-specific (LSH bucketing, IVF probing, PQ
+  * shortlists) run the gate in an exact-by-construction configuration
+  * (full coverage / full probe / corpus-covering shortlist) whose
+  * output provably equals brute force — the approximate paths' recall
+  * contracts are pinned by ScalaTest instead.
   */
 object ExtensionQueries {
 
@@ -131,14 +133,20 @@ object ExtensionQueries {
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id1", "id2")
 
-  /** LSH-bucketed embedding near-dups (the scale path; exact-verified
-    * subset of q_embed_cosine — rows-only here, the subset/recall
-    * contract pinned in SimilaritySpec). */
+  /** LSH-bucketed embedding near-dups. The gate runs FULL COVERAGE
+    * (nBits = 0 → one bucket per table): every pair becomes a candidate
+    * and the exact cosine verification makes the output provably equal
+    * to brute force, which DuckDB can oracle — while the whole bucket
+    * explode → narrow candidate self-join → pair dedup → vector
+    * re-join machinery still executes. The production auto-sized
+    * reduced-bit path's subset/recall contract stays pinned in
+    * SimilaritySpec. Distinct slice (200 ≤ id < 1200) from
+    * q_embed_cosine so the two gates don't collapse into one. */
   def qEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupsBucketed(
-      Tables.embeddings(s, dir).where(col("vec_id") < 1000)
+      Tables.embeddings(s, dir).where(col("vec_id") >= 200 && col("vec_id") < 1200)
         .select(col("vec_id").as("id"), col("embedding")),
-      threshold = 0.4)
+      threshold = 0.4, nBits = 0, nTables = 2)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id1", "id2")
 
@@ -153,14 +161,21 @@ object ExtensionQueries {
       .orderBy("qid", "rank")
   }
 
-  /** LSH-bucketed ANN (the scale path; recall vs brute force pinned in
-    * SimilaritySpec — rows-only here). */
+  /** LSH-bucketed ANN. The gate runs FULL COVERAGE (nBits = 0 → one
+    * bucket per table): candidates cover the corpus, so the exact
+    * cosine rank provably equals brute force and DuckDB can oracle it —
+    * the same exact-by-construction move as q_ann_ivf's full probe —
+    * while the multi-table explode/bucket-join/dedup machinery still
+    * executes. The production reduced-bit path's recall is pinned in
+    * SimilaritySpec. Query set 30 ≤ id < 40, distinct from the other
+    * ANN gates so they don't collapse into one. */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.lshTopK(
       e.select(col("vec_id").as("id"), col("embedding")),
-      e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
-      k = 5, nBits = 4, nTables = 8)
+      e.where(col("vec_id") >= 30 && col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding")),
+      k = 5, nBits = 0, nTables = 2)
       .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
   }
@@ -215,13 +230,21 @@ object ExtensionQueries {
         length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
       .orderBy("media_id")
 
-  /** Typed mapPartitions feature extraction through the stub decoder
-    * (rows-only; exact values pinned in MultimodalSpec). */
+  /** REAL media decode, end to end: synthesize a genuine BMP/PNG/WAV/
+    * AVI file per doc (dimensions/duration arithmetic in doc_id), then
+    * parse the actual bytes back through the typed mapPartitions
+    * decoder ([[Multimodal.RealDecoder]] — header parsing, no stub).
+    * The oracle states the expected decode results from the same
+    * doc_id arithmetic, so any header mis-parse breaks the hash match.
+    * Byte-level codec validity is separately cross-checked against the
+    * JDK's own imageio/sampled decoders in MultimodalSpec. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaFromText(s, Tables.documents(s, dir), "doc_id", "text")
+    val media = Multimodal.synthesizeMedia(s, Tables.documents(s, dir), "doc_id")
     Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("byte_len"),
-        col("width"), col("height"), col("duration_ms"))
+      .select(col("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms"))
       .orderBy("media_id")
   }
 
@@ -728,6 +751,32 @@ object ExtensionQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
         |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // full-coverage LSH (nBits=0) ⇒ candidates span the corpus ⇒ the
+    // exact-cosine rank equals brute force over the 30≤qid<40 query set
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 30 AND q.vec_id < 40 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // full-coverage bucketed near-dups (nBits=0) ⇒ exact-verified pair
+    // set equals brute force over the 200≤vec_id<1200 slice
+    "q_embed_cosine_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings WHERE vec_id >= 200 AND vec_id < 1200),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(b.v, x -> x * x))) AS den
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |c AS (SELECT id1, id2, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p)
+        |SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
@@ -739,5 +788,19 @@ object ExtensionQueries {
         |           FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, unnest(range(0, greatest(byte_len - 1, 0) + 1, 100)) AS frame_offset
         |FROM m ORDER BY media_id, frame_offset""".stripMargin,
+    // the synthesized containers encode dimensions/duration as pure
+    // doc_id arithmetic; the engine side recovers them by parsing the
+    // real bytes — a header mis-parse breaks the hash match
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        | cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 60 + 1
+        |           WHEN doc_id % 3 = 2 THEN doc_id % 64 + 16 ELSE 0 END as bigint) AS width,
+        | cast(CASE WHEN doc_id % 3 = 0 THEN doc_id % 40 + 1
+        |           WHEN doc_id % 3 = 2 THEN doc_id % 48 + 12 ELSE 0 END as bigint) AS height,
+        | cast(CASE WHEN doc_id % 3 = 1 THEN doc_id % 250 + 1
+        |           WHEN doc_id % 3 = 2 THEN (doc_id % 100 + 1) * 40 ELSE 0 END as bigint) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

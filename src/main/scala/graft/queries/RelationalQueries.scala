@@ -301,14 +301,26 @@ object RelationalQueries {
         sumMoney(col("l_quantity")).as("sum_qty"))
       .orderBy(col("gid"), asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
 
-  /** HLL sketch: approx distinct users per event type — the idiomatic
-    * "sketch" operator (rows-only: sketch estimates are engine-
-    * specific; accuracy vs exact is pinned in SketchSpec). */
+  /** HLL sketch: approx distinct users per event type. The raw HLL
+    * estimate is engine-specific, so the gate emits the ORACLE-CHECKABLE
+    * statement of what the sketch guarantees: per group, the exact
+    * distinct count (computed in the same frame) plus a boolean
+    * asserting the HLL estimate landed within ±5 % of it (rsd = 0.02;
+    * 5 % ≈ 2.5σ — deterministic for a fixed dataset, verified at
+    * sf0.01/sf0.1). DuckDB reproduces the exact counts and `true`
+    * literals, so the row hashes match iff every group's HLL estimate
+    * is in bound — the sketch still runs, and a broken sketch fails the
+    * gate. Estimate-vs-exact accuracy is additionally pinned in
+    * SketchSpec. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("within_bound"))
       .orderBy("event_type")
 
   /** Gap-based sessionization with Spark's native session_window —
@@ -519,6 +531,13 @@ object RelationalQueries {
         | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    // the HLL estimate itself is engine-specific; the oracle checks the
+    // bounded-error CONTRACT — exact counts must match and every group's
+    // within_bound must be true (DuckDB emits literal true)
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n, true AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, grouping_id(l_returnflag, l_linestatus) AS gid,
         | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty

@@ -17,8 +17,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures: deterministic stub decode through mapPartitions") {
-    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    def run() = Multimodal.extractFeatures(media, Multimodal.FakeDecoder.decode)
+    val f1 = run().collect().sortBy(_.media_id)
+    val f2 = run().collect().sortBy(_.media_id)
     assert(f1.map(_.width).toSeq == f2.map(_.width).toSeq)
     assert(f1.forall(f => f.width >= 1 && f.width <= 1920))
     assert(f1.forall(f => f.height >= 1 && f.height <= 1080))
@@ -36,6 +37,68 @@ class MultimodalSpec extends SparkSpec {
     val nn = Similarity.bruteForceTopK(feats, q, k = 3).collect()
     assert(nn.length == 9) // 3 queries × top-3
     assert(nn.forall(r => r.getAs[Double]("cosine") >= -1.0 && r.getAs[Double]("cosine") <= 1.0 + 1e-12))
+  }
+
+  test("MediaCodec round-trip: every writer's bytes parse back exactly") {
+    assert(MediaCodec.decode(MediaCodec.bmp(37, 23)).get ==
+      MediaCodec.Decoded("bmp", 37, 23, 0L))
+    assert(MediaCodec.decode(MediaCodec.png(640, 480)).get ==
+      MediaCodec.Decoded("png", 640, 480, 0L))
+    assert(MediaCodec.decode(MediaCodec.wav(123)).get ==
+      MediaCodec.Decoded("wav", 0, 0, 123L))
+    assert(MediaCodec.decode(MediaCodec.avi(320, 240, 75)).get ==
+      MediaCodec.Decoded("avi", 320, 240, 3000L)) // 75 frames × 40 ms
+  }
+
+  test("generated BMP/PNG are valid per the JDK's independent imageio decoder") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    for ((bytes, w, h) <- Seq((MediaCodec.bmp(37, 23), 37, 23),
+        (MediaCodec.png(61, 41), 61, 41))) {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, "imageio rejected the file")
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("generated WAV is valid per the JDK's independent sampled-audio parser") {
+    import javax.sound.sampled.AudioSystem
+    import java.io.ByteArrayInputStream
+    val fmt = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(MediaCodec.wav(250)))
+    val durMs = fmt.getFrameLength * 1000L / fmt.getFormat.getFrameRate.toLong
+    assert(durMs == 250L)
+    assert(fmt.getFormat.getSampleRate == 8000f)
+  }
+
+  test("GIF header parse and quarantine of unknown bytes") {
+    // hand-built GIF89a header: "GIF89a" + width 320 LE + height 200 LE
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0, 0, 0)
+    assert(MediaCodec.decode(gif).get == MediaCodec.Decoded("gif", 320, 200, 0L))
+    assert(MediaCodec.decode("not a media file at all".getBytes).isEmpty)
+    assert(MediaCodec.decode(Array.emptyByteArray).isEmpty)
+    // RealDecoder marks unparseable rows -1 (quarantine), never throws
+    val bad = Multimodal.RealDecoder.decode(
+      Multimodal.MediaRow(9L, "image", "junk bytes junk bytes".getBytes))
+    assert(bad.width == -1 && bad.height == -1 && bad.duration_ms == -1L)
+  }
+
+  test("synthesizeMedia → RealDecoder recovers the doc_id arithmetic from real bytes") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 121L, 2514L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(Multimodal.synthesizeMedia(spark, docs, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    // image (id%3=0): w=id%60+1, h=id%40+1; even id → BMP, odd → PNG
+    assert(out(0L).width == 1 && out(0L).height == 1 && out(0L).duration_ms == 0L)
+    assert(out(3L).width == 4 && out(3L).height == 4)
+    assert(out(6L).width == 7 && out(6L).height == 7)
+    assert(out(2514L).width == 55 && out(2514L).height == 35) // 2514%60+1, 2514%40+1
+    // audio (id%3=1): duration = id%250+1 ms
+    assert(out(1L).duration_ms == 2L && out(1L).width == 0)
+    assert(out(4L).duration_ms == 5L)
+    assert(out(121L).duration_ms == 122L)
+    // video (id%3=2): w=id%64+16, h=id%48+12, dur=(id%100+1)*40 ms
+    assert(out(2L).width == 18 && out(2L).height == 14 && out(2L).duration_ms == 120L)
+    assert(out(5L).duration_ms == 240L)
   }
 
   test("sampleFrames: stride offsets for videos only") {

@@ -65,6 +65,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low (${bucketed.size}/${brute.size})")
   }
 
+  test("full-coverage lshTopK (nBits=0) equals brute force exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 10).select(col("id").as("qid"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "cosine", "rank").orderBy("qid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val brute = rows(Similarity.bruteForceTopK(e, q, k = 5))
+    val full = rows(Similarity.lshTopK(e, q, k = 5, nBits = 0, nTables = 2))
+    assert(full == brute) // one bucket per table ⇒ provably exact
+  }
+
+  test("full-coverage cosineNearDupsBucketed (nBits=0) equals brute force exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = toMap(Similarity.cosineNearDups(e, threshold = 0.4))
+    val full = toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4,
+      nBits = 0, nTables = 2))
+    assert(full.keySet == brute.keySet)
+    full.foreach { case (pair, c) => assert(math.abs(brute(pair) - c) < 1e-12) }
+  }
+
   test("lsh bucket key is deterministic") {
     val e = Seq((0L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "embedding")
       .select(transform(col("embedding"), _.cast("double")).as("v"))
