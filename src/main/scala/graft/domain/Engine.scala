@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * window inside one append is bounded by construction; fact-table
   * scans never pay it.
   */
-final class Engine(spark: SparkSession, wh: Warehouse) {
+final class Engine(spark: SparkSession, wh: Warehouse,
+    jwtSecret: String = "change-me") {
 
   import Engine._
 
@@ -108,6 +109,24 @@ final class Engine(spark: SparkSession, wh: Warehouse) {
       .select("user_id", "password_hash").collect().headOption
       .filter(r => verifyPassword(password, r.getString(1)))
       .map(_.getInt(0))
+
+  /** `create_access_token` analog (auth.py:29-35): an HS256 JWT with
+    * `{sub, exp}` claims, default 60-minute ttl. `nowEpochSec` is
+    * injectable so expiry is testable. */
+  def createAccessToken(username: String, expiresMinutes: Int = 60,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): String =
+    Jwt.create(username, jwtSecret, expiresMinutes * 60L, nowEpochSec = nowEpochSec)
+
+  /** `get_current_user` analog (auth.py:55-67): verify the token
+    * (signature + expiry), then resolve its subject against the users
+    * table → user_id. Every 401 path (missing/malformed/forged/expired
+    * token, unknown user) is None. */
+  def currentUser(token: String,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000): Option[Int] =
+    Jwt.subject(token, jwtSecret, nowEpochSec).flatMap { sub =>
+      users.where(col("username") === sub).select("user_id")
+        .collect().headOption.map(_.getInt(0))
+    }
 
   /** Upload metadata with the owner resolved through the users table —
     * the upload-ownership flow (`owner_id` FK, models.py:15-24). */

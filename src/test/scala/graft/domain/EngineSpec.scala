@@ -177,6 +177,16 @@ class EngineSpec extends SparkSpec {
     assert(eng.verifyPassword("x", eng.hashPassword("x")))
     assert(!eng.verifyPassword("y", eng.hashPassword("x")))
 
+    // JWT session layer: token round-trip, expiry, forgery rejection
+    val token = eng.createAccessToken("analyst", nowEpochSec = 1000000L)
+    assert(eng.currentUser(token, nowEpochSec = 1000000L).contains(uid))
+    assert(eng.currentUser(token, nowEpochSec = 1000000L + 3599).contains(uid))
+    assert(eng.currentUser(token, nowEpochSec = 1000000L + 3600).isEmpty) // expired
+    assert(eng.currentUser(token.dropRight(2) + "xx", nowEpochSec = 1000000L).isEmpty) // bad sig
+    assert(eng.currentUser("not.a.token", nowEpochSec = 1000000L).isEmpty)
+    val ghost = eng.createAccessToken("nobody", nowEpochSec = 1000000L)
+    assert(eng.currentUser(ghost, nowEpochSec = 1000000L).isEmpty) // valid token, unknown user
+
     val t = Timestamp.valueOf("2023-08-01 00:00:00")
     val grid = Seq((t, 18.75, 98.95, 3.0), (t, 18.80, 99.00, 5.0))
       .toDF("time", "latitude", "longitude", "precip")
