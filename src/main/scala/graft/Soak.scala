@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * the correctness gate — timings go to stdout for NOTES.
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_SOAK_X=10 runMain graft.Soak
+  * (SPARK_GRAFT_SOAK_X_DOCS / _EMB override per-table — the doc and
+  * embedding base tables differ in size, so hitting a target corpus
+  * needs different multipliers.)
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+    val multDefault = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+    val multDocs = sys.env.get("SPARK_GRAFT_SOAK_X_DOCS").map(_.toInt).getOrElse(multDefault)
+    val multEmb = sys.env.get("SPARK_GRAFT_SOAK_X_EMB").map(_.toInt).getOrElse(multDefault)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +37,14 @@ object Soak {
       println(f"[soak] $label%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    def replicate(df: DataFrame, idCol: String, marker: Option[String]): DataFrame =
+    def heapMb(): Long = {
+      // settled heap, not allocation-rate noise: GC before measuring
+      System.gc(); Thread.sleep(200); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+    }
+
+    def replicate(df: DataFrame, idCol: String, marker: Option[String], mult: Int): DataFrame =
       (0 until mult).map { i =>
         val shifted = df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L))
         marker match {
@@ -44,10 +56,10 @@ object Soak {
 
     val docs = replicate(
       Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")),
-      "id", Some("text"))
+      "id", Some("text"), multDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = time("docs materialize")(docs.count())
-    println(s"[soak] corpus: $nDocs docs (${mult}x)")
+    println(s"[soak] corpus: $nDocs docs (${multDocs}x)")
 
     time("exact dedup") {
       ops.Dedup.exact(
@@ -71,7 +83,7 @@ object Soak {
     val emb = replicate(
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding")),
-      "id", None)
+      "id", None, multEmb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[soak] embeddings: ${emb.count()}")
     val q = emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
@@ -106,6 +118,19 @@ object Soak {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("ivfpq index")(idx.count())
     time("ivfpq topk nprobe=8")(ops.IvfPq.topK(idx, emb, q, ivfpq, k = 10, nprobe = 8).count())
+
+    // big query batch through the chunked LUT path: driver heap must
+    // stay flat across chunks (each chunk's LUTs released after its
+    // localCheckpoint), not grow ∝ total batch size
+    val qBig = emb.where(col("id") % 100000000L < 1000)
+      .select(col("id").as("qid"), col("embedding"))
+    val nBig = qBig.count()
+    val chunk = sys.env.getOrElse("SPARK_GRAFT_SOAK_QCHUNK", "4096").toInt
+    val heapBefore = heapMb()
+    time(s"ivfpq topk batch n=$nBig chunk=$chunk") {
+      ops.IvfPq.topK(idx, emb, qBig, ivfpq, k = 10, nprobe = 8, queryChunk = chunk).count()
+    }
+    println(s"[soak] driver heap: ${heapBefore} MB before batch, ${heapMb()} MB after (settled)")
     idx.unpersist(blocking = false)
     emb.unpersist(blocking = false)
     spark.stop()

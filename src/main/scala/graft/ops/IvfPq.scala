@@ -98,14 +98,41 @@ object IvfPq {
     * those cells' code rows, exact-cosine re-rank the
     * `shortlist`×k-deep shortlist against the full vectors.
     *
+    * LUTs are built driver-side (classic IVF-PQ: KB per query), but
+    * the batch is CHUNKED (`queryChunk`): the driver holds one chunk's
+    * LUTs at a time — each chunk's result is materialized
+    * (localCheckpoint) and its LUT array released before the next
+    * chunk builds, so a million-query batch runs at stable driver
+    * memory instead of accumulating nQueries × nprobe × m × k doubles.
+    * A batch that fits one chunk (the common case) stays fully lazy —
+    * no checkpoint, unchanged plan.
+    *
     * @param cells  the (id, cell, codes) index frame
     * @param corpus (id, embedding) — read only for the shortlist rows
     */
   def topK(cells: DataFrame, corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int, nprobe: Int = 4, shortlist: Int = 4): DataFrame = {
-    val qs = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(qs.nonEmpty, "no query vectors")
+      k: Int, nprobe: Int = 4, shortlist: Int = 4, queryChunk: Int = 4096): DataFrame = {
+    val qframe = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
+    val qids = qframe.select("qid").collect().map(_.getLong(0)).sorted
+    require(qids.nonEmpty, "no query vectors")
+    if (qids.length <= queryChunk) return chunkTopK(cells, corpus, qframe, model, k, nprobe, shortlist)
+    // multi-chunk: persist the projected queries once (each chunk is a
+    // narrow filtered read), materialize per chunk, release per chunk
+    val persisted = qframe.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      qids.grouped(queryChunk).map { chunk =>
+        chunkTopK(cells, corpus,
+          persisted.where(col("qid").isInCollection(chunk)), model, k, nprobe, shortlist)
+          .localCheckpoint(true) // eagerly done ⇒ this chunk's LUTs become garbage
+      }.reduce(_ union _)
+    } finally persisted.unpersist(blocking = false)
+  }
+
+  /** One bounded chunk: collect its vectors, build its probes + LUTs,
+    * score + re-rank. `qframe` must be (qid, qvec double[]). */
+  private def chunkTopK(cells: DataFrame, corpus: DataFrame, qframe: DataFrame,
+      model: Model, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val qs = qframe.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // One LUT per (query, probed cell): for raw codes the cell makes
     // no difference (the LUT repeats nprobe×, KB-scale waste); for
     // residual codes the LUT quantizes q − centroid(cell) — the
@@ -135,7 +162,7 @@ object IvfPq {
         lutOf(Array.tabulate(qv.length)(i => qv(i) - cent(i)))
       } else lutOf(qv)
     }
-    import queries.sparkSession.implicits._
+    import qframe.sparkSession.implicits._
     // (li, qid, cell) probe rows — tiny (nQueries × nprobe), broadcast
     val probes = probeRows.zipWithIndex
       .map { case ((qid, cid, _), li) => (li, qid, cid) }.toSeq
@@ -150,8 +177,7 @@ object IvfPq {
       .select("qid", "id")
 
     val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
-    val qvecs = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
-    val exact = short.join(vecs, Seq("id")).join(broadcast(qvecs), Seq("qid"))
+    val exact = short.join(vecs, Seq("id")).join(broadcast(qframe), Seq("qid"))
       .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     exact.withColumn("rank", row_number().over(w))

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-audit regression gate: the invariants PLANS.md's header prose
+  * promises, asserted in CI — a plan regression (lost pushdown, a join
+  * degrading to cartesian, a dim join losing its broadcast) fails here
+  * instead of waiting for a human to re-read the dump. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // same list PlanDump renders
+  private val headline = Seq(
+    "q1_agg", "q_scan_project", "q_join_enrich", "q_rain_pipeline",
+    "q_incident_pipeline", "q_risk_pipeline", "q_join_graph", "q_list_page",
+    "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
+    "q_embed_cosine", "q_ann_topk", "q_ann_ivf", "q_pq_topk",
+    "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf")
+
+  // declared bounded brute-force baselines: non-equi joins against a
+  // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
+  private val declaredBnl = Set(
+    "q_ngram_jaccard", "q_embed_cosine", "q_ann_topk",
+    // full-probe/covering-shortlist ANN gates rank vs a broadcast
+    // query set after non-equi self-exclusion
+    "q_ann_ivf", "q_pq_topk",
+    // shingle-containment join is a non-equi range intersect
+    "q_contamination",
+    // CC/verify stages join candidate pairs on id inequality
+    "q_minhash_lsh", "q_simhash", "q_dedup_exact", "q_corpus_pipeline",
+    // bounded 5×17 synthetic-dim range() cross building the grid fixture
+    "q_rain_pipeline")
+
+  private lazy val plans: Map[String, String] = headline.map { name =>
+    name -> SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+  }.toMap
+
+  test("no CartesianProduct in any headline plan") {
+    for ((name, p) <- plans)
+      assert(!p.contains("CartesianProduct"), s"$name degraded to a cartesian product")
+  }
+
+  test("BroadcastNestedLoopJoin only in declared brute-force baselines") {
+    for ((name, p) <- plans if !declaredBnl.contains(name))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name picked up an undeclared nested-loop join")
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val pushed = raw"PushedFilters: \[[^\]]".r // non-empty filter list
+    // (q_rain_pipeline and q_list_page read in-memory fixtures at gate
+    // scale — no parquet scan to push into)
+    for (name <- Seq("q_tfidf", "q_incident_pipeline", "q_embed_cosine"))
+      assert(pushed.findFirstIn(plans(name)).isDefined,
+        s"$name: no pushed filters reached a scan")
+  }
+
+  test("dimension joins broadcast — no SortMergeJoin in the dim-join queries") {
+    for (name <- Seq("q_join_enrich", "q_list_page", "q_join_graph", "q_risk_pipeline"))
+      assert(!plans(name).contains("SortMergeJoin"),
+        s"$name: a dim join fell back to sort-merge")
+  }
+
+  test("relational pipelines run inside WholeStageCodegen with partial aggregation") {
+    // un-executed AQE plans don't expose per-stage codegen wrapping, so
+    // execute cheap representatives and audit the FINAL plan (codegen
+    // spans render as `*(N)` prefixes there)
+    val codegen = raw"\*\(\d+\) ".r
+    for (name <- Seq("q1_agg", "q_scan_project", "q_join_enrich", "q_group_count")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true") || !fin.contains("AdaptiveSparkPlan"),
+        s"$name: plan not finalized after execution")
+      assert(codegen.findFirstIn(fin).isDefined, s"$name: final plan has no codegen stage")
+    }
+    // map-side combine: the aggregation queries must split partial/final
+    for (name <- Seq("q1_agg", "q_group_count")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("partial_"),
+        s"$name: no partial aggregation before the shuffle")
+    }
+  }
+
+  test("column pruning: projection-only scan reads a narrow schema") {
+    // q_scan_project touches 4 lineitem columns; the scan must not
+    // read the 16-column table
+    val schema = raw"ReadSchema: struct<([^>]*)>".r
+    val cols = schema.findAllMatchIn(plans("q_scan_project"))
+      .map(_.group(1).count(_ == ',') + 1).toSeq
+    assert(cols.nonEmpty && cols.forall(_ <= 6),
+      s"q_scan_project reads too many columns per scan: $cols")
+  }
+}

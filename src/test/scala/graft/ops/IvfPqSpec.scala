@@ -22,6 +22,20 @@ class IvfPqSpec extends SparkSpec {
     assert(exact == brute)
   }
 
+  test("chunked query batch equals the single-chunk result exactly") {
+    val e = corpus
+    val q = e.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
+    val model = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3)
+    val idx = IvfPq.index(e, model)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneChunk = key(IvfPq.topK(idx, e, q, model, k = 5, nprobe = 8, shortlist = 200))
+    // 20 queries forced through 7-query chunks: 3 materialized chunks
+    val chunked = key(IvfPq.topK(idx, e, q, model, k = 5, nprobe = 8, shortlist = 200,
+      queryChunk = 7))
+    assert(chunked == oneChunk)
+  }
+
   test("reduced probe keeps useful recall at a fraction of the rows touched") {
     val e = corpus
     val q = e.where(col("id") < 8).select(col("id").as("qid"), col("embedding"))
