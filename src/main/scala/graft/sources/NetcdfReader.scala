@@ -112,6 +112,18 @@ object NetcdfReader {
   private def openImpl(path: String): NcFile = {
     val source = new NcSource(path)
     val bb = source.buffer(0, math.min(source.size, HeaderCap))
+    // NetCDF-4 is an HDF5 container (signature \x89HDF\r\n\x1a\n) — out
+    // of scope by decision (see README: no independent HDF5 fixture or
+    // reference decoder exists in this build environment, so a reader
+    // could only be validated against itself). Detect it specifically
+    // and point at the one-time lossless conversion.
+    val isHdf5 = bb.limit() >= 8 && (bb.get(0) & 0xff) == 0x89 &&
+      bb.get(1) == 'H' && bb.get(2) == 'D' && bb.get(3) == 'F' &&
+      bb.get(4) == 0x0d && bb.get(5) == 0x0a && (bb.get(6) & 0xff) == 0x1a && bb.get(7) == 0x0a
+    require(!isHdf5,
+      s"NetCDF-4/HDF5-backed file not supported: $path — convert once with " +
+        "`nccopy -k classic in.nc out.nc` (or `ncks -3`, or xarray " +
+        "to_netcdf(format=\"NETCDF3_64BIT\")); downstream processing is identical")
     require(bb.limit() > 4 && bb.get(0) == 'C' && bb.get(1) == 'D' && bb.get(2) == 'F',
       s"not a classic NetCDF file: $path")
     val version = bb.get(3).toInt // 1 = 32-bit offsets, 2 = 64-bit

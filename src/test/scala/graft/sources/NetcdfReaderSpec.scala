@@ -57,6 +57,26 @@ class NetcdfReaderSpec extends SparkSpec {
     assert(w2 > 7.0 && w2 < 12.0)
   }
 
+  test("HDF5-backed NetCDF-4 is detected by signature and rejected with the conversion recipe") {
+    // decision record (round 4): HDF5 read path stays out of scope —
+    // this environment has no independent HDF5 writer or reference
+    // decoder, so a parser could only be tested against itself. The
+    // contract is: specific detection + an actionable message.
+    val hdf5Sig = Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val f = java.nio.file.Files.createTempFile("fake-nc4", ".nc")
+    java.nio.file.Files.write(f, hdf5Sig ++ new Array[Byte](64))
+    val e = intercept[IllegalArgumentException](NetcdfReader.open(f.toString))
+    assert(e.getMessage.contains("NetCDF-4/HDF5"), e.getMessage)
+    assert(e.getMessage.contains("nccopy -k classic"), e.getMessage)
+    java.nio.file.Files.delete(f)
+    // non-HDF5 garbage still gets the generic classic-format rejection
+    val g = java.nio.file.Files.createTempFile("not-nc", ".nc")
+    java.nio.file.Files.write(g, "garbage".getBytes ++ new Array[Byte](64))
+    val e2 = intercept[IllegalArgumentException](NetcdfReader.open(g.toString))
+    assert(e2.getMessage.contains("not a classic NetCDF file"), e2.getMessage)
+    java.nio.file.Files.delete(g)
+  }
+
   test("decodeTime handles hours-since with explicit clock time") {
     val ts = NetcdfReader.decodeTime(Array(0.0, 25.0), "hours since 2000-01-01 06:00")
     assert(ts(0).toString == "2000-01-01 06:00:00.0")
