@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     "q1_agg", "q_scan_project", "q_join_enrich", "q_rain_pipeline",
     "q_incident_pipeline", "q_risk_pipeline", "q_join_graph", "q_list_page",
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
-    "q_embed_cosine", "q_ann_topk", "q_ann_ivf", "q_pq_topk",
+    "q_embed_cosine", "q_embed_cosine_lsh", "q_ann_topk", "q_ann_lsh",
+    "q_ann_ivf", "q_pq_topk", "q_media_features",
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf")
 
   // declared bounded brute-force baselines: non-equi joins against a
