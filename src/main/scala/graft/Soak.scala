@@ -69,9 +69,16 @@ object Soak {
     val pairs = time("minhash near-dups (k=48 b=16)") {
       ops.Dedup.minhashNearDups(docs, threshold = 0.8, k = 48, bands = 16)
     }
-    println(s"[soak] near-dup pairs: ${pairs.count()}")
-    val cc = time("connected components")(ops.Dedup.connectedComponents(pairs.select("id1", "id2")))
-    println(s"[soak] clustered docs: ${cc.count()}")
+    // candidate growth is THE superlinear risk to watch: candidates
+    // should stay ∝ true-pair count, not ∝ n² (band-collision noise)
+    val nCands = time("minhash candidates only") {
+      ops.Dedup.minhashCandidates(docs, k = 48, bands = 16).count()
+    }
+    println(s"[soak] minhash candidates: $nCands, verified pairs: ${pairs.count()}")
+    val ccRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val cc = time("connected components")(ops.Dedup.connectedComponents(
+      pairs.select("id1", "id2"), roundsOut = r => ccRounds.set(r)))
+    println(s"[soak] clustered docs: ${cc.count()} (cc rounds: ${ccRounds.get()})")
     time("keep-canonical anti-join") {
       ops.Dedup.keepCanonical(docs, "id", pairs.select("id1", "id2")).count()
     }

@@ -154,7 +154,8 @@ object Dedup {
     * @param pairs (id1, id2) undirected near-dup edges
     * @return (id, component) for every id that appears in a pair
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      roundsOut: java.util.function.IntConsumer = null): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -185,6 +186,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // label-propagation rounds ≈ graph diameter: the superlinear risk
+    // a scale soak watches (chains of near-dups deepen components)
+    if (roundsOut != null) roundsOut.accept(iter)
     labels
   }
 

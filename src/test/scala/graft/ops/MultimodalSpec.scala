@@ -70,6 +70,15 @@ class MultimodalSpec extends SparkSpec {
     assert(fmt.getFormat.getSampleRate == 8000f)
   }
 
+  test("GIF parse cross-validated against a JDK-written GIF") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(123, 45, BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "gif", out)) // independent encoder
+    assert(MediaCodec.decode(out.toByteArray).get == MediaCodec.Decoded("gif", 123, 45, 0L))
+  }
+
   test("GIF header parse and quarantine of unknown bytes") {
     // hand-built GIF89a header: "GIF89a" + width 320 LE + height 200 LE
     val gif = "GIF89a".getBytes("US-ASCII") ++
