@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: concatenate documents
+  * in a deterministic order and chunk the stream into fixed-size token
+  * windows (the GPT-style "concat-and-chunk" pretraining layout). A
+  * document belongs to the window in which its first token lands:
+  * `window_id = floor(tokens_before_doc / budget)`.
+  *
+  * The obvious Spark form — `sum(tok) over (order by id)` — collapses
+  * the whole table into ONE partition for the global-order window and
+  * dies at scale. This implementation is the classic two-phase
+  * distributed prefix sum instead:
+  *
+  *   1. range-partition by the order key (so partitions are contiguous
+  *      key slices) and sort within partitions;
+  *   2. aggregate one row per partition (its token total) — a few
+  *      hundred rows at any scale — and turn those into per-partition
+  *      exclusive prefix offsets on the driver;
+  *   3. broadcast-join the offsets back and window only WITHIN each
+  *      partition (`Window.partitionBy(pid)`), which never shuffles to
+  *      a single reducer.
+  *
+  * The result is bit-identical to the single-partition global window
+  * (pinned in PackingSpec) but every stage is parallel at any scale.
+  */
+object Packing {
+
+  /** Per-document window assignment: (orderCol, tokCol columns of
+    * `docs`) → original columns + `tokens_before` + `window_id`.
+    *
+    * @param numPartitions contiguous slices for the prefix sum; at
+    *   scale pick ~input-split count. Defaults to the session's
+    *   shuffle parallelism.
+    */
+  def assignWindows(docs: DataFrame, orderCol: String, tokCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // 1. contiguous key slices, sorted inside each slice; pid is stable
+    //    for the lifetime of this lineage because every downstream use
+    //    hangs off the SAME ranged node (range boundaries are sampled,
+    //    but any contiguous partitioning yields the same global result)
+    val ranged = docs
+      .repartitionByRange(nPart, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // 2. one row per partition → exclusive prefix offsets (driver-side
+      //    on ≤ a-few-thousand rows — the scale-independent small side)
+      val partTotals = ranged.groupBy(col("__pid"))
+        .agg(sum(col(tokCol)).cast("long").as("__ptok"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1)
+      var acc = 0L
+      val offsets = partTotals.map { case (pid, tot) =>
+        val off = acc; acc += tot; (pid, off)
+      }
+      import spark.implicits._
+      val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+
+      // 3. within-partition running sum + broadcast offset = global
+      //    exclusive prefix; window never sees more than one slice
+      val w = Window.partitionBy("__pid").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged
+        .join(offsetsDf, Seq("__pid"))
+        .withColumn("tokens_before",
+          coalesce(sum(col(tokCol)).over(w), lit(0L)) + col("__offset"))
+        .withColumn("window_id", floor(col("tokens_before") / budget))
+        .drop("__pid", "__offset")
+        // the assignment is tiny relative to the corpus once aggregated;
+        // materialize so callers can drop the persisted lineage
+        .localCheckpoint(true)
+    } finally ranged.unpersist(blocking = false)
+  }
+
+  /** Packed-window summary: one row per training window. */
+  def packSummary(docs: DataFrame, orderCol: String, tokCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame =
+    assignWindows(docs, orderCol, tokCol, budget, numPartitions)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).cast("long").as("window_tokens"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+
+  /** The naive single-partition global window — the semantics oracle
+    * for [[assignWindows]] (PackingSpec pins equality). Never use at
+    * scale: `Window.orderBy` without partitioning is one reducer. */
+  private[graft] def assignWindowsNaive(docs: DataFrame, orderCol: String,
+      tokCol: String, budget: Long): DataFrame = {
+    val w = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tokens_before", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn("window_id", floor(col("tokens_before") / budget))
+  }
+}

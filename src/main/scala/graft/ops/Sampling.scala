@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixture weighting for training-data
+  * pipelines. Everything keys off a CONTENT hash bucket (md5-derived,
+  * never an RNG), so a sample is reproducible across engines, runs,
+  * partitionings, and cluster sizes — the property that makes
+  * train/test splits and ablation corpora auditable. Same bucket
+  * construction as the train/test split in
+  * [[graft.queries.ExtensionQueries.qTrainSplit]].
+  */
+object Sampling {
+
+  /** Stable per-row bucket in [0, 1000): first 8 md5 hex digits of the
+    * key column, as an integer, mod 1000. Pure column expression —
+    * codegen'd, no shuffle, no state. */
+  def permilleBucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 1000)
+      .cast("int")
+
+  /** Keep ~`permille`/1000 of rows, deterministically by content. */
+  def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0,1000]")
+    df.where(permilleBucket(key) < permille)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates
+    * (permille). Strata absent from `rates` keep `defaultPermille`.
+    * The rate lookup is a when-chain over a bounded, library-author-
+    * supplied map — no join, no shuffle; the filter reaches the scan. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.where(permilleBucket(key) < rate)
+  }
+
+  /** Mixture upsampling: replicate each row `weight` times, where
+    * fractional weights resolve deterministically — a row with weight
+    * 2.3 yields 2 copies always and a 3rd iff its content bucket lands
+    * in the bottom 30 %. `explode(sequence(...))` keeps the fan-out
+    * inside whole-stage codegen (no shuffle; output partitioning is
+    * input partitioning). Emits a `copy` index (0-based) so downstream
+    * dedup/shuffling can tell replicas apart. Weights must be ≥ 0;
+    * weight 0 drops the row (an explode over an empty sequence). */
+  def upsampleByWeight(df: DataFrame, weight: Column, key: Column): DataFrame = {
+    val whole = floor(weight).cast("long")
+    val fracPermille = ((weight - floor(weight)) * 1000).cast("long")
+    val copies = (whole +
+      when(permilleBucket(key) < fracPermille, 1L).otherwise(0L)).cast("int")
+    df.withColumn("__n", copies)
+      .withColumn("copy",
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__n")
+  }
+}

@@ -70,6 +70,47 @@ object TextOps {
     (lengthOk + stopOk + punctOk + tokOk) / 4.0
   }
 
+  /** ALL word n-grams in order (duplicates kept — repetition analysis
+    * needs the multiset; [[graft.ops.Dedup.shingles]] is the distinct
+    * variant for set semantics). Empty for docs shorter than n. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 − |distinct|/|all|. The word-level repetition signal from
+    * Gopher/C4-style quality filtering. 0 for empty docs. */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of word n-grams that are repeats: 1 − |distinct|/|all|.
+    * High values flag boilerplate/looping text. 0 when < n tokens. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val grams = ngramsAll(text, n)
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of all tokens taken by the single most frequent token —
+    * the "top word dominance" repetition filter. O(|distinct|·|toks|)
+    * per row (bounded: documents, not corpora). 0 for empty docs. */
+  def topTokenFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val maxN = aggregate(array_distinct(toks), lit(0),
+      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+    when(size(toks) > 0, maxN.cast("double") / size(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

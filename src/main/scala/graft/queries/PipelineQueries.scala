@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Packing, Pii, Sampling, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked coverage of the corpus-preparation operators a
+  * large-scale training-data pipeline runs AFTER dedup/quality and
+  * BEFORE tokenized shards ship: PII scrubbing, domain blocklisting,
+  * repetition filtering, deterministic (stratified) sampling, mixture
+  * up-weighting, and sequence packing.
+  *
+  * The documents table carries no real PII/URLs, so the PII and domain
+  * gates append DETERMINISTIC synthetic spans derived from doc_id
+  * arithmetic — Spark builds them, the engine scrubs them, and the
+  * DuckDB oracle rebuilds the same strings independently, so a regex
+  * or redaction divergence breaks the hash (same move as the
+  * q_media_features synthesized-file gate).
+  */
+object PipelineQueries {
+
+  /** doc_id-derived PII suffix appended to each document (Spark side).
+    * One email, one phone, one IPv4 per doc. */
+  private def withSyntheticPii(df: DataFrame): DataFrame =
+    df.withColumn("ptext", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
+      lit(".example.com or +1-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), col("doc_id") % 256, lit(".0."), col("doc_id") % 100))
+
+  /** PII scrub: detect + redact emails/phones/IPs. The md5 of the
+    * redacted text makes any byte-level redaction divergence visible
+    * to the oracle. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    withSyntheticPii(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        Pii.emailCount(col("ptext")).cast("long").as("n_email"),
+        Pii.phoneCount(col("ptext")).cast("long").as("n_phone"),
+        Pii.ipCount(col("ptext")).cast("long").as("n_ip"),
+        md5(Pii.redact(col("ptext"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** Domain blocklist filter: extract URL domains, drop docs that
+    * mention a blocked domain, count survivors per domain. URLs are
+    * doc_id-synthesized (mail0..mail6.example.com hosts); domains
+    * mail1/mail4 are blocked. */
+  def qDomainFilter(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("www.mail1.example.com", "www.mail4.example.com")
+    val withUrl = Tables.documents(s, dir)
+      .withColumn("utext", concat(
+        col("text"), lit(" see https://www.mail"), col("doc_id") % 7,
+        lit(".example.com/page/"), col("doc_id")))
+    withUrl
+      .where(!Pii.mentionsBlockedDomain(col("utext"), blocked))
+      .select(col("doc_id"), explode(Pii.domains(col("utext"))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("domain")
+  }
+
+  /** Repetition metrics (Gopher/C4-style filters): duplicate-token
+    * ratio, duplicate-3-gram ratio, top-token dominance. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(TextOps.dupTokenRatio(col("text")), 6).as("dup_tok"),
+        round(TextOps.dupNgramRatio(col("text"), 3), 6).as("dup_3gram"),
+        round(TextOps.topTokenFraction(col("text")), 6).as("top_tok_frac"))
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sample: per-language keep rates, then
+    * per-language survivor stats. The filter is a pure content-hash
+    * predicate — reproducible on any engine, any cluster size. */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 900, "zh" -> 500, "es" -> 250, "de" -> 700)
+    Sampling.stratifiedSample(
+        Tables.documents(s, dir), col("lang"), col("text"),
+        rates, defaultPermille = 100)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("first_doc"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("kept_tok"))
+      .orderBy("lang")
+  }
+
+  /** Mixture up-weighting: per-source weights 1.0/1.5/2.0/2.5 by
+    * source index mod 4; fractional copies resolve by content hash.
+    * Emits per-source replica counts — the mixing manifest. */
+  def qMixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+    val weight = lit(1.0) + (srcNum % 4).cast("double") * 0.5
+    val docs = Tables.documents(s, dir).withColumn("w", weight)
+    Sampling.upsampleByWeight(docs, col("w"), col("text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_out"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("copy")).cast("long").as("max_copy"))
+      .orderBy("source")
+  }
+
+  /** Sequence packing: concat-and-chunk documents (doc_id order) into
+    * 2048-token training windows via the distributed prefix sum —
+    * per-window doc counts and token totals. */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    Packing.packSummary(docs, "doc_id", "n_tok", budget = 2048L)
+      .orderBy("window_id")
+  }
+
+  /** Z-order (Morton) key of two bucketed dims — the clustering key
+    * behind [[graft.ops.ZOrder.clusterWrite]]'s multi-dim data-skipping
+    * layout. The oracle replays the same five magic-mask spread steps
+    * in SQL, so a single wrong bit anywhere in the interleave breaks
+    * the hash. (The layout itself — tight per-file bboxes — is pinned
+    * in ZOrderSpec; a write layout has no SQL oracle.) */
+  def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ops.ZOrder.zkey2(col("doc_id") % 1024, col("n_chars") % 1024)
+          .as("zkey"))
+      .orderBy("doc_id")
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q_zorder_key" -> (qZorderKey _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_domain_filter" -> (qDomainFilter _),
+    "q_repetition" -> (qRepetition _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_mix_upsample" -> (qMixUpsample _),
+    "q_seq_pack" -> (qSeqPack _),
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+  // The synthetic-span SQL mirrors withSyntheticPii/qDomainFilter exactly;
+  // the regexes are in the shared Java-regex/RE2 subset (see ops/Pii.scala).
+
+  private val piiTextSql =
+    """text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+      | || '.example.com or +1-' || lpad((doc_id % 1000)::varchar, 3, '0')
+      | || '-555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+      | || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)""".stripMargin
+      .replace("\n", "")
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  private val phoneRe =
+    "(\\+1-)?[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  val oracles: Map[String, String] = Map(
+    "q_zorder_key" ->
+      """WITH t AS (SELECT doc_id, doc_id % 1024 AS a, n_chars % 1024 AS b FROM documents),
+        |s0 AS (SELECT doc_id, a & 4294967295 AS xa, b & 4294967295 AS xb FROM t),
+        |s1 AS (SELECT doc_id, (xa | (xa << 16)) & 281470681808895 AS xa,
+        |                      (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+        |s2 AS (SELECT doc_id, (xa | (xa << 8)) & 71777214294589695 AS xa,
+        |                      (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+        |s3 AS (SELECT doc_id, (xa | (xa << 4)) & 1085102592571150095 AS xa,
+        |                      (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+        |s4 AS (SELECT doc_id, (xa | (xa << 2)) & 3689348814741910323 AS xa,
+        |                      (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+        |s5 AS (SELECT doc_id, (xa | (xa << 1)) & 6148914691236517205 AS xa,
+        |                      (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+        |SELECT doc_id, xa | (xb << 1) AS zkey FROM s5 ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id, $piiTextSql AS ptext FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(ptext, '$emailRe')) AS n_email,
+         | len(regexp_extract_all(ptext, '$phoneRe')) AS n_phone,
+         | len(regexp_extract_all(ptext, '$ipRe')) AS n_ip,
+         | md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+         |   '$emailRe', '<EMAIL>', 'g'),
+         |   '$ipRe', '<IP>', 'g'),
+         |   '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_domain_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' see https://www.mail' || (doc_id % 7) || '.example.com/page/' || doc_id AS utext
+        | FROM documents),
+        |d AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(utext, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        | FROM t),
+        |bad AS (SELECT DISTINCT doc_id FROM d
+        |  WHERE domain IN ('www.mail1.example.com', 'www.mail4.example.com'))
+        |SELECT domain, count(*) AS n_docs, min(d.doc_id) AS first_doc
+        |FROM d LEFT JOIN bad ON d.doc_id = bad.doc_id
+        |WHERE bad.doc_id IS NULL
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE [] END AS grams FROM t)
+        |SELECT doc_id,
+        | round(CASE WHEN len(toks) > 0 THEN
+        |   1.0 - cast(len(list_distinct(toks)) as double) / cast(len(toks) as double)
+        |  ELSE 0.0 END, 6) AS dup_tok,
+        | round(CASE WHEN len(grams) > 0 THEN
+        |   1.0 - cast(len(list_distinct(grams)) as double) / cast(len(grams) as double)
+        |  ELSE 0.0 END, 6) AS dup_3gram,
+        | round(CASE WHEN len(toks) > 0 THEN
+        |   cast(list_max(list_transform(list_distinct(toks),
+        |     t -> len(list_filter(toks, x -> x = t)))) as double)
+        |     / cast(len(toks) as double)
+        |  ELSE 0.0 END, 6) AS top_tok_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH t AS (SELECT *,
+        |  ('0x' || substr(md5(text), 1, 8))::bigint % 1000 AS bucket,
+        |  CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 500
+        |            WHEN 'es' THEN 250 WHEN 'de' THEN 700 ELSE 100 END AS rate
+        | FROM documents)
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc,
+        | cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS kept_tok
+        |FROM t WHERE bucket < rate
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_mix_upsample" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  1.0 + (regexp_extract(source, 'src([0-9]+)', 1)::int % 4) * 0.5 AS w,
+        |  ('0x' || substr(md5(text), 1, 8))::bigint % 1000 AS bucket
+        | FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  cast(floor(w) + CASE WHEN bucket < cast((w - floor(w)) * 1000 as bigint)
+        |    THEN 1 ELSE 0 END as int) AS n FROM t),
+        |e AS (SELECT doc_id, source, unnest(range(n)) AS copy FROM c WHERE n > 0)
+        |SELECT source, count(*) AS n_out,
+        | count(DISTINCT doc_id) AS n_docs,
+        | cast(max(copy) as bigint) AS max_copy
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tok
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        | FROM t)
+        |SELECT cast(floor(tokens_before / 2048) as bigint) AS window_id,
+        | count(*) AS n_docs, cast(sum(n_tok) as bigint) AS window_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY window_id ORDER BY window_id""".stripMargin,
+  )
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1 to 2000).map(i => (i.toLong, s"doc text $i", if (i % 2 == 0) "en" else "th"))
+  private def df = rows.toDF("id", "text", "lang")
+
+  test("hashSample: deterministic, content-keyed, ~rate") {
+    val a = Sampling.hashSample(df, col("text"), 250).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), col("text"), 250)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // partitioning-independent
+    assert(math.abs(a.size - 500) < 100) // ~25% of 2000, md5 is uniform
+    // monotone: raising the rate only ADDS rows (bucket predicate is <)
+    val c = Sampling.hashSample(df, col("text"), 600).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("stratifiedSample applies per-stratum rates and the default") {
+    val kept = Sampling.stratifiedSample(df, col("lang"), col("text"),
+      Map("en" -> 1000), defaultPermille = 0)
+    val langs = kept.select("lang").distinct().as[String].collect().toSeq
+    assert(langs == Seq("en")) // th fell to the 0 default
+    assert(kept.count() == 1000L) // en kept fully
+  }
+
+  test("upsampleByWeight: integer weights replicate exactly") {
+    val d = Seq((1L, "a", 3.0), (2L, "b", 1.0), (3L, "c", 0.0)).toDF("id", "text", "w")
+    val out = Sampling.upsampleByWeight(d, col("w"), col("text"))
+      .groupBy("id").agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .orderBy("id").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2), (2L, 1L, 0))) // id 3 dropped entirely
+  }
+
+  test("fractional weights resolve by content hash, deterministically and ~frac") {
+    val d = df.withColumn("w", lit(1.5))
+    val n1 = Sampling.upsampleByWeight(d, col("w"), col("text")).count()
+    val n2 = Sampling.upsampleByWeight(d.repartition(9), col("w"), col("text")).count()
+    assert(n1 == n2)
+    assert(math.abs(n1 - 3000L) < 200) // 2000 × 1.5 in expectation
+  }
+}

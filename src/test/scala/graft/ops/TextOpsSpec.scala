@@ -51,4 +51,30 @@ class TextOpsSpec extends SparkSpec {
     assert(one[Double](good, TextOps.qualityScore) == 1.0)
     assert(one[Double]("x", TextOps.qualityScore) <= 0.5)
   }
+
+  test("dupTokenRatio: repeats of earlier tokens, case-folded") {
+    assert(one[Double]("a b c d", TextOps.dupTokenRatio) == 0.0)
+    assert(one[Double]("a A b a", TextOps.dupTokenRatio) == 0.5) // 4 toks, 2 distinct
+    assert(one[Double]("", TextOps.dupTokenRatio) == 0.0)
+  }
+
+  test("dupNgramRatio: duplicate 3-grams; short docs → 0") {
+    assert(one[Double]("a b c a b c a b c", c => TextOps.dupNgramRatio(c, 3)) ==
+      1.0 - 3.0 / 7.0) // 7 grams, 3 distinct (abc, bca, cab)
+    assert(one[Double]("a b", c => TextOps.dupNgramRatio(c, 3)) == 0.0)
+    assert(one[Double]("a b c d e", c => TextOps.dupNgramRatio(c, 3)) == 0.0)
+  }
+
+  test("topTokenFraction: dominance of the most frequent token") {
+    assert(one[Double]("x x x y", TextOps.topTokenFraction) == 0.75)
+    assert(one[Double]("a b c d", TextOps.topTokenFraction) == 0.25)
+    // split semantics: "" → one empty token → that token IS the whole doc
+    assert(one[Double]("", TextOps.topTokenFraction) == 1.0)
+  }
+
+  test("ngramsAll keeps duplicates in order (multiset, unlike Dedup.shingles)") {
+    val g = Seq("a b a b").toDF("t")
+      .select(TextOps.ngramsAll(col("t"), 2)).head().getSeq[String](0)
+    assert(g == Seq("a b", "b a", "a b"))
+  }
 }

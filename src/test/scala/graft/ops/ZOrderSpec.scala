@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave. */
+  private def refZ2(a: Long, b: Long): Long = {
+    var out = 0L
+    for (i <- 0 until 32) {
+      out |= ((a >> i) & 1L) << (2 * i)
+      out |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    out
+  }
+
+  private def refZ3(a: Long, b: Long, c: Long): Long = {
+    var out = 0L
+    for (i <- 0 until 21) {
+      out |= ((a >> i) & 1L) << (3 * i)
+      out |= ((b >> i) & 1L) << (3 * i + 1)
+      out |= ((c >> i) & 1L) << (3 * i + 2)
+    }
+    out
+  }
+
+  test("zkey2/zkey3 match the bit-by-bit reference interleave") {
+    val samples = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1023L, 511L, 255L), (0xFFFFFFFFL, 0x12345678L, 0x1FFFFFL),
+      (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL), (123456L, 654321L, 777L))
+    val df = samples.toDF("a", "b", "c")
+    val got = df.select(
+      ZOrder.zkey2(col("a"), col("b")),
+      ZOrder.zkey3(col("a").bitwiseAND(lit(0x1FFFFFL)), col("b").bitwiseAND(lit(0x1FFFFFL)), col("c")))
+      .as[(Long, Long)].collect()
+    samples.zip(got).foreach { case ((a, b, c), (z2, z3)) =>
+      assert(z2 == refZ2(a, b), s"zkey2($a,$b)")
+      assert(z3 == refZ3(a & 0x1FFFFF, b & 0x1FFFFF, c), s"zkey3($a,$b,$c)")
+    }
+  }
+
+  test("z-ordering is locality-preserving: adjacent cells share key prefixes") {
+    // the z-curve property the file-skipping relies on: keys of a small
+    // spatial block span a far smaller key range than row-major order
+    val block = for (x <- 100L to 103L; y <- 200L to 203L) yield (x, y)
+    val keys = block.toDF("x", "y")
+      .select(ZOrder.zkey2(col("x"), col("y"))).as[Long].collect()
+    assert(keys.max - keys.min < 256) // 4×4 block stays in a tiny key window
+  }
+
+  test("clusterWrite: per-file bounding boxes are tight on BOTH dims") {
+    val n = 20000
+    // uniform 2-d grid, shuffled arrival order
+    val df = spark.range(n.toLong).select(
+      (pmod(xxhash64(col("id")), lit(1000L))).as("x"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(1000L))).as("y"),
+      col("id").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    ZOrder.clusterWrite(df, s"$dir/clustered", Seq("x", "y"), numFiles = 16)
+    df.repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+
+    def totalBboxArea(path: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (r.getLong(1) - r.getLong(0) + 1).toDouble * (r.getLong(3) - r.getLong(2) + 1)
+      }.sum
+    }
+    val clustered = totalBboxArea(s"$dir/clustered")
+    val plain = totalBboxArea(s"$dir/plain")
+    // plain: every file covers ~the whole 1000×1000 space (16 × 10⁶);
+    // z-ordered files tile it (sum ≈ one coverage of the space + overlap)
+    assert(clustered < plain / 4,
+      s"z-order should shrink per-file bboxes: clustered=$clustered plain=$plain")
+
+    // and the data survives the layout: same rows
+    val back = spark.read.parquet(s"$dir/clustered")
+    assert(back.count() == n)
+    assert(back.agg(sum("payload")).head().getLong(0) ==
+      df.agg(sum("payload")).head().getLong(0))
+  }
+}
