@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `jaccard_sorted(a, b)`       — Jaccard of sorted long arrays
   *   - `hashed_shingles(tokens, n)` — sorted distinct n-gram hashes
   *   - `minhash_bands(hashes, k, b)`— fused signature→LSH band keys
+  *   - `adc_score_lut(codes, lut)`  — PQ ADC distance from an in-row LUT
   *
   * Two entry points: set `spark.sql.extensions=graft.GraftExtensions`
   * at session build (the SparkSessionExtensions path), or call
@@ -69,6 +70,9 @@ object GraftFunctions {
       "minhash_bands(hashes, k, bands) - LSH band keys of the k-slot MinHash signature"),
       arity("minhash_bands", 3)(a =>
         MinHashBands(a.head, intLit("minhash_bands k", a(1)), intLit("minhash_bands bands", a(2))))),
+    ("adc_score_lut", info("adc_score_lut",
+      "adc_score_lut(codes, lut) - ADC distance of PQ codes against a flattened m*k LUT"),
+      arity("adc_score_lut", 2)(a => AdcScoreLut(a(0), a(1)))),
   )
 
   private def intLit(what: String, e: Expression): Int = e match {

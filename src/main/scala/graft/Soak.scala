@@ -138,6 +138,13 @@ object Soak {
       ops.IvfPq.topK(idx, emb, qBig, ivfpq, k = 10, nprobe = 8, queryChunk = chunk).count()
     }
     println(s"[soak] driver heap: ${heapBefore} MB before batch, ${heapMb()} MB after (settled)")
+
+    // the same batch through the fully-distributed path (executor-built
+    // LUTs, shuffle join on cell): no driver LUT loop at all — the
+    // topology a 10⁶-query batch needs
+    time(s"ivfpq topk batch n=$nBig DISTRIBUTED") {
+      ops.IvfPq.topKDistributed(idx, emb, qBig, ivfpq, k = 10, nprobe = 8).count()
+    }
     idx.unpersist(blocking = false)
     emb.unpersist(blocking = false)
     spark.stop()

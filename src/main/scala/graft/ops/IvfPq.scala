@@ -128,6 +128,47 @@ object IvfPq {
     } finally persisted.unpersist(blocking = false)
   }
 
+  /** Fully-distributed top-k: NO driver-side work at any batch size —
+    * probe selection ([[graft.expr.CentroidExprs.nearestCells]]), LUT
+    * construction ([[graft.expr.PqLut]]) and ADC scoring all run as
+    * codegen'd expressions on executor rows. The probes frame
+    * (nQueries × nprobe rows, each carrying its m×k-double LUT) joins
+    * the code index on `cell` — Catalyst broadcasts it while it is
+    * small and falls back to a shuffle join for huge batches, which is
+    * exactly the topology a 10⁶-query batch wants (the chunked
+    * [[topK]] stays the low-latency path for interactive batches:
+    * driver LUTs skip the probe-side shuffle entirely).
+    *
+    * Same output contract as [[topK]] (IvfPqSpec pins equality on both
+    * encodings). */
+  def topKDistributed(cells: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: Model, k: Int, nprobe: Int = 4, shortlist: Int = 4): DataFrame = {
+    val matrix = model.coarse.centroids.map(_._2)
+    val qframe = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
+    val probes = qframe
+      .withColumn("cell",
+        explode(graft.expr.CentroidExprs.nearestCells(col("qvec"), matrix, nprobe)))
+      .withColumn("lut", graft.expr.PqLut.pqLut(col("qvec"), col("cell"),
+        model.pq.codebooks, matrix, model.residual))
+      .select("qid", "cell", "lut")
+
+    val scored = cells.join(probes, Seq("cell"))
+      .where(col("qid") =!= col("id"))
+      .withColumn("dist2", graft.expr.PqLut.adcScoreLut(col("codes"), col("lut")))
+    val wShort = Window.partitionBy("qid").orderBy(col("dist2").asc, col("id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= k * shortlist)
+      .select("qid", "id")
+
+    val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
+    val exact = short.join(vecs, Seq("id")).join(qframe, Seq("qid"))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** One bounded chunk: collect its vectors, build its probes + LUTs,
     * score + re-rank. `qframe` must be (qid, qvec double[]). */
   private def chunkTopK(cells: DataFrame, corpus: DataFrame, qframe: DataFrame,

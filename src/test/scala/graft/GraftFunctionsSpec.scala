@@ -14,8 +14,11 @@ class GraftFunctionsSpec extends SparkSpec {
         | minhash64(array(5L, 9L), 4) AS mh,
         | jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
         | hashed_shingles(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS hs,
-        | minhash_bands(array(5L, 9L), 8, 4) AS mb
+        | minhash_bands(array(5L, 9L), 8, 4) AS mb,
+        | adc_score_lut(array(1, 0), array(0.5d, 1.5d, 2.5d, 3.5d)) AS adc
       """.stripMargin).head()
+    // m=2, k=2: lut[0*2+1] + lut[1*2+0] = 1.5 + 2.5
+    assert(r.getAs[Double]("adc") == 4.0)
     assert(r.getAs[String]("nfc") == "é")
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Double]("cos") == 1.0)

@@ -17,7 +17,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
     "q_embed_cosine", "q_embed_cosine_lsh", "q_ann_topk", "q_ann_lsh",
     "q_ann_ivf", "q_pq_topk", "q_media_features",
-    "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf")
+    "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
+    "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
+    "q_stratified_sample", "q_mix_upsample", "q_zorder_key")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -84,6 +86,26 @@ class PlanAuditSpec extends SparkSpec {
       assert(df.queryExecution.executedPlan.toString.contains("partial_"),
         s"$name: no partial aggregation before the shuffle")
     }
+  }
+
+  test("corpus-prep queries: per-row pipeline stages scan narrow schemas") {
+    // q_repetition/q_pii_redact/q_zorder_key touch ≤ 2 documents columns;
+    // the 5-column table must be pruned at the scan
+    val schema = raw"ReadSchema: struct<([^>]*)>".r
+    for (name <- Seq("q_repetition", "q_pii_redact", "q_zorder_key")) {
+      val cols = schema.findAllMatchIn(plans(name))
+        .map(_.group(1).count(_ == ',') + 1).toSeq
+      assert(cols.nonEmpty && cols.forall(_ <= 2),
+        s"$name reads too many columns per scan: $cols")
+    }
+  }
+
+  test("q_seq_pack: no global-order window (the single-reducer shape)") {
+    // the distributed prefix sum windows within __pid partitions only; a
+    // regression to Window.orderBy(global) shows as an Exchange to a
+    // SinglePartition before the window
+    assert(!plans("q_seq_pack").contains("SinglePartition"),
+      "q_seq_pack collapsed to a single-partition global window")
   }
 
   test("column pruning: projection-only scan reads a narrow schema") {

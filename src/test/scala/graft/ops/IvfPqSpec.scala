@@ -36,6 +36,20 @@ class IvfPqSpec extends SparkSpec {
     assert(chunked == oneChunk)
   }
 
+  test("distributed (executor-built LUTs) equals driver-LUT topK, both encodings") {
+    val e = corpus
+    val q = e.where(col("id") < 15).select(col("id").as("qid"), col("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (res <- Seq(false, true)) {
+      val model = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3, residual = res)
+      val idx = IvfPq.index(e, model)
+      val driver = key(IvfPq.topK(idx, e, q, model, k = 5, nprobe = 3, shortlist = 4))
+      val dist = key(IvfPq.topKDistributed(idx, e, q, model, k = 5, nprobe = 3, shortlist = 4))
+      assert(dist == driver, s"residual=$res")
+    }
+  }
+
   test("reduced probe keeps useful recall at a fraction of the rows touched") {
     val e = corpus
     val q = e.where(col("id") < 8).select(col("id").as("qid"), col("embedding"))
