@@ -143,6 +143,41 @@ object EventStreams {
       }
   }
 
+  final case class ShardedDoc(shard: Int, doc_id: Long, n_tok: Long)
+  final case class PackedDoc(shard: Int, doc_id: Long, n_tok: Long,
+    tokens_before: Long, window_id: Long)
+
+  /** Streaming sequence packing — the incremental twin of
+    * [[graft.ops.Packing.assignWindows]]: documents arrive sharded, and
+    * each shard keeps ONE long of state (its running token total), so a
+    * doc is assigned to the training window where its first token lands
+    * no matter how the stream is micro-batched. Within a micro-batch a
+    * shard's docs pack in doc_id order (deterministic); windows are
+    * per-shard — (shard, window_id) is the training-window key, which
+    * is exactly how a multi-writer shard layout packs at scale (one
+    * sequential token stream per shard, shards in parallel).
+    *
+    * State is O(1) per shard and never times out: a packer must not
+    * forget its offset. */
+  def packStream(docs: Dataset[ShardedDoc], budget: Long): Dataset[PackedDoc] = {
+    require(budget > 0, "budget must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, batch, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val before = off
+            off += d.n_tok
+            PackedDoc(shard, d.doc_id, d.n_tok, before, before / budget)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /** Exact Jaccard of two sorted distinct long arrays (the executor-
     * side twin of [[graft.expr.JaccardSorted]]'s merge loop). */
   private def jaccardSortedArrays(a: Array[Long], b: Array[Long]): Double = {

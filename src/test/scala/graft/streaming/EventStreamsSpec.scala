@@ -137,4 +137,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("packStream: per-shard offsets carry across micro-batches ≡ batch packing") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ShardedDoc]
+    val q = packStream(in.toDS(), budget = 100)
+      .writeStream.format("memory").queryName("packed").outputMode("append").start()
+    // micro-batch 1: shard 0 fills 90 tokens; shard 1 fills 30
+    in.addData(ShardedDoc(0, 1, 60), ShardedDoc(0, 2, 30), ShardedDoc(1, 10, 30))
+    q.processAllAvailable()
+    // micro-batch 2: shard 0 continues at offset 90 → doc 3 still
+    // window 0 (first token at 90), doc 4 starts at 140 → window 1
+    in.addData(ShardedDoc(0, 3, 50), ShardedDoc(0, 4, 20), ShardedDoc(1, 11, 80))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("packed")
+      .select("shard", "doc_id", "tokens_before", "window_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0, 1L, 0L, 0L), (0, 2L, 60L, 0L), (0, 3L, 90L, 0L), (0, 4L, 140L, 1L),
+      (1, 10L, 0L, 0L), (1, 11L, 30L, 0L)))
+    // ≡ the batch packer run per shard over the full input
+    val batch = Seq((1L, 60L), (2L, 30L), (3L, 50L), (4L, 20L)).toDF("doc_id", "n_tok")
+    val b = graft.ops.Packing.assignWindows(batch, "doc_id", "n_tok", budget = 100)
+      .select("doc_id", "tokens_before", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b == got.filter(_._1 == 0).map(t => (t._2, t._3, t._4)))
+  }
 }
