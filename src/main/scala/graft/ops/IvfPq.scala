@@ -152,7 +152,13 @@ object IvfPq {
         model.pq.codebooks, matrix, model.residual))
       .select("qid", "cell", "lut")
 
-    val scored = cells.join(probes, Seq("cell"))
+    // shuffle_hash, not sort-merge: the probe rows carry a 4 KB LUT
+    // payload each — SMJ would SORT those fat rows and copy them into
+    // every scored output row; SHJ hashes the (smaller) probe side per
+    // partition and streams the codes, and whole-stage codegen consumes
+    // the LUT by pointer when computing dist2. Catalyst still upgrades
+    // to broadcast when the batch is small enough.
+    val scored = cells.join(probes.hint("shuffle_hash"), Seq("cell"))
       .where(col("qid") =!= col("id"))
       .withColumn("dist2", graft.expr.PqLut.adcScoreLut(col("codes"), col("lut")))
     val wShort = Window.partitionBy("qid").orderBy(col("dist2").asc, col("id"))

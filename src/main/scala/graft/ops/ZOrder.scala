@@ -69,31 +69,55 @@ object ZOrder {
       floor((c.cast("double") - min) / (max - min) * n)))
   }
 
+  /** Quantile bucketing of a numeric column into ≤ 2^bits equal-POPULATION
+    * buckets: boundaries from one `approx_percentile` pass (an
+    * aggregate — KB-scale result), assignment by codegen'd binary
+    * search ([[graft.expr.QuantileBucket]]). This is the skew-robust
+    * bucketizer: a heavy-hitter value can still overfill one bucket
+    * (identical values are inseparable), but a long-tailed distribution
+    * no longer collapses every row into bucket 0 the way linear
+    * min/max scaling does. */
+  def bucketizeByQuantiles(df: DataFrame, colName: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 12, "quantile bucketing supports 1..12 bits (2..4096 buckets)")
+    val n = 1 << bits
+    val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val bounds = df
+      .agg(percentile_approx(col(colName).cast("double"), qs, lit(10000)))
+      .head().getSeq[Double](0).toArray
+    graft.expr.QuantileBucket.quantileBucket(col(colName).cast("double"), bounds)
+  }
+
   /** Write `df` as parquet clustered on 2–3 numeric dimensions:
-    * bucketize each dim (one driver-side min/max agg — 2 scalars per
-    * dim), range-partition on the Morton key into `numFiles` contiguous
+    * bucketize each dim (one driver-side agg — min/max scalars, or
+    * quantile boundaries when `quantile = true` for skewed dims),
+    * range-partition on the Morton key into `numFiles` contiguous
     * z-ranges, sort within each, write. Each output file then covers a
     * tight hyper-rectangle of the clustered dims, so min/max file
     * skipping works for predicates on ANY of them. */
   def clusterWrite(df: DataFrame, path: String, dims: Seq[String],
-      numFiles: Int, bits: Int = 20): Unit = {
+      numFiles: Int, bits: Int = 20, quantile: Boolean = false): Unit = {
     require(dims.size == 2 || dims.size == 3, "z-order supports 2 or 3 dims")
-    val bounds = df.agg(
-      min(col(dims.head)).cast("double"), max(col(dims.head)).cast("double"),
-      min(col(dims(1))).cast("double"), max(col(dims(1))).cast("double"),
-      (if (dims.size == 3) min(col(dims(2))) else min(lit(0))).cast("double"),
-      (if (dims.size == 3) max(col(dims(2))) else max(lit(0))).cast("double"))
-      .head()
-    def b(i: Int) = bounds.getDouble(i)
-    val eff = if (dims.size == 3) math.min(bits, 21) else math.min(bits, 32)
+    val eff =
+      if (quantile) math.min(bits, 12)
+      else if (dims.size == 3) math.min(bits, 21)
+      else math.min(bits, 32)
+    val buckets: Seq[Column] =
+      if (quantile) dims.map(d => bucketizeByQuantiles(df, d, eff))
+      else {
+        val bounds = df.agg(
+          min(col(dims.head)).cast("double"), max(col(dims.head)).cast("double"),
+          min(col(dims(1))).cast("double"), max(col(dims(1))).cast("double"),
+          (if (dims.size == 3) min(col(dims(2))) else min(lit(0))).cast("double"),
+          (if (dims.size == 3) max(col(dims(2))) else max(lit(0))).cast("double"))
+          .head()
+        def b(i: Int) = bounds.getDouble(i)
+        dims.zipWithIndex.map { case (d, i) =>
+          bucketize(col(d), b(2 * i), b(2 * i + 1), eff)
+        }
+      }
     val key =
-      if (dims.size == 2)
-        zkey2(bucketize(col(dims.head), b(0), b(1), eff),
-          bucketize(col(dims(1)), b(2), b(3), eff))
-      else
-        zkey3(bucketize(col(dims.head), b(0), b(1), eff),
-          bucketize(col(dims(1)), b(2), b(3), eff),
-          bucketize(col(dims(2)), b(4), b(5), eff))
+      if (dims.size == 2) zkey2(buckets(0), buckets(1))
+      else zkey3(buckets(0), buckets(1), buckets(2))
     df.withColumn("__z", key)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

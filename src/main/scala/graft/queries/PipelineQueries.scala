@@ -125,8 +125,52 @@ object PipelineQueries {
           .as("zkey"))
       .orderBy("doc_id")
 
+  /** Count-min-sketch contract (the CMS sibling of q_approx_distinct's
+    * HLL gate): sketch user_id frequencies once (driver holds the
+    * KB-scale sketch, never the counts), then verify per key — against
+    * exact counts from the same frame — the two things CMS guarantees:
+    * estimates never undercount (deterministic), and overshoot ≤
+    * ⌈eps·N⌉ (holds at the gate's seed/scale; DuckDB emits literal
+    * `true`s, so a broken sketch or estimate path breaks the hash).
+    * [[graft.expr.CmsEstimate]] makes the lookup a codegen'd column —
+    * the broadcast-frequency-lookup shape for 100 TB streams. */
+  def qCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val eps = 0.0005
+    val sketch = ev.stat.countMinSketch(col("user_id"), eps, 0.99, seed = 42)
+    val bound = math.ceil(eps * sketch.totalCount).toLong
+    ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .withColumn("est",
+        graft.expr.CmsEstimate.cmsEstimate(col("user_id"), sketch.toByteArray))
+      .select(col("user_id"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("lower_bounded"),
+        (col("est") <= col("exact_n") + bound).as("within_eps"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: each click event picks up the user's most recent
+    * purchase value at click time ([[graft.ops.AsofJoin]] — one
+    * shuffle, union–sort–carry-forward). Oracle: DuckDB's NATIVE
+    * `ASOF LEFT JOIN`, so the semantics are checked against an
+    * independent engine's implementation of the operator, not a SQL
+    * re-derivation. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.AsofJoin.asofJoin(clicks, purchases,
+        keys = Seq("user_id"), tsCol = "ts", rightPayload = Seq("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").as("click_value"), col("asof_value").as("last_purchase"))
+      .orderBy("user_id", "ts_us")
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_zorder_key" -> (qZorderKey _),
+    "q_cms_counts" -> (qCmsCounts _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_domain_filter" -> (qDomainFilter _),
     "q_repetition" -> (qRepetition _),
@@ -152,6 +196,17 @@ object PipelineQueries {
   private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   val oracles: Map[String, String] = Map(
+    "q_cms_counts" ->
+      """SELECT user_id, count(*) AS exact_n,
+        | true AS lower_bounded, true AS within_eps
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+        | l.value AS click_value, r.value AS last_purchase
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY user_id, ts_us""".stripMargin,
     "q_zorder_key" ->
       """WITH t AS (SELECT doc_id, doc_id % 1024 AS a, n_chars % 1024 AS b FROM documents),
         |s0 AS (SELECT doc_id, a & 4294967295 AS xa, b & 4294967295 AS xb FROM t),

@@ -27,4 +27,30 @@ class SketchSpec extends SparkSpec {
       assert(r.getBoolean(3), s"${r.getString(0)}: HLL estimate out of 5% bound")
     }
   }
+
+  test("CmsEstimate: never undercounts, exact on a collision-free sketch") {
+    import spark.implicits._
+    val df = (1L to 100L).flatMap(i => Seq.fill(i.toInt % 7 + 1)(i)).toDF("k")
+    val sk = df.stat.countMinSketch(col("k"), 0.001, 0.999, seed = 1)
+    val got = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("est", graft.expr.CmsEstimate.cmsEstimate(col("k"), sk.toByteArray))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100)
+    got.foreach { case (k, n, est) =>
+      assert(est >= n, s"CMS undercounted key $k")
+      // width 2000 ≫ 100 keys: expect zero collisions → exact
+      assert(est == n, s"CMS collided on a 2000-cell sketch: key $k $est vs $n")
+    }
+  }
+
+  test("q_cms_counts gate: every key lower-bounded and within eps*N at both SFs") {
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val out = queries.PipelineQueries.qCmsCounts(spark, s"/root/testdata/$sf").collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getBoolean(2), s"$sf user ${r.getLong(0)}: CMS undercounted")
+        assert(r.getBoolean(3), s"$sf user ${r.getLong(0)}: CMS overshoot beyond eps*N")
+      }
+    }
+  }
 }

@@ -50,6 +50,22 @@ class ZOrderSpec extends SparkSpec {
     assert(keys.max - keys.min < 256) // 4×4 block stays in a tiny key window
   }
 
+  test("quantile bucketing spreads a zipf-skewed dim that linear scaling collapses") {
+    // zipf-ish: value ~ 1/rank — 90%+ of mass near the minimum
+    val df = spark.range(20000).select(
+      (lit(1000000.0) / (col("id") + 1)).as("v"), col("id"))
+    val linear = df.select(ZOrder.bucketize(col("v"), 50.0, 1000000.0, 6).as("b"))
+      .groupBy("b").count().orderBy(desc("count")).head()
+    // linear: nearly everything lands in bucket 0
+    assert(linear.getLong(0) == 0L && linear.getLong(1) > 15000L)
+    val qb = df.select(ZOrder.bucketizeByQuantiles(df, "v", 6).as("b"))
+      .groupBy("b").count()
+    val counts = qb.select("count").as[Long].collect()
+    // quantile: ~64 near-uniform buckets (each ≈ 312 rows; allow 4×)
+    assert(counts.length > 48 && counts.max < 4 * 20000 / 64,
+      s"buckets=${counts.length} max=${counts.max}")
+  }
+
   test("clusterWrite: per-file bounding boxes are tight on BOTH dims") {
     val n = 20000
     // uniform 2-d grid, shuffled arrival order
