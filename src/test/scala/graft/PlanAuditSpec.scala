@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_ivf", "q_pq_topk", "q_media_features",
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
-    "q_stratified_sample", "q_mix_upsample", "q_zorder_key")
+    "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
+    "q_asof_join", "q_cms_counts")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -98,6 +99,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(cols.nonEmpty && cols.forall(_ <= 2),
         s"$name reads too many columns per scan: $cols")
     }
+  }
+
+  test("q_asof_join: no join operator, no single-partition window") {
+    // the union-sort-carry-forward plan: a regression to a range join
+    // or a global-order window would both show here
+    val p = plans("q_asof_join")
+    assert(!p.contains("Join"), "as-of degraded to a join")
+    assert(!p.contains("SinglePartition"), "as-of window lost its key partitioning")
   }
 
   test("q_seq_pack: no global-order window (the single-reducer shape)") {
