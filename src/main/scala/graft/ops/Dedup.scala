@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,6 +226,77 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- persisted LSH band index: dedup an increment against a corpus
+  //      without touching corpus pairs ------------------------------------
+
+  /** Build (or extend, `SaveMode.Append`) the persisted near-dup index
+    * of a corpus at `path`: `buckets/` holds one (band, bkey, id) row
+    * per band — the candidate-join side — and `shingles/` one (id, sh)
+    * row per doc for verification. Stored separately so the shingle
+    * arrays exist ONCE per doc (embedding them in bucket rows would
+    * store them bands×). Bucket rows are range-laid-out on (band, bkey)
+    * so an increment's bucket probes prune files by min/max stats
+    * rather than scanning the whole index.
+    *
+    * This is the daily-increment topology at 100 TB: the corpus is
+    * indexed once, each new batch joins its own band keys against the
+    * index (≈ |batch| × bands bucket probes), and the corpus text is
+    * never re-read. */
+  def buildBandIndex(df: DataFrame, path: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val withSh = df.select(col("id"), hashedShingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withSh
+        .select(col("id"), posexplode(minhashBands(col("sh"), k, bands)).as(Seq("band", "bkey")))
+        .repartitionByRange(col("band"), col("bkey"))
+        .sortWithinPartitions("band", "bkey")
+        .write.mode(mode).option("compression", "zstd").parquet(s"$path/buckets")
+      withSh.write.mode(mode).option("compression", "zstd").parquet(s"$path/shingles")
+    } finally withSh.unpersist(blocking = false)
+  }
+
+  /** Near-dup pairs of `newDocs` against an indexed corpus AND within
+    * the batch itself, exact-Jaccard-verified: (id1 = new doc,
+    * id2 = matched doc — indexed or batch, id1 ≠ id2; batch-internal
+    * pairs appear once with id1 < id2). The index side is only probed
+    * on the increment's band keys; corpus-corpus pairs are never
+    * formed. Use [[buildBandIndex]] with `SaveMode.Append` afterwards
+    * to fold the increment into the index. */
+  def incrementalNearDups(newDocs: DataFrame, indexPath: String,
+      threshold: Double, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSh = newDocs.select(col("id"), hashedShingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newBands = newSh
+        .select(col("id").as("id1"), col("sh").as("sh1"),
+          posexplode(minhashBands(col("sh"), k, bands)).as(Seq("band", "bkey")))
+      val buckets = spark.read.parquet(s"$indexPath/buckets")
+      // parquet loses the containsNull=false flag the codegen'd Jaccard
+      // merge requires; array_compact re-asserts it (no nulls exist —
+      // the arrays were written from a non-null-element expression)
+      val oldSh = spark.read.parquet(s"$indexPath/shingles")
+        .select(col("id"), array_compact(col("sh")).as("sh"))
+      val vsIndex = newBands
+        .join(buckets, Seq("band", "bkey"))
+        .where(col("id1") =!= col("id"))
+        .select(col("id1"), col("sh1"), col("id").as("id2"))
+        .distinct()
+        .join(oldSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .where(size(col("sh1")).cast("double") >= lit(threshold) * size(col("sh2")) &&
+          size(col("sh2")).cast("double") >= lit(threshold) * size(col("sh1")))
+        .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+        .where(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+      val inBatch = minhashNearDups(newDocs, threshold, n, k, bands)
+      vsIndex.unionByName(inBatch).distinct()
+        .localCheckpoint(true) // pairs are small; release newSh promptly
+    } finally newSh.unpersist(blocking = false)
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * via 16-bit chunk banding (any chunk equal → candidate; complete

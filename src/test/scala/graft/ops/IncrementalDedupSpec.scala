@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted near-dups: base docs + light mutations
+  private def doc(i: Long, extra: String = "") =
+    (i, s"alpha bravo charlie delta echo foxtrot golf hotel india $i $extra")
+
+  test("incremental ≡ batch over the union, restricted to increment pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("nddix").toString
+    val corpus = ((1L to 40L).map(doc(_)) ++
+      Seq((101L, doc(7)._2), (102L, doc(9)._2 + " juliet"))).toDF("id", "text")
+    // increment: one dup of an indexed doc, one dup-pair inside the batch,
+    // and unique docs
+    val incr = Seq(
+      (201L, doc(7)._2),                       // matches 7 and 101
+      (202L, "unique kilo lima mike november oscar papa quebec 202"),
+      (203L, doc(15)._2 + " extra"),           // near 15
+      (204L, doc(15)._2 + " extra"),           // = 203, near 15
+      (205L, "three tok doc")).toDF("id", "text")
+
+    Dedup.buildBandIndex(corpus, dir, n = 3, k = 48, bands = 16)
+    val got = Dedup.incrementalNearDups(incr, dir, threshold = 0.8, n = 3, k = 48, bands = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val incrIds = Set(201L, 202L, 203L, 204L, 205L)
+    val batch = Dedup.minhashNearDups(corpus.unionByName(incr), threshold = 0.8,
+        n = 3, k = 48, bands = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => incrIds.contains(p._1) || incrIds.contains(p._2))
+      // incremental emits (new, old); batch emits (min, max) — normalize:
+      // new-id-first for cross pairs, (min, max) for in-batch pairs
+      .map { case (a, b) =>
+        if (incrIds.contains(a) && incrIds.contains(b)) (math.min(a, b), math.max(a, b))
+        else if (incrIds.contains(a)) (a, b) else (b, a)
+      }.toSet
+    assert(got == batch, s"got=$got batch=$batch")
+    // sanity on the planted structure
+    assert(got.contains((201L, 7L)) && got.contains((201L, 101L)))
+    assert(got.contains((203L, 204L)))
+    assert(!got.exists(p => p._1 == 202L || p._2 == 202L))
+  }
+
+  test("appending the increment folds it into the index for the NEXT batch") {
+    val dir = java.nio.file.Files.createTempDirectory("nddix2").toString
+    val corpus = (1L to 20L).map(doc(_)).toDF("id", "text")
+    Dedup.buildBandIndex(corpus, dir, n = 3, k = 48, bands = 16)
+    val b1 = Seq((301L, doc(3)._2 + " x")).toDF("id", "text")
+    Dedup.buildBandIndex(b1, dir, n = 3, k = 48, bands = 16, mode = SaveMode.Append)
+    // a second batch duplicating 301 must now match it through the index
+    val b2 = Seq((401L, doc(3)._2 + " x")).toDF("id", "text")
+    val got = Dedup.incrementalNearDups(b2, dir, threshold = 0.8, n = 3, k = 48, bands = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((401L, 301L)) && got.contains((401L, 3L)))
+  }
+}
