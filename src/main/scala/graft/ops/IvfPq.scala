@@ -107,11 +107,20 @@ object IvfPq {
     * A batch that fits one chunk (the common case) stays fully lazy —
     * no checkpoint, unchanged plan.
     *
+    * Size `queryChunk` against the TASK BINARY it implies: the chunk's
+    * LUT block rides in every scoring task as
+    * queryChunk × nprobe × m × k × 8 bytes (the default 1024 at
+    * nprobe=8, m=8, k=64 → 33 MB; 4096 was measured OOMing an 8 GB
+    * driver at a 50 k-query batch — task-result threads each hold a
+    * deserialized copy). Past ~10⁵ queries, prefer [[topKDistributed]],
+    * which ships each LUT exactly once through a shuffle instead of
+    * once per task.
+    *
     * @param cells  the (id, cell, codes) index frame
     * @param corpus (id, embedding) — read only for the shortlist rows
     */
   def topK(cells: DataFrame, corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int, nprobe: Int = 4, shortlist: Int = 4, queryChunk: Int = 4096): DataFrame = {
+      k: Int, nprobe: Int = 4, shortlist: Int = 4, queryChunk: Int = 1024): DataFrame = {
     val qframe = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
     val qids = qframe.select("qid").collect().map(_.getLong(0)).sorted
     require(qids.nonEmpty, "no query vectors")

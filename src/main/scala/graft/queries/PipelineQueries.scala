@@ -167,10 +167,30 @@ object PipelineQueries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** Incremental near-dup dedup, end to end: index 80 % of the corpus
+    * ([[graft.ops.Dedup.buildBandIndex]]), then run the remaining 20 %
+    * as the increment — cross pairs (increment doc first) plus
+    * batch-internal pairs, all exact-Jaccard-verified. Same 48×16
+    * banding-completeness argument as q_minhash_lsh (a true 0.8-pair
+    * escapes with p ≈ 10⁻⁵), so the verified output equals brute force
+    * restricted to increment-touching pairs — which DuckDB recomputes
+    * n²-style. The whole index machinery (persisted buckets + shingle
+    * store, band-key probe join) runs inside the gate. */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 8), idx,
+      n = 3, k = 48, bands = 16)
+    graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx,
+        threshold = 0.8, n = 3, k = 48, bands = 16)
+      .orderBy("id1", "id2")
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_domain_filter" -> (qDomainFilter _),
     "q_repetition" -> (qRepetition _),
@@ -200,6 +220,26 @@ object PipelineQueries {
       """SELECT user_id, count(*) AS exact_n,
         | true AS lower_bounded, true AS within_eps
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Brute-force n² Jaccard restricted to pairs touching the increment
+    // (id % 10 >= 8): cross pairs emit the increment doc first,
+    // batch-internal pairs (min, max) — the incrementalNearDups contract.
+    "q_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS sh FROM t),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
+        |  cast(len(a.sh) + len(b.sh) as double) AS tot
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8),
+        |j AS (SELECT ia, ib,
+        |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
+        | FROM p)
+        |SELECT CASE WHEN ia % 10 >= 8 THEN ia ELSE ib END AS id1,
+        |       CASE WHEN ia % 10 >= 8 THEN ib ELSE ia END AS id2, jaccard
+        |FROM j WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
     "q_asof_join" ->
       """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
         | l.value AS click_value, r.value AS last_purchase
