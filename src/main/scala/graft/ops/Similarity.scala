@@ -82,26 +82,34 @@ object Similarity {
   /** Approximate top-k: candidates restricted to LSH bucket collisions
     * in any of `nTables` tables, then exact cosine rank. Cost per query
     * ∝ Σ bucket sizes instead of corpus size — the 100 TB trade.
+    * `nBits < 0` (default) auto-sizes to ⌈log2(n)⌉ − 6 clamped to
+    * [4, 16] — same policy as [[cosineNearDupsBucketed]], keeping
+    * buckets ~64 vectors at any corpus size (the 40× soak showed fixed
+    * 8 bits growing per-query cost ∝ n: 13 s → 41 s for 2× data).
     * `nBits = 0` → one bucket per table: the candidate set covers the
     * whole corpus and the exact-cosine rank makes the output provably
     * equal to [[bruteForceTopK]] (pinned in SimilaritySpec; the gate's
     * oracle-exact configuration). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 8, nTables: Int = 8): DataFrame = {
+      nBits: Int = -1, nTables: Int = 8): DataFrame = {
     // hyperplanes are literal arrays, so the vector dimensionality is
-    // needed up front: one cheap head() on the corpus (empty corpus →
-    // empty result with the right shape)
-    val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
-      .headOption.map(_.getInt(0))
-    if (dimOpt.isEmpty) {
+    // needed up front: one cheap probe on the corpus (empty corpus →
+    // empty result with the right shape); the count feeds auto-nBits
+    val probe = corpus
+      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
+    val n = probe.getLong(0)
+    if (n == 0) {
       return corpus.select(col("id").as("qid"), col("id"),
         lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     }
-    val dim = dimOpt.get
+    val dim = probe.getInt(1)
+    val effBits =
+      if (nBits >= 0) nBits
+      else math.min(16, math.max(4, math.ceil(math.log(n.toDouble) / math.log(2)).toInt - 6))
     val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
-      .select(col("id"), col("vec"), explode(lshKeys(col("vec"), nBits, nTables, dim)).as("tb"))
+      .select(col("id"), col("vec"), explode(lshKeys(col("vec"), effBits, nTables, dim)).as("tb"))
     val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
-      .select(col("qid"), col("qvec"), explode(lshKeys(col("qvec"), nBits, nTables, dim)).as("tb"))
+      .select(col("qid"), col("qvec"), explode(lshKeys(col("qvec"), effBits, nTables, dim)).as("tb"))
     val cands = c.join(broadcast(q), Seq("tb"))
       .where(col("id") =!= col("qid"))
       .select("qid", "qvec", "id", "vec")
