@@ -38,6 +38,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("bucketed ≡ plain as-of, including a hot key and right-empty buckets") {
+    val rnd = new scala.util.Random(3)
+    // key 1 is hot: 2000 left rows, 500 right rows; keys 2..20 sparse;
+    // long ts gaps guarantee many buckets with left rows but no right
+    val left = (1 to 2000).map(_ => (1L, rnd.nextInt(100000).toLong, rnd.nextInt())) ++
+      (1 to 200).map(_ => (rnd.nextInt(19).toLong + 2, rnd.nextInt(100000).toLong, rnd.nextInt()))
+    val right = rnd.shuffle((0 until 500).map(i => (1L, i * 67L, rnd.nextDouble())) ++
+      (0 until 50).map(i => ((i % 19).toLong + 2, i * 331L, rnd.nextDouble())))
+    // unique (k, ts) on the right so the match is deterministic
+    val l = left.toDF("k", "ts", "tag").repartition(9)
+    val r = right.toDF("k", "ts", "v").repartition(4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+    val plain = rows(AsofJoin.asofJoin(l, r, Seq("k"), "ts", Seq("v")))
+    val bucketed = rows(AsofJoin.asofJoinBucketed(l, r, Seq("k"), "ts", Seq("v"), buckets = 16))
+    assert(bucketed == plain)
+  }
+
   test("one shuffle: the plan has a single Exchange below the window") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
