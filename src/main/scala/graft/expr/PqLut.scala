@@ -44,6 +44,12 @@ case class PqLutExpr(qvec: Expression, cell: Expression,
   private val dsub = codebooks(0)(0).length
 
   def compute(q: ArrayData, cellId: Int): ArrayData = {
+    // fail loudly on a wrong-dimension query — silently truncating the
+    // distance sum would return confidently wrong neighbors (the
+    // driver-LUT path throws for the same input)
+    if (q.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_lut: query vector has ${q.numElements()} dims, model needs ${m * dsub}")
     val cent = if (residual) centroids(cellId) else null
     val out = new Array[Double](m * k)
     var j = 0
@@ -55,7 +61,7 @@ case class PqLutExpr(qvec: Expression, cell: Expression,
         val c = cb(code)
         var s = 0.0
         var i = 0
-        while (i < dsub && off + i < q.numElements()) {
+        while (i < dsub) {
           val qi = if (cent == null) q.getDouble(off + i)
             else q.getDouble(off + i) - cent(off + i)
           val d = qi - c(i)
@@ -100,10 +106,24 @@ case class AdcScoreLut(codes: Expression, lut: Expression) extends BinaryExpress
   def compute(codesArr: ArrayData, lutArr: ArrayData): Double = {
     val m = codesArr.numElements()
     if (m == 0) return 0.0
-    val k = lutArr.numElements() / m
+    val len = lutArr.numElements()
+    // shape-check loudly: this is a PUBLIC SQL function (adc_score_lut)
+    // and an unchecked index into UnsafeArrayData reads arbitrary
+    // executor memory instead of throwing
+    if (len == 0 || len % m != 0)
+      throw new IllegalArgumentException(
+        s"adc_score_lut: LUT length $len is not a positive multiple of the code length $m")
+    val k = len / m
     var s = 0.0
     var j = 0
-    while (j < m) { s += lutArr.getDouble(j * k + codesArr.getInt(j)); j += 1 }
+    while (j < m) {
+      val code = codesArr.getInt(j)
+      if (code < 0 || code >= k)
+        throw new IllegalArgumentException(
+          s"adc_score_lut: code $code at position $j outside [0, $k)")
+      s += lutArr.getDouble(j * k + code)
+      j += 1
+    }
     s
   }
 

@@ -292,7 +292,17 @@ object Dedup {
         .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
         .where(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
-      val inBatch = minhashNearDups(newDocs, threshold, n, k, bands)
+      // batch-internal pairs from the SAME cached shingle frame —
+      // calling minhashNearDups(newDocs) here would re-shingle and
+      // re-persist a second identical copy of the increment
+      val inBatch = minhashCandidatesFromShingles(newSh, k, bands)
+        .join(newSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(newSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .where(size(col("sh1")).cast("double") >= lit(threshold) * size(col("sh2")) &&
+          size(col("sh2")).cast("double") >= lit(threshold) * size(col("sh1")))
+        .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+        .where(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
       vsIndex.unionByName(inBatch).distinct()
         .localCheckpoint(true) // pairs are small; release newSh promptly
     } finally newSh.unpersist(blocking = false)

@@ -66,22 +66,49 @@ object Packing {
         val off = acc; acc += tot; (pid, off)
       }
       import spark.implicits._
-      val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+      val offsetsDf = offsets.toSeq.toDF("__pid", "__offset")
 
-      // 3. within-partition running sum + broadcast offset = global
-      //    exclusive prefix; window never sees more than one slice
-      val w = Window.partitionBy("__pid").orderBy(orderCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ranged
-        .join(offsetsDf, Seq("__pid"))
-        .withColumn("tokens_before",
-          coalesce(sum(col(tokCol)).over(w), lit(0L)) + col("__offset"))
-        .withColumn("window_id", floor(col("tokens_before") / budget))
-        .drop("__pid", "__offset")
-        // the assignment is tiny relative to the corpus once aggregated;
-        // materialize so callers can drop the persisted lineage
+      // The checkpoint is REQUIRED for correctness, not a cache nicety:
+      // the offsets were computed against THIS materialized pid layout,
+      // and recomputing the lineage later (after unpersist) could
+      // re-sample different range boundaries — per-row results would
+      // silently shift. It does materialize the frame at full width, so
+      // at scale project `docs` down to (orderCol, tokCol, carry-alongs)
+      // BEFORE calling (as packSummary's callers do).
+      windowStage(ranged, offsetsDf, orderCol, tokCol, budget)
         .localCheckpoint(true)
     } finally ranged.unpersist(blocking = false)
+  }
+
+  /** Within-partition running sum + broadcast offset = global exclusive
+    * prefix; the window never sees more than one contiguous slice. */
+  private def windowStage(ranged: DataFrame, offsetsDf: DataFrame,
+      orderCol: String, tokCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("tokens_before",
+        coalesce(sum(col(tokCol)).over(w), lit(0L)) + col("__offset"))
+      .withColumn("window_id", floor(col("tokens_before") / budget))
+      .drop("__pid", "__offset")
+  }
+
+  /** The assignment plan WITHOUT the collect/checkpoint (placeholder
+    * offsets) — for plan audits only: [[assignWindows]] checkpoints its
+    * result, which truncates the visible plan, so audits of the
+    * windowing topology (no single-partition exchange) must look here.
+    * Never execute this: the placeholder offsets are wrong. */
+  private[graft] def planShape(docs: DataFrame, orderCol: String,
+      tokCol: String, budget: Long, numPartitions: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranged = docs
+      .repartitionByRange(numPartitions, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+    windowStage(ranged, Seq((0, 0L)).toDF("__pid", "__offset"),
+      orderCol, tokCol, budget)
   }
 
   /** Packed-window summary: one row per training window. */

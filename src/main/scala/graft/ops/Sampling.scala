@@ -41,14 +41,17 @@ object Sampling {
   /** Mixture upsampling: replicate each row `weight` times, where
     * fractional weights resolve deterministically — a row with weight
     * 2.3 yields 2 copies always and a 3rd iff its content bucket lands
-    * in the bottom 30 %. `explode(sequence(...))` keeps the fan-out
+    * in the bottom 30 % (the fraction is ROUNDED to a permille, not
+    * truncated: 0.3 is not representable in binary and truncation
+    * would give cutoff 299 here while another engine rounding the same
+    * arithmetic gives 300). `explode(sequence(...))` keeps the fan-out
     * inside whole-stage codegen (no shuffle; output partitioning is
     * input partitioning). Emits a `copy` index (0-based) so downstream
     * dedup/shuffling can tell replicas apart. Weights must be ≥ 0;
     * weight 0 drops the row (an explode over an empty sequence). */
   def upsampleByWeight(df: DataFrame, weight: Column, key: Column): DataFrame = {
     val whole = floor(weight).cast("long")
-    val fracPermille = ((weight - floor(weight)) * 1000).cast("long")
+    val fracPermille = round((weight - floor(weight)) * 1000).cast("long")
     val copies = (whole +
       when(permilleBucket(key) < fracPermille, 1L).otherwise(0L)).cast("int")
     df.withColumn("__n", copies)

@@ -93,19 +93,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = -1, nTables: Int = 8): DataFrame = {
     // hyperplanes are literal arrays, so the vector dimensionality is
-    // needed up front: one cheap probe on the corpus (empty corpus →
-    // empty result with the right shape); the count feeds auto-nBits
-    val probe = corpus
-      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
-    val n = probe.getLong(0)
-    if (n == 0) {
+    // needed up front: one O(1) limit-1 probe (empty corpus → empty
+    // result with the right shape). The corpus COUNT is only paid when
+    // auto-sizing actually needs it — an explicit nBits (the gates'
+    // full-coverage 0, the recall specs' 4) must not cost a corpus pass.
+    val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) {
       return corpus.select(col("id").as("qid"), col("id"),
         lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     }
-    val dim = probe.getInt(1)
+    val dim = dimOpt.get
     val effBits =
       if (nBits >= 0) nBits
-      else math.min(16, math.max(4, math.ceil(math.log(n.toDouble) / math.log(2)).toInt - 6))
+      else {
+        val n = math.max(1L, corpus.count())
+        math.min(16, math.max(4, math.ceil(math.log(n.toDouble) / math.log(2)).toInt - 6))
+      }
     val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .select(col("id"), col("vec"), explode(lshKeys(col("vec"), effBits, nTables, dim)).as("tb"))
     val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))

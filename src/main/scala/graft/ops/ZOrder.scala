@@ -77,14 +77,24 @@ object ZOrder {
     * (identical values are inseparable), but a long-tailed distribution
     * no longer collapses every row into bucket 0 the way linear
     * min/max scaling does. */
-  def bucketizeByQuantiles(df: DataFrame, colName: String, bits: Int): Column = {
+  def bucketizeByQuantiles(df: DataFrame, colName: String, bits: Int): Column =
+    bucketizeByQuantilesMulti(df, Seq(colName), bits).head
+
+  /** Quantile-bucket expressions for SEVERAL columns from ONE
+    * aggregation pass — the boundary fetch is a full scan, so clustering
+    * on 2–3 dims must not pay it per dim. */
+  def bucketizeByQuantilesMulti(df: DataFrame, colNames: Seq[String], bits: Int): Seq[Column] = {
     require(bits >= 1 && bits <= 12, "quantile bucketing supports 1..12 bits (2..4096 buckets)")
     val n = 1 << bits
     val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    val bounds = df
-      .agg(percentile_approx(col(colName).cast("double"), qs, lit(10000)))
-      .head().getSeq[Double](0).toArray
-    graft.expr.QuantileBucket.quantileBucket(col(colName).cast("double"), bounds)
+    val row = df.agg(
+      percentile_approx(col(colNames.head).cast("double"), qs, lit(10000)),
+      colNames.tail.map(c => percentile_approx(col(c).cast("double"), qs, lit(10000))): _*)
+      .head()
+    colNames.zipWithIndex.map { case (c, i) =>
+      graft.expr.QuantileBucket.quantileBucket(
+        col(c).cast("double"), row.getSeq[Double](i).toArray)
+    }
   }
 
   /** Write `df` as parquet clustered on 2–3 numeric dimensions:
@@ -102,7 +112,7 @@ object ZOrder {
       else if (dims.size == 3) math.min(bits, 21)
       else math.min(bits, 32)
     val buckets: Seq[Column] =
-      if (quantile) dims.map(d => bucketizeByQuantiles(df, d, eff))
+      if (quantile) bucketizeByQuantilesMulti(df, dims, eff)
       else {
         val bounds = df.agg(
           min(col(dims.head)).cast("double"), max(col(dims.head)).cast("double"),

@@ -178,12 +178,21 @@ object PipelineQueries {
     * store, band-key probe join) runs inside the gate. */
   def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
-    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
-    graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 8), idx,
-      n = 3, k = 48, bands = 16)
-    graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx,
-        threshold = 0.8, n = 3, k = 48, bands = 16)
-      .orderBy("id1", "id2")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx")
+    try {
+      graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 8), idx.toString,
+        n = 3, k = 48, bands = 16)
+      // incrementalNearDups materializes its result eagerly, so the
+      // index files are dead the moment it returns — delete them here
+      // rather than leaking a corpus-scale temp dir per gate/bench run
+      graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx.toString,
+          threshold = 0.8, n = 3, k = 48, bands = 16)
+        .orderBy("id1", "id2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   val all: Map[String, Q.QueryFn] = Map(
@@ -321,7 +330,7 @@ object PipelineQueries {
         |  ('0x' || substr(md5(text), 1, 8))::bigint % 1000 AS bucket
         | FROM documents),
         |c AS (SELECT doc_id, source,
-        |  cast(floor(w) + CASE WHEN bucket < cast((w - floor(w)) * 1000 as bigint)
+        |  cast(floor(w) + CASE WHEN bucket < cast(round((w - floor(w)) * 1000) as bigint)
         |    THEN 1 ELSE 0 END as int) AS n FROM t),
         |e AS (SELECT doc_id, source, unnest(range(n)) AS copy FROM c WHERE n > 0)
         |SELECT source, count(*) AS n_out,

@@ -109,12 +109,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "as-of window lost its key partitioning")
   }
 
-  test("q_seq_pack: no global-order window (the single-reducer shape)") {
-    // the distributed prefix sum windows within __pid partitions only; a
-    // regression to Window.orderBy(global) shows as an Exchange to a
+  test("packing windows within partitions only (no single-reducer shape)") {
+    // assignWindows checkpoints its result, which truncates the plan the
+    // gate query exposes — audit the UN-checkpointed plan shape instead:
+    // a regression to Window.orderBy(global) shows as an Exchange to
     // SinglePartition before the window
-    assert(!plans("q_seq_pack").contains("SinglePartition"),
-      "q_seq_pack collapsed to a single-partition global window")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(1L).as("n_tok"))
+    val p = graft.ops.Packing.planShape(docs, "doc_id", "n_tok", 2048L, 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), "plan shape lost its window stage")
+    assert(!p.contains("SinglePartition"),
+      "packing collapsed to a single-partition global window")
   }
 
   test("column pruning: projection-only scan reads a narrow schema") {

@@ -61,7 +61,7 @@ class PipelinePropertySpec extends SparkSpec {
       java.lang.Long.parseLong(hex, 16) % 1000
     }
     val expected = rows.map { case (_, text, w) =>
-      val frac = ((w - math.floor(w)) * 1000).toLong
+      val frac = math.round((w - math.floor(w)) * 1000)
       math.floor(w).toLong + (if (bucket(text) < frac) 1L else 0L)
     }.sum
     val got = Sampling.upsampleByWeight(df, col("w"), col("text")).count()

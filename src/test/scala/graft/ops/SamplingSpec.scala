@@ -36,6 +36,18 @@ class SamplingSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 2), (2L, 1L, 0))) // id 3 dropped entirely
   }
 
+  test("non-representable fractions round (0.3 → permille 300, not 299)") {
+    // (2.3 - floor(2.3)) * 1000 = 299.999...; truncation would use 299
+    // and disagree with any engine that rounds the same arithmetic —
+    // exactly the rows whose bucket is 299 (text chosen to hit it)
+    val hit299 = (1 to 20000).map(i => s"probe $i").find { t =>
+      val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8")).take(4)
+      java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString, 16) % 1000 == 299
+    }.get
+    val d = Seq((1L, hit299, 2.3)).toDF("id", "text", "w")
+    assert(Sampling.upsampleByWeight(d, col("w"), col("text")).count() == 3L)
+  }
+
   test("fractional weights resolve by content hash, deterministically and ~frac") {
     val d = df.withColumn("w", lit(1.5))
     val n1 = Sampling.upsampleByWeight(d, col("w"), col("text")).count()
