@@ -57,6 +57,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
+  test("bucketed handles timestamp ts columns (unix-micros bucketing)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 10:00:00"), "a"), (1L, t("2024-03-01 10:00:00"), "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, t("2024-01-01 09:00:00"), 1.0), (1L, t("2024-02-15 00:00:00"), 2.0))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofJoinBucketed(left, right, Seq("k"), "ts", Seq("v"), buckets = 8)
+      .orderBy("ts").select("tag", "asof_v")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("a", 1.0), ("b", 2.0)))
+  }
+
   test("one shuffle: the plan has a single Exchange below the window") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
