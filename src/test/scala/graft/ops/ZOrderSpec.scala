@@ -66,6 +66,33 @@ class ZOrderSpec extends SparkSpec {
       s"buckets=${counts.length} max=${counts.max}")
   }
 
+  test("clusterWrite(quantile = true): skewed dims still yield tight per-file ranges") {
+    // one zipf dim + one uniform dim: linear bucketing would collapse
+    // the zipf dim into bucket 0, leaving files wide in the OTHER dim
+    val n = 20000
+    val df = spark.range(n.toLong).select(
+      (lit(1000000.0) / (pmod(xxhash64(col("id")), lit(1000L)) + 1)).as("x"), // zipf-ish
+      pmod(xxhash64(col("id"), lit(3)), lit(1000L)).as("y"),
+      col("id").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("zorderq").toString
+    ZOrder.clusterWrite(df, s"$dir/q", Seq("x", "y"), numFiles = 16, bits = 8, quantile = true)
+    val back = spark.read.parquet(s"$dir/q")
+    assert(back.count() == n)
+    assert(back.agg(sum("payload")).head().getLong(0) ==
+      df.agg(sum("payload")).head().getLong(0))
+    // the uniform dim must stay tight per file despite the skewed partner:
+    // mean per-file y-range well below the full 0..999 span
+    val files = new java.io.File(s"$dir/q").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    assert(files.length > 4)
+    assert(spans.sum.toDouble / spans.length < 700,
+      s"quantile z-order lost y-locality: spans=${spans.toSeq}")
+  }
+
   test("clusterWrite: per-file bounding boxes are tight on BOTH dims") {
     val n = 20000
     // uniform 2-d grid, shuffled arrival order
