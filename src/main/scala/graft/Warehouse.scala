@@ -76,7 +76,14 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     * otherwise emit one file per shuffle task per dir). Staged write +
     * swap: readers in flight keep their already-opened files. Run from
     * the single-writer control plane, like all mutations here. */
-  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+  /** @param zorderBy 2–3 numeric columns: rewrite in Morton order (the
+    *   OPTIMIZE-ZORDER analog) so parquet min/max stats skip files for
+    *   predicates on ANY of them. Unpartitioned tables range-lay the
+    *   whole table on the z-key; partitioned tables keep their dirs and
+    *   z-sort WITHIN each (cross-dir ordering is already the partition
+    *   column's job). */
+  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val conf = spark.sessionState.newHadoopConf()
     val live = new org.apache.hadoop.fs.Path(path(table))
@@ -86,19 +93,53 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     val staged = new org.apache.hadoop.fs.Path(s"${path(table)}__compacting")
     fs.delete(staged, true)
     val df = read(table)
+    val zkey: Option[org.apache.spark.sql.Column] =
+      if (zorderBy.isEmpty) None
+      else {
+        require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
+        require(zorderBy.forall(df.columns.contains), s"z-order columns missing from $table")
+        val bits = if (zorderBy.size == 3) 21 else 20
+        val bounds = df.agg(
+          org.apache.spark.sql.functions.min(col(zorderBy.head)).cast("double"),
+          org.apache.spark.sql.functions.max(col(zorderBy.head)).cast("double"),
+          org.apache.spark.sql.functions.min(col(zorderBy(1))).cast("double"),
+          org.apache.spark.sql.functions.max(col(zorderBy(1))).cast("double"),
+          org.apache.spark.sql.functions.min(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"),
+          org.apache.spark.sql.functions.max(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"))
+          .head()
+        val bk = zorderBy.zipWithIndex.map { case (c, i) =>
+          graft.ops.ZOrder.bucketize(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+        }
+        Some(if (zorderBy.size == 2) graft.ops.ZOrder.zkey2(bk(0), bk(1))
+        else graft.ops.ZOrder.zkey3(bk(0), bk(1), bk(2)))
+      }
     val parts = partCols(table, df.columns.toSeq).filter(_.forall(df.columns.contains))
     val writer = parts match {
       case Some(cols) =>
         val dirs = math.max(1, fs.listStatus(live)
           .count(s => s.isDirectory && s.getPath.getName.contains("=")))
         val perDir = math.max(1, math.ceil(bytes.toDouble / dirs / targetBytes).toInt)
-        df.withColumn("__salt",
+        val salted = df.withColumn("__salt",
             pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perDir.toLong)))
           .repartition((cols.map(col) :+ col("__salt")): _*)
-          .drop("__salt")
-          .write.partitionBy(cols: _*)
+        zkey.fold(salted.drop("__salt").write.partitionBy(cols: _*)) { z =>
+          // z-sort within each writer task: rows are already grouped by
+          // (dir, salt), so each output file covers a tight z-range of
+          // its own partition dir
+          salted.withColumn("__z", z)
+            .sortWithinPartitions((cols.map(col) :+ col("__z")): _*)
+            .drop("__salt", "__z")
+            .write.partitionBy(cols: _*)
+        }
       case None =>
-        df.repartition(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)).write
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        zkey.fold(df.repartition(nFiles).write) { z =>
+          df.withColumn("__z", z)
+            .repartitionByRange(nFiles, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write
+        }
     }
     writer.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(staged.toString)

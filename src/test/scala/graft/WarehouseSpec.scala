@@ -64,6 +64,57 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/rain_points__old").exists())
   }
 
+  test("compact(zorderBy): unpartitioned rewrite yields tight per-file bboxes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whz").toString
+    val wh = new Warehouse(spark, root)
+    val df = spark.range(20000).select(
+      col("id").as("pk_id"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("id")),
+        org.apache.spark.sql.functions.lit(1000L)).as("x"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("id"),
+          org.apache.spark.sql.functions.lit(5)),
+        org.apache.spark.sql.functions.lit(1000L)).as("y"))
+    wh.write("grid", df)
+    val before = wh.read("grid").agg(org.apache.spark.sql.functions.sum("pk_id"))
+      .head().getLong(0)
+
+    wh.compact("grid", targetBytes = 16L * 1024, zorderBy = Seq("x", "y"))
+    val files = new java.io.File(s"$root/grid").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 4, s"want several z-range files, got ${files.length}")
+    // each file covers a small rectangle of the 1000×1000 space
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("x"), org.apache.spark.sql.functions.max("x"),
+        org.apache.spark.sql.functions.min("y"), org.apache.spark.sql.functions.max("y")).head()
+      (r.getLong(1) - r.getLong(0) + 1).toDouble * (r.getLong(3) - r.getLong(2) + 1)
+    }
+    // unclustered: every file spans ~the whole space (sum ≈ files × 10⁶);
+    // z-ranges tile it with overlap only at curve boundaries — allow 2×
+    // one coverage, still 3× better than unclustered at 6 files
+    assert(areas.sum < files.length * 1000.0 * 1000 / 2,
+      s"z-order compaction left wide bboxes: ${areas.toSeq}")
+    assert(wh.read("grid").agg(org.apache.spark.sql.functions.sum("pk_id"))
+      .head().getLong(0) == before)
+  }
+
+  test("compact(zorderBy) on a partitioned table keeps dirs, preserves rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whz2").toString
+    val wh = new Warehouse(spark, root)
+    def rows(y: Int) = (1 to 500).map(i =>
+      ((y * 1000 + i).toLong, 1L, Date.valueOf(s"$y-06-01"), y, i % 50, i % 77, i.toDouble, 2.0))
+      .toDF("pk_id", "upload_id", "date", "year", "province_id", "district_id", "rain_mm_wmean", "rainfall_mm")
+    wh.write("rain_points", rows(2023)); wh.write("rain_points", rows(2024))
+    val before = wh.read("rain_points").agg(org.apache.spark.sql.functions.sum("pk_id"))
+      .head().getLong(0)
+    wh.compact("rain_points", zorderBy = Seq("province_id", "district_id"))
+    assert(new java.io.File(s"$root/rain_points/year=2023").exists())
+    assert(wh.read("rain_points").agg(org.apache.spark.sql.functions.sum("pk_id"))
+      .head().getLong(0) == before)
+  }
+
   test("month grain: year=/month= layout, month predicates prune, compact preserves it") {
     val root = java.nio.file.Files.createTempDirectory("graft-whm").toString
     val wh = new Warehouse(spark, root, monthGrain = true)
