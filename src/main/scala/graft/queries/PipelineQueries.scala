@@ -195,11 +195,39 @@ object PipelineQueries {
     }
   }
 
+  /** The WHOLE modern corpus-prep pipeline in one query — every stage
+    * this module adds, composed in production order: synthesize PII
+    * spans (stand-in for dirty raw text) → redact → quality AND
+    * repetition filters → exact dedup (keep min doc_id) → deterministic
+    * hash split → per-(split, lang) manifest. Each stage is oracle-
+    * checked alone (q_pii_redact / q_quality_score / q_repetition /
+    * q_dedup_exact / q_train_split); this pins that they compose —
+    * DuckDB re-derives the full chain independently. */
+  def qPrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    withSyntheticPii(Tables.documents(s, dir))
+      .withColumn("rtext", Pii.redact(col("ptext")))
+      .where(TextOps.qualityScore(col("rtext")) >= 0.5 &&
+        TextOps.dupTokenRatio(col("rtext")) <= 0.6)
+      .withColumn("fp", TextOps.fingerprint(col("rtext")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("split",
+        when(Sampling.permilleBucket(col("rtext")) < 800, "train").otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("rtext")).cast("long")).as("n_tok"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("split", "lang")
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_asof_join" -> (qAsofJoin _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_prep_pipeline" -> (qPrepPipeline _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_domain_filter" -> (qDomainFilter _),
     "q_repetition" -> (qRepetition _),
@@ -224,7 +252,50 @@ object PipelineQueries {
     "(\\+1-)?[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
   private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "q_prep_pipeline" ->
+      s"""WITH p AS (SELECT doc_id, lang, $piiTextSql AS ptext FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  regexp_replace(regexp_replace(regexp_replace(ptext,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipRe', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS rtext FROM p),
+         |t AS (SELECT doc_id, lang, rtext, length(rtext) AS n_chars,
+         |  regexp_split_to_array(trim(rtext), '\\s+') AS toks,
+         |  regexp_split_to_array(lower(trim(rtext)), '\\s+') AS ltoks FROM r),
+         |m AS (SELECT *,
+         |  CASE WHEN n_chars > 0 THEN
+         |    cast(length(regexp_replace(rtext, '[^.,;:!?''"()\\[\\]-]', '', 'g')) as double) / cast(n_chars as double)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+         |  ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN len(ltoks) > 0 THEN
+         |    cast(len(list_filter(ltoks, x -> x IN ($stopList))) as double) / cast(len(ltoks) as double)
+         |  ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(ltoks) > 0 THEN
+         |    1.0 - cast(len(list_distinct(ltoks)) as double) / cast(len(ltoks) as double)
+         |  ELSE 0.0 END AS dup_tok
+         | FROM t),
+         |q AS (SELECT *,
+         |  ((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+         | FROM m),
+         |f AS (SELECT doc_id, lang, rtext, toks,
+         |  md5(lower(regexp_replace(trim(rtext), '\\s+', ' ', 'g'))) AS fp
+         | FROM q WHERE quality >= 0.5 AND dup_tok <= 0.6),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+         |k AS (SELECT doc_id, lang, toks,
+         |  CASE WHEN ('0x' || substr(md5(rtext), 1, 8))::bigint % 1000 < 800
+         |    THEN 'train' ELSE 'test' END AS split
+         | FROM d WHERE rn = 1)
+         |SELECT split, lang, count(*) AS n_docs,
+         | cast(sum(len(toks)) as bigint) AS n_tok, min(doc_id) AS first_doc
+         |FROM k GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_cms_counts" ->
       """SELECT user_id, count(*) AS exact_n,
         | true AS lower_bounded, true AS within_eps
