@@ -81,9 +81,15 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     *   predicates on ANY of them. Unpartitioned tables range-lay the
     *   whole table on the z-key; partitioned tables keep their dirs and
     *   z-sort WITHIN each (cross-dir ordering is already the partition
-    *   column's job). */
+    *   column's job).
+    * @param quantile bucketize the z-order dims by quantile boundaries
+    *   instead of linear min/max scaling. Linear bucketing collapses on
+    *   skewed dims (a zipf column maps almost every row to bucket 0 —
+    *   ZOrderSpec measures it), so compacting on doc length / user-id
+    *   frequency / any long-tailed column wants this flag; the cost is
+    *   one approx-percentile scan instead of a min/max agg. */
   def compact(table: String, targetBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Nil): Unit = {
+      zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val conf = spark.sessionState.newHadoopConf()
     val live = new org.apache.hadoop.fs.Path(path(table))
@@ -98,20 +104,34 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
       else {
         require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
         require(zorderBy.forall(df.columns.contains), s"z-order columns missing from $table")
-        val bits = if (zorderBy.size == 3) 21 else 20
-        val bounds = df.agg(
-          org.apache.spark.sql.functions.min(col(zorderBy.head)).cast("double"),
-          org.apache.spark.sql.functions.max(col(zorderBy.head)).cast("double"),
-          org.apache.spark.sql.functions.min(col(zorderBy(1))).cast("double"),
-          org.apache.spark.sql.functions.max(col(zorderBy(1))).cast("double"),
-          org.apache.spark.sql.functions.min(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"),
-          org.apache.spark.sql.functions.max(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"))
-          .head()
-        val bk = zorderBy.zipWithIndex.map { case (c, i) =>
-          graft.ops.ZOrder.bucketize(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
-        }
-        Some(if (zorderBy.size == 2) graft.ops.ZOrder.zkey2(bk(0), bk(1))
-        else graft.ops.ZOrder.zkey3(bk(0), bk(1), bk(2)))
+        graft.ops.Reserved.requireAbsent("compact", Seq("__salt", "__z"), df)
+        val bk: Option[Seq[org.apache.spark.sql.Column]] =
+          if (quantile)
+            // all-null dim / empty table → same plain-compaction fallback
+            // as the linear path below
+            try Some(graft.ops.ZOrder.bucketizeByQuantilesMulti(df, zorderBy, 12))
+            catch { case _: IllegalArgumentException => None }
+          else {
+            val bits = if (zorderBy.size == 3) 21 else 20
+            val bounds = df.agg(
+              org.apache.spark.sql.functions.min(col(zorderBy.head)).cast("double"),
+              org.apache.spark.sql.functions.max(col(zorderBy.head)).cast("double"),
+              org.apache.spark.sql.functions.min(col(zorderBy(1))).cast("double"),
+              org.apache.spark.sql.functions.max(col(zorderBy(1))).cast("double"),
+              org.apache.spark.sql.functions.min(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"),
+              org.apache.spark.sql.functions.max(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"))
+              .head()
+            // empty table / all-null dim: no meaningful z-layout exists;
+            // fall back to a plain compaction instead of an NPE
+            if (zorderBy.indices.exists(i =>
+                bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))) None
+            else Some(zorderBy.zipWithIndex.map { case (c, i) =>
+              graft.ops.ZOrder.bucketize(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+            })
+          }
+        bk.map(b =>
+          if (zorderBy.size == 2) graft.ops.ZOrder.zkey2(b(0), b(1))
+          else graft.ops.ZOrder.zkey3(b(0), b(1), b(2)))
       }
     val parts = partCols(table, df.columns.toSeq).filter(_.forall(df.columns.contains))
     val writer = parts match {

@@ -36,6 +36,7 @@ object AsofJoin {
       tsCol: String, rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     require(rightPayload.nonEmpty, "no right payload columns requested")
+    Reserved.requireAbsent("asofJoin", Seq("__side", "__p", "__m"), left, right)
     val lCols = left.columns.toSeq
 
     val lTagged = left
@@ -89,6 +90,8 @@ object AsofJoin {
       tsCol: String, rightPayload: Seq[String], prefix: String = "asof_",
       buckets: Int = 64): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    Reserved.requireAbsent("asofJoinBucketed",
+      Seq("__side", "__p", "__m", "__b", "__pb", "__prefix"), left, right)
     val lCols = left.columns.toSeq
     val tsNum: Column => Column = left.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType => c => unix_micros(c).cast("double")

@@ -39,6 +39,7 @@ object Packing {
   def assignWindows(docs: DataFrame, orderCol: String, tokCol: String,
       budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
+    Reserved.requireAbsent("assignWindows", Seq("__pid", "__offset"), docs)
     val spark = docs.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -56,8 +57,11 @@ object Packing {
     try {
       // 2. one row per partition → exclusive prefix offsets (driver-side
       //    on ≤ a-few-thousand rows — the scale-independent small side)
+      // a partition whose token column is entirely null sums to null;
+      // treat it as contributing 0 tokens — the same thing the naive
+      // global window does (its running sum skips nulls)
       val partTotals = ranged.groupBy(col("__pid"))
-        .agg(sum(col(tokCol)).cast("long").as("__ptok"))
+        .agg(coalesce(sum(col(tokCol)).cast("long"), lit(0L)).as("__ptok"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1)))
         .sortBy(_._1)

@@ -15,10 +15,17 @@ object Sampling {
 
   /** Stable per-row bucket in [0, 1000): first 8 md5 hex digits of the
     * key column, as an integer, mod 1000. Pure column expression —
-    * codegen'd, no shuffle, no state. */
+    * codegen'd, no shuffle, no state.
+    *
+    * A NULL key hashes as the empty string rather than propagating
+    * null: a null bucket would silently fail every `< permille`
+    * predicate, so null-key rows would vanish from samples and lose
+    * their fractional upsample copy — surprising for ops documented as
+    * deterministic. With the coalesce, null keys are handled like any
+    * other (single) key value. */
   def permilleBucket(key: Column): Column =
-    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 1000)
-      .cast("int")
+    (conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 8), 16, 10)
+      .cast("long") % 1000).cast("int")
 
   /** Keep ~`permille`/1000 of rows, deterministically by content. */
   def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame = {
@@ -50,6 +57,7 @@ object Sampling {
     * dedup/shuffling can tell replicas apart. Weights must be ≥ 0;
     * weight 0 drops the row (an explode over an empty sequence). */
   def upsampleByWeight(df: DataFrame, weight: Column, key: Column): DataFrame = {
+    Reserved.requireAbsent("upsampleByWeight", Seq("__n", "copy"), df)
     val whole = floor(weight).cast("long")
     val fracPermille = round((weight - floor(weight)) * 1000).cast("long")
     val copies = (whole +

@@ -50,7 +50,11 @@ object ZOrder {
     }
   }
 
-  /** 64-bit Morton key of two bucketed dims (≤ 32 significant bits each). */
+  /** 62-bit Morton key of two bucketed dims (≤ 31 significant bits
+    * each). 31, not 32: the second dim's bits land at odd positions, so
+    * its bit 31 would reach bit 63 — the sign bit — and signed ordering
+    * in repartitionByRange/sortWithinPartitions would break z-curve
+    * monotonicity at the sign boundary for the top half of that dim. */
   def zkey2(a: Column, b: Column): Column =
     spread2(a.cast("long")).bitwiseOR(shiftleft(spread2(b.cast("long")), 1))
 
@@ -91,6 +95,11 @@ object ZOrder {
       percentile_approx(col(colNames.head).cast("double"), qs, lit(10000)),
       colNames.tail.map(c => percentile_approx(col(c).cast("double"), qs, lit(10000))): _*)
       .head()
+    colNames.indices.foreach { i =>
+      require(!row.isNullAt(i),
+        s"quantile bucketing: column '${colNames(i)}' has no non-null values " +
+          "(empty input or all-null column)")
+    }
     colNames.zipWithIndex.map { case (c, i) =>
       graft.expr.QuantileBucket.quantileBucket(
         col(c).cast("double"), row.getSeq[Double](i).toArray)
@@ -107,10 +116,11 @@ object ZOrder {
   def clusterWrite(df: DataFrame, path: String, dims: Seq[String],
       numFiles: Int, bits: Int = 20, quantile: Boolean = false): Unit = {
     require(dims.size == 2 || dims.size == 3, "z-order supports 2 or 3 dims")
+    Reserved.requireAbsent("ZOrder.clusterWrite", Seq("__z"), df)
     val eff =
       if (quantile) math.min(bits, 12)
       else if (dims.size == 3) math.min(bits, 21)
-      else math.min(bits, 32)
+      else math.min(bits, 31) // 31, not 32: keep the z-key off the sign bit
     val buckets: Seq[Column] =
       if (quantile) bucketizeByQuantilesMulti(df, dims, eff)
       else {
@@ -120,6 +130,11 @@ object ZOrder {
           (if (dims.size == 3) min(col(dims(2))) else min(lit(0))).cast("double"),
           (if (dims.size == 3) max(col(dims(2))) else max(lit(0))).cast("double"))
           .head()
+        dims.indices.foreach { i =>
+          require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+            s"z-order dimension '${dims(i)}' has no non-null values " +
+              "(empty input or all-null column); cannot cluster on it")
+        }
         def b(i: Int) = bounds.getDouble(i)
         dims.zipWithIndex.map { case (d, i) =>
           bucketize(col(d), b(2 * i), b(2 * i + 1), eff)

@@ -387,7 +387,7 @@ object PipelineQueries {
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH t AS (SELECT *,
-        |  ('0x' || substr(md5(text), 1, 8))::bigint % 1000 AS bucket,
+        |  ('0x' || substr(md5(coalesce(text, '')), 1, 8))::bigint % 1000 AS bucket,
         |  CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 500
         |            WHEN 'es' THEN 250 WHEN 'de' THEN 700 ELSE 100 END AS rate
         | FROM documents)
@@ -398,7 +398,7 @@ object PipelineQueries {
     "q_mix_upsample" ->
       """WITH t AS (SELECT doc_id, source, text,
         |  1.0 + (regexp_extract(source, 'src([0-9]+)', 1)::int % 4) * 0.5 AS w,
-        |  ('0x' || substr(md5(text), 1, 8))::bigint % 1000 AS bucket
+        |  ('0x' || substr(md5(coalesce(text, '')), 1, 8))::bigint % 1000 AS bucket
         | FROM documents),
         |c AS (SELECT doc_id, source,
         |  cast(floor(w) + CASE WHEN bucket < cast(round((w - floor(w)) * 1000) as bigint)

@@ -115,6 +115,67 @@ class WarehouseSpec extends SparkSpec {
       .head().getLong(0) == before)
   }
 
+  test("compact(zorderBy, quantile=true): zipf-skewed dim keeps the partner dim tight") {
+    // linear bucketing maps a zipf column almost entirely to bucket 0,
+    // so the z-key degenerates to a 1-d sort on the OTHER dim's buckets
+    // interleaved with zeros — per-file bboxes stay wide in the uniform
+    // dim only if the curve ignores it. Quantile bucketing restores the
+    // 2-d tiling; this pins compact's layout ≈ clusterWrite(quantile).
+    val root = java.nio.file.Files.createTempDirectory("graft-whzq").toString
+    val wh = new Warehouse(spark, root)
+    val n = 20000
+    val df = spark.range(n.toLong).select(
+      col("id").as("pk_id"),
+      (lit(1000000.0) / (org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("id")),
+        org.apache.spark.sql.functions.lit(1000L)) + 1)).as("x"), // zipf-ish
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("id"),
+          org.apache.spark.sql.functions.lit(3)),
+        org.apache.spark.sql.functions.lit(1000L)).as("y"))
+    wh.write("zq", df)
+    val before = wh.read("zq").agg(org.apache.spark.sql.functions.sum("pk_id"))
+      .head().getLong(0)
+    wh.compact("zq", targetBytes = 24L * 1024, zorderBy = Seq("x", "y"), quantile = true)
+    assert(wh.read("zq").agg(org.apache.spark.sql.functions.sum("pk_id"))
+      .head().getLong(0) == before)
+
+    def ySpans(path: String): Seq[Long] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f)
+            .agg(org.apache.spark.sql.functions.min("y"),
+              org.apache.spark.sql.functions.max("y")).head()
+          r.getLong(1) - r.getLong(0)
+        }
+    val compacted = ySpans(s"$root/zq")
+    assert(compacted.size > 4, s"want several files, got ${compacted.size}")
+    // bbox parity with the clusterWrite quantile layout at the same file count
+    val dir = java.nio.file.Files.createTempDirectory("graft-whzq2").toString
+    graft.ops.ZOrder.clusterWrite(df, s"$dir/cw", Seq("x", "y"),
+      numFiles = compacted.size, bits = 12, quantile = true)
+    val cw = ySpans(s"$dir/cw")
+    def mean(s: Seq[Long]) = s.sum.toDouble / s.size
+    assert(mean(compacted) < 700, s"y-locality lost: $compacted")
+    assert(mean(compacted) <= mean(cw) * 1.5 + 50,
+      s"compact quantile layout far looser than clusterWrite: ${mean(compacted)} vs ${mean(cw)}")
+  }
+
+  test("compact(zorderBy) falls back to plain compaction on an all-null dim") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whznull").toString
+    val wh = new Warehouse(spark, root)
+    val df = spark.range(100).select(
+      col("id").as("pk_id"),
+      org.apache.spark.sql.functions.lit(null).cast("double").as("x"),
+      col("id").as("y"))
+    wh.write("znull", df)
+    wh.compact("znull", zorderBy = Seq("x", "y")) // must not NPE
+    assert(wh.read("znull").count() == 100)
+    wh.compact("znull", zorderBy = Seq("x", "y"), quantile = true)
+    assert(wh.read("znull").count() == 100)
+  }
+
   test("month grain: year=/month= layout, month predicates prune, compact preserves it") {
     val root = java.nio.file.Files.createTempDirectory("graft-whm").toString
     val wh = new Warehouse(spark, root, monthGrain = true)

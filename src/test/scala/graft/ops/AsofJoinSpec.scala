@@ -79,4 +79,18 @@ class AsofJoinSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges:\n$plan")
   }
+
+  test("inputs carrying a reserved internal column name fail loudly") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "__p")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("__p"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinBucketed(left.withColumnRenamed("__p", "__b"), right,
+        Seq("k"), "ts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("__b"))
+  }
 }

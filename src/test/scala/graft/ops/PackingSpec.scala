@@ -48,4 +48,25 @@ class PackingSpec extends SparkSpec {
       .orderBy("id").select("window_id").as[Long].collect()
     assert(rows(0) == 0L && rows(1) == 50L) // doc2 starts at token 5000
   }
+
+  test("null token counts: distributed ≡ naive (null sums coalesce to 0)") {
+    // enough partitions that some hold ONLY null-token rows — the case
+    // that used to NPE on the per-partition sum
+    val d = (1 to 40).map(i =>
+      (i.toLong, if (i <= 20) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(30L)))
+      .toDF("id", "n_tok")
+    val fast = Packing.assignWindows(d, "id", "n_tok", budget = 100, numPartitions = 8)
+      .select("id", "tokens_before", "window_id")
+    val naive = Packing.assignWindowsNaive(d, "id", "n_tok", budget = 100)
+      .select("id", "tokens_before", "window_id")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("reserved internal names collide loudly, not silently") {
+    val d = Seq((1L, 5L, 0)).toDF("id", "n_tok", "__pid")
+    val e = intercept[IllegalArgumentException] {
+      Packing.assignWindows(d, "id", "n_tok", budget = 100)
+    }
+    assert(e.getMessage.contains("__pid"))
+  }
 }

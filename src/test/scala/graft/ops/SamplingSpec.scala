@@ -55,4 +55,28 @@ class SamplingSpec extends SparkSpec {
     assert(n1 == n2)
     assert(math.abs(n1 - 3000L) < 200) // 2000 × 1.5 in expectation
   }
+
+  test("null keys hash as the empty string — sampled, not silently dropped") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "x"))
+      .toDF("id", "text")
+    // null bucket == empty-string bucket: both in or both out, always
+    val both = Sampling.hashSample(d, col("text"), 1000).count()
+    assert(both == 3L) // rate 1000 keeps EVERYTHING, null key included
+    val nullBucket = d.where(col("id") === 1)
+      .select(Sampling.permilleBucket(col("text"))).head().getInt(0)
+    val emptyBucket = d.where(col("id") === 2)
+      .select(Sampling.permilleBucket(col("text"))).head().getInt(0)
+    assert(nullBucket == emptyBucket)
+    // and the fractional upsample copy survives a null key too
+    val up = Sampling.upsampleByWeight(d, lit(2.0), col("text"))
+    assert(up.where(col("id") === 1).count() == 2L)
+  }
+
+  test("reserved output names collide loudly, not silently") {
+    val d = Seq((1L, "a")).toDF("copy", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.upsampleByWeight(d, lit(1.0), col("text"))
+    }
+    assert(e.getMessage.contains("copy"))
+  }
 }

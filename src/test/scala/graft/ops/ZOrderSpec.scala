@@ -41,6 +41,41 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zkey2 stays non-negative through 31-bit buckets (sign-bit regression)") {
+    // bit 31 of the SECOND dim would land on the long's sign bit; with
+    // 32-bit buckets sorting by the signed key breaks z-monotonicity at
+    // the boundary. clusterWrite caps 2-dim bucketing at 31 bits, under
+    // which every key is non-negative and ordering is monotone.
+    val maxB = (1L << 31) - 1
+    val keys = Seq((0L, 0L), (maxB, 0L), (0L, maxB), (maxB, maxB))
+      .toDF("a", "b")
+      .select(ZOrder.zkey2(col("a"), col("b"))).as[Long].collect()
+    assert(keys.forall(_ >= 0L), s"31-bit zkey2 went negative: ${keys.toSeq}")
+    // demonstrate WHY the cap exists: a 32-bit second dim reaches the sign bit
+    val bad = Seq((0L, 1L << 31)).toDF("a", "b")
+      .select(ZOrder.zkey2(col("a"), col("b"))).as[Long].head()
+    assert(bad < 0L)
+  }
+
+  test("clusterWrite refuses empty input / all-null dims with a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-null").toString
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.clusterWrite(empty, s"$dir/e", Seq("x", "y"), numFiles = 2)
+    }
+    assert(e.getMessage.contains("no non-null values"))
+    val allNull = spark.range(10).select(
+      lit(null).cast("double").as("x"), col("id").as("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.clusterWrite(allNull, s"$dir/n", Seq("x", "y"), numFiles = 2)
+    }
+    assert(e2.getMessage.contains("'x'"))
+    val e3 = intercept[IllegalArgumentException] {
+      ZOrder.clusterWrite(allNull, s"$dir/q", Seq("x", "y"), numFiles = 2, quantile = true)
+    }
+    assert(e3.getMessage.contains("'x'"))
+  }
+
   test("z-ordering is locality-preserving: adjacent cells share key prefixes") {
     // the z-curve property the file-skipping relies on: keys of a small
     // spatial block span a far smaller key range than row-major order
