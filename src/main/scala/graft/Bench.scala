@@ -13,9 +13,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/shuffle paths once so the first measured
-    // query doesn't absorb session startup (~4s on a cold JVM)
+    // query doesn't absorb session startup (~4s on a cold JVM); its
+    // duration goes into the JSON preamble — a slow warmup flags a
+    // cold/loaded machine, explaining uniform cross-round drift
+    val warm0 = System.nanoTime()
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
+    val warmupS = (System.nanoTime() - warm0) / 1e9
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // SPARK_GRAFT_BENCH_ISOLATE=1: clear the catalog cache between
     // queries so each row is measured order-independent — confirms (or
     // refutes) cache-pressure stories when totals drift between runs
@@ -23,19 +29,27 @@ object Bench {
     // best-of-3 per query: reports steady-state cost, not codegen
     // compilation or page-cache luck of the first pass (3 reps keep
     // round-over-round totals within ~±10% under machine-load noise)
+    val reps = 3
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (isolate) spark.catalog.clearCache()
-      val times = (1 to 3).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE machine-parseable line. The harness that archives this keeps
+    // only the TAIL of stdout (r4's 75-query line lost its head and the
+    // total with it), so per-query values are rounded to 3 decimals and
+    // the preamble stays terse — the whole line must clear a ~2 KB cap.
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"reps":$reps,"warmup_s":${f(warmupS)},""" +
+      s""""load1m":${f(load1m)},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

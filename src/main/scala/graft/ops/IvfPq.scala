@@ -184,6 +184,28 @@ object IvfPq {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Routes a batch to [[topK]] (driver-built LUTs — lowest latency for
+    * interactive batches) or [[topKDistributed]] (executor-built LUTs —
+    * no driver ceiling) on the measured crossover: one cheap count of
+    * the query frame, nothing else.
+    *
+    * Threshold from the r4/r5 soaks (100 k-vector index, local[24]):
+    * 10 k queries ran 19.4 s chunked vs 33.4 s distributed (driver LUTs
+    * win — no probe-side shuffle), 50 k queries 234.5 s chunked vs
+    * 212.2 s distributed (the per-task LUT copy cost overtakes the
+    * one-time shuffle). The crossover sits between; 32 768 splits it
+    * erring toward distributed, which also removes the driver-memory
+    * ceiling the chunked path meets first. Output is identical either
+    * way (IvfPqSpec pins both routes). */
+  def topKAuto(cells: DataFrame, corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int = 4, shortlist: Int = 4, queryChunk: Int = 1024,
+      routeThreshold: Long = 32768): DataFrame = {
+    if (queries.count() <= routeThreshold)
+      topK(cells, corpus, queries, model, k, nprobe, shortlist, queryChunk)
+    else
+      topKDistributed(cells, corpus, queries, model, k, nprobe, shortlist)
+  }
+
   /** One bounded chunk: collect its vectors, build its probes + LUTs,
     * score + re-rank. `qframe` must be (qid, qvec double[]). */
   private def chunkTopK(cells: DataFrame, corpus: DataFrame, qframe: DataFrame,

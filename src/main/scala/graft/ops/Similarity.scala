@@ -138,6 +138,59 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
+  /** Distinct candidate pairs (id1 < id2) from LSH bucket collisions —
+    * the candidate stage of [[cosineNearDupsBucketed]] exposed on its
+    * own so soak runs can report candidate counts next to verified-pair
+    * counts (candidate growth ∝ true pairs, not n², is THE scaling
+    * property to watch; same probe exists for MinHash as
+    * [[Dedup.minhashCandidates]]). */
+  def cosineCandidatesBucketed(corpus: DataFrame, nBits: Int = -1,
+      nTables: Int = 8, maxBucket: Int = 0): DataFrame = {
+    val probe = corpus
+      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
+    val n = probe.getLong(0)
+    if (n == 0) {
+      return corpus.select(col("id").as("id1"), col("id").as("id2")).limit(0)
+    }
+    val dim = probe.getInt(1)
+    val bits =
+      if (nBits >= 0) nBits
+      else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
+    bucketCandidates(
+      corpus.select(col("id"), asDouble(col("embedding")).as("vec")),
+      bits, nTables, dim, maxBucket)
+  }
+
+  /** Bucket-collision candidate pairs, optionally dropping oversized
+    * buckets. The candidate join is NARROW — only (bucket, id) rides
+    * the shuffle; vectors are joined back later for verification.
+    *
+    * `maxBucket > 0` drops every (table, bucket) holding more than
+    * `maxBucket` vectors BEFORE the self-join — the standard LSH
+    * "stop bucket" guard: a degenerate hyperplane region (all-near-zero
+    * dims, heavy natural skew) otherwise contributes O(bucket²)
+    * candidate pairs on its own. Pairs lost this way can still collide
+    * in any other table, so recall degrades gracefully with nTables
+    * (pinned in SimilaritySpec); the oversized-bucket list is tiny by
+    * construction (≤ n/maxBucket entries), so the anti-join broadcasts. */
+  private def bucketCandidates(vecs: DataFrame, bits: Int, nTables: Int,
+      dim: Int, maxBucket: Int): DataFrame = {
+    val keyedAll = vecs.select(col("id"),
+      explode(lshKeys(col("vec"), bits, nTables, dim)).as("tb"))
+    val keyed =
+      if (maxBucket <= 0) keyedAll
+      else {
+        val oversized = keyedAll.groupBy("tb").count()
+          .where(col("count") > maxBucket).select("tb")
+        keyedAll.join(broadcast(oversized), Seq("tb"), "left_anti")
+      }
+    keyed.select(col("tb"), col("id").as("id1"))
+      .join(keyed.select(col("tb"), col("id").as("id2")), Seq("tb"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct() // collided in ≥1 surviving table; verify once
+  }
+
   /** LSH-bucketed embedding near-dups: candidates from hyperplane
     * bucket collisions (any of `nTables` tables), then EXACT cosine
     * verification — the same candidates→verify shape as
@@ -166,9 +219,17 @@ object Similarity {
     * inspection; the default eagerly materializes the (small) pair set
     * and releases the bucket cache before returning, so the function
     * owns its cache lifetime and repeated calls never accumulate
-    * CacheManager entries. */
+    * CacheManager entries.
+    *
+    * `maxBucket > 0` drops oversized (table, bucket) groups before the
+    * candidate self-join (see [[bucketCandidates]]) — the skew guard
+    * for natural corpora where one hyperplane region captures far more
+    * than the ~n/2^nBits expectation and its bucket² candidates
+    * dominate the run. Off by default: the gate's full-coverage
+    * (nBits = 0) configuration must keep its single complete bucket. */
   def cosineNearDupsBucketed(corpus: DataFrame, threshold: Double,
-      nBits: Int = -1, nTables: Int = 8, materialize: Boolean = true): DataFrame = {
+      nBits: Int = -1, nTables: Int = 8, materialize: Boolean = true,
+      maxBucket: Int = 0): DataFrame = {
     val probe = corpus
       .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
     val n = probe.getLong(0)
@@ -181,14 +242,7 @@ object Similarity {
       if (nBits >= 0) nBits
       else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
     def pairsOf(vecs: DataFrame): DataFrame = {
-      val keyed = vecs.select(col("id"),
-        explode(lshKeys(col("vec"), bits, nTables, dim)).as("tb"))
-      val cands = keyed.select(col("tb"), col("id").as("id1"))
-        .join(keyed.select(col("tb"), col("id").as("id2")), Seq("tb"))
-        .where(col("id1") < col("id2"))
-        .select("id1", "id2")
-        .distinct() // collided in ≥1 table; verify once
-      cands
+      bucketCandidates(vecs, bits, nTables, dim, maxBucket)
         .join(vecs.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
         .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
         .withColumn("cosine", cosine(col("v1"), col("v2")))

@@ -195,6 +195,33 @@ object PipelineQueries {
     }
   }
 
+  /** The Append fold-in path of the persisted band index, oracle-checked
+    * end to end: index 60 % of the corpus, fold the next 20 % in via
+    * `buildBandIndex(mode = Append)`, then probe the final 20 % against
+    * the APPENDED index. The folded index must behave exactly like a
+    * one-shot 80 % build, so the contract — and the oracle SQL — are
+    * identical to q_incremental_dedup: brute-force Jaccard over
+    * B-touching pairs. A broken Append (overwrite, missing shingles,
+    * layout corruption) breaks the hash. */
+  def qIncrementalAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx-app")
+    try {
+      graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 6), idx.toString,
+        n = 3, k = 48, bands = 16)
+      graft.ops.Dedup.buildBandIndex(
+        docs.where(col("id") % 10 >= 6 && col("id") % 10 < 8), idx.toString,
+        n = 3, k = 48, bands = 16, mode = org.apache.spark.sql.SaveMode.Append)
+      graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx.toString,
+          threshold = 0.8, n = 3, k = 48, bands = 16)
+        .orderBy("id1", "id2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** The WHOLE modern corpus-prep pipeline in one query — every stage
     * this module adds, composed in production order: synthesize PII
     * spans (stand-in for dirty raw text) → redact → quality AND
@@ -227,6 +254,7 @@ object PipelineQueries {
     "q_cms_counts" -> (qCmsCounts _),
     "q_asof_join" -> (qAsofJoin _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_incremental_append" -> (qIncrementalAppend _),
     "q_prep_pipeline" -> (qPrepPipeline _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_domain_filter" -> (qDomainFilter _),
@@ -253,6 +281,30 @@ object PipelineQueries {
   private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Brute-force n² Jaccard restricted to pairs touching the increment
+    * (id % 10 >= 8): cross pairs emit the increment doc first,
+    * batch-internal pairs (min, max) — the incrementalNearDups
+    * contract. Shared by q_incremental_dedup (one-shot 80 % index) and
+    * q_incremental_append (60 % build + 20 % Append) — the two index
+    * construction paths MUST produce the same probe result. */
+  private val incrementalOracleSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [] END AS sh FROM t),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
+      |  cast(len(a.sh) + len(b.sh) as double) AS tot
+      | FROM s a JOIN s b ON a.doc_id < b.doc_id
+      | WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8),
+      |j AS (SELECT ia, ib,
+      |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
+      | FROM p)
+      |SELECT CASE WHEN ia % 10 >= 8 THEN ia ELSE ib END AS id1,
+      |       CASE WHEN ia % 10 >= 8 THEN ib ELSE ia END AS id2, jaccard
+      |FROM j WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_prep_pipeline" ->
@@ -303,23 +355,11 @@ object PipelineQueries {
     // Brute-force n² Jaccard restricted to pairs touching the increment
     // (id % 10 >= 8): cross pairs emit the increment doc first,
     // batch-internal pairs (min, max) — the incrementalNearDups contract.
-    "q_incremental_dedup" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |  CASE WHEN len(toks) >= 3 THEN
-        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
-        |  ELSE [] END AS sh FROM t),
-        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
-        |  cast(len(a.sh) + len(b.sh) as double) AS tot
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id
-        | WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8),
-        |j AS (SELECT ia, ib,
-        |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
-        | FROM p)
-        |SELECT CASE WHEN ia % 10 >= 8 THEN ia ELSE ib END AS id1,
-        |       CASE WHEN ia % 10 >= 8 THEN ib ELSE ia END AS id2, jaccard
-        |FROM j WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
+    // q_incremental_append shares this oracle BY DESIGN: its 60 % build
+    // + 20 % Append must equal the one-shot 80 % index, so it must
+    // reproduce the exact same B-touching pair set.
+    "q_incremental_dedup" -> incrementalOracleSql,
+    "q_incremental_append" -> incrementalOracleSql,
     "q_asof_join" ->
       """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
         | l.value AS click_value, r.value AS last_purchase

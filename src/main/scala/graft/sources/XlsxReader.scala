@@ -31,9 +31,27 @@ object XlsxReader {
 
   final case class Workbook(sheetNames: Seq[String], sheets: Map[String, Seq[Seq[String]]])
 
+  /** OLE2/CFB magic (D0 CF 11 E0 A1 B1 1A E1) — the container of legacy
+    * binary `.xls` (BIFF8). Detected specifically so the rejection can
+    * say what the file IS and how to convert it, mirroring the
+    * NetCDF-4/HDF5 decision (README): no in-repo BIFF parser ships
+    * because this environment has no independent writer/decoder to
+    * validate one against — a self-validated parser proves nothing. */
+  private val Ole2Magic =
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+
+  private[sources] def isOle2(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes.take(8).sameElements(Ole2Magic)
+
   /** Parse the full workbook: sheet names in workbook order + cell
     * grids (rows of string cells, ragged rows padded to row width). */
   def parse(bytes: Array[Byte]): Workbook = {
+    require(!isOle2(bytes),
+      "legacy binary .xls (OLE2/BIFF) workbook not supported: convert once with " +
+        "LibreOffice (`soffice --headless --convert-to xlsx <file>`) or Excel " +
+        "(Save As → .xlsx) and re-upload; only OOXML .xlsx is parsed here")
+    require(bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte,
+      "not an .xlsx workbook (missing zip magic): expected an OOXML spreadsheet")
     val entries = mutable.Map.empty[String, Array[Byte]]
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {

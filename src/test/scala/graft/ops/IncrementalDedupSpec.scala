@@ -58,4 +58,16 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((401L, 301L)) && got.contains((401L, 3L)))
   }
+
+  test("gate parity: 60% build + 20% Append probes identically to the one-shot 80% index") {
+    // the q_incremental_append contract on real testdata — both gate
+    // queries share one DuckDB oracle, so they must agree bit-for-bit
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val oneShot = rows(graft.queries.PipelineQueries.qIncrementalDedup(spark, dir))
+    val appended = rows(graft.queries.PipelineQueries.qIncrementalAppend(spark, dir))
+    assert(appended == oneShot)
+    assert(appended.nonEmpty) // the sf0.001 corpus has increment-touching pairs
+  }
 }

@@ -50,6 +50,22 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("topKAuto routes by batch size and answers identically on both routes") {
+    val e = corpus
+    val q = e.where(col("id") < 15).select(col("id").as("qid"), col("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val model = IvfPq.fit(e, nlist = 8, m = 8, k = 16, iters = 3)
+    val idx = IvfPq.index(e, model)
+    val viaChunked = key(IvfPq.topKAuto(idx, e, q, model, k = 5, nprobe = 3,
+      shortlist = 4, routeThreshold = 1000)) // 15 ≤ 1000 → driver-LUT route
+    val viaDistributed = key(IvfPq.topKAuto(idx, e, q, model, k = 5, nprobe = 3,
+      shortlist = 4, routeThreshold = 1)) // 15 > 1 → distributed route
+    val reference = key(IvfPq.topK(idx, e, q, model, k = 5, nprobe = 3, shortlist = 4))
+    assert(viaChunked == reference)
+    assert(viaDistributed == reference)
+  }
+
   test("reduced probe keeps useful recall at a fraction of the rows touched") {
     val e = corpus
     val q = e.where(col("id") < 8).select(col("id").as("qid"), col("embedding"))

@@ -91,6 +91,55 @@ class SimilaritySpec extends SparkSpec {
     full.foreach { case (pair, c) => assert(math.abs(brute(pair) - c) < 1e-12) }
   }
 
+  test("maxBucket cap: drops the degenerate bucket, keeps normal-bucket pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    // plant a degenerate region: 60 identical vectors land in the SAME
+    // bucket of EVERY table (identical keys), far above the ~31-vector
+    // expectation of nBits=4 over 560 — the skew the cap exists for
+    val mega = spark.range(10000, 10060).select(col("id"),
+      typedlit(Array.fill(64)(0.125f)).as("embedding"))
+    val e = base.unionByName(mega)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4,
+      nBits = 4, nTables = 8))
+    val capped = toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4,
+      nBits = 4, nTables = 8, maxBucket = 45))
+    capped.foreach { case (pair, c) =>
+      assert(uncapped.contains(pair), s"cap invented pair $pair")
+      assert(math.abs(uncapped(pair) - c) < 1e-12)
+    }
+    val isMega = (p: (Long, Long)) => p._1 >= 10000 && p._2 >= 10000
+    assert(uncapped.keys.count(isMega) == 60 * 59 / 2) // sanity: mega pairs present
+    assert(capped.keys.count(isMega) == 0, "oversized bucket not dropped")
+    // base pairs ride other (≤45) buckets and survive the cap
+    val baseUncapped = uncapped.keys.filterNot(isMega).toSet
+    val baseCapped = capped.keys.filterNot(isMega).toSet
+    val recall = baseCapped.size.toDouble / baseUncapped.size
+    assert(recall >= 0.8, s"base recall $recall (${baseCapped.size}/${baseUncapped.size})")
+    // maxBucket = 0 is the documented no-op
+    assert(toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4,
+      nBits = 4, nTables = 8, maxBucket = 0)) == uncapped)
+  }
+
+  test("cosineCandidatesBucketed: full coverage yields every pair; capped is a subset") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val full = Similarity.cosineCandidatesBucketed(e, nBits = 0, nTables = 1).count()
+    assert(full == n * (n - 1) / 2) // one bucket ⇒ all C(n,2) pairs
+    def pairSet(nBits: Int, maxBucket: Int) =
+      Similarity.cosineCandidatesBucketed(e, nBits = nBits, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(4, 0)
+    val capped = pairSet(4, 20)
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size) // the 20-cap really dropped buckets
+  }
+
   test("lsh bucket key is deterministic") {
     val e = Seq((0L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "embedding")
       .select(transform(col("embedding"), _.cast("double")).as("v"))

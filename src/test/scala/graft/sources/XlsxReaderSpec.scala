@@ -52,6 +52,25 @@ class XlsxReaderSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("legacy .xls (OLE2/BIFF) is detected and rejected with the conversion recipe") {
+    // a minimal OLE2/CFB header: magic + zeroed sector fields — what a
+    // real .xls starts with (the reference's pd.read_excel would accept
+    // it; this engine rejects with the recipe, by recorded decision)
+    val ole2 = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
+      Array.fill[Byte](504)(0)
+    val err = intercept[IllegalArgumentException](XlsxReader.parse(ole2))
+    assert(err.getMessage.contains(".xls"))
+    assert(err.getMessage.contains("convert"), "rejection must carry the conversion recipe")
+    assert(XlsxReader.isOle2(ole2))
+    assert(!XlsxReader.isOle2(buildXlsx(Seq(("s", Seq(Seq("a")))))))
+  }
+
+  test("non-zip garbage is rejected as not-an-xlsx, not an opaque zip error") {
+    val err = intercept[IllegalArgumentException](
+      XlsxReader.parse("this is not a spreadsheet".getBytes("UTF-8")))
+    assert(err.getMessage.contains("xlsx"))
+  }
+
   test("parses sheets, shared/inline strings, numbers, ragged rows") {
     val bytes = buildXlsx(
       sheets = Seq(
