@@ -178,6 +178,53 @@ object EventStreams {
       }
   }
 
+  final case class SidedEvent(key: Long, ts: java.sql.Timestamp, isRight: Boolean, value: Double)
+  final case class AsofHit(key: Long, ts: java.sql.Timestamp, value: Double,
+    asof_value: Option[Double])
+  final case class AsofState(ts: Long, value: Double)
+
+  /** Streaming as-of join — the incremental twin of
+    * [[graft.ops.AsofJoin.asofJoin]]: left rows pick up the most recent
+    * right value at-or-before their timestamp, per key. Feed ONE stream
+    * of side-tagged rows (union the two sources with an `isRight`
+    * flag — the same union–carry-forward shape as the batch operator,
+    * which never builds a join either).
+    *
+    * State is O(1) per key: the single latest right (ts, value) — the
+    * carry. Within a micro-batch rows process in (ts, right-first)
+    * order, so a right row ties with a left row at the same instant the
+    * way the batch `l.ts >= r.ts` contract does, and intra-batch
+    * disorder is repaired for free. ACROSS batches the carry only moves
+    * forward: a right row arriving in a later micro-batch than a
+    * left row it should have served cannot retro-correct an emitted row
+    * (Append mode) — replay in event-time order for exact parity
+    * (pinned ≡ the batch operator in EventStreamsSpec), and treat the
+    * batch as-of as the reconciliation path, same stance as
+    * [[nearDupHits]]. State never times out: a carry must not forget
+    * its last quote. */
+  def asofStream(events: Dataset[SidedEvent]): Dataset[AsofHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, batch, state: GroupState[AsofState]) =>
+          var carry = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofHit]
+          batch.toSeq.sortBy(e => (e.ts.getTime, !e.isRight)).foreach { e =>
+            if (e.isRight) {
+              if (carry.forall(_.ts <= e.ts.getTime))
+                carry = Some(AsofState(e.ts.getTime, e.value))
+            } else {
+              val asof = carry.filter(_.ts <= e.ts.getTime).map(_.value)
+              out += AsofHit(key, e.ts, e.value, asof)
+            }
+          }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Exact Jaccard of two sorted distinct long arrays (the executor-
     * side twin of [[graft.expr.JaccardSorted]]'s merge loop). */
   private def jaccardSortedArrays(a: Array[Long], b: Array[Long]): Double = {

@@ -163,4 +163,48 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(b == got.filter(_._1 == 0).map(t => (t._2, t._3, t._4)))
   }
+
+  test("asofStream: carry across micro-batches ≡ batch AsofJoin on replayed batches") {
+    implicit val sc = spark.sqlContext
+    def se(key: Long, s: String, right: Boolean, v: Double) =
+      SidedEvent(key, ts(s), right, v)
+    // two keys; batch 1 deliberately out of order WITHIN the batch
+    // (intra-batch sort repairs it), batches in event-time order
+    // ACROSS batches (the documented replay contract)
+    val batch1 = Seq(
+      se(1, "2024-01-01 00:30:00", right = false, 10.0), // after the right → matches 1.5
+      se(1, "2024-01-01 00:10:00", right = true, 1.5),   // out of order: arrives "late" in the batch
+      se(1, "2024-01-01 00:05:00", right = false, 9.0),  // BEFORE any right → no match
+      se(1, "2024-01-01 00:10:00", right = false, 11.0), // tie with the right → matches (≥)
+      se(2, "2024-01-01 00:20:00", right = false, 20.0)) // key 2 has no right at all in batch 1
+    val batch2 = Seq(
+      se(1, "2024-01-01 01:00:00", right = false, 12.0), // no batch-2 right yet → batch-1 carry 1.5
+      se(1, "2024-01-01 01:30:00", right = true, 2.5),
+      se(1, "2024-01-01 02:00:00", right = false, 13.0), // new carry 2.5
+      se(2, "2024-01-01 01:45:00", right = true, 9.0),
+      se(2, "2024-01-01 02:00:00", right = false, 21.0))
+    val in = MemoryStream[SidedEvent]
+    val q = asofStream(in.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    def norm(rs: Seq[(Long, java.sql.Timestamp, Double, Option[Double])]) = rs.toSet
+    val got = norm(spark.table("asof").as[AsofHit].collect()
+      .map(h => (h.key, h.ts, h.value, h.asof_value)).toSeq)
+    // batch-operator truth over the SAME rows, sides split back out
+    val all = batch1 ++ batch2
+    val left = all.filter(!_.isRight).map(e => (e.key, e.ts, e.value)).toDF("key", "ts", "value")
+    val right = all.filter(_.isRight).map(e => (e.key, e.ts, e.value)).toDF("key", "ts", "value")
+    val batchTruth = norm(graft.ops.AsofJoin.asofJoin(left, right,
+        keys = Seq("key"), tsCol = "ts", rightPayload = Seq("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq)
+    assert(got == batchTruth)
+    // the carry really crossed the batch boundary
+    assert(got.contains((1L, ts("2024-01-01 01:00:00"), 12.0, Some(1.5))))
+    // intra-batch disorder repaired: the 00:30 left saw the 00:10 right
+    assert(got.contains((1L, ts("2024-01-01 00:30:00"), 10.0, Some(1.5))))
+    // and the pre-right left row stayed unmatched
+    assert(got.contains((1L, ts("2024-01-01 00:05:00"), 9.0, None)))
+  }
 }
