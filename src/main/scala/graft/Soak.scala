@@ -56,6 +56,12 @@ object Soak {
         }
       }.reduce(_ unionByName _)
 
+    // SPARK_GRAFT_SOAK_EMB_ONLY=1: only the embedding LSH/cosine
+    // stages — the fast loop for before/after measurements on the
+    // similarity internals without paying the doc and IVF/PQ stages
+    val embOnly = sys.env.get("SPARK_GRAFT_SOAK_EMB_ONLY").contains("1")
+
+    if (!embOnly) {
     val docs = replicate(
       Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")),
       "id", Some("text"), multDocs)
@@ -88,6 +94,7 @@ object Soak {
       ops.Dedup.simhashNearDups(docs, maxDist = 3).count()
     }
     docs.unpersist(blocking = false)
+    }
 
     // Embedding replication flips signs per (copy, dim) — NOT identical
     // copies. Identical copies make the TRUE pair set quadratic in the
@@ -123,6 +130,7 @@ object Soak {
       ops.Similarity.cosineCandidatesBucketed(emb).count()
     }
     println(s"[soak] cosine candidates: $nCosCands, verified pairs: ${cosPairs.count()}")
+    if (embOnly) { emb.unpersist(blocking = false); spark.stop(); return }
     // larger nlist than the gate's 16 — exercises the O(1)-plan argmin
     // and seeding at a cell count closer to production
     val model = time("ivf fit nlist=64")(ops.Ivf.fit(emb, nlist = 64, iters = 3))

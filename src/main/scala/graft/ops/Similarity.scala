@@ -58,6 +58,11 @@ object Similarity {
     java.lang.Math.floorMod(h, 2001L).toDouble / 1000.0 - 1.0
   }
 
+  /** Test hook: the plane derivation, so specs can rebuild the exact
+    * tensor [[lshKeys]] feeds the fused expression. */
+  private[ops] def planeComponentForTest(table: Int, bit: Int, dim: Int): Double =
+    planeComponent(table, bit, dim)
+
   /** Random-hyperplane LSH bucket key for one hash table: `nBits` sign
     * bits of codegen'd dot products against literal hyperplanes.
     * `nBits = 0` is the degenerate-but-legal 2⁰ = 1 bucket per table —
@@ -74,10 +79,17 @@ object Similarity {
   }
 
   /** All (table, bucket) keys for a vector — multi-table LSH raises
-    * recall (a candidate only needs to collide in ONE table). */
+    * recall (a candidate only needs to collide in ONE table). One fused
+    * compiled pass over a literal plane tensor
+    * ([[graft.expr.LshKeys]]): the per-table column composition
+    * ([[lshKey]]) is identical semantics but nTables × nBits separate
+    * dot-product nodes — measured ~40 s per 100 k-vector keying pass in
+    * the r5 soak, paid per self-join branch (pinned equal to the
+    * composition in SimilaritySpec). nBits = 0 falls out naturally:
+    * zero planes per table → every bucket 0 (full coverage). */
   private def lshKeys(vec: Column, nBits: Int, nTables: Int, dim: Int): Column =
-    array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), lshKey(vec, nBits, t, dim).as("bucket"))): _*)
+    graft.expr.LshKeys.lshKeys(vec,
+      Array.tabulate(nTables, nBits, dim)((t, b, d) => planeComponent(t, b, d)))
 
   /** Approximate top-k: candidates restricted to LSH bucket collisions
     * in any of `nTables` tables, then exact cosine rank. Cost per query
@@ -241,10 +253,25 @@ object Similarity {
     val bits =
       if (nBits >= 0) nBits
       else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
+    // Attaching vectors to the candidate pairs is where the verify
+    // stage's bytes live: a shuffle join re-partitions the candidate
+    // stream per attach, and the SECOND attach drags the first's
+    // dim-length vector through the wire (candidates × ~8·dim bytes —
+    // 32 GB at the 57.7 M-candidate soak point; THE measured
+    // superlinearity of r4/r5). While the corpus's vectors fit a
+    // broadcast (≤ ~256 MB — they are the INDEX side; 200 k × 64 dims
+    // is 104 MB), both attaches become map-side hash probes and the
+    // candidate stream never shuffles at all. Past that, shuffle_hash
+    // keeps the stream unsorted (hash the small side, stream the big).
+    val vecSideBytes = n * dim * 8L
+    def attach(vecs: DataFrame, side: String): DataFrame = {
+      val v = vecs.select(col("id").as(side), col("vec").as(side.replace("id", "v")))
+      if (vecSideBytes <= (256L << 20)) broadcast(v) else v.hint("shuffle_hash")
+    }
     def pairsOf(vecs: DataFrame): DataFrame = {
       bucketCandidates(vecs, bits, nTables, dim, maxBucket)
-        .join(vecs.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
-        .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
+        .join(attach(vecs, "id1"), Seq("id1"))
+        .join(attach(vecs, "id2"), Seq("id2"))
         .withColumn("cosine", cosine(col("v1"), col("v2")))
         .where(col("cosine") >= threshold)
         .select("id1", "id2", "cosine")

@@ -140,6 +140,33 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.size < uncapped.size) // the 20-cap really dropped buckets
   }
 
+  test("fused LshKeys expression equals the per-table column composition") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val nBits = 5; val nTables = 3; val dim = 64
+    // the composition lshKeys replaced: one struct per table, bucket =
+    // or-reduce of sign bits of per-plane dots
+    val composed = e.select(col("id"), array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        Similarity.lshKey(col("v"), nBits, t, dim).as("bucket"))): _*).as("ks"))
+    val planes = Array.tabulate(nTables, nBits, dim)((t, b, d) =>
+      Similarity.planeComponentForTest(t, b, d))
+    val fused = e.select(col("id"), graft.expr.LshKeys.lshKeys(col("v"), planes).as("ks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), explode(col("ks")).as("k"))
+        .select(col("id"), col("k.tbl"), col("k.bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(fused) == rows(composed))
+    // zero-bit tables are the full-coverage gate config: all buckets 0
+    val zero = e.limit(3).select(graft.expr.LshKeys.lshKeys(col("v"),
+      Array.fill(2)(Array.empty[Array[Double]])).as("ks"))
+      .select(explode(col("ks")).as("k")).select(col("k.bucket"))
+      .collect().map(_.getLong(0))
+    assert(zero.forall(_ == 0L))
+  }
+
   test("lsh bucket key is deterministic") {
     val e = Seq((0L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "embedding")
       .select(transform(col("embedding"), _.cast("double")).as("v"))
