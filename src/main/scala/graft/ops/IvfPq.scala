@@ -189,17 +189,22 @@ object IvfPq {
     * no driver ceiling) on the measured crossover: one cheap count of
     * the query frame, nothing else.
     *
-    * Threshold from the r4/r5 soaks (100 k-vector index, local[24]):
-    * 10 k queries ran 19.4 s chunked vs 33.4 s distributed (driver LUTs
-    * win — no probe-side shuffle), 50 k queries 234.5 s chunked vs
-    * 212.2 s distributed (the per-task LUT copy cost overtakes the
-    * one-time shuffle). The crossover sits between; 32 768 splits it
-    * erring toward distributed, which also removes the driver-memory
-    * ceiling the chunked path meets first. Output is identical either
-    * way (IvfPqSpec pins both routes). */
+    * Threshold from the r4/r5 soaks (local[24]): at a 100 k-vector
+    * index, 10 k queries ran 19.4 s chunked vs 33.4 s distributed and
+    * 50 k queries 234.5 vs 212.2 s — distributed edging ahead; but at a
+    * 200 k-vector index, 100 k queries ran 376.7 chunked vs 752.7 s
+    * distributed (the LUT shuffle grows ∝ queries × nprobe × m·k while
+    * chunked amortizes fixed 33 MB task binaries over more rows). The
+    * crossover is corpus-dependent, so the default routes conservatively:
+    * chunked until the batch is deep into the regime where its REAL
+    * limit binds — the driver ceiling and one-job-per-chunk scheduling
+    * (~200 sequential jobs at the default chunk) — and distributed
+    * beyond. Callers who measured their own corpus shape can pass their
+    * own threshold. Output is identical either way (IvfPqSpec pins both
+    * routes). */
   def topKAuto(cells: DataFrame, corpus: DataFrame, queries: DataFrame, model: Model,
       k: Int, nprobe: Int = 4, shortlist: Int = 4, queryChunk: Int = 1024,
-      routeThreshold: Long = 32768): DataFrame = {
+      routeThreshold: Long = 200000): DataFrame = {
     if (queries.count() <= routeThreshold)
       topK(cells, corpus, queries, model, k, nprobe, shortlist, queryChunk)
     else

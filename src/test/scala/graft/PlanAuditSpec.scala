@@ -10,7 +10,9 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // same list PlanDump renders
+  // the list PlanDump renders, minus q_incremental_append (its plan
+  // BUILD runs two eager index writes — audited via q_incremental_dedup
+  // machinery and IncrementalDedupSpec instead)
   private val headline = Seq(
     "q1_agg", "q_scan_project", "q_join_enrich", "q_rain_pipeline",
     "q_incident_pipeline", "q_risk_pipeline", "q_join_graph", "q_list_page",
