@@ -57,9 +57,10 @@ object Soak {
       }.reduce(_ unionByName _)
 
     // SPARK_GRAFT_SOAK_EMB_ONLY=1: only the embedding LSH/cosine
-    // stages — the fast loop for before/after measurements on the
-    // similarity internals without paying the doc and IVF/PQ stages
+    // stages; SPARK_GRAFT_SOAK_DOCS_ONLY=1: only the doc dedup stages —
+    // fast loops for before/after measurements on one operator family
     val embOnly = sys.env.get("SPARK_GRAFT_SOAK_EMB_ONLY").contains("1")
+    val docsOnly = sys.env.get("SPARK_GRAFT_SOAK_DOCS_ONLY").contains("1")
 
     if (!embOnly) {
     val docs = replicate(
@@ -95,6 +96,7 @@ object Soak {
     }
     docs.unpersist(blocking = false)
     }
+    if (docsOnly) { spark.stop(); return }
 
     // Embedding replication flips signs per (copy, dim) — NOT identical
     // copies. Identical copies make the TRUE pair set quadratic in the

@@ -126,10 +126,25 @@ object Dedup {
     val withSh = df.select(col("id"), hashedShingles(col("text"), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Same verify-attach rule as Similarity.cosineNearDupsBucketed:
+      // a shuffle join re-partitions the candidate stream per attach
+      // and the SECOND attach drags sh1 arrays (~8·|shingles| bytes a
+      // row) through the wire — candidates × ~1 KB at soak scale. When
+      // the whole (id, shingles) frame fits a broadcast, both attaches
+      // become map-side probes and candidates never shuffle; past that,
+      // shuffle_hash at least keeps the fat stream unsorted. One cheap
+      // agg over the already-persisted frame decides.
+      val stats = withSh.agg(count(lit(1)), sum(size(col("sh")))).first()
+      val shBytes =
+        (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8L + stats.getLong(0) * 48L
+      def attach(side: String, as: String): DataFrame = {
+        val v = withSh.select(col("id").as(side), col("sh").as(as))
+        if (shBytes <= (256L << 20)) broadcast(v) else v.hint("shuffle_hash")
+      }
       val cands = minhashCandidatesFromShingles(withSh, k, bands)
       cands
-        .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-        .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .join(attach("id1", "sh1"), Seq("id1"))
+        .join(attach("id2", "sh2"), Seq("id2"))
         // provable prefilter: jaccard = |∩|/|∪| ≤ min/max of the set
         // sizes, so any pair failing the size-ratio test cannot reach
         // the threshold — skip the sorted-merge for it (at aggressive
