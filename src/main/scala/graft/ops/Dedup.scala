@@ -116,9 +116,15 @@ object Dedup {
     graft.expr.JaccardSorted.jaccardSorted(sh1, sh2)
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥
-    * threshold. The verify join touches only candidate pairs. */
+    * threshold. The verify join touches only candidate pairs.
+    *
+    * `materialize = false` skips the FINAL eager checkpoint so the
+    * verify-attach joins stay visible for plan inspection (candidate
+    * generation is still eager internally, and the returned plan
+    * re-derives shingles past the released cache — the inspection
+    * path, not the production one). */
   def minhashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
-      k: Int = 16, bands: Int = 4): DataFrame = {
+      k: Int = 16, bands: Int = 4, materialize: Boolean = true): DataFrame = {
     // hash-shingle once, persist: reused by the signature pass and both
     // sides of the verify join (4 evaluations otherwise); released after
     // the verified pairs are eagerly materialized — no session-lifetime
@@ -142,7 +148,7 @@ object Dedup {
         if (shBytes <= (256L << 20)) broadcast(v) else v.hint("shuffle_hash")
       }
       val cands = minhashCandidatesFromShingles(withSh, k, bands)
-      cands
+      val verified = cands
         .join(attach("id1", "sh1"), Seq("id1"))
         .join(attach("id2", "sh2"), Seq("id2"))
         // provable prefilter: jaccard = |∩|/|∪| ≤ min/max of the set
@@ -155,7 +161,7 @@ object Dedup {
         .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
         .where(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
-        .localCheckpoint(true)
+      if (materialize) verified.localCheckpoint(true) else verified
     } finally withSh.unpersist(blocking = false)
   }
 

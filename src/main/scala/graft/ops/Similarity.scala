@@ -158,20 +158,34 @@ object Similarity {
     * [[Dedup.minhashCandidates]]). */
   def cosineCandidatesBucketed(corpus: DataFrame, nBits: Int = -1,
       nTables: Int = 8, maxBucket: Int = 0): DataFrame = {
-    val probe = corpus
-      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
-    val n = probe.getLong(0)
-    if (n == 0) {
-      return corpus.select(col("id").as("id1"), col("id").as("id2")).limit(0)
+    corpusProbe(corpus) match {
+      case (_, None) =>
+        corpus.select(col("id").as("id1"), col("id").as("id2")).limit(0)
+      case (n, Some(dim)) =>
+        bucketCandidates(
+          corpus.select(col("id"), asDouble(col("embedding")).as("vec")),
+          autoBits(nBits, n), nTables, dim, maxBucket)
     }
-    val dim = probe.getInt(1)
-    val bits =
-      if (nBits >= 0) nBits
-      else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
-    bucketCandidates(
-      corpus.select(col("id"), asDouble(col("embedding")).as("vec")),
-      bits, nTables, dim, maxBucket)
   }
+
+  /** One probe pass shared by the bucketed paths: row count + embedding
+    * dim. Dim is None when the corpus is empty OR the embedding column
+    * holds no non-null value — both mean "nothing to bucket" and the
+    * callers return a typed empty result instead of NPEing on a null
+    * dim. */
+  private def corpusProbe(corpus: DataFrame): (Long, Option[Int]) = {
+    val r = corpus
+      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))
+  }
+
+  /** The shared auto-sizing policy: ⌈log2 n⌉ − 6 clamped to [4, 16] —
+    * buckets stay ~64 vectors at any corpus size (soak-derived; see
+    * [[cosineNearDupsBucketed]]). An explicit nBits ≥ 0 wins. */
+  private def autoBits(nBits: Int, n: Long): Int =
+    if (nBits >= 0) nBits
+    else math.max(4, math.min(16,
+      (math.log(math.max(1L, n).toDouble) / math.log(2)).ceil.toInt - 6))
 
   /** Bucket-collision candidate pairs, optionally dropping oversized
     * buckets. The candidate join is NARROW — only (bucket, id) rides
@@ -192,8 +206,14 @@ object Similarity {
     val keyed =
       if (maxBucket <= 0) keyedAll
       else {
+        // materialize the (tiny — ≤ n/maxBucket rows) oversized list
+        // eagerly so the keying pass behind it runs ONCE, not again per
+        // self-join branch that references the anti-join (costs one
+        // eager action even on otherwise-lazy plans; capped callers
+        // accept that for not paying keying 4×)
         val oversized = keyedAll.groupBy("tb").count()
           .where(col("count") > maxBucket).select("tb")
+          .localCheckpoint(true)
         keyedAll.join(broadcast(oversized), Seq("tb"), "left_anti")
       }
     keyed.select(col("tb"), col("id").as("id1"))
@@ -242,17 +262,13 @@ object Similarity {
   def cosineNearDupsBucketed(corpus: DataFrame, threshold: Double,
       nBits: Int = -1, nTables: Int = 8, materialize: Boolean = true,
       maxBucket: Int = 0): DataFrame = {
-    val probe = corpus
-      .agg(count(lit(1)), first(size(col("embedding")), ignoreNulls = true)).first()
-    val n = probe.getLong(0)
-    if (n == 0) {
+    val (n, dimOpt) = corpusProbe(corpus)
+    if (dimOpt.isEmpty) {
       return corpus.select(col("id").as("id1"), col("id").as("id2"),
         lit(0.0).as("cosine")).limit(0)
     }
-    val dim = probe.getInt(1)
-    val bits =
-      if (nBits >= 0) nBits
-      else math.max(4, math.min(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt - 6))
+    val dim = dimOpt.get
+    val bits = autoBits(nBits, n)
     // Attaching vectors to the candidate pairs is where the verify
     // stage's bytes live: a shuffle join re-partitions the candidate
     // stream per attach, and the SECOND attach drags the first's

@@ -176,22 +176,33 @@ object PipelineQueries {
     * restricted to increment-touching pairs — which DuckDB recomputes
     * n²-style. The whole index machinery (persisted buckets + shingle
     * store, band-key probe join) runs inside the gate. */
-  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalGate(s, dir) { (docs, idx) =>
+      graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 8), idx,
+        n = 3, k = 48, bands = 16)
+    }
+
+  /** Shared shell of the two incremental gates — only the index
+    * CONSTRUCTION differs; the probe slice, ordering, and cleanup must
+    * stay identical or the shared oracle stops being a fair comparison.
+    * incrementalNearDups materializes its result eagerly, so the index
+    * files are dead the moment it returns — deleted here rather than
+    * leaking a corpus-scale temp dir per gate/bench run. */
+  private def incrementalGate(s: SparkSession, dir: String)(
+      build: (DataFrame, String) => Unit): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
     val idx = java.nio.file.Files.createTempDirectory("graft-ndidx")
     try {
-      graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 8), idx.toString,
-        n = 3, k = 48, bands = 16)
-      // incrementalNearDups materializes its result eagerly, so the
-      // index files are dead the moment it returns — delete them here
-      // rather than leaking a corpus-scale temp dir per gate/bench run
+      build(docs, idx.toString)
       graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx.toString,
           threshold = 0.8, n = 3, k = 48, bands = 16)
         .orderBy("id1", "id2")
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(idx)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -203,24 +214,14 @@ object PipelineQueries {
     * identical to q_incremental_dedup: brute-force Jaccard over
     * B-touching pairs. A broken Append (overwrite, missing shingles,
     * layout corruption) breaks the hash. */
-  def qIncrementalAppend(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
-    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx-app")
-    try {
-      graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 6), idx.toString,
+  def qIncrementalAppend(s: SparkSession, dir: String): DataFrame =
+    incrementalGate(s, dir) { (docs, idx) =>
+      graft.ops.Dedup.buildBandIndex(docs.where(col("id") % 10 < 6), idx,
         n = 3, k = 48, bands = 16)
       graft.ops.Dedup.buildBandIndex(
-        docs.where(col("id") % 10 >= 6 && col("id") % 10 < 8), idx.toString,
+        docs.where(col("id") % 10 >= 6 && col("id") % 10 < 8), idx,
         n = 3, k = 48, bands = 16, mode = org.apache.spark.sql.SaveMode.Append)
-      graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx.toString,
-          threshold = 0.8, n = 3, k = 48, bands = 16)
-        .orderBy("id1", "id2")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-  }
 
   /** The WHOLE modern corpus-prep pipeline in one query — every stage
     * this module adds, composed in production order: synthesize PII

@@ -181,7 +181,7 @@ object EventStreams {
   final case class SidedEvent(key: Long, ts: java.sql.Timestamp, isRight: Boolean, value: Double)
   final case class AsofHit(key: Long, ts: java.sql.Timestamp, value: Double,
     asof_value: Option[Double])
-  final case class AsofState(ts: Long, value: Double)
+  final case class AsofState(ts: Long, value: Double) // ts in MICROS (see tsMicros)
 
   /** Streaming as-of join — the incremental twin of
     * [[graft.ops.AsofJoin.asofJoin]]: left rows pick up the most recent
@@ -202,6 +202,12 @@ object EventStreams {
     * batch as-of as the reconciliation path, same stance as
     * [[nearDupHits]]. State never times out: a carry must not forget
     * its last quote. */
+  /** Full-precision micros of a Timestamp — `getTime` alone truncates
+    * to milliseconds, which would mis-order sub-millisecond events
+    * (Spark's TimestampType carries microseconds; events.parquet does). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def asofStream(events: Dataset[SidedEvent]): Dataset[AsofHit] = {
     import events.sparkSession.implicits._
     events
@@ -211,12 +217,12 @@ object EventStreams {
         (key, batch, state: GroupState[AsofState]) =>
           var carry = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[AsofHit]
-          batch.toSeq.sortBy(e => (e.ts.getTime, !e.isRight)).foreach { e =>
+          batch.toSeq.sortBy(e => (tsMicros(e.ts), !e.isRight)).foreach { e =>
             if (e.isRight) {
-              if (carry.forall(_.ts <= e.ts.getTime))
-                carry = Some(AsofState(e.ts.getTime, e.value))
+              if (carry.forall(_.ts <= tsMicros(e.ts)))
+                carry = Some(AsofState(tsMicros(e.ts), e.value))
             } else {
-              val asof = carry.filter(_.ts <= e.ts.getTime).map(_.value)
+              val asof = carry.filter(_.ts <= tsMicros(e.ts)).map(_.value)
               out += AsofHit(key, e.ts, e.value, asof)
             }
           }

@@ -69,6 +69,39 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: a dim join fell back to sort-merge")
   }
 
+  test("near-dup verify attaches broadcast — candidate streams never sort-merge") {
+    // the r5 superlinearity fix: attaching vectors/shingles to candidate
+    // pairs must not SMJ-sort the (huge) candidate stream; the side is
+    // explicitly broadcast (≤256 MB) or shuffle_hash past that. The
+    // GATE queries checkpoint their results (truncated plans — a plain
+    // string assert on them is vacuous), so audit the operators' lazy
+    // plans directly via materialize = false.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cos = ops.Similarity.cosineNearDupsBucketed(e, threshold = 0.4,
+      nBits = 4, materialize = false)
+    val cosPlan = cos.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!cosPlan.contains("SortMergeJoin"),
+      "cosine verify attach fell back to sort-merge on the candidate stream")
+    assert(cosPlan.contains("BroadcastHashJoin"),
+      "cosine verify attach is not broadcasting the vector side")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text"))
+    val mh = ops.Dedup.minhashNearDups(docs, threshold = 0.8,
+      n = 3, k = 48, bands = 16, materialize = false)
+    val mhPlan = mh.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!mhPlan.contains("SortMergeJoin"),
+      "minhash verify attach fell back to sort-merge on the candidate stream")
+    assert(mhPlan.contains("BroadcastHashJoin"),
+      "minhash verify attach is not broadcasting the shingle side")
+    // the two attaches broadcast the SAME frame — canonicalized plans
+    // are equal, so executing must reuse ONE broadcast exchange, not
+    // build two (the near-threshold double-memory concern)
+    cos.collect()
+    assert(cos.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "vector-attach broadcasts did not reuse a single exchange")
+  }
+
   test("relational pipelines run inside WholeStageCodegen with partial aggregation") {
     // un-executed AQE plans don't expose per-stage codegen wrapping, so
     // execute cheap representatives and audit the FINAL plan (codegen

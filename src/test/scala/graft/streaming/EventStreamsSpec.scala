@@ -182,7 +182,13 @@ class EventStreamsSpec extends SparkSpec {
       se(1, "2024-01-01 01:30:00", right = true, 2.5),
       se(1, "2024-01-01 02:00:00", right = false, 13.0), // new carry 2.5
       se(2, "2024-01-01 01:45:00", right = true, 9.0),
-      se(2, "2024-01-01 02:00:00", right = false, 21.0))
+      se(2, "2024-01-01 02:00:00", right = false, 21.0),
+      // sub-millisecond ordering: the right at .000600 is AFTER the
+      // left at .000400, so that left must NOT see it (millisecond
+      // truncation would tie them and wrongly match — the getTime bug)
+      se(3, "2024-01-01 03:00:00.000400", right = false, 30.0),
+      se(3, "2024-01-01 03:00:00.000600", right = true, 7.0),
+      se(3, "2024-01-01 03:00:00.000700", right = false, 31.0))
     val in = MemoryStream[SidedEvent]
     val q = asofStream(in.toDS())
       .writeStream.format("memory").queryName("asof").outputMode("append").start()
@@ -206,5 +212,9 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((1L, ts("2024-01-01 00:30:00"), 10.0, Some(1.5))))
     // and the pre-right left row stayed unmatched
     assert(got.contains((1L, ts("2024-01-01 00:05:00"), 9.0, None)))
+    // microsecond precision: the .000400 left precedes the .000600
+    // right; only the .000700 left matches it
+    assert(got.contains((3L, ts("2024-01-01 03:00:00.000400"), 30.0, None)))
+    assert(got.contains((3L, ts("2024-01-01 03:00:00.000700"), 31.0, Some(7.0))))
   }
 }
