@@ -109,7 +109,8 @@ object Similarity {
     // result with the right shape). The corpus COUNT is only paid when
     // auto-sizing actually needs it — an explicit nBits (the gates'
     // full-coverage 0, the recall specs' 4) must not cost a corpus pass.
-    val dimOpt = corpus.select(size(col("embedding"))).limit(1).collect()
+    val dimOpt = corpus.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0))
     if (dimOpt.isEmpty) {
       return corpus.select(col("id").as("qid"), col("id"),
