@@ -349,4 +349,51 @@ object Dedup {
       .distinct()
       .where(col("dist") <= maxDist)
   }
+
+  /** MD5 hashes of the NON-OVERLAPPING width-char chunks of `text`
+    * (full-width chunks only; a doc shorter than `width` has none).
+    * Hashing 16 bytes per chunk instead of carrying the substring is
+    * the 100 TB pattern — the shuffle key is fixed-width. */
+  def chunkHashes(text: Column, width: Int): Column =
+    when(length(text) >= width,
+      transform(sequence(lit(1), length(text) - (width - 1), lit(width)),
+        p => md5(text.substr(p, lit(width)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact substring-duplication profile, chunk-granular — the
+    * scalable form of "dedup repeated long substrings" from Lee et al.
+    * 2022 (arXiv:2107.06499, "Deduplicating Training Data Makes
+    * Language Models Better"): a chunk is DUPLICATED when its exact
+    * bytes occur in ≥ `minDocs` distinct documents; each doc reports
+    * how much of it is made of duplicated chunks.
+    *
+    * Two passes over the chunk stream (find duplicated hashes; re-score
+    * docs against them), both shuffling on the 16-byte chunk hash only
+    * — never on text, never pairwise. The duplicated-hash set is
+    * usually small (tracks the amount of boilerplate, not corpus
+    * size), so AQE turns the re-attach join into a broadcast.
+    *
+    * @return (idCol, n_chunks, n_dup_chunks, dup_frac) — docs shorter
+    *         than `width` are absent (no chunks to score)
+    */
+  def substringDupProfile(docs: DataFrame, width: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    val reserved = Seq("__h", "__nd", "__dup")
+    reserved.foreach(n => require(!docs.columns.contains(n),
+      s"substringDupProfile: input already has reserved column '$n'"))
+    val chunks = docs
+      .where(length(col(textCol)) >= width)
+      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+    val dup = chunks
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h")).withColumn("__dup", lit(1L))
+    chunks.join(dup, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
+  }
 }

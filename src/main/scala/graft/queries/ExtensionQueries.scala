@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, SemDedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -427,6 +427,33 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact substring duplication (Lee et al. 2022), chunk-granular:
+    * per-doc fraction of non-overlapping 30-char chunks whose exact
+    * bytes recur in ≥ 2 distinct docs. Both shuffles ride the 16-byte
+    * chunk hash — never the text, never pairwise. */
+  def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupProfile(Tables.documents(s, dir), width = 30)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))
+      .orderBy("doc_id")
+
+  /** SemDeDup (Abbas et al. 2023): assign every embedding to its
+    * max-cosine seed centroid (vec_id < 8 — deterministic, so DuckDB
+    * can replay the exact clustering), then drop any vector with a
+    * lower-id cluster-mate at cosine ≥ 0.4. Output is the SURVIVING
+    * corpus with its cluster and centroid cosine. The production path
+    * swaps the seed centroids for an [[graft.ops.Ivf.fit]] quantizer —
+    * same prune, trained clusters. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    SemDedup.semDedup(
+      e.select(col("vec_id").as("id"), col("embedding")),
+      e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
+      threshold = 0.4)
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+        round(col("centroid_cosine"), 6).as("centroid_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Skew-safe two-phase aggregation must equal the plain GROUP BY —
     * proven against the oracle (decimal-quantized sums, so the salted
     * re-association cannot drift). */
@@ -467,6 +494,8 @@ object ExtensionQueries {
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_substring_dup" -> (qSubstringDup _),
+    "q_semdedup" -> (qSemDedup _),
   )
 
   private val fpSql = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
@@ -711,6 +740,47 @@ object ExtensionQueries {
         |c AS (SELECT id1, id2, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p)
         |SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+    // non-overlapping 30-char chunks; duplicated = exact bytes in ≥2
+    // distinct docs; per-occurrence dup counting (a doc repeating a
+    // duplicated chunk counts it each time), mirroring the Spark join
+    "q_substring_dup" ->
+      """WITH c AS (
+        |  SELECT doc_id, md5(substring(text, p, 30)) AS h
+        |  FROM documents, lateral unnest(range(1, greatest(length(text) - 29, 0) + 1, 30)) AS u(p)
+        |  WHERE length(text) >= 30),
+        |d AS (SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (d.h IS NOT NULL) AS n_dup_chunks,
+        |  round(count(*) FILTER (d.h IS NOT NULL)::double / count(*)::double, 6) AS dup_frac
+        |FROM c LEFT JOIN d ON c.h = d.h
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // deterministic seed centroids (vec_id < 8) make the clustering
+    // replayable; assignment ties break (cosine DESC, cid ASC) exactly
+    // like the Spark argmax over (cosine, -cid) structs; survivors are
+    // rows with no lower-id cluster-mate at cosine ≥ 0.4
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |p AS (SELECT e.vec_id, e.v, cent.cid,
+        |  list_sum(list_transform(list_zip(e.v, cent.cv), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(cent.cv, x -> x * x))) AS den
+        | FROM e, cent),
+        |s AS (SELECT vec_id, v, cid, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |a AS (SELECT vec_id, v, cid, cosine,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn FROM s),
+        |asg AS (SELECT vec_id, v, cid, cosine FROM a WHERE rn = 1),
+        |pr AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+        |  list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+        |  sqrt(list_sum(list_transform(y.v, t -> t * t))) AS den
+        | FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |rm AS (SELECT DISTINCT id2 FROM pr
+        |  WHERE (CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END) >= 0.4)
+        |SELECT asg.vec_id, asg.cid AS cluster_id, round(asg.cosine, 6) AS centroid_cosine
+        |FROM asg LEFT JOIN rm ON asg.vec_id = rm.id2
+        |WHERE rm.id2 IS NULL
+        |ORDER BY asg.vec_id""".stripMargin,
     // corpus-covering shortlist + exact re-rank ⇒ the PQ pipeline's
     // output is exactly the brute-force cosine top-k (qids 20–29)
     "q_pq_topk" ->

@@ -76,4 +76,39 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
     assert(out.forall { case (a, b, _) => a < b })
   }
+
+  test("chunkHashes: full-width non-overlapping chunks only") {
+    val t = Seq((1L, "abcdefghij"), (2L, "abcd")).toDF("id", "text")
+    val h = t.select(col("id"), Dedup.chunkHashes(col("text"), 4).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // "abcdefghij" (10 chars, w=4) → chunks at 1,5 ("abcd","efgh"); tail "ij" dropped
+    assert(h(1L).length == 2)
+    assert(h(2L).length == 1) // exactly width → one chunk
+    assert(h(1L).head == h(2L).head) // same bytes, same hash
+  }
+
+  test("substringDupProfile: cross-doc chunks flagged, within-doc repeats are not") {
+    val boiler = "X" * 30
+    val d = Seq(
+      (1L, boiler + ("a" * 30)),           // shares boiler with 2
+      (2L, boiler + ("b" * 30)),
+      (3L, ("c" * 30) + ("c" * 30)),       // repeats ITS OWN chunk — 1 distinct doc
+      (4L, "too short"),                   // < width → absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupProfile(d, width = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
+  }
+
+  test("substringDupProfile: per-occurrence dup counting and dup_frac") {
+    val boiler = "Y" * 20
+    val d = Seq(
+      (1L, boiler + boiler),  // doc 1 carries the shared chunk TWICE
+      (2L, boiler + ("z" * 20)),
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupProfile(d, width = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))      // both occurrences count
+    assert(out(2L) == ((2L, 1L, 0.5)))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two tight clusters on orthogonal axes plus an outlier between them.
+  private def corpus = Seq(
+    (10L, Array(1.0f, 0.0f, 0.0f)),
+    (11L, Array(0.99f, 0.01f, 0.0f)),  // near-dup of 10 (cos ≈ 1)
+    (12L, Array(0.9f, 0.3f, 0.0f)),    // same cluster, not a near-dup at τ=0.999
+    (20L, Array(0.0f, 1.0f, 0.0f)),
+    (21L, Array(0.0f, 0.98f, 0.02f)),  // near-dup of 20
+  ).toDF("id", "embedding")
+
+  private def centroids = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+  ).toDF("cid", "embedding")
+
+  test("assignByCosine: max-cosine centroid, corpus columns carried") {
+    val asg = SemDedup.assignByCosine(corpus, centroids)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == Map(10L -> 0L, 11L -> 0L, 12L -> 0L, 20L -> 1L, 21L -> 1L))
+  }
+
+  test("assignByCosine: equal-cosine tie breaks to the LOWEST cid") {
+    val dupCents = Seq(
+      (7L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)), // identical vector, lower id
+    ).toDF("cid", "embedding")
+    val asg = SemDedup.assignByCosine(corpus.where(col("id") === 10L), dupCents)
+      .select("cluster").collect().map(_.getLong(0)).toSeq
+    assert(asg == Seq(3L))
+  }
+
+  test("assignByCosine: null embeddings dropped; reserved names refused") {
+    val withNull = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("id", "embedding"))
+    assert(SemDedup.assignByCosine(withNull, centroids).count() == 5L)
+    val clash = corpus.withColumn("cluster", lit(1))
+    assertThrows[IllegalArgumentException] {
+      SemDedup.assignByCosine(clash, centroids)
+    }
+  }
+
+  test("prune: higher id of a within-cluster near-dup pair is removed") {
+    val kept = SemDedup.semDedup(corpus, centroids, threshold = 0.99)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // 11 falls to 10, 21 falls to 20; 12 survives (cos(10,12) ≈ 0.95 < 0.99)
+    assert(kept == Seq(10L, 12L, 20L))
+  }
+
+  test("prune: near-dups in DIFFERENT clusters are never compared") {
+    // 45° vector pairs land in different clusters despite cos ≈ 0.99
+    val split = Seq(
+      (1L, Array(1.0f, 0.9f, 0.0f)),  // → cluster 0
+      (2L, Array(0.9f, 1.0f, 0.0f)),  // → cluster 1, cos(1,2) ≈ 0.988
+    ).toDF("id", "embedding")
+    val kept = SemDedup.semDedup(split, centroids, threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L)) // the documented cluster-boundary approximation
+  }
+
+  test("prune composes with Ivf.assign output (cell/vec columns)") {
+    val model = Ivf.Model(Array(
+      0 -> Array(1.0, 0.0, 0.0),
+      1 -> Array(0.0, 1.0, 0.0)))
+    val cells = Ivf.assign(corpus, model)
+    val kept = SemDedup.prune(cells, threshold = 0.99,
+      clusterCol = "cell", vecCol = "vec")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L, 12L, 20L))
+  }
+}
