@@ -44,7 +44,11 @@ object Bench {
     // total with it), so per-query values are rounded to 3 decimals and
     // the preamble stays terse — the whole line must clear a ~2 KB cap.
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    // per-query at 2 decimals: with 78 queries the extra digit costs
+    // 78 bytes of the ~2 KB budget and changes no ratio by more than
+    // ~2% on even the cheapest (~0.13 s) row
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
