@@ -41,12 +41,12 @@ object Bench {
     }
     // ONE machine-parseable line. The harness that archives this keeps
     // only the TAIL of stdout (r4's 75-query line lost its head and the
-    // total with it), so per-query values are rounded to 3 decimals and
-    // the preamble stays terse — the whole line must clear a ~2 KB cap.
+    // total with it), so the preamble stays terse and the whole line
+    // must clear a ~2 KB cap. Totals/preamble print at 3 decimals;
+    // per-query values at 2 — with 78 queries the extra digit would
+    // cost 78 bytes of that budget, and 2 decimals keeps worst-case
+    // rounding error ≤ ~4% on even the cheapest (~0.13 s) row.
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query at 2 decimals: with 78 queries the extra digit costs
-    // 78 bytes of the ~2 KB budget and changes no ratio by more than
-    // ~2% on even the cheapest (~0.13 s) row
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")

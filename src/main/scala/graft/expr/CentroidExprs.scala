@@ -113,8 +113,66 @@ object CentroidExprs {
       copy(child = newChild)
   }
 
+  /** (cluster id, cosine) of the max-cosine centroid. Ties break to the
+    * LOWEST cid: rows arrive sorted ascending by cid and only a STRICT
+    * improvement displaces the incumbent. Per-centroid cosine matches
+    * [[CosineSim]] bit-for-bit (min-length prefix, norms over the
+    * prefix, 0 when either prefix norm is 0); `Double.compare` gives
+    * NaN-greatest ordering like Spark's struct max. */
+  case class BestCosineCell(child: Expression, cids: Array[Long],
+      centroids: Array[Array[Double]]) extends UnaryExpression {
+    require(centroids.nonEmpty, "empty centroid matrix")
+    require(cids.length == centroids.length, "cid/centroid length mismatch")
+    override def dataType: DataType = StructType(Seq(
+      StructField("cluster", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    override def prettyName: String = "best_cosine_cell"
+    override def checkInputDataTypes(): TypeCheckResult = check(child.dataType)
+
+    def compute(arr: ArrayData): Any = {
+      var bestCid = cids(0)
+      var bestC = cosinePrefix(arr, centroids(0))
+      var c = 1
+      while (c < centroids.length) {
+        val cos = cosinePrefix(arr, centroids(c))
+        if (java.lang.Double.compare(cos, bestC) > 0) { bestC = cos; bestCid = cids(c) }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(bestCid, bestC)
+    }
+
+    private def cosinePrefix(arr: ArrayData, cv: Array[Double]): Double = {
+      val n = math.min(arr.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = arr.getDouble(i); val yv = cv(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den > 0) dot / den else 0.0
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bestCosineCell", this, classOf[BestCosineCell].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BestCosineCell =
+      copy(child = newChild)
+  }
+
   def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids))
+
+  def bestCosineCell(vec: Column, cids: Array[Long],
+      centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(BestCosineCell(ColumnBridge.expression(vec), cids, centroids))
 
   def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, nprobe))

@@ -379,9 +379,7 @@ object Dedup {
   def substringDupProfile(docs: DataFrame, width: Int = 30,
       idCol: String = "doc_id", textCol: String = "text",
       minDocs: Int = 2): DataFrame = {
-    val reserved = Seq("__h", "__nd", "__dup")
-    reserved.foreach(n => require(!docs.columns.contains(n),
-      s"substringDupProfile: input already has reserved column '$n'"))
+    Reserved.requireAbsent("substringDupProfile", Seq("__h", "__nd", "__dup"), docs)
     val chunks = docs
       .where(length(col(textCol)) >= width)
       .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * gate and by callers who already have fixed centroids.
   *
   * Scale design:
-  *   - assignment is a single codegen projection against DRIVER-INLINED
-  *     centroid literals — zero joins, zero shuffles (centroids are
+  *   - assignment is a single codegen projection against a
+  *     driver-collected centroid matrix riding as ONE reference object
+  *     — zero joins, zero shuffles, O(1) plan size in k (centroids are
   *     KB-scale by construction; large-k production assignment goes
   *     through [[Ivf.assign]], same shape);
   *   - the prune self-join shuffles both sides on the cluster key once;
@@ -35,10 +36,13 @@ object SemDedup {
   /** Assign each corpus row to its max-cosine centroid.
     *
     * Centroids are collected to the driver (they are small by
-    * definition — seed vectors or a trained quantizer) and inlined as
-    * literal arrays, so the argmax is one whole-stage-codegen pass over
-    * the corpus: per row, `array_max` over k `(cosine, -cid)` structs.
-    * Ties break to the LOWEST centroid id (cosine DESC, cid ASC) —
+    * definition — seed vectors or a trained quantizer) and ride as ONE
+    * reference object inside [[graft.expr.CentroidExprs.BestCosineCell]],
+    * so the argmax is one whole-stage-codegen pass over the corpus with
+    * O(1) plan size in k — k per-centroid expression nodes would bloat
+    * analysis and overflow generated methods near k ≈ 10³ (the same
+    * trap [[Ivf.nearestCentroid]] and `expr.LshKeys` document). Ties
+    * break to the LOWEST centroid id (cosine DESC, cid ASC) —
     * deterministic and oracle-matchable.
     *
     * Rows with a null embedding are dropped (no meaningful cluster).
@@ -48,29 +52,26 @@ object SemDedup {
     * @return corpus columns + `cluster` (long) + `centroid_cosine`
     */
   def assignByCosine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val reserved = Seq("cluster", "centroid_cosine", "__best")
-    reserved.foreach(n => require(!corpus.columns.contains(n),
-      s"semdedup: corpus already has reserved column '$n'"))
-    val cents: Array[(Long, Seq[Double])] = centroids
+    Reserved.requireAbsent("semdedup.assignByCosine",
+      Seq("cluster", "centroid_cosine", "__best"), corpus)
+    val cents: Array[(Long, Array[Double])] = centroids
       .where(col("embedding").isNotNull)
       .select(col("cid").cast("long"), asDouble(col("embedding")))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
     require(cents.nonEmpty, "semdedup: empty centroid set")
     require(cents.length <= 4096,
-      s"semdedup: ${cents.length} inline centroids — train a coarse " +
-        "quantizer with Ivf.fit and assign with Ivf.assign instead")
-    val vec = asDouble(col("embedding"))
-    val scored = cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(
-        Similarity.cosine(vec, typedLit(cv)).as("c"),
-        lit(-cid).as("n"))
-    }
+      s"semdedup: ${cents.length} centroids exceed the driver-collect " +
+        "budget — train a coarse quantizer with Ivf.fit and assign " +
+        "with Ivf.assign instead")
+    val best = graft.expr.CentroidExprs.bestCosineCell(
+      asDouble(col("embedding")), cents.map(_._1), cents.map(_._2))
     corpus
       .where(col("embedding").isNotNull)
-      .withColumn("__best", array_max(array(scored: _*)))
-      .withColumn("cluster", -col("__best.n"))
-      .withColumn("centroid_cosine", col("__best.c"))
+      .withColumn("__best", best)
+      .withColumn("cluster", col("__best.cluster"))
+      .withColumn("centroid_cosine", col("__best.cosine"))
       .drop("__best")
   }
 
@@ -87,9 +88,8 @@ object SemDedup {
     */
   def prune(assigned: DataFrame, threshold: Double,
       clusterCol: String = "cluster", vecCol: String = "embedding"): DataFrame = {
-    val reserved = Seq("__c", "__id1", "__id2", "__v1", "__v2", "__rm")
-    reserved.foreach(n => require(!assigned.columns.contains(n),
-      s"semdedup: input already has reserved column '$n'"))
+    Reserved.requireAbsent("semdedup.prune",
+      Seq("__c", "__id1", "__id2", "__v1", "__v2", "__rm"), assigned)
     val side = assigned.select(col(clusterCol).as("__c"), col("id"),
       asDouble(col(vecCol)).as("__v"))
     val l = side.select(col("__c"), col("id").as("__id1"), col("__v").as("__v1"))

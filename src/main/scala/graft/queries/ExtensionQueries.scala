@@ -756,10 +756,13 @@ object ExtensionQueries {
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // deterministic seed centroids (vec_id < 8) make the clustering
     // replayable; assignment ties break (cosine DESC, cid ASC) exactly
-    // like the Spark argmax over (cosine, -cid) structs; survivors are
-    // rows with no lower-id cluster-mate at cosine ≥ 0.4
+    // like the Spark argmax; survivors are rows with no lower-id
+    // cluster-mate at cosine ≥ 0.4. The NOT NULL filter mirrors
+    // assignByCosine's null-embedding drop on BOTH the corpus and the
+    // centroid side (cent derives from e)
     "q_semdedup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |p AS (SELECT e.vec_id, e.v, cent.cid,
         |  list_sum(list_transform(list_zip(e.v, cent.cv), t -> t[1] * t[2])) AS dotp,

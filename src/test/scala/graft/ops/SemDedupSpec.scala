@@ -46,6 +46,36 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("assignByCosine ≡ the k-node struct/array_max composition, bit-for-bit") {
+    // 200 deterministic pseudo-random vectors vs 64 centroids: the
+    // O(1)-plan reference-object argmax must reproduce exactly what the
+    // k-expression-node formulation (one CosineSim + struct per
+    // centroid, array_max over all) computes, cosine doubles included.
+    def vec(seed: Long, dim: Int): Array[Float] = {
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toDouble / (1L << 24).toDouble - 0.5).toFloat
+      }
+    }
+    val docs = (0L until 200L).map(i => (i, vec(i, 16))).toDF("id", "embedding")
+    val cents = (0L until 64L).map(c => (c, vec(c + 1000, 16))).toDF("cid", "embedding")
+    val got = SemDedup.assignByCosine(docs, cents)
+      .select("id", "cluster", "centroid_cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val centArr = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val vecD = transform(col("embedding"), _.cast("double"))
+    val scored = centArr.toIndexedSeq.map { case (cid, cv) =>
+      struct(Similarity.cosine(vecD, typedLit(cv)).as("c"), lit(-cid).as("n"))
+    }
+    val want = docs
+      .withColumn("__best", array_max(array(scored: _*)))
+      .select(col("id"), (-col("__best.n")).as("cluster"), col("__best.c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("prune: higher id of a within-cluster near-dup pair is removed") {
     val kept = SemDedup.semDedup(corpus, centroids, threshold = 0.99)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
