@@ -92,6 +92,24 @@ class PlanSpec extends SparkSpec {
     assert(!aggLine.contains("v1") && !aggLine.contains("vec"), aggLine)
   }
 
+  test("semdedup: zero-shuffle O(1)-plan assign; prune joins on the cluster key") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = e.where(org.apache.spark.sql.functions.col("id") < 8)
+      .withColumnRenamed("id", "cid")
+    // assignment: ONE best_cosine_cell node regardless of k — no per-
+    // centroid expression fan-out — and no join or exchange at all
+    val pa = plan(graft.ops.SemDedup.assignByCosine(e, cents))
+    assert("best_cosine_cell".r.findAllIn(pa).length == 1, pa)
+    assert(!pa.contains("Join") && !pa.contains("Exchange"), pa)
+    // prune: the self-join is an equi-join on the cluster key, never
+    // an all-pairs product
+    val pp = plan(graft.ops.SemDedup.semDedup(e, cents, threshold = 0.4))
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"), pp)
+    assert(pp.contains("__c"), pp)
+  }
+
   test("corpus pipeline: one dedup window, aggregation partial→final") {
     val p = plan(graft.queries.ExtensionQueries.qCorpusPipeline(spark, dir))
     assert("WindowExec|Window".r.findAllIn(p).nonEmpty, p)
