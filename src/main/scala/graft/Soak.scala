@@ -132,6 +132,27 @@ object Soak {
       ops.Similarity.cosineCandidatesBucketed(emb).count()
     }
     println(s"[soak] cosine candidates: $nCosCands, verified pairs: ${cosPairs.count()}")
+
+    // SemDeDup at production-ish k: assignment is ONE codegen pass whose
+    // plan is O(1) in k (the centroid matrix rides as a reference
+    // object — a per-centroid-expression formulation dies near k ≈ 10³);
+    // prune pair-gen is Σ|cluster|² inside per-cluster tasks, bounded by
+    // the clustering granularity (mean cluster = n/k)
+    val kSem = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEM_K", "1024").toInt
+    val semCents = embBase.limit(kSem).select(col("id").as("cid"), col("embedding"))
+    val semAsg = time(s"semdedup assign k=$kSem") {
+      val a = ops.SemDedup.assignByCosine(emb, semCents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count(); a
+    }
+    val semKept = time("semdedup prune t=0.4") {
+      // same τ as the cosine near-dup stage, so removals are non-zero
+      // and the removal anti-join is exercised, not just pair-gen
+      ops.SemDedup.prune(semAsg, threshold = 0.4).count()
+    }
+    println(s"[soak] semdedup kept: $semKept")
+    semAsg.unpersist(blocking = false)
+
     if (embOnly) { emb.unpersist(blocking = false); spark.stop(); return }
     // larger nlist than the gate's 16 — exercises the O(1)-plan argmin
     // and seeding at a cell count closer to production
