@@ -92,6 +92,16 @@ class PlanSpec extends SparkSpec {
     assert(!aggLine.contains("v1") && !aggLine.contains("vec"), aggLine)
   }
 
+  test("substring-dup: both shuffles ride the chunk hash, no pairwise join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Dedup.substringDupProfile(docs, width = 30))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // map-side combine on both aggregations (dup-hash find; per-doc score)
+    assert(p.contains("partial_"), p)
+    // the re-attach joins on the 16-byte chunk hash, never doc×doc
+    assert(p.contains("__h"), p)
+  }
+
   test("semdedup: zero-shuffle O(1)-plan assign; prune joins on the cluster key") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
