@@ -143,9 +143,10 @@ object Dedup {
       val stats = withSh.agg(count(lit(1)), sum(size(col("sh")))).first()
       val shBytes =
         (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8L + stats.getLong(0) * 48L
+      val maxBcast = Tuning.attachBroadcastBytes(df.sparkSession)
       def attach(side: String, as: String): DataFrame = {
         val v = withSh.select(col("id").as(side), col("sh").as(as))
-        if (shBytes <= (256L << 20)) broadcast(v) else v.hint("shuffle_hash")
+        if (shBytes <= maxBcast) broadcast(v) else v.hint("shuffle_hash")
       }
       val cands = minhashCandidatesFromShingles(withSh, k, bands)
       val verified = cands

@@ -281,9 +281,10 @@ object Similarity {
     // candidate stream never shuffles at all. Past that, shuffle_hash
     // keeps the stream unsorted (hash the small side, stream the big).
     val vecSideBytes = n * dim * 8L
+    val maxBcast = Tuning.attachBroadcastBytes(corpus.sparkSession)
     def attach(vecs: DataFrame, side: String): DataFrame = {
       val v = vecs.select(col("id").as(side), col("vec").as(side.replace("id", "v")))
-      if (vecSideBytes <= (256L << 20)) broadcast(v) else v.hint("shuffle_hash")
+      if (vecSideBytes <= maxBcast) broadcast(v) else v.hint("shuffle_hash")
     }
     def pairsOf(vecs: DataFrame): DataFrame = {
       bucketCandidates(vecs, bits, nTables, dim, maxBucket)

@@ -1,0 +1,19 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-tunable scale knobs, read at plan-build time. */
+private[graft] object Tuning {
+
+  /** Max bytes of the index side (vectors / shingles) that the
+    * verify-attach joins will broadcast; past this they fall back to
+    * `shuffle_hash` so the fat candidate stream at least stays
+    * unsorted. 256 MB default suits a 4-8 GB executor; tune with
+    * `spark.graft.attachBroadcastBytes` where executors are smaller
+    * (or to 0 to force the shuffle fallback — how the fallback's
+    * equivalence is pinned in SimilaritySpec without a >256 MB
+    * fixture). */
+  def attachBroadcastBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.attachBroadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+}

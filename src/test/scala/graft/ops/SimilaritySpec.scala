@@ -91,6 +91,36 @@ class SimilaritySpec extends SparkSpec {
     full.foreach { case (pair, c) => assert(math.abs(brute(pair) - c) < 1e-12) }
   }
 
+  test("shuffle_hash attach fallback (past-broadcast) is plan-visible and answer-identical") {
+    // no fixture exceeds the 256 MB broadcast budget, so the fallback
+    // is forced via the session knob: results must be bit-identical
+    // and the lazy plan must show shuffled-hash attaches, not broadcast
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val broadcastPath = toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4))
+    try {
+      spark.conf.set("spark.graft.attachBroadcastBytes", "0")
+      val p = Similarity.cosineNearDupsBucketed(e, threshold = 0.4, materialize = false)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("ShuffledHashJoin"), p)
+      val fallback = toMap(Similarity.cosineNearDupsBucketed(e, threshold = 0.4))
+      assert(fallback == broadcastPath)
+      // the minhash twin rides the same knob: forced fallback must not
+      // change the verified near-dup pairs either
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), col("text"))
+      val mhFallback = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.unset("spark.graft.attachBroadcastBytes")
+      val mhBroadcast = Dedup.minhashNearDups(docs, threshold = 0.8)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mhFallback == mhBroadcast)
+    } finally spark.conf.unset("spark.graft.attachBroadcastBytes")
+  }
+
   test("maxBucket cap: drops the degenerate bucket, keeps normal-bucket pairs") {
     val dir = "/root/testdata/sf0.001"
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
