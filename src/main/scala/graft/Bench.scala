@@ -51,9 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+    // field order is truncation-aware: the archiver keeps the TAIL of
+    // the line, so the per-query map (the bulky, reconstructable part)
+    // goes first and the summary scalars — total above all — go LAST;
+    // if the line ever outgrows the cap again, the head loss eats query
+    // rows, not the headline number (r4 lost the total this way)
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"reps":$reps,"warmup_s":${f(warmupS)},""" +
-      s""""load1m":${f(load1m)},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+      s""""load1m":${f(load1m)},"cpus":$cpus,"sf":"$sfDir","value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -46,10 +46,28 @@ object Soak {
       (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     }
 
+    // Default doc topology: copy i appends one marker token, so every
+    // doc's copies are mutual planted near-dups — the TRUE pair set
+    // grows ∝ mult² (C(mult,2) pairs per base doc). Deliberate for
+    // recall checks, but past ~80× the quadratic OUTPUT (not the
+    // algorithm) exceeds a single box: at 160× it is ~64 M pairs × band
+    // multiplicity, which OOMs the verify stage's executor heap.
+    // SPARK_GRAFT_SOAK_DOC_DECOR=1 is the doc-side twin of the
+    // embedding sign-flip: copy i tags every 5th word with a
+    // copy-specific suffix, altering ~3/5 of the 3-gram shingles, so
+    // cross-copy jaccard falls to ~0.25 (≪ the 0.8 threshold) while
+    // within-copy pairs keep the base corpus geometry (both members get
+    // the same tagging). True pairs then grow ∝ mult — doubling runs
+    // measure the ALGORITHM, not the topology.
+    val docDecor = sys.env.get("SPARK_GRAFT_SOAK_DOC_DECOR").contains("1")
     def replicate(df: DataFrame, idCol: String, marker: Option[String], mult: Int): DataFrame =
       (0 until mult).map { i =>
         val shifted = df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L))
         marker match {
+          case Some(c) if i > 0 && docDecor =>
+            shifted.withColumn(c, concat_ws(" ",
+              transform(split(col(c), " "), (w, j) =>
+                when(pmod(j, lit(5)) === 0, concat(w, lit(s"~$i"))).otherwise(w))))
           case Some(c) if i > 0 =>
             shifted.withColumn(c, concat(col(c), lit(s" soakrep$i")))
           case _ => shifted

@@ -123,6 +123,10 @@ object CentroidExprs {
       centroids: Array[Array[Double]]) extends UnaryExpression {
     require(centroids.nonEmpty, "empty centroid matrix")
     require(cids.length == centroids.length, "cid/centroid length mismatch")
+    // the lowest-cid tie-break below relies on this ordering — enforce
+    // it rather than trusting callers three files away
+    require(cids.length <= 1 || cids.iterator.zip(cids.iterator.drop(1)).forall(p => p._1 <= p._2),
+      "cids must be sorted ascending (lowest-cid tie-break precondition)")
     override def dataType: DataType = StructType(Seq(
       StructField("cluster", LongType, nullable = false),
       StructField("cosine", DoubleType, nullable = false)))
@@ -141,6 +145,12 @@ object CentroidExprs {
       org.apache.spark.sql.catalyst.InternalRow(bestCid, bestC)
     }
 
+    // LOCKSTEP: this is the third copy of the cosine kernel — the other
+    // two are CosineSim.nullSafeEval and CosineSim.doGenCode
+    // (expr/VectorExprs.scala); they cannot share code (ArrayData vs
+    // Array[Double] operand, and codegen is a string template), so any
+    // change to the prefix rule or the den > 0 guard must land in all
+    // three. SemDedupSpec's bit-for-bit equivalence pin catches drift.
     private def cosinePrefix(arr: ArrayData, cv: Array[Double]): Double = {
       val n = math.min(arr.numElements(), cv.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0

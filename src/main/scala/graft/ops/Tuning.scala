@@ -15,5 +15,9 @@ private[graft] object Tuning {
     * fixture). */
   def attachBroadcastBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.attachBroadcastBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+      // byteStringAsBytes accepts both Spark-conventional size strings
+      // ("256m", "1g") and plain byte counts — raw toLong would throw a
+      // context-free NumberFormatException on the former
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(256L << 20)
 }
