@@ -76,6 +76,51 @@ class SemDedupSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("assignByCosine ≡ driver-side reference over random shapes and edge vectors") {
+    // random trials across dim, k, and value distributions that include
+    // zero vectors (den=0 → cosine 0.0), mismatched lengths (prefix
+    // rule), and equal-cosine ties (duplicate centroid vectors) — the
+    // shapes where the triplicated cosine kernel could drift
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 4) {
+      val dim = 1 + rnd.nextInt(6)
+      val k = 1 + rnd.nextInt(9)
+      def v(len: Int): Array[Float] =
+        Array.fill(len)((rnd.nextInt(5) - 2).toFloat) // small ints; zeros common
+      val centVecs = new Array[Array[Float]](k)
+      for (c <- 0 until k)
+        // duplicate the previous centroid sometimes to force cosine ties
+        centVecs(c) =
+          if (c > 0 && rnd.nextBoolean() && rnd.nextBoolean()) centVecs(c - 1) else v(dim)
+      val cents = (0 until k).map(c => (c.toLong, centVecs(c))).toSeq
+      val docs = (0 until 40).map(i =>
+        (i.toLong, v(if (rnd.nextBoolean()) dim else 1 + rnd.nextInt(dim))))
+      def cosRef(a: Array[Float], b: Array[Float]): Double = {
+        val n = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (j <- 0 until n) {
+          dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j)
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den > 0) dot / den else 0.0
+      }
+      val ref = docs.map { case (id, dv) =>
+        val scored = cents.map { case (cid, cv) => (cosRef(dv, cv), cid) }
+        val best = scored.minBy { case (c, cid) => (-c, cid) } // max cosine, ties → low cid
+        id -> (best._2, best._1)
+      }.toMap
+      val got = SemDedup.assignByCosine(
+          docs.toDF("id", "embedding").repartition(3),
+          cents.toDF("cid", "embedding"))
+        .select("id", "cluster", "centroid_cosine")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.keySet == ref.keySet, s"trial $trial: row set")
+      got.foreach { case (id, (cl, c)) =>
+        assert((cl, c) == ref(id), s"trial $trial id $id: got ($cl,$c) want ${ref(id)}")
+      }
+    }
+  }
+
   test("prune: higher id of a within-cluster near-dup pair is removed") {
     val kept = SemDedup.semDedup(corpus, centroids, threshold = 0.99)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
