@@ -25,9 +25,13 @@ object Soak {
     val multDocs = sys.env.get("SPARK_GRAFT_SOAK_X_DOCS").map(_.toInt).getOrElse(multDefault)
     val multEmb = sys.env.get("SPARK_GRAFT_SOAK_X_EMB").map(_.toInt).getOrElse(multDefault)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions size to DATA, not cores (the production rule): past
+    // ~10⁶ docs the verify stage's per-task hash builds outgrow the
+    // heap at partitions=cores — 1.6 M docs OOM'd at 24 but runs at 128
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
@@ -93,13 +97,19 @@ object Soak {
         docs.withColumn("fp", md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))),
         col("fp"), col("id")).count()
     }
-    val pairs = time("minhash near-dups (k=48 b=16)") {
-      ops.Dedup.minhashNearDups(docs, threshold = 0.8, k = 48, bands = 16)
+    // SPARK_GRAFT_SOAK_AUTOBANDS=1: size the band config to the corpus
+    // (Dedup.autoBands) instead of the fixed k=48/b=16 — the fixed
+    // config's candidate noise grows ∝ n² (68.4 M candidates for 82 k
+    // true pairs at 1.6 M docs); auto raises rows-per-band with log n
+    val (mhK, mhB) = if (sys.env.get("SPARK_GRAFT_SOAK_AUTOBANDS").contains("1"))
+      ops.Dedup.autoBands(nDocs, threshold = 0.8) else (48, 16)
+    val pairs = time(s"minhash near-dups (k=$mhK b=$mhB)") {
+      ops.Dedup.minhashNearDups(docs, threshold = 0.8, k = mhK, bands = mhB)
     }
     // candidate growth is THE superlinear risk to watch: candidates
     // should stay ∝ true-pair count, not ∝ n² (band-collision noise)
     val nCands = time("minhash candidates only") {
-      ops.Dedup.minhashCandidates(docs, k = 48, bands = 16).count()
+      ops.Dedup.minhashCandidates(docs, k = mhK, bands = mhB).count()
     }
     println(s"[soak] minhash candidates: $nCands, verified pairs: ${pairs.count()}")
     val ccRounds = new java.util.concurrent.atomic.AtomicInteger(-1)

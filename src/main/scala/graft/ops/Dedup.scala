@@ -102,6 +102,40 @@ object Dedup {
     } finally sig.unpersist(blocking = false)
   }
 
+  /** LSH band configuration scaled to corpus size — returns
+    * (k = signature length, bands).
+    *
+    * A FIXED (rows-per-band r, bands b) has a size-invariant per-PAIR
+    * collision probability, so false-candidate count grows ∝ n² while
+    * true pairs grow ∝ n: measured at the soak, k=48/b=16 (r=3) went
+    * from 17.1 M candidates / 41 k true pairs at 800 k docs to 68.4 M /
+    * 82 k at 1.6 M — candidate precision 0.12 % and the candidate stage
+    * time-dominant. Standard LSH remedy (Leskovec/Rajaraman/Ullman,
+    * "Mining of Massive Datasets" ch.3): grow r with log n so the
+    * background collision rate falls as the pair count rises, then pick
+    * the smallest b keeping analytic recall at `threshold` above
+    * `minRecall` (recall = 1 − (1 − t^r)^b). Per-doc signature cost
+    * grows only ∝ r·b; candidate noise falls geometrically in r.
+    */
+  def autoBands(n: Long, threshold: Double, minRecall: Double = 0.95): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(minRecall > 0 && minRecall < 1, s"minRecall must be in (0,1), got $minRecall")
+    val r = math.max(3, math.ceil(math.log10(math.max(10L, n).toDouble)).toInt)
+    val b = math.max(1, math.ceil(
+      math.log(1 - minRecall) / math.log(1 - math.pow(threshold, r))).toInt)
+    (r * b, b)
+  }
+
+  /** [[minhashNearDups]] with the band configuration auto-scaled to the
+    * corpus size via [[autoBands]] — one cheap count() decides. Use for
+    * corpora whose size is not known at call-site; the gate queries pin
+    * explicit configs so their oracles stay deterministic. */
+  def minhashNearDupsAuto(df: DataFrame, threshold: Double, n: Int = 3,
+      minRecall: Double = 0.95): DataFrame = {
+    val (k, bands) = autoBands(df.count(), threshold, minRecall)
+    minhashNearDups(df, threshold, n, k, bands)
+  }
+
   /** Exact Jaccard similarity between two docs' shingle arrays
     * (generic element type; hash-set based). */
   def jaccard(sh1: Column, sh2: Column): Column = {
