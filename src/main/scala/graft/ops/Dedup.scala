@@ -295,6 +295,13 @@ object Dedup {
     * so an increment's bucket probes prune files by min/max stats
     * rather than scanning the whole index.
     *
+    * The (n, k, bands) configuration is part of the INDEX IDENTITY:
+    * band keys are only comparable under the same shingle width and
+    * banding, so every increment (and every probe) must pass the values
+    * the index was built with — in particular, do NOT size them with
+    * [[autoBands]] per batch, whose output changes as the corpus grows.
+    * Pick the config for the corpus's TARGET size once, at build time.
+    *
     * This is the daily-increment topology at 100 TB: the corpus is
     * indexed once, each new batch joins its own band keys against the
     * index (≈ |batch| × bands bucket probes), and the corpus text is
