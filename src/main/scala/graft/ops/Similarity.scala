@@ -182,7 +182,16 @@ object Similarity {
 
   /** The shared auto-sizing policy: ⌈log2 n⌉ − 6 clamped to [4, 16] —
     * buckets stay ~64 vectors at any corpus size (soak-derived; see
-    * [[cosineNearDupsBucketed]]). An explicit nBits ≥ 0 wins. */
+    * [[cosineNearDupsBucketed]]). An explicit nBits ≥ 0 wins.
+    *
+    * Envelope: the 16-bit cap is reached at n ≈ 2²² ≈ 4 M vectors;
+    * past it mean bucket size — and with it per-bucket candidate
+    * noise — grows ∝ n again (the same stepped-growth shape as
+    * [[Dedup.autoBands]] between its r bumps; measured linear to 400 k,
+    * the largest clean point this box's disk allows). Beyond ~4 M,
+    * raise the cap explicitly (recall per table falls as bits rise —
+    * compensate with nTables) or set `maxBucket` to bound the noise
+    * with the documented graceful recall trade. */
   private def autoBits(nBits: Int, n: Long): Int =
     if (nBits >= 0) nBits
     else math.max(4, math.min(16,
