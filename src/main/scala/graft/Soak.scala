@@ -27,11 +27,13 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // partitions size to DATA, not cores (the production rule): past
     // ~10⁶ docs the verify stage's per-task hash builds outgrow the
-    // heap at partitions=cores — 1.6 M docs OOM'd at 24 but runs at 128
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTITIONS", cpus)
+    // heap at partitions=cores — 1.6 M docs OOM'd at 24 but runs at
+    // 128. Sized automatically once the corpus count is known (below);
+    // SPARK_GRAFT_SOAK_PARTITIONS overrides.
+    val partsEnv = sys.env.get("SPARK_GRAFT_SOAK_PARTITIONS")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.shuffle.partitions", partsEnv.getOrElse(cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
@@ -41,6 +43,14 @@ object Soak {
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[soak] $label%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // ~12.5 k rows per task is what kept the 1.6 M-doc run inside the
+    // heap (128 partitions); never fewer partitions than cores
+    def sizePartitions(rows: Long): Unit = if (partsEnv.isEmpty) {
+      val p = math.max(cpus.toInt, (rows / 12500L).toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      println(s"[soak] shuffle partitions: $p (auto, $rows rows)")
     }
 
     def heapMb(): Long = {
@@ -91,6 +101,7 @@ object Soak {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = time("docs materialize")(docs.count())
     println(s"[soak] corpus: $nDocs docs (${multDocs}x)")
+    sizePartitions(nDocs)
 
     time("exact dedup") {
       ops.Dedup.exact(
@@ -146,7 +157,9 @@ object Soak {
         (x * when(pmod(xxhash64(lit(i), d), lit(2)) === 0, 1.0d).otherwise(-1.0d)).cast("float")))
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[soak] embeddings: ${emb.count()}")
+    val nEmb = emb.count()
+    println(s"[soak] embeddings: $nEmb")
+    sizePartitions(nEmb)
     val q = emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
 
     time("ann brute-force topk")(ops.Similarity.bruteForceTopK(emb, q, k = 10).count())

@@ -121,18 +121,31 @@ object Dedup {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
     require(minRecall > 0 && minRecall < 1, s"minRecall must be in (0,1), got $minRecall")
     val r = math.max(3, math.ceil(math.log10(math.max(10L, n).toDouble)).toInt)
-    val b = math.max(1, math.ceil(
-      math.log(1 - minRecall) / math.log(1 - math.pow(threshold, r))).toInt)
+    val bL = math.max(1L, math.ceil(
+      math.log(1 - minRecall) / math.log(1 - math.pow(threshold, r))).toLong)
+    // guard the output like autoBits guards its range: far below the
+    // banding S-curve (low threshold × large n) the recall floor would
+    // demand an absurd band count — and r*b would overflow Int before
+    // any downstream require could say why
+    require(bL <= 256L,
+      s"autoBands: threshold=$threshold at n=$n needs $bL bands for " +
+        s"recall >= $minRecall — banding is impractical this far below " +
+        "the S-curve; raise the threshold or pick (k, bands) explicitly")
+    val b = bL.toInt
     (r * b, b)
   }
 
   /** [[minhashNearDups]] with the band configuration auto-scaled to the
-    * corpus size via [[autoBands]] — one cheap count() decides. Use for
-    * corpora whose size is not known at call-site; the gate queries pin
-    * explicit configs so their oracles stay deterministic. */
+    * corpus size via [[autoBands]]. The count that decides is a full
+    * pass over `df` — cheap for a parquet scan (footer counts), but a
+    * re-execution of the whole upstream plan when `df` is a computed
+    * pipeline: pass `knownCount` if the caller already has it (as Soak
+    * does) or count a materialized frame. Gate queries pin explicit
+    * configs so their oracles stay deterministic. */
   def minhashNearDupsAuto(df: DataFrame, threshold: Double, n: Int = 3,
-      minRecall: Double = 0.95): DataFrame = {
-    val (k, bands) = autoBands(df.count(), threshold, minRecall)
+      minRecall: Double = 0.95, knownCount: Long = -1L): DataFrame = {
+    val (k, bands) = autoBands(
+      if (knownCount >= 0) knownCount else df.count(), threshold, minRecall)
     minhashNearDups(df, threshold, n, k, bands)
   }
 
