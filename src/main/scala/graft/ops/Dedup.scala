@@ -449,4 +449,75 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
   }
+
+  // ---- persisted chunk-hash index: substring-dup-score an increment
+  //      against a corpus without re-reading corpus text ------------------
+
+  /** Build (or extend, `SaveMode.Append`) the persisted chunk index for
+    * substring-duplication scoring at `path`: `chunks/` holds one
+    * (`__h`, `n_docs`) row per distinct chunk hash — how many distinct
+    * docs contain that exact `width`-char chunk. Rows are
+    * range-laid-out on the hash so an increment's probes prune files by
+    * min/max stats instead of scanning the whole index.
+    *
+    * `SaveMode.Append` writes the increment's own per-hash counts as
+    * additional rows; readers re-aggregate by summing, so doc ids must
+    * be DISJOINT across increments (same contract as [[buildBandIndex]]
+    * — re-ingesting a doc would double-count it). `width` is part of
+    * the index identity: chunk hashes are only comparable at the width
+    * they were cut at. */
+  def buildChunkIndex(docs: DataFrame, path: String, width: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    docs.where(length(col(textCol)) >= width)
+      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("n_docs"))
+      .repartitionByRange(col("__h"))
+      .sortWithinPartitions("__h")
+      .write.mode(mode).option("compression", "zstd").parquet(s"$path/chunks")
+  }
+
+  /** [[substringDupProfile]] of `batch` against an indexed corpus PLUS
+    * the batch itself: a chunk is duplicated when its exact bytes occur
+    * in ≥ `minDocs` distinct documents across corpus ∪ batch — for
+    * disjoint ids this equals the one-shot profile over the union,
+    * restricted to batch docs (spec-pinned). Corpus text is never
+    * re-read; the index is touched only on the batch's own chunk
+    * hashes (the probe join runs BEFORE the index-side aggregation, so
+    * the range layout's file skipping applies). Fold the batch in
+    * afterwards with `buildChunkIndex(batch, path, mode = Append)`. */
+  def substringDupProfileIncrement(batch: DataFrame, indexPath: String,
+      width: Int = 30, idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    Reserved.requireAbsent("substringDupProfileIncrement",
+      Seq("__h", "__nd", "__cnd", "__dup"), batch)
+    val spark = batch.sparkSession
+    val chunks = batch
+      .where(length(col(textCol)) >= width)
+      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchCounts = chunks
+        .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+      // probe first, aggregate after: only index rows matching a batch
+      // hash are read (file-pruned via the range layout), and the sum
+      // re-merges any Append-mode duplicate hash rows
+      val corpusCounts = spark.read.parquet(s"$indexPath/chunks")
+        .join(batchCounts.select("__h"), Seq("__h"))
+        .groupBy("__h").agg(sum("n_docs").as("__cnd"))
+      val dup = batchCounts
+        .join(corpusCounts, Seq("__h"), "left")
+        .where(col("__nd") + coalesce(col("__cnd"), lit(0L)) >= minDocs)
+        .select(col("__h")).withColumn("__dup", lit(1L))
+      // eager materialize: the returned frame must not re-derive the
+      // cached chunk stream after the finally releases it
+      chunks.join(dup, Seq("__h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
+        .localCheckpoint(true)
+    } finally chunks.unpersist(blocking = false)
+  }
 }

@@ -436,6 +436,25 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))
       .orderBy("doc_id")
 
+  /** Substring-dup scoring of a 20 % increment against a persisted
+    * chunk index of the other 80 % — the whole index lifecycle (build →
+    * range-laid write → probe → delete) runs inside the gate. A chunk
+    * is duplicated when its bytes occur in ≥ 2 distinct docs across
+    * index ∪ batch, which for the split below is exactly the one-shot
+    * whole-corpus profile restricted to the increment — so the oracle
+    * is q_substring_dup's SQL with the outer profile filtered to the
+    * increment slice. */
+  def qIncrementalSubstring(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Q.withTempIndex("graft-chidx") { idx =>
+      Dedup.buildChunkIndex(docs.where(col("doc_id") % 5 =!= 0), idx, width = 30)
+      Dedup.substringDupProfileIncrement(docs.where(col("doc_id") % 5 === 0), idx,
+          width = 30)
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023): assign every embedding to its
     * max-cosine seed centroid (vec_id < 8 — deterministic, so DuckDB
     * can replay the exact clustering), then drop any vector with a
@@ -495,6 +514,7 @@ object ExtensionQueries {
     "q_media_features" -> (qMediaFeatures _),
     "q_frame_sample" -> (qFrameSample _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_incremental_substring" -> (qIncrementalSubstring _),
     "q_semdedup" -> (qSemDedup _),
   )
 
@@ -753,6 +773,21 @@ object ExtensionQueries {
         |  count(*) FILTER (d.h IS NOT NULL) AS n_dup_chunks,
         |  round(count(*) FILTER (d.h IS NOT NULL)::double / count(*)::double, 6) AS dup_frac
         |FROM c LEFT JOIN d ON c.h = d.h
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // the increment (doc_id % 5 = 0) scored against index ∪ batch is
+    // exactly the whole-corpus dup-hash set, profile restricted to the
+    // increment docs — same CTEs as q_substring_dup, filtered outer
+    "q_incremental_substring" ->
+      """WITH c AS (
+        |  SELECT doc_id, md5(substring(text, p, 30)) AS h
+        |  FROM documents, lateral unnest(range(1, greatest(length(text) - 29, 0) + 1, 30)) AS u(p)
+        |  WHERE length(text) >= 30),
+        |d AS (SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (d.h IS NOT NULL) AS n_dup_chunks,
+        |  round(count(*) FILTER (d.h IS NOT NULL)::double / count(*)::double, 6) AS dup_frac
+        |FROM c LEFT JOIN d ON c.h = d.h
+        |WHERE c.doc_id % 5 = 0
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // deterministic seed centroids (vec_id < 8) make the clustering
     // replayable; assignment ties break (cosine DESC, cid ASC) exactly

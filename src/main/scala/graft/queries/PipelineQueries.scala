@@ -191,18 +191,11 @@ object PipelineQueries {
   private def incrementalGate(s: SparkSession, dir: String)(
       build: (DataFrame, String) => Unit): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
-    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx")
-    try {
-      build(docs, idx.toString)
-      graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx.toString,
+    Q.withTempIndex("graft-ndidx") { idx =>
+      build(docs, idx)
+      graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx,
           threshold = 0.8, n = 3, k = 48, bands = 16)
         .orderBy("id1", "id2")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(idx)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
     }
   }
 

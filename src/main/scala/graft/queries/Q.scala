@@ -39,4 +39,22 @@ object Q {
 
   /** yyyy-MM-dd string of a date/timestamp column. */
   def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Run `f` against a fresh temp directory for a persisted-index gate
+    * and delete the directory afterwards. The body must MATERIALIZE its
+    * result eagerly (the incremental operators localCheckpoint before
+    * returning) — the files are gone when this returns. Shared by the
+    * incremental-dedup and incremental-substring gate shells so their
+    * lifecycle (and cleanup) cannot drift apart. */
+  def withTempIndex(prefix: String)(f: String => DataFrame): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory(prefix)
+    try f(idx.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(idx)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

@@ -11,6 +11,48 @@ class IncrementalDedupSpec extends SparkSpec {
   private def doc(i: Long, extra: String = "") =
     (i, s"alpha bravo charlie delta echo foxtrot golf hotel india $i $extra")
 
+  test("chunk index: increment profile ≡ one-shot profile over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("chdix").toString
+    // ≥30-char docs sharing exact 30-char chunks across corpus/batch,
+    // plus a short doc (no chunks) and a batch-internal-only dup pair
+    val boiler = "x" * 30 // one exact chunk everywhere it appears
+    val corpus = (1L to 20L).map(i => (i, boiler + s" unique corpus text $i " + ("y" * 31)))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, boiler + " fresh batch content one " + ("z" * 35)),
+      (102L, ("q" * 33) + " batch only pair"),
+      (103L, ("q" * 33) + " batch only pair"), // dup chunk with 102 only
+      (104L, "short")).toDF("doc_id", "text")
+    Dedup.buildChunkIndex(corpus, dir)
+    val got = Dedup.substringDupProfileIncrement(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.substringDupProfile(corpus.unionByName(batch))
+      .where(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the short doc has no chunks → absent, like the one-shot profile
+    assert(!got.exists(_._1 == 104L))
+    // the batch-internal pair counts without any index hit
+    assert(got.exists(t => t._1 == 102L && t._3 > 0))
+  }
+
+  test("chunk index: SaveMode.Append fold-in ≡ one-shot index") {
+    val oneDir = java.nio.file.Files.createTempDirectory("chdix1").toString
+    val twoDir = java.nio.file.Files.createTempDirectory("chdix2").toString
+    val mk = (lo: Long, hi: Long) => (lo to hi)
+      .map(i => (i, s"${"c" * 31} shared boiler ${"d" * 30} tail $i")).toDF("doc_id", "text")
+    val a = mk(1L, 12L); val b = mk(13L, 20L); val probe = mk(21L, 25L)
+    Dedup.buildChunkIndex(a.unionByName(b), oneDir)
+    Dedup.buildChunkIndex(a, twoDir)
+    Dedup.buildChunkIndex(b, twoDir, mode = SaveMode.Append)
+    val one = Dedup.substringDupProfileIncrement(probe, oneDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val two = Dedup.substringDupProfileIncrement(probe, twoDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == two)
+    assert(one.nonEmpty && one.forall(_._3 > 0)) // boiler chunks are dups
+  }
+
   test("incremental ≡ batch over the union, restricted to increment pairs") {
     val dir = java.nio.file.Files.createTempDirectory("nddix").toString
     val corpus = ((1L to 40L).map(doc(_)) ++
