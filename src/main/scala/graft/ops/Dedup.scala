@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -304,9 +304,12 @@ object Dedup {
     * per band — the candidate-join side — and `shingles/` one (id, sh)
     * row per doc for verification. Stored separately so the shingle
     * arrays exist ONCE per doc (embedding them in bucket rows would
-    * store them bands×). Bucket rows are range-laid-out on (band, bkey)
-    * so an increment's bucket probes prune files by min/max stats
-    * rather than scanning the whole index.
+    * store them bands×). Bucket rows are range-laid-out and sorted on
+    * (band, bkey): compaction- and merge-friendly, and readers that
+    * skip on literal key predicates prune files (a Spark JOIN probe
+    * reads the whole — narrow, three-column — bucket table; min/max
+    * skipping applies to literal predicates only). The load-bearing
+    * property either way: corpus TEXT is never re-read by an increment.
     *
     * The (n, k, bands) configuration is part of the INDEX IDENTITY:
     * band keys are only comparable under the same shingle width and
@@ -435,20 +438,34 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       minDocs: Int = 2): DataFrame = {
     Reserved.requireAbsent("substringDupProfile", Seq("__h", "__nd", "__dup"), docs)
-    val chunks = docs
-      .where(length(col(textCol)) >= width)
-      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+    val chunks = chunkStream(docs, width, idCol, textCol)
     val dup = chunks
       .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select(col("__h")).withColumn("__dup", lit(1L))
+    profileFromChunks(chunks, dup, idCol)
+  }
+
+  /** One (id, `__h`) row per full-width chunk of each doc — the single
+    * definition of the chunk cut shared by the one-shot profile, the
+    * index build, and the increment probe (the three must agree or
+    * index hashes stop matching probe hashes). */
+  private def chunkStream(docs: DataFrame, width: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.where(length(col(textCol)) >= width)
+      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+
+  /** The shared per-doc scoring tail: attach the duplicated-hash set
+    * (`__h`, `__dup`=1) to the chunk stream and roll up counts — the
+    * oracle-pinned output shape of both profile variants. */
+  private def profileFromChunks(chunks: DataFrame, dup: DataFrame,
+      idCol: String): DataFrame =
     chunks.join(dup, Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("__dup"), lit(0L))).as("n_dup_chunks"))
       .withColumn("dup_frac",
         round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
-  }
 
   // ---- persisted chunk-hash index: substring-dup-score an increment
   //      against a corpus without re-reading corpus text ------------------
@@ -456,35 +473,56 @@ object Dedup {
   /** Build (or extend, `SaveMode.Append`) the persisted chunk index for
     * substring-duplication scoring at `path`: `chunks/` holds one
     * (`__h`, `n_docs`) row per distinct chunk hash — how many distinct
-    * docs contain that exact `width`-char chunk. Rows are
-    * range-laid-out on the hash so an increment's probes prune files by
-    * min/max stats instead of scanning the whole index.
+    * docs contain that exact `width`-char chunk — range-laid-out and
+    * sorted on the hash (compaction- and merge-friendly; engines whose
+    * readers skip on literal key predicates also get file pruning).
     *
     * `SaveMode.Append` writes the increment's own per-hash counts as
     * additional rows; readers re-aggregate by summing, so doc ids must
     * be DISJOINT across increments (same contract as [[buildBandIndex]]
     * — re-ingesting a doc would double-count it). `width` is part of
-    * the index identity: chunk hashes are only comparable at the width
-    * they were cut at. */
+    * the index identity — chunk hashes are only comparable at the width
+    * they were cut at — so it is persisted in `meta/` at build and
+    * VERIFIED on every Append and probe: a mismatch fails fast instead
+    * of silently matching nothing. */
   def buildChunkIndex(docs: DataFrame, path: String, width: Int = 30,
       idCol: String = "doc_id", textCol: String = "text",
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    docs.where(length(col(textCol)) >= width)
-      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+    val spark = docs.sparkSession
+    if (mode == SaveMode.Append) requireIndexWidth(spark, path, width, "append to")
+    chunkStream(docs, width, idCol, textCol)
       .groupBy("__h").agg(countDistinct(col(idCol)).as("n_docs"))
       .repartitionByRange(col("__h"))
       .sortWithinPartitions("__h")
       .write.mode(mode).option("compression", "zstd").parquet(s"$path/chunks")
+    if (mode != SaveMode.Append) {
+      import spark.implicits._
+      Seq(width).toDF("width").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    }
+  }
+
+  private def requireIndexWidth(spark: SparkSession, path: String,
+      width: Int, verb: String): Unit = {
+    val stored = spark.read.parquet(s"$path/meta").select("width").head().getInt(0)
+    require(stored == width,
+      s"chunk index at $path was built with width=$stored; cannot $verb " +
+        s"it with width=$width — chunk hashes are only comparable at the " +
+        "width they were cut at")
   }
 
   /** [[substringDupProfile]] of `batch` against an indexed corpus PLUS
     * the batch itself: a chunk is duplicated when its exact bytes occur
     * in ≥ `minDocs` distinct documents across corpus ∪ batch — for
     * disjoint ids this equals the one-shot profile over the union,
-    * restricted to batch docs (spec-pinned). Corpus text is never
-    * re-read; the index is touched only on the batch's own chunk
-    * hashes (the probe join runs BEFORE the index-side aggregation, so
-    * the range layout's file skipping applies). Fold the batch in
+    * restricted to batch docs (spec-pinned). Corpus TEXT is never
+    * re-read: the probe touches only the (hash, count) index — a
+    * narrow two-column scan whose size tracks distinct chunks, not
+    * corpus bytes — and joins it against the batch's hashes BEFORE the
+    * index-side aggregation, so only matching rows reach the sum that
+    * re-merges Append-mode duplicate hash rows. (The scan itself reads
+    * the whole narrow index: Spark's parquet min/max skipping applies
+    * to literal predicates, not join probes.) Fold the batch in
     * afterwards with `buildChunkIndex(batch, path, mode = Append)`. */
   def substringDupProfileIncrement(batch: DataFrame, indexPath: String,
       width: Int = 30, idCol: String = "doc_id", textCol: String = "text",
@@ -492,16 +530,16 @@ object Dedup {
     Reserved.requireAbsent("substringDupProfileIncrement",
       Seq("__h", "__nd", "__cnd", "__dup"), batch)
     val spark = batch.sparkSession
-    val chunks = batch
-      .where(length(col(textCol)) >= width)
-      .select(col(idCol), explode(chunkHashes(col(textCol), width)).as("__h"))
+    requireIndexWidth(spark, indexPath, width, "probe")
+    val chunks = chunkStream(batch, width, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: referenced by both the corpus probe and the dup join —
+    // without it the countDistinct shuffle over the chunk stream runs
+    // twice per call
+    val batchCounts = chunks
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val batchCounts = chunks
-        .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
-      // probe first, aggregate after: only index rows matching a batch
-      // hash are read (file-pruned via the range layout), and the sum
-      // re-merges any Append-mode duplicate hash rows
       val corpusCounts = spark.read.parquet(s"$indexPath/chunks")
         .join(batchCounts.select("__h"), Seq("__h"))
         .groupBy("__h").agg(sum("n_docs").as("__cnd"))
@@ -511,13 +549,10 @@ object Dedup {
         .select(col("__h")).withColumn("__dup", lit(1L))
       // eager materialize: the returned frame must not re-derive the
       // cached chunk stream after the finally releases it
-      chunks.join(dup, Seq("__h"), "left")
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(coalesce(col("__dup"), lit(0L))).as("n_dup_chunks"))
-        .withColumn("dup_frac",
-          round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
-        .localCheckpoint(true)
-    } finally chunks.unpersist(blocking = false)
+      profileFromChunks(chunks, dup, idCol).localCheckpoint(true)
+    } finally {
+      batchCounts.unpersist(blocking = false)
+      chunks.unpersist(blocking = false)
+    }
   }
 }

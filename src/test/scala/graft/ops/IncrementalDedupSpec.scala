@@ -36,6 +36,20 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.exists(t => t._1 == 102L && t._3 > 0))
   }
 
+  test("chunk index: width mismatch on probe or Append fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("chdixw").toString
+    val docs = Seq((1L, "a" * 40), (2L, "a" * 40)).toDF("doc_id", "text")
+    Dedup.buildChunkIndex(docs, dir, width = 30)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.substringDupProfileIncrement(docs, dir, width = 40)
+    }
+    assert(e1.getMessage.contains("width=30"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.buildChunkIndex(docs, dir, width = 40, mode = SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("append"))
+  }
+
   test("chunk index: SaveMode.Append fold-in ≡ one-shot index") {
     val oneDir = java.nio.file.Files.createTempDirectory("chdix1").toString
     val twoDir = java.nio.file.Files.createTempDirectory("chdix2").toString
