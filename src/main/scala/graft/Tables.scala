@@ -32,19 +32,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads via `spark.sql.legacy.parquet.nanosAsLong` (set in
-    * [[GraftSession]]/Verify/Bench). Re-expose it as a microsecond
-    * timestamp (`ts div 1000` — integer division; a double division
-    * would lose precision on ~1.7e18 ns epochs). */
+  /** `events.ts` normalized to a microsecond `TimestampType` regardless
+    * of the parquet storage flavor. The generator has shipped it as
+    * TIMESTAMP(NANOS) (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong`; `ts div 1000` — integer
+    * division, a double division would lose precision on ~1.7e18 ns
+    * epochs) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ; the naive values are UTC wall-clock, so cast under a
+    * UTC session zone — the same reading DuckDB gives the file). Every
+    * downstream consumer (`unix_micros`, watermarks,
+    * [[graft.ops.AsofJoin]]) sees one stable type either way. Storage
+    * leniency mirrors the reference's format-lenient date handling
+    * (reference backend/app/utils.py:520-528). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // defensively enable nanos reads even on sessions the caller built
     // without the flag (it is a runtime-settable SQL conf)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // NTZ→LTZ cast reads the naive value in the session zone; pin it
+        // to UTC so the epoch is the same on any machine
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

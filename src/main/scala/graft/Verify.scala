@@ -17,11 +17,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must stay VISIBLE in the driver's correctness
+    // file: write an empty zero-column parquet under its name (the
+    // DuckDB compare then records a red err/mismatch row instead of the
+    // query silently vanishing — r5/r6 lost q_asof_join for two rounds
+    // to exactly that absence-reads-as-fine failure mode) and collect
+    // the message for _failed.json + a stdout line the driver tails.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failed(name) = msg
+        println(s"[verify] FAILED $name: ${msg.linesIterator.next()}")
+        try spark.emptyDataFrame.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +48,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

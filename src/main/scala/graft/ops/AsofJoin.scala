@@ -94,7 +94,12 @@ object AsofJoin {
       Seq("__side", "__p", "__m", "__b", "__pb", "__prefix"), left, right)
     val lCols = left.columns.toSeq
     val tsNum: Column => Column = left.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => c => unix_micros(c).cast("double")
+      // NTZ casts to TimestampType under the session zone first (a
+      // direct cast-to-double on NTZ is not defined); the bucketing only
+      // needs a monotone map of ts, so any fixed zone reading works
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        c => unix_micros(c.cast(org.apache.spark.sql.types.TimestampType)).cast("double")
       case _ => c => c.cast("double")
     }
     // observed ts range over BOTH sides (two scalars; one union agg)

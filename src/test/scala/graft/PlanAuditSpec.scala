@@ -38,18 +38,37 @@ class PlanAuditSpec extends SparkSpec {
     // bounded 5×17 synthetic-dim range() cross building the grid fixture
     "q_rain_pipeline")
 
-  private lazy val plans: Map[String, String] = headline.map { name =>
-    name -> SparkEntry.queries(name)(spark, sfDir).queryExecution
-      .explainString(ExplainMode.fromString("formatted"))
-  }.toMap
+  // Per-query Try, NOT a shared all-or-nothing build: in r6 one query's
+  // analysis failure (the NTZ regression) poisoned this map and failed
+  // 7 unrelated tests. Now a broken query fails exactly the smoke test
+  // below; tests needing its plan CANCEL (not fail) via `plan(name)`.
+  private lazy val plans: Map[String, Either[String, String]] =
+    headline.map { name =>
+      name -> (try Right(SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)) })
+    }.toMap
+
+  private def plan(name: String): String = plans(name) match {
+    case Right(p) => p
+    case Left(m) => cancel(s"$name failed to plan — see the smoke test: $m")
+  }
+  private def goodPlans: Iterable[(String, String)] =
+    plans.collect { case (n, Right(p)) => (n, p) }
+
+  test("every headline query plans (analysis smoke)") {
+    val broken = plans.collect { case (n, Left(m)) => s"$n: ${m.linesIterator.next()}" }
+    assert(broken.isEmpty, s"queries failed to plan:\n  ${broken.mkString("\n  ")}")
+  }
 
   test("no CartesianProduct in any headline plan") {
-    for ((name, p) <- plans)
+    for ((name, p) <- goodPlans)
       assert(!p.contains("CartesianProduct"), s"$name degraded to a cartesian product")
   }
 
   test("BroadcastNestedLoopJoin only in declared brute-force baselines") {
-    for ((name, p) <- plans if !declaredBnl.contains(name))
+    for ((name, p) <- goodPlans if !declaredBnl.contains(name))
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name picked up an undeclared nested-loop join")
   }
@@ -59,13 +78,13 @@ class PlanAuditSpec extends SparkSpec {
     // (q_rain_pipeline and q_list_page read in-memory fixtures at gate
     // scale — no parquet scan to push into)
     for (name <- Seq("q_tfidf", "q_incident_pipeline", "q_embed_cosine"))
-      assert(pushed.findFirstIn(plans(name)).isDefined,
+      assert(pushed.findFirstIn(plan(name)).isDefined,
         s"$name: no pushed filters reached a scan")
   }
 
   test("dimension joins broadcast — no SortMergeJoin in the dim-join queries") {
     for (name <- Seq("q_join_enrich", "q_list_page", "q_join_graph", "q_risk_pipeline"))
-      assert(!plans(name).contains("SortMergeJoin"),
+      assert(!plan(name).contains("SortMergeJoin"),
         s"$name: a dim join fell back to sort-merge")
   }
 
@@ -129,7 +148,7 @@ class PlanAuditSpec extends SparkSpec {
     // the 5-column table must be pruned at the scan
     val schema = raw"ReadSchema: struct<([^>]*)>".r
     for (name <- Seq("q_repetition", "q_pii_redact", "q_zorder_key")) {
-      val cols = schema.findAllMatchIn(plans(name))
+      val cols = schema.findAllMatchIn(plan(name))
         .map(_.group(1).count(_ == ',') + 1).toSeq
       assert(cols.nonEmpty && cols.forall(_ <= 2),
         s"$name reads too many columns per scan: $cols")
@@ -139,7 +158,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q_asof_join: no join operator, no single-partition window") {
     // the union-sort-carry-forward plan: a regression to a range join
     // or a global-order window would both show here
-    val p = plans("q_asof_join")
+    val p = plan("q_asof_join")
     assert(!p.contains("Join"), "as-of degraded to a join")
     assert(!p.contains("SinglePartition"), "as-of window lost its key partitioning")
   }
@@ -163,7 +182,7 @@ class PlanAuditSpec extends SparkSpec {
     // q_scan_project touches 4 lineitem columns; the scan must not
     // read the 16-column table
     val schema = raw"ReadSchema: struct<([^>]*)>".r
-    val cols = schema.findAllMatchIn(plans("q_scan_project"))
+    val cols = schema.findAllMatchIn(plan("q_scan_project"))
       .map(_.group(1).count(_ == ',') + 1).toSeq
     assert(cols.nonEmpty && cols.forall(_ <= 6),
       s"q_scan_project reads too many columns per scan: $cols")

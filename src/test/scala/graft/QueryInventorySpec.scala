@@ -1,0 +1,44 @@
+package graft
+
+/** Whole-inventory analysis gate: EVERY `SparkEntry.queries` entry must
+  * at least build and pass Catalyst analysis against the current
+  * testdata. This is the canary the r6 post-mortem asked for — when the
+  * driver regenerated `/root/testdata` with a different parquet
+  * timestamp flavor, `q_asof_join` failed analysis and nothing in CI
+  * said so by name for two rounds (Verify dropped it silently and the
+  * failure surfaced only as seven confusing PlanAuditSpec reds). Any
+  * schema/testdata/API drift now fails HERE, one test, listing the
+  * broken queries by name.
+  *
+  * Analysis only (`queryExecution.analyzed`) — no execution — but note
+  * a few gate builders do eager index/fit work during CONSTRUCTION
+  * (incremental dedup gates, IVF/PQ fits, CMS sketch); at sf0.001 that
+  * is a few seconds total, a price worth the coverage.
+  */
+class QueryInventorySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every registered query analyzes against current testdata") {
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sfDir).queryExecution.analyzed; None }
+        catch { case e: Throwable =>
+          Some(s"$name: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next())
+        }
+    }
+    assert(broken.isEmpty,
+      s"${broken.size}/${SparkEntry.queries.size} queries failed analysis:\n  " +
+        broken.mkString("\n  "))
+  }
+
+  test("every query has an oracle or a documented spec-only waiver") {
+    // oracleSql keys must be a subset of queries (a dangling oracle is a
+    // typo); queries without an oracle are allowed (driver records a
+    // rows-only check) but the count drift between declared and recorded
+    // inventory is exactly how q_asof_join hid — pin the counts here.
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql entries with no query: $dangling")
+  }
+}
