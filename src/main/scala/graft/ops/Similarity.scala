@@ -163,6 +163,7 @@ object Similarity {
       case (_, None) =>
         corpus.select(col("id").as("id1"), col("id").as("id2")).limit(0)
       case (n, Some(dim)) =>
+        envelopeWarning(nBits, n, maxBucket).foreach(System.err.println)
         bucketCandidates(
           corpus.select(col("id"), asDouble(col("embedding")).as("vec")),
           autoBits(nBits, n), nTables, dim, maxBucket)
@@ -196,6 +197,24 @@ object Similarity {
     if (nBits >= 0) nBits
     else math.max(4, math.min(16,
       (math.log(math.max(1L, n).toDouble) / math.log(2)).ceil.toInt - 6))
+
+  /** The corpus size past which [[autoBits]]'s 16-bit cap stops holding
+    * bucket size flat: 2^(16+6) ≈ 4.2 M vectors. */
+  private[ops] val autoBitsEnvelope: Long = 1L << 22
+
+  /** Announces the auto-sizing cliff instead of letting it be
+    * discovered: returns the one-line warning to emit when the caller
+    * relies on autoBits (nBits < 0), has no bucket-size guard
+    * (maxBucket ≤ 0), and the corpus is past the ~4.2 M-vector envelope
+    * where mean bucket size — and per-bucket candidate noise — resumes
+    * growing ∝ n. Pure function so the trigger condition is spec-pinned
+    * (SimilaritySpec); call sites print it to stderr once per run. */
+  private[ops] def envelopeWarning(nBits: Int, n: Long, maxBucket: Int): Option[String] =
+    if (nBits < 0 && maxBucket <= 0 && n > autoBitsEnvelope)
+      Some(s"[graft] autoBits: corpus has $n vectors, past the ~4.2M envelope of the " +
+        "16-bit cap — bucket size now grows with n. Set nBits explicitly " +
+        "(raise nTables to hold recall) or set maxBucket to bound candidate noise.")
+    else None
 
   /** Bucket-collision candidate pairs, optionally dropping oversized
     * buckets. The candidate join is NARROW — only (bucket, id) rides
@@ -278,6 +297,7 @@ object Similarity {
         lit(0.0).as("cosine")).limit(0)
     }
     val dim = dimOpt.get
+    envelopeWarning(nBits, n, maxBucket).foreach(System.err.println)
     val bits = autoBits(nBits, n)
     // Attaching vectors to the candidate pairs is where the verify
     // stage's bytes live: a shuffle join re-partitions the candidate

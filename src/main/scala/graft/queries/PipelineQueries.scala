@@ -300,6 +300,37 @@ object PipelineQueries {
       |       CASE WHEN ia % 10 >= 8 THEN ib ELSE ia END AS id2, jaccard
       |FROM j WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
 
+  /** DuckDB-NATIVE as-of oracle: the operator checked against an
+    * independent engine's own ASOF implementation, not a SQL
+    * re-derivation — the stronger check, kept as the default. */
+  private val asofOracleNative: String =
+    """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+      | l.value AS click_value, r.value AS last_purchase
+      |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY user_id, ts_us""".stripMargin
+
+  /** PORTABLE as-of oracle (select with env `GRAFT_ASOF_ORACLE=portable`):
+    * the same semantics in plain ANSI SQL — non-equi left join +
+    * `max_by` — with no DuckDB-specific operator, insurance against
+    * oracle-side environment drift (the r4→r6 testdata regeneration
+    * showed such drift is real). Grouping by `event_id` keeps duplicate
+    * (user, ts, value) clicks distinct; right-side ties at equal
+    * (key, ts) resolve arbitrarily in BOTH formulations (the documented
+    * AsofJoin caveat). Runs under Spark SQL too modulo the epoch
+    * function name (`epoch_us` ↔ `unix_micros`) — AsofJoinSpec pins it
+    * equal to the operator's output that way. */
+  val asofOraclePortable: String =
+    """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT l.event_id AS event_id, l.user_id AS user_id, l.ts AS ts,
+      |  l.value AS click_value, max_by(r.value, r.ts) AS last_purchase
+      | FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+      | GROUP BY l.event_id, l.user_id, l.ts, l.value)
+      |SELECT user_id, epoch_us(ts) AS ts_us, click_value, last_purchase
+      |FROM m ORDER BY user_id, ts_us""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_prep_pipeline" ->
       s"""WITH p AS (SELECT doc_id, lang, $piiTextSql AS ptext FROM documents),
@@ -355,12 +386,8 @@ object PipelineQueries {
     "q_incremental_dedup" -> incrementalOracleSql,
     "q_incremental_append" -> incrementalOracleSql,
     "q_asof_join" ->
-      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
-        | l.value AS click_value, r.value AS last_purchase
-        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY user_id, ts_us""".stripMargin,
+      (if (sys.env.get("GRAFT_ASOF_ORACLE").contains("portable")) asofOraclePortable
+       else asofOracleNative),
     "q_zorder_key" ->
       """WITH t AS (SELECT doc_id, doc_id % 1024 AS a, n_chars % 1024 AS b FROM documents),
         |s0 AS (SELECT doc_id, a & 4294967295 AS xa, b & 4294967295 AS xb FROM t),

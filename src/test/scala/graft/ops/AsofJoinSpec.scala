@@ -80,6 +80,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges:\n$plan")
   }
 
+  test("portable SQL oracle formulation matches the operator bit-for-bit") {
+    // the env-swappable DuckDB fallback (GRAFT_ASOF_ORACLE=portable) is
+    // plain ANSI SQL; run it in Spark over the registered views (only
+    // the epoch function name differs between dialects) and pin it
+    // against qAsofJoin — if either formulation drifts, this fails
+    val sfDir = "/root/testdata/sf0.001"
+    graft.Tables.registerViews(spark, sfDir)
+    val sql = graft.queries.PipelineQueries.asofOraclePortable
+      .replace("epoch_us(", "unix_micros(")
+    val oracle = spark.sql(sql).collect().toSeq
+    val engine = graft.SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .collect().toSeq
+    assert(engine.nonEmpty, "no as-of rows at sf0.001 — vacuous pin")
+    assert(oracle == engine,
+      s"portable oracle (${oracle.size} rows) != operator (${engine.size} rows)")
+  }
+
   test("inputs carrying a reserved internal column name fail loudly") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "__p")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")

@@ -204,4 +204,15 @@ class SimilaritySpec extends SparkSpec {
     val k2 = e.select(Similarity.lshKey(col("v"), 8, 0, 3)).head().getLong(0)
     assert(k1 == k2)
   }
+
+  test("autoBits envelope warning fires only past ~4.2M vectors with no guard") {
+    val past = Similarity.autoBitsEnvelope + 1
+    // the cliff case: auto-sized, unguarded, past the envelope → warn
+    assert(Similarity.envelopeWarning(-1, past, 0).isDefined)
+    // each escape hatch silences it: explicit nBits, a maxBucket guard,
+    // or a corpus still inside the envelope
+    assert(Similarity.envelopeWarning(18, past, 0).isEmpty)
+    assert(Similarity.envelopeWarning(-1, past, 4096).isEmpty)
+    assert(Similarity.envelopeWarning(-1, Similarity.autoBitsEnvelope, 0).isEmpty)
+  }
 }
