@@ -38,27 +38,32 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong`; `ts div 1000` — integer
     * division, a double division would lose precision on ~1.7e18 ns
     * epochs) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
-    * TIMESTAMP_NTZ; the naive values are UTC wall-clock, so cast under a
-    * UTC session zone — the same reading DuckDB gives the file). Every
-    * downstream consumer (`unix_micros`, watermarks,
-    * [[graft.ops.AsofJoin]]) sees one stable type either way. Storage
-    * leniency mirrors the reference's format-lenient date handling
-    * (reference backend/app/utils.py:520-528). */
+    * TIMESTAMP_NTZ; the naive values are UTC wall-clock, reinterpreted
+    * via [[graft.expr.NtzAsUtc]] — a physical no-op that never consults
+    * the session zone, so this loader is correct on ANY session and has
+    * ZERO side effects on session state). Every downstream consumer
+    * (`unix_micros`, watermarks, [[graft.ops.AsofJoin]]) sees one stable
+    * type either way. Storage leniency mirrors the reference's
+    * format-lenient date handling (reference backend/app/utils.py:520-528)
+    * — leniency about STORAGE, not license to reconfigure the caller's
+    * session: the nanos flavor needs a reader conf that must be set at
+    * session build time, so it is required loudly, not set silently. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // defensively enable nanos reads even on sessions the caller built
-    // without the flag (it is a runtime-settable SQL conf)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // required before the read: on a TIMESTAMP(NANOS) file, schema
+    // inference itself throws a cryptic "Illegal Parquet type" without it
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "graft.Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(set it on the SparkSession builder, as every graft entry point does) " +
+        "so the TIMESTAMP(NANOS) storage flavor of events.ts reads as Long")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
-        // NTZ→LTZ cast reads the naive value in the session zone; pin it
-        // to UTC so the epoch is the same on any machine
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        raw.withColumn("ts", graft.expr.NtzAsUtc.ntzAsUtc(raw("ts")))
       case _ => raw
     }
   }

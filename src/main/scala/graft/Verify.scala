@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** One-column failure marker for a query whose body threw: the DuckDB
+    * compare sees a schema that can never match an oracle and records a
+    * red row, so the failure stays visible instead of the query
+    * vanishing from the correctness file (the r5/r6 failure mode). A
+    * zero-column `emptyDataFrame` does NOT work — Spark rejects
+    * empty-schema parquet writes (EMPTY_SCHEMA_NOT_SUPPORTED) — so the
+    * marker carries the query name in one real column. Unit-pinned by
+    * VerifyMarkerSpec; compare.py prints `ENGINE QUERY FAILED` on it. */
+  def writeFailureMarker(spark: SparkSession, outDir: String, name: String): Unit =
+    spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(name).as("__graft_failed"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,11 +31,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A query that throws must stay VISIBLE in the driver's correctness
-    // file: write an empty zero-column parquet under its name (the
-    // DuckDB compare then records a red err/mismatch row instead of the
+    // file: write a ONE-COLUMN marker parquet under its name (the DuckDB
+    // compare then records a red SCHEMA-mismatch row instead of the
     // query silently vanishing — r5/r6 lost q_asof_join for two rounds
     // to exactly that absence-reads-as-fine failure mode) and collect
     // the message for _failed.json + a stdout line the driver tails.
+    // NOTE: a zero-column `emptyDataFrame` does NOT work here — Spark
+    // rejects empty-schema parquet writes (EMPTY_SCHEMA_NOT_SUPPORTED),
+    // so the marker must carry at least one real column.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -31,9 +47,11 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failed(name) = msg
         println(s"[verify] FAILED $name: ${msg.linesIterator.next()}")
-        try spark.emptyDataFrame.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case _: Throwable => () }
+        try writeFailureMarker(spark, outDir, name)
+        catch { case e2: Throwable =>
+          println(s"[verify] marker write ALSO failed for $name: " +
+            Option(e2.getMessage).getOrElse(e2.getClass.getName).linesIterator.next())
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -71,6 +71,97 @@ class TestdataContractSpec extends SparkSpec {
     }
   }
 
+  test("events loads correct epochs on a NON-UTC session and mutates no session state") {
+    // fixtures authored first, under the suite's UTC zone — NTZ fixture
+    // *authoring* (LTZ→NTZ cast) is zone-sensitive by Spark semantics,
+    // and the contract under test is the *loader*, not the generator
+    val dirs = flavors.map(f => f -> fixture(f))
+    val zoneKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(zoneKey)
+    try {
+      spark.conf.set(zoneKey, "Asia/Bangkok")
+      // an unrelated timestamp literal whose epoch DEPENDS on the zone:
+      // if Tables.events flipped the session to UTC (the old side
+      // effect), this value would silently shift by the zone offset
+      def probe(): Long = spark.sql(
+        "SELECT unix_micros(timestamp'2024-01-01 00:00:00')").head().getLong(0)
+      val before = probe()
+      for ((f, dir) <- dirs) {
+        val ev = Tables.events(spark, dir)
+        assert(ev.schema("ts").dataType == TimestampType, s"$f on non-UTC session")
+        val got = ev.select(col("event_id"), unix_micros(col("ts")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == rows.map(r => (r._1, r._2)).toMap,
+          s"$f: epochs shifted when loaded under a non-UTC session zone")
+        assert(spark.conf.get(zoneKey) == "Asia/Bangkok",
+          s"$f: Tables.events mutated the session time zone")
+      }
+      assert(probe() == before,
+        "loading events changed the interpretation of other timestamps in the session")
+    } finally spark.conf.set(zoneKey, prev)
+  }
+
+  // The full testdata contract, one entry per Tables.names row, so ANY
+  // future regeneration drift (the r4→r6 flavor flip that caused a
+  // two-round blind spot) fails ONE named assertion naming the table
+  // and column. Types are `DataType.simpleString`s. Timestamp columns
+  // are the generator's proven drift axis (r4 TIMESTAMP(NANOS) → r6
+  // NTZ), and every loader/query handles both instant and naive-UTC
+  // flavors, so those pin to the handled SET via the "ts-flavor"
+  // sentinel; everything else pins exact. `events` pins its
+  // POST-NORMALIZATION schema (Tables.events): `ts` must come back as
+  // exactly `timestamp` whatever the storage flavor.
+  private val schemaContract: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "ts-flavor", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "ts-flavor"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  private val tsFlavors = Set("timestamp", "timestamp_ntz")
+
+  test("all 10 tables match the pinned schema contract (drift names table+column)") {
+    assert(schemaContract.keySet == Tables.names.toSet,
+      "schemaContract out of sync with Tables.names")
+    for (n <- Tables.names) {
+      val want = schemaContract(n)
+      val df = if (n == "events") Tables.events(spark, sfDir)
+               else Tables.t(spark, sfDir, n)
+      val got = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+      assert(got.map(_._1) == want.map(_._1),
+        s"table $n: columns drifted — got ${got.map(_._1).mkString(",")} " +
+          s"want ${want.map(_._1).mkString(",")}")
+      for (((gName, gType), (_, wType)) <- got.zip(want))
+        if (wType == "ts-flavor")
+          assert(tsFlavors(gType),
+            s"table $n column $gName: unhandled timestamp flavor $gType " +
+              s"(handled: ${tsFlavors.mkString("/")})")
+        else
+          assert(gType == wType,
+            s"table $n column $gName: type drifted got=$gType want=$wType")
+    }
+  }
+
   test("live testdata: every table readable, events normalized, core columns present") {
     for (n <- Tables.names)
       assert(Tables.t(spark, sfDir, n).schema.nonEmpty, s"$n unreadable")

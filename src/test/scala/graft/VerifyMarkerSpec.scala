@@ -1,0 +1,31 @@
+package graft
+
+/** Pins that Verify's failure marker ACTUALLY writes (r7 shipped a
+  * zero-column `emptyDataFrame` marker that Spark rejects —
+  * EMPTY_SCHEMA_NOT_SUPPORTED — so the swallowed write made failed
+  * queries vanish from the compare, the exact bug the marker exists to
+  * prevent; this spec makes that dead-code regression impossible). */
+class VerifyMarkerSpec extends SparkSpec {
+
+  test("writeFailureMarker produces a readable one-column parquet naming the query") {
+    val out = java.nio.file.Files.createTempDirectory("graft-marker").toString
+    Verify.writeFailureMarker(spark, out, "q_example_failed")
+    val back = spark.read.parquet(s"$out/q_example_failed")
+    assert(back.schema.fieldNames.toSeq == Seq("__graft_failed"),
+      "marker must be exactly the one-column failure schema compare.py detects")
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("q_example_failed"))
+  }
+
+  test("a zero-column marker would NOT write (the r7 dead-code failure mode)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-marker0").toString
+    val thrown = intercept[Throwable] {
+      spark.emptyDataFrame.coalesce(1).write.mode("overwrite").parquet(s"$out/q")
+    }
+    // pin the Spark behavior the marker design works around; if a future
+    // Spark version starts allowing empty-schema writes this goes red
+    // and the comment in Verify can be revisited
+    assert(Option(thrown.getMessage).exists(_.contains("EMPTY_SCHEMA")) ||
+      thrown.getClass.getName.contains("AnalysisException"),
+      s"unexpected failure shape: $thrown")
+  }
+}

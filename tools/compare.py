@@ -48,8 +48,19 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_exact = 0
     for name in names:
-        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        gcols, grows = got_rel.columns, got_rel.fetchall()
+        # the got-side read itself can fail (a mid-job write failure can
+        # leave only _temporary under the dir) — that must be a red row
+        # for THIS query, not an abort that loses every remaining row
+        try:
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols, grows = got_rel.columns, got_rel.fetchall()
+        except Exception as e:
+            print(f"✗ {name:24s} ENGINE OUTPUT MISSING/UNREADABLE: {e}")
+            continue
+        if gcols == ["__graft_failed"]:
+            # Verify's one-column marker: the query body threw
+            print(f"✗ {name:24s} ENGINE QUERY FAILED (see _failed.json)")
+            continue
         if name not in oracles:
             print(f"  {name:24s} rows-only: {len(grows)} rows")
             continue
