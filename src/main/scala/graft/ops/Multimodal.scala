@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for training-data
@@ -14,11 +14,60 @@ import org.apache.spark.sql.functions._
   * cross-validated against `javax.imageio`/`javax.sound.sampled` in
   * MultimodalSpec). Only the semantic-feature step (the `feature`
   * vector a vision/audio model would embed) stays a deterministic
-  * byte-derived stand-in — this container ships no ML codecs; a
-  * production deployment swaps that one function for a JNI/ONNX model
-  * with no plan changes. [[FakeDecoder]] remains as the test double.
+  * byte-derived stand-in — this container ships no ML codecs — and that
+  * stand-in is an interface boundary, not a hard-coded function: a
+  * production deployment implements [[Embedder]] over a JNI/ONNX model
+  * and passes it to [[RealDecoder.withEmbedder]] with no plan changes.
+  * [[FakeDecoder]] remains as the test double.
   */
 object Multimodal {
+
+  /** Interface boundary for the semantic feature extractor — the ONE
+    * declared ML stand-in left in the engine. A production deployment
+    * implements this trait over a real vision/audio model (JNI/ONNX
+    * behind `embedBytes`); everything else — schema, partitioning, the
+    * per-partition batch shape, the ANN path downstream — is unchanged,
+    * and MultimodalSpec pins that two different embedders produce
+    * byte-identical pipeline topology. */
+  trait Embedder extends Serializable {
+    /** Output feature dimensionality (fixed per embedder). */
+    def dim: Int
+    /** Raw payload bytes → `dim`-length feature vector. Must be
+      * deterministic and total (junk/null bytes embed, never throw —
+      * quarantine is the decoder's job, not the embedder's). */
+    def embedBytes(payload: Array[Byte]): Array[Double]
+    /** Column-level embed for DataFrame pipelines. A UDF is the honest
+      * shape at this boundary: a real model call is a black box to
+      * Catalyst either way; everything around it stays codegen'd. */
+    def embed(payload: Column): Column = udf(embedBytes _).apply(payload)
+  }
+
+  /** Default embedder: the deterministic 8-dim byte-hash stand-in
+    * (documented, honest — no ML model ships in a public-knowledge
+    * Spark engine). */
+  object ByteHashEmbedder extends Embedder {
+    val dim = 8
+    def embedBytes(payload: Array[Byte]): Array[Double] = {
+      val len = if (payload == null) 0 else payload.length
+      val h = if (len == 0) 0L else java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+      Array.tabulate(dim) { i =>
+        if (len == 0) 0.0 else (payload(((h + i * 31) % len).toInt) & 0xff) / 255.0
+      }
+    }
+  }
+
+  /** Second reference embedder (spec-only by default): 4 byte-moment
+    * features — proves the boundary is real, not a hard-coded default. */
+  object ByteMomentEmbedder extends Embedder {
+    val dim = 4
+    def embedBytes(payload: Array[Byte]): Array[Double] = {
+      if (payload == null || payload.isEmpty) return Array.fill(dim)(0.0)
+      val xs = payload.map(b => (b & 0xff) / 255.0)
+      val mean = xs.sum / xs.length
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      Array(mean, math.sqrt(variance), xs.min, xs.max)
+    }
+  }
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeatures(
@@ -61,23 +110,21 @@ object Multimodal {
     * The 8-dim `feature` vector stays the deterministic byte-derived
     * stand-in for a real embedding model. */
   object RealDecoder {
-    def decode(r: MediaRow): MediaFeatures = {
+    def decode(r: MediaRow): MediaFeatures = withEmbedder(ByteHashEmbedder)(r)
+
+    /** Same container parse, pluggable feature extractor: this is the
+      * production entry point — `withEmbedder(myOnnxEmbedder)` swaps the
+      * stand-in for a real model with zero plan/schema changes. */
+    def withEmbedder(embedder: Embedder): MediaRow => MediaFeatures = { r =>
       val len = if (r.payload == null) 0 else r.payload.length
       MediaCodec.decode(r.payload) match {
         case Some(d) =>
           MediaFeatures(r.media_id, r.kind, len, d.width, d.height, d.durationMs,
-            byteFeature(r.payload))
+            embedder.embedBytes(r.payload))
         case None =>
-          MediaFeatures(r.media_id, r.kind, len, -1, -1, -1L, byteFeature(r.payload))
+          MediaFeatures(r.media_id, r.kind, len, -1, -1, -1L,
+            embedder.embedBytes(r.payload))
       }
-    }
-  }
-
-  private def byteFeature(payload: Array[Byte]): Array[Double] = {
-    val len = if (payload == null) 0 else payload.length
-    val h = if (len == 0) 0L else java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
-    Array.tabulate(8) { i =>
-      if (len == 0) 0.0 else (payload(((h + i * 31) % len).toInt) & 0xff) / 255.0
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,7 +163,7 @@ object Similarity {
       case (_, None) =>
         corpus.select(col("id").as("id1"), col("id").as("id2")).limit(0)
       case (n, Some(dim)) =>
-        envelopeWarning(nBits, n, maxBucket).foreach(System.err.println)
+        enforceEnvelope(strictEnvelope(corpus.sparkSession), nBits, n, maxBucket)
         bucketCandidates(
           corpus.select(col("id"), asDouble(col("embedding")).as("vec")),
           autoBits(nBits, n), nTables, dim, maxBucket)
@@ -215,6 +215,28 @@ object Similarity {
         "16-bit cap — bucket size now grows with n. Set nBits explicitly " +
         "(raise nTables to hold recall) or set maxBucket to bound candidate noise.")
     else None
+
+  /** Session conf for the envelope's STRICT mode: at 100 TB a stderr
+    * line is never read, so `spark.graft.lsh.strictEnvelope=true` makes
+    * an envelope breach fail fast at plan time with the same message
+    * (plus the remediation already in it) instead of printing. Opt-in:
+    * the default stays warn-and-proceed — a breach degrades cost, not
+    * correctness, and a pipeline author may accept it knowingly. */
+  private[ops] val strictEnvelopeKey = "spark.graft.lsh.strictEnvelope"
+
+  private def strictEnvelope(s: SparkSession): Boolean =
+    s.conf.getOption(strictEnvelopeKey).contains("true")
+
+  /** Warn (default) or throw (strict) on an autoBits envelope breach.
+    * Pure decision logic ([[envelopeWarning]]) + pinned dispatch
+    * (SimilaritySpec covers both modes). */
+  private[ops] def enforceEnvelope(strict: Boolean, nBits: Int, n: Long,
+      maxBucket: Int): Unit =
+    envelopeWarning(nBits, n, maxBucket).foreach { msg =>
+      if (strict) throw new IllegalStateException(
+        msg + s" ($strictEnvelopeKey=true: failing fast instead of warning)")
+      else System.err.println(msg)
+    }
 
   /** Bucket-collision candidate pairs, optionally dropping oversized
     * buckets. The candidate join is NARROW — only (bucket, id) rides
@@ -297,7 +319,7 @@ object Similarity {
         lit(0.0).as("cosine")).limit(0)
     }
     val dim = dimOpt.get
-    envelopeWarning(nBits, n, maxBucket).foreach(System.err.println)
+    enforceEnvelope(strictEnvelope(corpus.sparkSession), nBits, n, maxBucket)
     val bits = autoBits(nBits, n)
     // Attaching vectors to the candidate pairs is where the verify
     // stage's bytes live: a shuffle join re-partitions the candidate

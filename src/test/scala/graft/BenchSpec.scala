@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's stdout contract: the archiver keeps only the TAIL of
+  * stdout with a ~2 KB cap, and r7's line outgrew it (6 of 79 per-query
+  * rows lost to head truncation). These tests make "the whole line
+  * fits, worst case, for the WHOLE current inventory" a compile-time-ish
+  * guarantee: adding queries until the line can overflow again fails
+  * here first, naming the budget. No SparkSession needed. */
+class BenchSpec extends AnyFunSuite {
+
+  test("fq smart precision: ≤4 chars, ≤~5% rounding error at every magnitude") {
+    assert(Bench.fq(0.137) == "0.14")
+    assert(Bench.fq(0.2) == "0.2")
+    assert(Bench.fq(0.994) == "0.99")
+    assert(Bench.fq(0.996) == "1")
+    assert(Bench.fq(2.56) == "2.6")
+    assert(Bench.fq(9.94) == "9.9")
+    assert(Bench.fq(9.96) == "10")
+    assert(Bench.fq(57.981) == "58")
+    assert(Bench.fq(0.0) == "0")
+    // width bound feeds the line-budget test below
+    for (v <- Seq(0.001, 0.09, 0.99, 1.04, 9.49, 10.4, 99.4, 999.4))
+      assert(Bench.fq(v).length <= 4, s"fq($v)=${Bench.fq(v)} wider than 4 chars")
+    // relative error bound: ≤ 5% or ≤ 5ms absolute on sub-0.1s rows
+    for (v <- Seq(0.11, 0.49, 0.99, 1.01, 5.0, 9.9, 10.1, 57.981, 200.0)) {
+      val err = math.abs(Bench.fq(v).toDouble - v) / v
+      assert(err <= 0.051, s"fq($v)=${Bench.fq(v)} err=$err")
+    }
+  }
+
+  test("strip removes trailing zeros without corrupting values") {
+    assert(Bench.strip("1.00") == "1")
+    assert(Bench.strip("0.20") == "0.2")
+    assert(Bench.strip("10") == "10")
+    assert(Bench.strip("0.00") == "0")
+  }
+
+  test("worst-case stat line for the FULL current inventory clears the archiver cap") {
+    // every query at the widest fq rendering (4 chars), all three spread
+    // slots at max width, pessimistic scalars — if this fits, any real
+    // run fits. Budget: 2 KB tail cap minus ~150 bytes for the sbt
+    // epilogue the archiver also captures after the line.
+    val names = SparkEntry.queries.keys.toSeq
+    val results = names.map(_ -> 0.99)
+    val line = Bench.statLine(results, 3, 99.999, 99.999, "32",
+      "sf0.1", "BENCH_FULL.json", Nil, 9999.999, 9999.999)
+    assert(line.length <= 1890,
+      s"stat line worst case is ${line.length} bytes — the ~2 KB archiver " +
+        "tail cap would truncate it; shave per-query precision or move " +
+        "fields to the fidelity file")
+  }
+
+  test("stat line is valid JSON with the driver-contract fields") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val line = Bench.statLine(Seq("q1_agg" -> 0.37, "q_x" -> 12.0),
+      3, 4.5, 1.2, "32", "sf0.1", "BENCH_FULL.json",
+      Seq("q_bad" -> "boom \"quoted\" \\ msg"), 12.4, 12.37)
+    val node = om.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("value").asDouble == 12.37)
+    assert(node.get("total_med").asDouble == 12.4)
+    assert(node.get("queries").get("q1_agg").asDouble == 0.37)
+    assert(node.get("errors").get("q_bad").asText.contains("quoted"))
+    assert(node.get("n_errors").asInt == 1)
+    assert(node.get("stat").asText == "min3+med5")
+    assert(node.get("warm_s").asDouble == 4.5)
+  }
+}

@@ -33,12 +33,26 @@ class QueryInventorySpec extends SparkSpec {
         broken.mkString("\n  "))
   }
 
-  test("every query has an oracle or a documented spec-only waiver") {
+  test("inventory counts are pinned — a silent shrink fails by name") {
     // oracleSql keys must be a subset of queries (a dangling oracle is a
-    // typo); queries without an oracle are allowed (driver records a
-    // rows-only check) but the count drift between declared and recorded
-    // inventory is exactly how q_asof_join hid — pin the counts here.
+    // typo); and the inventory COUNTS are pinned to recorded constants —
+    // a query vanishing between rounds (exactly how q_asof_join hid in
+    // r5/r6: the recorded inventory silently shrank and absence read as
+    // fine) now fails here naming the missing entries. Grow the
+    // constants when adding queries; never let them shrink silently.
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracleSql entries with no query: $dangling")
+    val expectedQueries = 79
+    val expectedOracles = 79
+    assert(SparkEntry.queries.size >= expectedQueries,
+      s"query inventory SHRANK below the pinned $expectedQueries: " +
+        s"now ${SparkEntry.queries.size} — which query was dropped, and why?")
+    assert(SparkEntry.oracleSql.size >= expectedOracles,
+      s"oracle inventory SHRANK below the pinned $expectedOracles: " +
+        s"now ${SparkEntry.oracleSql.size}")
+    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missingOracle.isEmpty,
+      s"queries with no oracle (driver downgrades them to rows-only — add " +
+        s"the SQL or document a spec-only waiver here): $missingOracle")
   }
 }

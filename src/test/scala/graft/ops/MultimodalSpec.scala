@@ -110,6 +110,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L).duration_ms == 240L)
   }
 
+  test("Embedder boundary: a second embedder yields identical pipeline topology") {
+    // same decode path, different Embedder impl — schema and physical
+    // plan shape must be byte-identical (only the vector values and
+    // length differ), proving the stand-in is a real interface boundary
+    def run(e: Multimodal.Embedder) =
+      Multimodal.extractFeatures(media, Multimodal.RealDecoder.withEmbedder(e)).toDF()
+    val a = run(Multimodal.ByteHashEmbedder)
+    val b = run(Multimodal.ByteMomentEmbedder)
+    assert(a.schema == b.schema, "schema must not depend on the embedder")
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    assert(shape(a) == shape(b), "physical plan shape must not depend on the embedder")
+    val fa = a.collect().map(r => r.getAs[Long]("media_id") ->
+      r.getAs[scala.collection.Seq[Double]]("feature")).toMap
+    val fb = b.collect().map(r => r.getAs[Long]("media_id") ->
+      r.getAs[scala.collection.Seq[Double]]("feature")).toMap
+    assert(fa.keySet == fb.keySet)
+    assert(fa.values.forall(_.length == Multimodal.ByteHashEmbedder.dim))
+    assert(fb.values.forall(_.length == Multimodal.ByteMomentEmbedder.dim))
+    // byte-moment features are genuine moments: min ≤ mean ≤ max
+    for (v <- fb.values) assert(v(2) <= v(0) + 1e-12 && v(0) <= v(3) + 1e-12)
+  }
+
+  test("Embedder.embed column form matches embedBytes row form") {
+    val df = media.toDF()
+    val viaColumn = df.select(col("media_id"),
+        Multimodal.ByteHashEmbedder.embed(col("payload")).as("f"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("f").toSeq)
+      .toMap
+    val viaRows = media.collect()
+      .map(r => r.media_id -> Multimodal.ByteHashEmbedder.embedBytes(r.payload).toSeq)
+      .toMap
+    assert(viaColumn == viaRows)
+  }
+
   test("sampleFrames: stride offsets for videos only") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(feats, stride = 5)

@@ -215,4 +215,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.envelopeWarning(-1, past, 4096).isEmpty)
     assert(Similarity.envelopeWarning(-1, Similarity.autoBitsEnvelope, 0).isEmpty)
   }
+
+  test("envelope enforcement: default warns and proceeds, strict fails fast") {
+    val past = Similarity.autoBitsEnvelope + 1
+    // default mode: breach prints (to stderr) but never throws
+    Similarity.enforceEnvelope(strict = false, -1, past, 0)
+    // strict mode: same trigger throws, carrying the remediation text
+    val e = intercept[IllegalStateException] {
+      Similarity.enforceEnvelope(strict = true, -1, past, 0)
+    }
+    assert(e.getMessage.contains("past the ~4.2M envelope"))
+    assert(e.getMessage.contains(Similarity.strictEnvelopeKey))
+    // strict mode with no breach is a no-op — the flag only arms the
+    // existing trigger, it never invents one
+    Similarity.enforceEnvelope(strict = true, 18, past, 0)
+    Similarity.enforceEnvelope(strict = true, -1, past, 4096)
+    Similarity.enforceEnvelope(strict = true, -1, Similarity.autoBitsEnvelope, 0)
+  }
 }
