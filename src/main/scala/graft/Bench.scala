@@ -36,6 +36,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
+    // free-text fields are escaped AND bounded: an override path with a
+    // quote/backslash must not corrupt the JSON, and a long absolute
+    // path must not eat the line's ~30-byte headroom and reintroduce
+    // the r7 head truncation — so "full" carries only the (escaped,
+    // capped) file NAME; whoever overrode SPARK_GRAFT_BENCH_FULL knows
+    // the directory they chose
+    def safe(s: String): String =
+      s.map(c => if (c == '"' || c == '\\' || c < ' ') '_' else c)
+    val fullName = safe(fullPath.split('/').last.takeRight(40))
+    val sfShort = safe(sfName.takeRight(24))
     // "stat":"min3+med5": single-plan rows publish min-of-3, the 8
     // multi-job rows publish median-of-5 (expanded in the fidelity file
     // as reps/reps_multijob/stat_multijob); per-row min–max spreads
@@ -44,7 +54,7 @@ object Bench {
     s"""{"metric":"total","unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"stat":"min$reps+med5",""" +
       s""""warm_s":${fq(warmupS)},"load1m":${fq(load1m)},"cpus":$cpus,""" +
-      s""""sf":"$sfName","full":"$fullPath",""" +
+      s""""sf":"$sfShort","full":"$fullName",""" +
       s""""errors":$errs,"n_errors":${errors.size},""" +
       s""""total_med":${f(totalMed)},"value":${f(total)}}"""
   }
@@ -101,8 +111,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.next().take(120)
+          errors(name) = ErrText.firstLine(e).take(120)
         }
         i += 1
       }

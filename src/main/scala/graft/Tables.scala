@@ -51,14 +51,25 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    // required before the read: on a TIMESTAMP(NANOS) file, schema
-    // inference itself throws a cryptic "Illegal Parquet type" without it
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "graft.Tables.events requires spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(set it on the SparkSession builder, as every graft entry point does) " +
-        "so the TIMESTAMP(NANOS) storage flavor of events.ts reads as Long")
-    val raw = t(s, d, "events")
+    // The TIMESTAMP(NANOS) storage flavor needs a reader conf, and
+    // schema inference throws a cryptic "Illegal Parquet type" without
+    // it — wrap THAT failure with the fix. NTZ/LTZ/Long flavors read
+    // fine without the conf, so callers who never see nanos files owe
+    // nothing up front, and the loader never repairs the session
+    // silently (the old side effect).
+    val nanosConfOn =
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
+    val raw =
+      try t(s, d, "events")
+      catch {
+        case e: Throwable if !nanosConfOn &&
+            Option(e.getMessage).exists(_.toUpperCase.contains("NANOS")) =>
+          throw new IllegalArgumentException(
+            "events.parquet stores ts as TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
+              "builder (as every graft entry point does) so it reads as Long",
+            e)
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -44,13 +44,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        failed(name) = msg
-        println(s"[verify] FAILED $name: ${msg.linesIterator.next()}")
+        failed(name) = ErrText.message(e)
+        println(s"[verify] FAILED $name: ${ErrText.firstLine(e)}")
         try writeFailureMarker(spark, outDir, name)
         catch { case e2: Throwable =>
           println(s"[verify] marker write ALSO failed for $name: " +
-            Option(e2.getMessage).getOrElse(e2.getClass.getName).linesIterator.next())
+            ErrText.firstLine(e2))
         }
       }
     }

@@ -121,7 +121,12 @@ object Similarity {
       if (nBits >= 0) nBits
       else {
         val n = math.max(1L, corpus.count())
-        math.min(16, math.max(4, math.ceil(math.log(n.toDouble) / math.log(2)).toInt - 6))
+        // same envelope as the near-dup paths: past ~4.2M vectors the
+        // 16-bit cap stops holding bucket size flat — warn, or fail
+        // fast under spark.graft.lsh.strictEnvelope (lshTopK has no
+        // maxBucket guard, so the breach always announces)
+        enforceEnvelope(strictEnvelope(corpus.sparkSession), nBits, n, 0)
+        autoBits(nBits, n)
       }
     val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .select(col("id"), col("vec"), explode(lshKeys(col("vec"), effBits, nTables, dim)).as("tb"))

@@ -68,4 +68,15 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("stat").asText == "min3+med5")
     assert(node.get("warm_s").asDouble == 4.5)
   }
+
+  test("hostile or long fidelity paths can neither corrupt nor bloat the line") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val evil = "/tmp/we\"ird\\dir/" + ("x" * 100) + "\"quote\\.json"
+    val line = Bench.statLine(Seq("q1_agg" -> 0.37), 3, 4.5, 1.2, "32",
+      "a\"b\\c" + ("y" * 50), evil, Nil, 0.4, 0.37)
+    val node = om.readTree(line) // must parse — quotes/backslashes neutralized
+    assert(node.get("full").asText.length <= 40, "full field must stay bounded")
+    assert(node.get("sf").asText.length <= 24, "sf field must stay bounded")
+    assert(!node.get("full").asText.contains("\"") && !node.get("full").asText.contains("\\"))
+  }
 }

@@ -42,14 +42,19 @@ class QueryInventorySpec extends SparkSpec {
     // constants when adding queries; never let them shrink silently.
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracleSql entries with no query: $dangling")
+    // EQUALITY pins, not >=: a ≥ guard stops protecting the moment the
+    // inventory grows past the constant without a bump (grow to 85,
+    // silently shrink to 80, 80 ≥ 79 still green — the exact recurrence
+    // the pin exists to prevent). Adding a query REQUIRES bumping these.
     val expectedQueries = 79
     val expectedOracles = 79
-    assert(SparkEntry.queries.size >= expectedQueries,
-      s"query inventory SHRANK below the pinned $expectedQueries: " +
-        s"now ${SparkEntry.queries.size} — which query was dropped, and why?")
-    assert(SparkEntry.oracleSql.size >= expectedOracles,
-      s"oracle inventory SHRANK below the pinned $expectedOracles: " +
-        s"now ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == expectedQueries,
+      s"query inventory is ${SparkEntry.queries.size}, pinned $expectedQueries — " +
+        "if you ADDED queries, bump the pin in this test; if you didn't, " +
+        "something silently dropped an entry (the r5/r6 failure mode)")
+    assert(SparkEntry.oracleSql.size == expectedOracles,
+      s"oracle inventory is ${SparkEntry.oracleSql.size}, pinned $expectedOracles — " +
+        "bump on add; a silent shrink is the r5/r6 failure mode")
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missingOracle.isEmpty,
       s"queries with no oracle (driver downgrades them to rows-only — add " +

@@ -47,9 +47,15 @@ class TestdataContractSpec extends SparkSpec {
 
   private val flavors = Seq("nanos-as-long", "micros-ntz", "micros-ltz")
 
+  /** REAL TIMESTAMP(NANOS) storage — the r4-era generator flavor, which
+    * Spark cannot write itself; pyarrow-written once and committed as a
+    * test resource (see FIXTURES.md §events-nanos; same six rows). */
+  private val nanosDir =
+    new java.io.File("src/test/resources/events-nanos").getAbsolutePath
+
   test("Tables.events normalizes every storage flavor to µs TimestampType") {
-    for (f <- flavors) {
-      val ev = Tables.events(spark, fixture(f))
+    for ((f, dir) <- flavors.map(f => f -> fixture(f)) :+ ("nanos-real" -> nanosDir)) {
+      val ev = Tables.events(spark, dir)
       assert(ev.schema("ts").dataType == TimestampType,
         s"$f: ts read back as ${ev.schema("ts").dataType}")
       val got = ev.select(col("event_id"), unix_micros(col("ts")))
@@ -69,6 +75,27 @@ class TestdataContractSpec extends SparkSpec {
         assert(r == ref, s"$q: $f result differs from $refF")
       assert(ref.nonEmpty, s"$q returned no rows on the fixture")
     }
+  }
+
+  test("nanos storage errors HELPFULLY without the conf; other flavors owe nothing") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // real NANOS storage: the raw read fails, and the loader wraps it
+      // with the fix instead of repairing the session silently
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, nanosDir).collect()
+      }
+      assert(e.getMessage.contains("nanosAsLong"),
+        "the error must name the conf the caller has to set")
+      assert(spark.conf.get(key) == "false",
+        "the loader must not set the conf behind the caller's back")
+      // NTZ/LTZ flavors never needed the conf — they must still load
+      for (f <- Seq("micros-ntz", "micros-ltz"))
+        assert(Tables.events(spark, fixture(f)).schema("ts").dataType == TimestampType,
+          s"$f must load without the nanos conf")
+    } finally spark.conf.set(key, prev)
   }
 
   test("events loads correct epochs on a NON-UTC session and mutates no session state") {

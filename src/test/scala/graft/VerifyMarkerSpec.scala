@@ -16,6 +16,19 @@ class VerifyMarkerSpec extends SparkSpec {
     assert(back.collect().map(_.getString(0)).toSeq == Seq("q_example_failed"))
   }
 
+  test("ErrText is total: empty, null, and multi-line messages never throw") {
+    // an empty (non-null) message made `linesIterator.next()` throw
+    // from inside the per-query catch handlers — aborting the loop
+    // whose whole job is to survive broken queries
+    assert(ErrText.firstLine(new RuntimeException("")) == "java.lang.RuntimeException")
+    assert(ErrText.firstLine(new RuntimeException(null: String)) ==
+      "java.lang.RuntimeException")
+    assert(ErrText.firstLine(new RuntimeException("line1\nline2")) == "line1")
+    assert(ErrText.firstLine(new RuntimeException("   \n  ")) ==
+      "java.lang.RuntimeException")
+    assert(ErrText.message(new RuntimeException("a\nb")) == "a\nb")
+  }
+
   test("a zero-column marker would NOT write (the r7 dead-code failure mode)") {
     val out = java.nio.file.Files.createTempDirectory("graft-marker0").toString
     val thrown = intercept[Throwable] {
