@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling — data SELECTION for training-data
+  * pipelines: score every raw document by how much its hashed n-gram
+  * feature distribution looks like a (much smaller) target corpus, then
+  * keep the top slice. The published method (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling": hashed
+  * unigram+bigram features into B buckets, bucket-distribution
+  * importance weights log(p_target/p_raw), per-document weight sums)
+  * re-expressed Spark-first. The reference engine has no data-selection
+  * surface (SURVEY §1.1 — flat relational rows only); this extends the
+  * sampling/mixing family (`ops.Sampling`) the extension brief calls
+  * for.
+  *
+  * Scale design (100 TB): feature counting is one explode → groupBy
+  * shuffle with map-side partial aggregation, output bounded by B
+  * (~10³–10⁵ rows — KB–MB scale, independent of corpus size); the
+  * weight table therefore always BROADCASTS to the scoring join, and
+  * scoring's only shuffle is the per-document partial-agg sum. No
+  * driver-side loop; the hot path (tokenize, hash, bucket) is all
+  * codegen'd built-ins. Weight tables are plain DataFrames — persist
+  * them like any dimension to re-score tomorrow's crawl without
+  * re-reading today's (the same incremental stance as
+  * [[Dedup.appendToBandIndex]]).
+  *
+  * Two weight forms:
+  *  - [[ratioWeights]] — fixed-point integer ratios (w = (tgt+1)·10⁶
+  *    div (raw+1)): integer-exact on ANY engine, so the correctness
+  *    gate's DuckDB oracle matches bit-for-bit (same stance as the
+  *    portable md5 simhash, `ExtensionQueries.qSimhash`).
+  *  - [[logWeights]] — the paper's log-likelihood-ratio form with
+  *    add-α smoothing; same ranking architecture, floating point.
+  *    DsirSpec pins that both forms rank an obviously-target-like
+  *    document above an obviously-not one.
+  */
+object Dsir {
+
+  /** Unigram + bigram terms of a text column, WITH multiplicity (term
+    * frequency matters — a doc that says the target's words twice is
+    * twice the evidence). Tokenization matches the inventory's portable
+    * convention: lower, trim, split on runs of whitespace. */
+  def terms(text: Column): Column = {
+    val toks = TextOps.tokens(lower(text))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** Portable bucket id in [0, buckets): md5-derived so DuckDB (and any
+    * other engine) reproduces it exactly — the same md5-hex-prefix
+    * device as the portable simhash. For an engine-internal run where
+    * portability doesn't matter, xxhash64 would be ~3× faster; the
+    * weights' SEMANTICS are hash-agnostic as long as learn and score
+    * use the same one. */
+  def bucket(term: Column, buckets: Int): Column =
+    conv(substring(md5(term), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Hashed-feature counts of a corpus: (bkt, c). One shuffle; at most
+    * `buckets` output rows regardless of corpus size. */
+  def bucketCounts(docs: DataFrame, textCol: String, buckets: Int): DataFrame =
+    docs.select(explode(terms(col(textCol))).as("term"))
+      .select(bucket(col("term"), buckets).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+
+  /** Fixed-point importance ratios: w[b] = (tgt[b]+1)·10⁶ div (raw[b]+1)
+    * — add-one smoothing, six fixed decimal digits, floor division.
+    * Integer-exact in any engine. When the target is a subset of the
+    * raw corpus (the usual DSIR setup) tgt ≤ raw, so w ≤ 10⁶ and a
+    * per-doc score (Σ over its terms) stays far from Long overflow.
+    * `raw`/`target` are [[bucketCounts] outputs. */
+  def ratioWeights(raw: DataFrame, target: DataFrame): DataFrame =
+    raw.join(target.withColumnRenamed("c", "tc"), Seq("bkt"), "left")
+      .select(col("bkt"),
+        expr("(coalesce(tc, 0L) + 1L) * 1000000L div (c + 1L)").as("w"))
+
+  /** The paper's log-space weights: w[b] = log p̂_tgt[b] − log p̂_raw[b]
+    * with add-α smoothing over `buckets` cells. Floating point — for
+    * in-engine ranking; the gate uses [[ratioWeights]] for bit-exact
+    * oracle parity. */
+  def logWeights(raw: DataFrame, target: DataFrame, buckets: Int,
+      alpha: Double = 1.0): DataFrame = {
+    raw.join(target.withColumnRenamed("c", "tc"), Seq("bkt"), "left")
+      .na.fill(0L, Seq("tc"))
+      .withColumn("w",
+        log((col("tc") + lit(alpha)) /
+            (sum(col("tc")).over(Window.partitionBy()) + lit(alpha * buckets))) -
+        log((col("c") + lit(alpha)) /
+            (sum(col("c")).over(Window.partitionBy()) + lit(alpha * buckets))))
+      .select("bkt", "w")
+  }
+
+  /** Per-document importance score: Σ w[bucket(term)] over the doc's
+    * terms (with multiplicity). The weight side is ≤ `buckets` rows —
+    * always broadcast — so the single shuffle is the per-doc sum, and
+    * its map-side partial aggregation means only (doc, partial) rows
+    * ride the wire. Terms whose bucket is absent from `weights` (a doc
+    * scored against a FOREIGN corpus's weights) fall back to the
+    * neutral ratio 1·10⁶ ((0+1)/(0+1) — both distributions know
+    * nothing about the bucket). */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame =
+    docs.select(col(idCol), explode(terms(col(textCol))).as("term"))
+      .select(col(idCol), bucket(col("term"), buckets).as("bkt"))
+      .join(broadcast(weights), Seq("bkt"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("w"), lit(1000000L))).as("score"),
+        count(lit(1)).as("n_terms"))
+
+  /** Deterministic top-k selection by (score desc, id): the "resample
+    * the best slice" step. A global top-k via row_number over an
+    * unpartitioned window would single-reduce at scale; Spark's
+    * TakeOrderedAndProject on orderBy+limit keeps it a per-partition
+    * top-k merge, so selection is the cheap step. The rank column is
+    * re-derived AFTER the limit, over k rows only. */
+  def selectTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, SemDedup, Similarity, TextOps}
+import graft.ops.{Dedup, Dsir, Multimodal, SemDedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -516,7 +516,27 @@ object ExtensionQueries {
     "q_substring_dup" -> (qSubstringDup _),
     "q_incremental_substring" -> (qIncrementalSubstring _),
     "q_semdedup" -> (qSemDedup _),
+    "q_dsir_select" -> (qDsirSelect _),
   )
+
+  /** DSIR importance resampling ([[graft.ops.Dsir]]): score every
+    * document against the English-language slice as the target
+    * distribution — B = 4096 hashed unigram+bigram buckets, fixed-point
+    * integer ratio weights (the gate's integer-exact form; the paper's
+    * log-space form is spec-pinned in DsirSpec) — and keep the
+    * deterministic top 100 by (score desc, doc_id). */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val B = 4096
+    val raw = Dsir.bucketCounts(docs, "text", B)
+    val tgt = Dsir.bucketCounts(docs.where(col("lang") === "en"), "text", B)
+    val scored = Dsir.scoreDocs(docs, "doc_id", "text",
+      Dsir.ratioWeights(raw, tgt), B)
+    Dsir.selectTopK(scored, "doc_id", 100)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("score"), col("n_terms"))
+      .orderBy("rank")
+  }
 
   private val fpSql = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -910,5 +930,33 @@ object ExtensionQueries {
         | cast(CASE WHEN doc_id % 3 = 1 THEN doc_id % 250 + 1
         |           WHEN doc_id % 3 = 2 THEN (doc_id % 100 + 1) * 40 ELSE 0 END as bigint) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    // DSIR importance resampling, integer-exact: md5 buckets (the
+    // portable-hash convention), fixed-point ratio weights with floor
+    // division — every arithmetic step is integer, so the hash match is
+    // bit-for-bit by construction, like q_simhash
+    "q_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, lang, unnest(list_concat(toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END)) AS term
+        |  FROM t),
+        |b AS (SELECT doc_id, lang,
+        |    ('0x'||substr(md5(term),1,8))::bigint % 4096 AS bkt FROM f),
+        |raw AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+        |tgt AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+        |w AS (SELECT raw.bkt AS bkt,
+        |    (coalesce(tgt.c, 0) + 1) * 1000000 // (raw.c + 1) AS w
+        |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt),
+        |s AS (SELECT b.doc_id AS doc_id,
+        |    cast(sum(coalesce(w.w, 1000000)) AS bigint) AS score,
+        |    count(*) AS n_terms
+        |  FROM b LEFT JOIN w ON b.bkt = w.bkt GROUP BY b.doc_id),
+        |top AS (SELECT doc_id, score, n_terms FROM s
+        |  ORDER BY score DESC, doc_id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |  doc_id, score, n_terms
+        |FROM top ORDER BY rank""".stripMargin,
   )
 }

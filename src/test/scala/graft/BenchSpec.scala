@@ -38,18 +38,25 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("worst-case stat line for the FULL current inventory clears the archiver cap") {
-    // every query at the widest fq rendering (4 chars), all three spread
-    // slots at max width, pessimistic scalars — if this fits, any real
-    // run fits. Budget: 2 KB tail cap minus ~150 bytes for the sbt
-    // epilogue the archiver also captures after the line.
+    // every query at the widest fq rendering (4 chars), pessimistic
+    // scalars — if this fits, any real run fits. Budget arithmetic:
+    // 2048-byte tail cap − ~85 bytes of sbt epilogue ("[success] Total
+    // time: …" captured after the line, r7-measured) − 7 bytes of
+    // "[info] " prefix ≈ 1956 usable; the pin sits under that with
+    // margin. Each ADDED query costs ~25 worst-case bytes, so this
+    // test fails on the query after the budget is truly spent — that is
+    // the point: re-budget consciously (shave per-query precision or
+    // move a field to the fidelity file), don't discover truncation in
+    // the next round's BENCH file. 80 queries: worst case 1904,
+    // real measured line 1869+~20.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 3, 99.999, 99.999, "32",
       "sf0.1", "BENCH_FULL.json", Nil, 9999.999, 9999.999)
-    assert(line.length <= 1890,
-      s"stat line worst case is ${line.length} bytes — the ~2 KB archiver " +
-        "tail cap would truncate it; shave per-query precision or move " +
-        "fields to the fidelity file")
+    assert(line.length <= 1930,
+      s"stat line worst case is ${line.length} bytes — the ~1956-byte " +
+        "usable budget (2 KB cap minus sbt epilogue) would truncate it; " +
+        "shave per-query precision or move fields to the fidelity file")
   }
 
   test("stat line is valid JSON with the driver-contract fields") {

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Dsir]] — DSIR-style importance resampling. The gate
+  * (`q_dsir_select`) checks the integer-exact ratio form against
+  * DuckDB; this spec pins the semantics both weight forms share:
+  * target-like documents outrank target-unlike ones, scoring is
+  * deterministic, unseen buckets are neutral, and the plan shape is the
+  * broadcast-join + single-shuffle design the Scaladoc promises. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 512
+
+  // a tiny corpus with an unmistakable target signal: "aardvark"-heavy
+  // docs are the target domain, "zebra"-heavy docs are not
+  private def corpus = Seq(
+    (1L, "aardvark burrows dig aardvark tunnels deep", "tgt"),
+    (2L, "aardvark aardvark aardvark snouts and ants", "tgt"),
+    (3L, "zebra stripes gallop zebra herds run", "other"),
+    (4L, "zebra zebra crossing plains quickly", "other"),
+    (5L, "aardvark meets zebra once", "mixed"),
+    (6L, "", "empty")).toDF("doc_id", "text", "lab")
+
+  private def weights(form: String) = {
+    val raw = Dsir.bucketCounts(corpus, "text", B)
+    val tgt = Dsir.bucketCounts(corpus.where(col("lab") === "tgt"), "text", B)
+    if (form == "ratio") Dsir.ratioWeights(raw, tgt)
+    else Dsir.logWeights(raw, tgt, B)
+  }
+
+  test("terms: unigrams + bigrams with multiplicity, whitespace-robust") {
+    val t = Seq(Tuple1("a  b a")).toDF("text")
+      .select(Dsir.terms(col("text")).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t")
+    assert(t.toSeq == Seq("a", "b", "a", "a b", "b a"))
+    val one = Seq(Tuple1("solo")).toDF("text")
+      .select(Dsir.terms(col("text")).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t")
+    assert(one.toSeq == Seq("solo"))
+  }
+
+  test("both weight forms rank target-like docs above target-unlike ones") {
+    for (form <- Seq("ratio", "log")) {
+      val scored = Dsir.scoreDocs(corpus, "doc_id", "text", weights(form), B)
+        .withColumn("mean_w", col("score").cast("double") / col("n_terms"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_w")).toMap
+      // per-term mean importance: pure-target docs ≥ mixed ≥ pure-other
+      assert(scored(1L) > scored(5L), s"$form: target doc must outrank mixed")
+      assert(scored(2L) > scored(5L), s"$form: target doc must outrank mixed")
+      assert(scored(5L) > scored(3L), s"$form: mixed must outrank anti-target")
+      assert(scored(5L) > scored(4L), s"$form: mixed must outrank anti-target")
+    }
+  }
+
+  test("scoring is deterministic and total (empty text still scores)") {
+    val w = weights("ratio")
+    val a = Dsir.scoreDocs(corpus, "doc_id", "text", w, B).collect().sortBy(_.getLong(0))
+    val b = Dsir.scoreDocs(corpus, "doc_id", "text", w, B).collect().sortBy(_.getLong(0))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "every doc, including empty text, gets a score row")
+  }
+
+  test("unseen buckets fall back to the neutral ratio weight") {
+    val w = weights("ratio")
+    val foreign = Seq((99L, "completely unseen vocabulary here")).toDF("doc_id", "text")
+    val s = Dsir.scoreDocs(foreign, "doc_id", "text", w, B).head()
+    // every term unseen → every weight the neutral 10⁶ → score = n·10⁶
+    assert(s.getAs[Long]("score") == s.getAs[Long]("n_terms") * 1000000L)
+  }
+
+  test("selectTopK: deterministic (score desc, id) order with rank") {
+    val scored = Dsir.scoreDocs(corpus, "doc_id", "text", weights("ratio"), B)
+    val top = Dsir.selectTopK(scored, "doc_id", 3).collect()
+    assert(top.length == 3)
+    assert(top.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+    val scores = top.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("plan shape: weight join broadcasts; scoring has one aggregate exchange") {
+    val plan = Dsir.scoreDocs(corpus, "doc_id", "text", weights("ratio"), B)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤B-row weight table must broadcast to the scoring join")
+    assert(!plan.contains("SortMergeJoin"),
+      "no shuffle join anywhere in the scoring path")
+  }
+}
