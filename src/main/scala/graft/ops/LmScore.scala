@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model fluency scoring for training-data
+  * pipelines: train a stupid-backoff bigram LM (Brants et al. 2007,
+  * "Large Language Models in Machine Translation" — the count-only
+  * backoff used at web scale precisely because it needs no
+  * normalization pass) on a small trusted TARGET corpus, then score
+  * every raw document's transitions under it. CCNet (Wenzek et al.
+  * 2020) uses exactly this shape — score under a target-domain LM,
+  * filter/bucket by the score — to separate fluent prose from boilerplate
+  * and gibberish. The reference engine has no text-quality surface;
+  * this extends the quality-scoring family (`ops.TextOps`) the
+  * extension brief calls for.
+  *
+  * Two score forms, same architecture (the [[Dsir]] pattern):
+  *  - fixed-point MEAN TRANSITION PROBABILITY — every step integer
+  *    (10⁶-scaled floor divisions), so the gate's DuckDB oracle is
+  *    bit-exact by construction;
+  *  - [[perplexity]] — the paper form exp(−1/n Σ ln p), floating
+  *    point, for in-engine ranking; DsirSpec-style ordering pins in
+  *    LmScoreSpec.
+  *
+  * Scale design (100 TB raw corpus): the model tables are bounded by
+  * the TARGET corpus — small by design in a CCNet setup (a trusted
+  * wiki-scale reference, not the crawl) — so both score joins
+  * broadcast; were the target itself huge, they degrade to one
+  * shuffle-hash join each on the token key. Scoring's only shuffle is
+  * the per-document partial-agg sum; the single driver-side action is
+  * the target token-count scalar (the same bounded-scalar stance as
+  * `qTfidf`'s N).
+  */
+object LmScore {
+
+  /** Trained model: transition probabilities, backoff unigrams, and the
+    * target token total. `trans`: (w1, w2, p) with p = 10⁶·c₂ div c₁;
+    * `uni`: (w, cu) raw unigram counts. */
+  final case class Model(trans: DataFrame, uni: DataFrame, nTokens: Long)
+
+  private def toks(textCol: String): Column = TextOps.tokens(lower(col(textCol)))
+
+  /** (id, w1, w2) bigram transitions of each doc, with multiplicity. */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), toks(textCol).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col(idCol),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+
+  /** Train the stupid-backoff bigram model from the target corpus: one
+    * shuffle for bigram counts, one for context totals, one for
+    * unigrams — all bounded by target vocabulary, not raw-corpus
+    * size. */
+  def train(target: DataFrame, textCol: String): Model = {
+    val pairs = bigramPairs(target.select(lit(0L).as("_id"), col(textCol)),
+      "_id", textCol)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val trans = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("1000000L * c2 div c1").as("p"))
+    val uni = target.select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = target.select(explode(toks(textCol)).as("w")).count()
+    Model(trans, uni, math.max(1L, n))
+  }
+
+  /** Per-token fixed-point transition probability under stupid backoff:
+    * seen bigram → 10⁶·c₂ div c₁; unseen → 0.4·10⁶·cu(w₂) div N
+    * (400000·cu div N — the canonical 0.4 backoff weight in fixed
+    * point); OOV → 0. */
+  private def tokenScore(nTokens: Long): Column =
+    coalesce(col("p"), expr(s"400000L * cu div ${nTokens}L"), lit(0L))
+
+  /** Score every document: (id, score, n_trans, mean_p) where score is
+    * the Σ of fixed-point transition probabilities, and mean_p = score
+    * div n_trans (0 for docs with < 2 tokens, which still get a row —
+    * a filter that silently drops unscorable docs would bias the
+    * pipeline toward longer text). */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    val scored = bigramPairs(docs, idCol, textCol)
+      .join(broadcast(m.trans), Seq("w1", "w2"), "left")
+      .join(broadcast(m.uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .select(col(idCol), tokenScore(m.nTokens).as("tp"))
+      .groupBy(idCol)
+      .agg(sum(col("tp")).as("score"), count(lit(1)).as("n_trans"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"))
+      .withColumn("mean_p",
+        when(col("n_trans") > 0, expr("score div n_trans")).otherwise(lit(0L)))
+  }
+
+  /** The paper form: perplexity exp(−1/n Σ ln p) with p the (unscaled)
+    * stupid-backoff probability, floored at 10⁻⁹ so OOV transitions
+    * penalize hard instead of producing ±∞. Floating point — for
+    * in-engine ranking/filtering; the gate uses the integer form. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame =
+    bigramPairs(docs, idCol, textCol)
+      .join(broadcast(m.trans), Seq("w1", "w2"), "left")
+      .join(broadcast(m.uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .select(col(idCol),
+        greatest(tokenScore(m.nTokens).cast("double") / 1e6, lit(1e-9)).as("p"))
+      .groupBy(idCol)
+      .agg(exp(-avg(log(col("p")))).as("perplexity"),
+        count(lit(1)).as("n_trans"))
+}

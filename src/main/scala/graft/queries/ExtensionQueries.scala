@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Dsir, Multimodal, SemDedup, Similarity, TextOps}
+import graft.ops.{Dedup, Dsir, LmScore, Multimodal, SemDedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -517,7 +517,18 @@ object ExtensionQueries {
     "q_incremental_substring" -> (qIncrementalSubstring _),
     "q_semdedup" -> (qSemDedup _),
     "q_dsir_select" -> (qDsirSelect _),
+    "q_lm_fluency" -> (qLmFluency _),
   )
+
+  /** CCNet-style LM fluency ([[graft.ops.LmScore]]): stupid-backoff
+    * bigram LM trained on the English slice, every document scored by
+    * fixed-point mean transition probability — the integer-exact gate
+    * form; the perplexity form is spec-pinned in LmScoreSpec. */
+  def qLmFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = LmScore.train(docs.where(col("lang") === "en"), "text")
+    LmScore.scoreDocs(docs, "doc_id", "text", m).orderBy("doc_id")
+  }
 
   /** DSIR importance resampling ([[graft.ops.Dsir]]): score every
     * document against the English-language slice as the target
@@ -958,5 +969,35 @@ object ExtensionQueries {
         |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         |  doc_id, score, n_terms
         |FROM top ORDER BY rank""".stripMargin,
+    // stupid-backoff bigram LM fluency, integer-exact: 10^6-scaled
+    // floor-division probabilities (seen bigram: 1e6*c2//c1; backoff:
+    // 0.4e6*cu//N; OOV: 0), summed per doc — all integer arithmetic
+    "q_lm_fluency" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |bi0 AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2 FROM bi0),
+        |tp AS (SELECT w1, w2 FROM bi WHERE lang = 'en'),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tp GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY w1),
+        |trans AS (SELECT c2.w1, c2.w2, 1000000 * c2.c2 // c1.c1 AS p
+        |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+        |uw AS (SELECT unnest(toks) AS w FROM t WHERE lang = 'en'),
+        |uni AS (SELECT w, count(*) AS cu FROM uw GROUP BY w),
+        |n AS (SELECT greatest(count(*), 1) AS n FROM uw),
+        |sc AS (SELECT bi.doc_id,
+        |    coalesce(trans.p, 400000 * uni.cu // (SELECT n FROM n), 0) AS p
+        |  FROM bi LEFT JOIN trans ON bi.w1 = trans.w1 AND bi.w2 = trans.w2
+        |          LEFT JOIN uni ON bi.w2 = uni.w),
+        |agg AS (SELECT doc_id, cast(sum(p) AS bigint) AS score,
+        |    count(*) AS n_trans FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(agg.score, 0) AS score,
+        |  coalesce(agg.n_trans, 0) AS n_trans,
+        |  cast(CASE WHEN coalesce(agg.n_trans, 0) > 0
+        |    THEN agg.score // agg.n_trans ELSE 0 END AS bigint) AS mean_p
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[LmScore]] — stupid-backoff bigram fluency scoring. The gate
+  * (`q_lm_fluency`) checks the integer-exact form against DuckDB; this
+  * spec pins model arithmetic on a hand-computable corpus, the
+  * fluent-beats-gibberish ordering both score forms share, totality
+  * (unscorable docs keep a row), and the broadcast plan shape. */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target: tiny fluent corpus where every probability is hand-derivable
+  private def target = Seq(
+    Tuple1("the cat sat"),
+    Tuple1("the cat ran"),
+    Tuple1("the dog sat")).toDF("text")
+
+  private def model = LmScore.train(target, "text")
+
+  test("train: hand-computed stupid-backoff fixed-point probabilities") {
+    val trans = model.trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // contexts: "the"→{cat:2, dog:1} (c1=3), "cat"→{sat:1, ran:1} (c1=2),
+    // "dog"→{sat:1} (c1=1)
+    assert(trans(("the", "cat")) == 1000000L * 2 / 3)
+    assert(trans(("the", "dog")) == 1000000L / 3)
+    assert(trans(("cat", "sat")) == 500000L)
+    assert(trans(("dog", "sat")) == 1000000L)
+    assert(model.nTokens == 9)
+    val uni = model.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni("the") == 3 && uni("sat") == 2 && uni("ran") == 1)
+  }
+
+  test("fixed-point scoring: seen transitions, backoff, OOV, totality") {
+    val docs = Seq(
+      (1L, "the cat sat"),      // all transitions seen
+      (2L, "sat the cat"),      // "sat the" unseen → backoff to cu(the)
+      (3L, "xyzzy plugh"),      // fully OOV → 0
+      (4L, "solo")              // single token → no transitions, still a row
+    ).toDF("doc_id", "text")
+    val s = LmScore.scoreDocs(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("score"), r.getAs[Long]("n_trans"), r.getAs[Long]("mean_p"))).toMap
+    assert(s(1L) == ((1000000L * 2 / 3 + 500000L, 2L, (1000000L * 2 / 3 + 500000L) / 2)))
+    // doc 2: "sat the" backs off to 400000*cu(the)//9; "the cat" seen
+    assert(s(2L)._1 == 400000L * 3 / 9 + 1000000L * 2 / 3)
+    assert(s(3L) == ((0L, 1L, 0L)))
+    assert(s(4L) == ((0L, 0L, 0L)), "unscorable docs must keep a row")
+    assert(s.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("both forms agree: fluent docs beat gibberish (perplexity inverted)") {
+    val docs = Seq(
+      (1L, "the cat sat the cat ran"),
+      (2L, "ran sat xyzzy cat qwfpgj the")).toDF("doc_id", "text")
+    val fp = LmScore.scoreDocs(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("mean_p")).toMap
+    assert(fp(1L) > fp(2L), "fluent must out-score scrambled+OOV")
+    val ppl = LmScore.perplexity(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("perplexity")).toMap
+    assert(ppl(1L) < ppl(2L), "fluent must have LOWER perplexity")
+  }
+
+  test("plan shape: both model joins broadcast, no shuffle join") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val plan = LmScore.scoreDocs(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "model tables are target-bounded and must broadcast")
+  }
+}
