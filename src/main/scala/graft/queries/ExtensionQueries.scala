@@ -539,10 +539,12 @@ object ExtensionQueries {
   def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val B = 4096
-    val raw = Dsir.bucketCounts(docs, "text", B)
-    val tgt = Dsir.bucketCounts(docs.where(col("lang") === "en"), "text", B)
-    val scored = Dsir.scoreDocs(docs, "doc_id", "text",
-      Dsir.ratioWeights(raw, tgt), B)
+    // one-pass joint counts: the target is a predicate subset, so both
+    // distributions come from a single corpus scan (DsirSpec pins
+    // equivalence with the two-pass bucketCounts form)
+    val w = Dsir.ratioWeightsJoint(
+      Dsir.bucketCountsWithTarget(docs, "text", col("lang") === "en", B))
+    val scored = Dsir.scoreDocs(docs, "doc_id", "text", w, B)
     Dsir.selectTopK(scored, "doc_id", 100)
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         col("score"), col("n_terms"))

@@ -55,6 +55,16 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("one-pass joint counts ≡ two-pass bucketCounts (weights identical)") {
+    val twoPass = weights("ratio")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = Dsir.ratioWeightsJoint(
+        Dsir.bucketCountsWithTarget(corpus, "text", col("lab") === "tgt", B))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onePass == twoPass,
+      "the single-scan joint form must produce byte-identical weights")
+  }
+
   test("scoring is deterministic and total (empty text still scores)") {
     val w = weights("ratio")
     val a = Dsir.scoreDocs(corpus, "doc_id", "text", w, B).collect().sortBy(_.getLong(0))
