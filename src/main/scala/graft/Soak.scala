@@ -133,6 +133,37 @@ object Soak {
     time("simhash near-dups") {
       ops.Dedup.simhashNearDups(docs, maxDist = 3).count()
     }
+
+    // Data-selection family (DSIR + LM fluency): weight/model tables
+    // are bounded by B / target vocabulary, so stage time must stay
+    // ~linear in corpus size — a super-linear step here means the
+    // broadcast side started growing with the corpus (the cliff to
+    // announce). Target = a deterministic 20 % slice (timing, not
+    // semantics; the replicated soak corpus has no lang column).
+    val dsirB = 65536
+    val dsirTarget = col("id") % 5 === 0
+    val dsirW = time("dsir joint counts + weights") {
+      val w = ops.Dsir.ratioWeightsJoint(
+        ops.Dsir.bucketCountsWithTarget(docs, "text", dsirTarget, dsirB))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count(); w
+    }
+    time("dsir score + top-1%") {
+      ops.Dsir.selectTopK(ops.Dsir.scoreDocs(docs, "id", "text", dsirW, dsirB),
+        "id", math.max(1, (nDocs / 100).toInt)).count()
+    }
+    dsirW.unpersist(blocking = false)
+    val lmModel = time("lm train (20% slice)") {
+      val m = ops.LmScore.train(docs.where(dsirTarget), "text")
+      val t = m.trans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val u = m.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[soak] lm model: ${t.count()} transitions, ${u.count()} unigrams")
+      ops.LmScore.Model(t, u, m.nTokens)
+    }
+    time("lm fluency score")(
+      ops.LmScore.scoreDocs(docs, "id", "text", lmModel).count())
+    lmModel.trans.unpersist(blocking = false)
+    lmModel.uni.unpersist(blocking = false)
     docs.unpersist(blocking = false)
     }
     if (docsOnly) { spark.stop(); return }

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
-    "q_asof_join", "q_cms_counts")
+    "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
