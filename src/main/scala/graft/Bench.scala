@@ -44,7 +44,10 @@ object Bench {
     // the directory they chose
     def safe(s: String): String =
       s.map(c => if (c == '"' || c == '\\' || c < ' ') '_' else c)
-    val fullName = safe(fullPath.split('/').last.takeRight(40))
+    // lastOption: Java split drops trailing empties, so an all-slash
+    // path ("/", "///") splits to an EMPTY array and .last would throw
+    // here — after all queries ran, losing the entire result line
+    val fullName = safe(fullPath.split('/').lastOption.getOrElse(fullPath).takeRight(40))
     val sfShort = safe(sfName.takeRight(24))
     // "stat":"min3+med5": single-plan rows publish min-of-3, the 8
     // multi-job rows publish median-of-5 (expanded in the fidelity file
@@ -166,7 +169,8 @@ $errRows
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fidelityPath), fullJson)
     catch { case e: Throwable => println(s"[bench] fidelity write failed: ${e.getMessage}") }
     println(statLine(results.toSeq, reps, warmupS, load1m, cpus,
-      sfDir.split('/').last, fidelityPath, errors.toSeq, totalMed, total))
+      sfDir.split('/').lastOption.getOrElse(sfDir), fidelityPath,
+      errors.toSeq, totalMed, total))
     spark.stop()
   }
 }

@@ -62,8 +62,13 @@ object Tables {
     val raw =
       try t(s, d, "events")
       catch {
+        // narrow sniff: ONLY the schema-inference failure shape
+        // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))") — a bare
+        // "NANOS" match would also catch e.g. a missing path that merely
+        // CONTAINS the word nanos and mis-advise a conf fix
         case e: Throwable if !nanosConfOn &&
-            Option(e.getMessage).exists(_.toUpperCase.contains("NANOS")) =>
+            Option(e.getMessage).map(_.toUpperCase).exists(m =>
+              m.contains("ILLEGAL PARQUET TYPE") && m.contains("NANOS")) =>
           throw new IllegalArgumentException(
             "events.parquet stores ts as TIMESTAMP(NANOS): set " +
               "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB raw corpus): the model tables are bounded by
   * the TARGET corpus — small by design in a CCNet setup (a trusted
-  * wiki-scale reference, not the crawl) — so both score joins
-  * broadcast; were the target itself huge, they degrade to one
-  * shuffle-hash join each on the token key. Scoring's only shuffle is
+  * wiki-scale reference, not the crawl) — and both score joins
+  * broadcast by default. The broadcast is an explicit HINT, so the
+  * model must fit Spark's broadcast limits; for a target too large for
+  * that, pass `broadcastModel = false` and the joins fall back to
+  * shuffle-hash on the token key (one extra shuffle each — the honest
+  * trade, not a silent driver OOM). Scoring's only other shuffle is
   * the per-document partial-agg sum; the single driver-side action is
   * the target token-count scalar (the same bounded-scalar stance as
   * `qTfidf`'s N).
@@ -80,14 +83,20 @@ object LmScore {
     * div n_trans (0 for docs with < 2 tokens, which still get a row —
     * a filter that silently drops unscorable docs would bias the
     * pipeline toward longer text). */
-  def scoreDocs(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String, m: Model,
+      broadcastModel: Boolean = true): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     val scored = bigramPairs(docs, idCol, textCol)
-      .join(broadcast(m.trans), Seq("w1", "w2"), "left")
-      .join(broadcast(m.uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .join(hint(m.trans), Seq("w1", "w2"), "left")
+      .join(hint(m.uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
       .select(col(idCol), tokenScore(m.nTokens).as("tp"))
       .groupBy(idCol)
       .agg(sum(col("tp")).as("score"), count(lit(1)).as("n_trans"))
-    docs.select(col(idCol)).distinct()
+    // totality re-attach: plain id projection, NO distinct — call sites
+    // have unique ids, a dedup here would both add a corpus-wide
+    // shuffle and silently diverge from the oracle (which emits one row
+    // per duplicate if duplicates ever appear)
+    docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("score"), lit(0L)).as("score"),
@@ -100,13 +109,16 @@ object LmScore {
     * stupid-backoff probability, floored at 10⁻⁹ so OOV transitions
     * penalize hard instead of producing ±∞. Floating point — for
     * in-engine ranking/filtering; the gate uses the integer form. */
-  def perplexity(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame =
+  def perplexity(docs: DataFrame, idCol: String, textCol: String, m: Model,
+      broadcastModel: Boolean = true): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     bigramPairs(docs, idCol, textCol)
-      .join(broadcast(m.trans), Seq("w1", "w2"), "left")
-      .join(broadcast(m.uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .join(hint(m.trans), Seq("w1", "w2"), "left")
+      .join(hint(m.uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
       .select(col(idCol),
         greatest(tokenScore(m.nTokens).cast("double") / 1e6, lit(1e-9)).as("p"))
       .groupBy(idCol)
       .agg(exp(-avg(log(col("p")))).as("perplexity"),
         count(lit(1)).as("n_trans"))
+  }
 }

@@ -42,13 +42,13 @@ class BenchSpec extends AnyFunSuite {
     // scalars — if this fits, any real run fits. Budget arithmetic:
     // 2048-byte tail cap − ~85 bytes of sbt epilogue ("[success] Total
     // time: …" captured after the line, r7-measured) − 7 bytes of
-    // "[info] " prefix ≈ 1956 usable; the pin sits under that with
-    // margin. Each ADDED query costs ~25 worst-case bytes, so this
-    // test fails on the query after the budget is truly spent — that is
-    // the point: re-budget consciously (shave per-query precision or
-    // move a field to the fidelity file), don't discover truncation in
-    // the next round's BENCH file. 80 queries: worst case 1904,
-    // real measured line 1869+~20.
+    // "[info] " prefix ≈ 1956 usable. The 1930 pin sits ~25 bytes (one
+    // query's worst case) UNDER that deliberately: each added query
+    // costs ~25 worst-case bytes, so the assert fires one query EARLY —
+    // an early-warning to re-budget consciously (shave per-query
+    // precision or move a field to the fidelity file), never a
+    // truncation discovered in the next round's BENCH file.
+    // 81 queries: worst case 1924, real measured sf0.1 line 1893.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 3, 99.999, 99.999, "32",

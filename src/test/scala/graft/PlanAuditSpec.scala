@@ -47,7 +47,7 @@ class PlanAuditSpec extends SparkSpec {
       name -> (try Right(SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
       catch { case e: Throwable =>
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName)) })
+        Left(ErrText.message(e)) })
     }.toMap
 
   private def plan(name: String): String = plans(name) match {
@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     plans.collect { case (n, Right(p)) => (n, p) }
 
   test("every headline query plans (analysis smoke)") {
-    val broken = plans.collect { case (n, Left(m)) => s"$n: ${m.linesIterator.next()}" }
+    val broken = plans.collect { case (n, Left(m)) =>
+      s"$n: ${m.linesIterator.nextOption().getOrElse(m)}" }
     assert(broken.isEmpty, s"queries failed to plan:\n  ${broken.mkString("\n  ")}")
   }
 

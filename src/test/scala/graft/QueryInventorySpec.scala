@@ -23,10 +23,7 @@ class QueryInventorySpec extends SparkSpec {
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, sfDir).queryExecution.analyzed; None }
-        catch { case e: Throwable =>
-          Some(s"$name: " +
-            Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next())
-        }
+        catch { case e: Throwable => Some(s"$name: ${ErrText.firstLine(e)}") }
     }
     assert(broken.isEmpty,
       s"${broken.size}/${SparkEntry.queries.size} queries failed analysis:\n  " +
