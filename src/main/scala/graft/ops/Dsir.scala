@@ -64,19 +64,28 @@ object Dsir {
 
   /** Portable bucket id in [0, buckets): md5-derived so DuckDB (and any
     * other engine) reproduces it exactly — the same md5-hex-prefix
-    * device as the portable simhash. For an engine-internal run where
-    * portability doesn't matter, xxhash64 would be ~3× faster; the
-    * weights' SEMANTICS are hash-agnostic as long as learn and score
-    * use the same one. */
+    * device as the portable simhash. The gate's hash. */
   def bucket(term: Column, buckets: Int): Column =
     conv(substring(md5(term), 1, 8), 16, 10).cast("long") % buckets
 
+  /** In-engine bucket id: native xxhash64 — no hex round-trip, stays
+    * fully codegen'd; the production hash when no foreign engine needs
+    * to reproduce the buckets. Weights' SEMANTICS are hash-agnostic,
+    * but learn and score MUST use the same `portable` setting — a
+    * weight table is bound to the hash that built it. */
+  def bucketFast(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong))
+
+  private def bucketOf(term: Column, buckets: Int, portable: Boolean): Column =
+    if (portable) bucket(term, buckets) else bucketFast(term, buckets)
+
   /** Hashed-feature counts of a corpus: (bkt, c). One shuffle; at most
     * `buckets` output rows regardless of corpus size. */
-  def bucketCounts(docs: DataFrame, textCol: String, buckets: Int): DataFrame =
+  def bucketCounts(docs: DataFrame, textCol: String, buckets: Int,
+      portable: Boolean = true): DataFrame =
     docs.select(TextOps.tokens(lower(col(textCol))).as("toks"))
       .select(explode(termsOf(col("toks"))).as("term"))
-      .select(bucket(col("term"), buckets).as("bkt"))
+      .select(bucketOf(col("term"), buckets, portable).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"))
 
   /** One-pass counts for the common case where the target is a
@@ -86,11 +95,11 @@ object Dsir {
     * fewer full-corpus pass than calling [[bucketCounts]] twice;
     * equivalence with the two-pass form is DsirSpec-pinned. */
   def bucketCountsWithTarget(docs: DataFrame, textCol: String,
-      targetPred: Column, buckets: Int): DataFrame =
+      targetPred: Column, buckets: Int, portable: Boolean = true): DataFrame =
     docs.select(TextOps.tokens(lower(col(textCol))).as("toks"),
         targetPred.as("is_tgt"))
       .select(explode(termsOf(col("toks"))).as("term"), col("is_tgt"))
-      .select(bucket(col("term"), buckets).as("bkt"), col("is_tgt"))
+      .select(bucketOf(col("term"), buckets, portable).as("bkt"), col("is_tgt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"),
         count(when(col("is_tgt"), 1)).as("tc"))
 
@@ -104,7 +113,7 @@ object Dsir {
     * Integer-exact in any engine. When the target is a subset of the
     * raw corpus (the usual DSIR setup) tgt ≤ raw, so w ≤ 10⁶ and a
     * per-doc score (Σ over its terms) stays far from Long overflow.
-    * `raw`/`target` are [[bucketCounts] outputs. */
+    * `raw`/`target` are [[bucketCounts]] outputs. */
   def ratioWeights(raw: DataFrame, target: DataFrame): DataFrame =
     raw.join(target.withColumnRenamed("c", "tc"), Seq("bkt"), "left")
       .select(col("bkt"),
@@ -135,10 +144,10 @@ object Dsir {
     * neutral ratio 1·10⁶ ((0+1)/(0+1) — both distributions know
     * nothing about the bucket). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, buckets: Int): DataFrame =
+      weights: DataFrame, buckets: Int, portable: Boolean = true): DataFrame =
     docs.select(col(idCol), TextOps.tokens(lower(col(textCol))).as("toks"))
       .select(col(idCol), explode(termsOf(col("toks"))).as("term"))
-      .select(col(idCol), bucket(col("term"), buckets).as("bkt"))
+      .select(col(idCol), bucketOf(col("term"), buckets, portable).as("bkt"))
       .join(broadcast(weights), Seq("bkt"), "left")
       .groupBy(idCol)
       .agg(sum(coalesce(col("w"), lit(1000000L))).as("score"),

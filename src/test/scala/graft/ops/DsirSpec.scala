@@ -55,6 +55,24 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("fast xxhash64 path: same ranking semantics as the portable hash") {
+    // different buckets, same signal — the per-term-mean ordering the
+    // portable path pins must hold under the in-engine hash too
+    val w = Dsir.ratioWeightsJoint(Dsir.bucketCountsWithTarget(
+      corpus, "text", col("lab") === "tgt", B, portable = false))
+    val scored = Dsir.scoreDocs(corpus, "doc_id", "text", w, B, portable = false)
+      .withColumn("mean_w", col("score").cast("double") / col("n_terms"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_w")).toMap
+    assert(scored(1L) > scored(5L) && scored(2L) > scored(5L))
+    assert(scored(5L) > scored(3L) && scored(5L) > scored(4L))
+    // and determinism across runs (xxhash64 is seed-stable)
+    val again = Dsir.scoreDocs(corpus, "doc_id", "text", w, B, portable = false)
+      .collect().map(_.toSeq).toSet
+    val first = Dsir.scoreDocs(corpus, "doc_id", "text", w, B, portable = false)
+      .collect().map(_.toSeq).toSet
+    assert(again == first)
+  }
+
   test("one-pass joint counts ≡ two-pass bucketCounts (weights identical)") {
     val twoPass = weights("ratio")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
