@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency boilerplate removal — the line-level cleaning stage
+  * of C4 (Raffel et al. 2020 dropped lines duplicated across the
+  * corpus) and CCNet (Wenzek et al. 2020 dedups paragraphs across
+  * shards before any model sees them): navigation headers, cookie
+  * banners, share buttons, and copyright footers repeat across most
+  * pages of a site, and line-frequency within a grouping key (site /
+  * source / domain) separates them from body prose without any model.
+  *
+  * Pipeline shape: explode lines with their position → count, per
+  * (group, line-fingerprint), how many DISTINCT docs contain the line →
+  * lines above `maxDocFrac` of the group's docs are boilerplate → anti
+  * join them away → reassemble surviving lines in original order.
+  *
+  * Scale design (100 TB):
+  *   - the frequency aggregation shuffles (group, 16-byte md5(line))
+  *     with map-side partial aggregation — line TEXT never rides a
+  *     shuffle (the [[Dedup]] fingerprint stance; a 128-bit collision
+  *     inside one group is negligible, same as exact dedup);
+  *   - the boilerplate set is frequency-filtered, so it is ~(sites ×
+  *     few chrome lines) — tiny by construction — and the removal join
+  *     broadcasts it (left_anti, no shuffle of the corpus stream);
+  *   - reassembly aggregates per doc (one shuffle on doc id; partial
+  *     aggregation applies) and keeps EVERY doc — a doc whose lines
+  *     were all boilerplate survives with empty text, because a silent
+  *     row drop would desync downstream joins and bias stats.
+  */
+object Boilerplate {
+
+  /** Per-(group, line) document frequency: (grpCol, line_md5, n_docs,
+    * one surviving `line` witness). Distinct-doc counting — a doc
+    * repeating its own footer three times is still one doc. */
+  def lineDocFreq(lines: DataFrame, idCol: String, grpCol: String,
+      lineCol: String): DataFrame =
+    lines.select(col(grpCol), md5(col(lineCol)).as("line_md5"), col(idCol))
+      .groupBy(grpCol, "line_md5")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+
+  /** The boilerplate set for `maxDocFrac`: lines present in ≥ that
+    * fraction of the group's docs (by distinct-doc count). Groups with
+    * fewer than `minGrpDocs` docs contribute NO boilerplate — with one
+    * page, every line is "100 % frequent" and frequency can't separate
+    * chrome from body, so a single-page site must pass through intact
+    * rather than be wiped. Output is (grpCol, line_md5) — small by
+    * construction, broadcast-ready. */
+  def boilerplateSet(lines: DataFrame, idCol: String, grpCol: String,
+      lineCol: String, maxDocFrac: Double, minGrpDocs: Int = 2): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0, "maxDocFrac in (0,1]")
+    require(minGrpDocs >= 1, "minGrpDocs must be >= 1")
+    val grpSizes = lines.select(col(grpCol), col(idCol)).distinct()
+      .groupBy(grpCol).agg(count(lit(1)).as("__n_grp"))
+    lineDocFreq(lines, idCol, grpCol, lineCol)
+      .join(grpSizes, Seq(grpCol))
+      .where(col("__n_grp") >= minGrpDocs &&
+        col("n_docs").cast("double") >= lit(maxDocFrac) * col("__n_grp"))
+      .select(col(grpCol), col("line_md5"))
+  }
+
+  /** Strip boilerplate from exploded lines and reassemble each doc:
+    * input (idCol, grpCol, idxCol, lineCol) — one row per line with its
+    * 0-based position — output one row per INPUT doc: (idCol, n_lines,
+    * n_kept, clean_text) with survivors rejoined by `\n` in original
+    * order. */
+  def stripLines(lines: DataFrame, idCol: String, grpCol: String,
+      idxCol: String, lineCol: String, maxDocFrac: Double,
+      minGrpDocs: Int = 2): DataFrame = {
+    Reserved.requireAbsent("stripLines", Seq("line_md5", "__n_grp"), lines)
+    val boiler =
+      boilerplateSet(lines, idCol, grpCol, lineCol, maxDocFrac, minGrpDocs)
+    val kept = lines
+      .withColumn("line_md5", md5(col(lineCol)))
+      .join(broadcast(boiler), Seq(grpCol, "line_md5"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(idxCol), col(lineCol)))),
+            x => x.getField(lineCol)),
+          "\n").as("clean_text"))
+    // totality re-attach: every input doc keeps a row, even all-chrome
+    // docs whose every line was removed
+    lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

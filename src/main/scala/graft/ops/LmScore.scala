@@ -84,7 +84,7 @@ object LmScore {
     * a filter that silently drops unscorable docs would bias the
     * pipeline toward longer text). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String, m: Model,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true, carry: Seq[String] = Nil): DataFrame = {
     def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     val scored = bigramPairs(docs, idCol, textCol)
       .join(hint(m.trans), Seq("w1", "w2"), "left")
@@ -95,14 +95,61 @@ object LmScore {
     // totality re-attach: plain id projection, NO distinct — call sites
     // have unique ids, a dedup here would both add a corpus-wide
     // shuffle and silently diverge from the oracle (which emits one row
-    // per duplicate if duplicates ever appear)
-    docs.select(col(idCol))
+    // per duplicate if duplicates ever appear). `carry` columns (lang,
+    // source, …) ride THIS join for free — callers needing them
+    // downstream must not pay a second corpus-sized join.
+    docs.select(col(idCol) +: carry.map(col): _*)
       .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("score"), lit(0L)).as("score"),
-        coalesce(col("n_trans"), lit(0L)).as("n_trans"))
+      .select(col(idCol) +: carry.map(col) :+
+        coalesce(col("score"), lit(0L)).as("score") :+
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"): _*)
       .withColumn("mean_p",
         when(col("n_trans") > 0, expr("score div n_trans")).otherwise(lit(0L)))
+  }
+
+  /** CCNet's selection step (Wenzek et al. 2020 §4.4): split the corpus
+    * into head / middle / tail by LM-score terciles — downstream
+    * training samples head-heavy. Buckets are computed per language
+    * when `byCol` is set (CCNet buckets within each language's own
+    * score distribution — absolute scores are not comparable across
+    * languages).
+    *
+    * Two-phase, scale-sane: ONE aggregation computes the two cutoffs
+    * (per group), then assignment is a broadcast join + row-local CASE
+    * — never a global sort or a single-partition window over the
+    * corpus. With `exact = true` the cutoffs use Spark's exact
+    * `percentile` (aggregation state is a value→count map, and the
+    * fixed-point score domain is bounded by construction — mean_p ∈
+    * [0, 10⁶] — so the state cannot grow with corpus size; this is the
+    * gate form, and its linear interpolation matches DuckDB's
+    * `quantile_cont` bit-for-bit). With `exact = false` the cutoffs use
+    * `approx_percentile` (mergeable sketch) — the form for unbounded
+    * score domains. Higher score = more target-like = `head`; ties on
+    * a cutoff go to the better bucket (>= comparisons), matching
+    * CCNet's closed-above convention. */
+  def pplBuckets(scored: DataFrame, scoreCol: String, byCol: Option[String],
+      loFrac: Double = 1.0 / 3, hiFrac: Double = 2.0 / 3,
+      exact: Boolean = true): DataFrame = {
+    require(loFrac > 0 && hiFrac < 1 && loFrac <= hiFrac, "0 < lo <= hi < 1")
+    Reserved.requireAbsent("pplBuckets", Seq("__t", "__t_lo", "__t_hi", "bucket"), scored)
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val cuts = expr(s"$fn($scoreCol, array(${loFrac}d, ${hiFrac}d))").as("__t")
+    val th = byCol match {
+      case Some(g) => scored.groupBy(col(g)).agg(cuts)
+      case None    => scored.agg(cuts)
+    }
+    val thCols = th.select((byCol.map(col).toSeq :+
+      element_at(col("__t"), 1).as("__t_lo") :+
+      element_at(col("__t"), 2).as("__t_hi")): _*)
+    val joined = byCol match {
+      case Some(g) => scored.join(broadcast(thCols), Seq(g))
+      case None    => scored.crossJoin(broadcast(thCols))
+    }
+    joined.withColumn("bucket",
+        when(col(scoreCol).cast("double") >= col("__t_hi"), "head")
+          .when(col(scoreCol).cast("double") >= col("__t_lo"), "middle")
+          .otherwise(lit("tail")))
+      .drop("__t_lo", "__t_hi")
   }
 
   /** The paper form: perplexity exp(−1/n Σ ln p) with p the (unscaled)

@@ -68,4 +68,34 @@ object Sampling {
           .otherwise(array().cast("array<int>"))))
       .drop("__n")
   }
+
+  /** Deterministic epoch shuffle + sharding — the last step before a
+    * corpus feeds a trainer: every row gets a `shard` in [0, nShards)
+    * and a 1-based `pos` within its shard, both pure functions of
+    * (content key, seed). Re-running with the same seed reproduces the
+    * exact data order (auditable epochs); a new seed is a fresh
+    * pseudorandom permutation — no RNG, no `ORDER BY rand()`.
+    *
+    * The shard hash and the within-shard order come from DISJOINT hex
+    * slices of one md5 (first 8 = shard, rest = order), so position
+    * within a shard is uncorrelated with shard choice. Scale: one
+    * shuffle, keyed on `shard`; the within-shard sort is the per-shard
+    * window — parallelism equals nShards, so size nShards to the
+    * cluster (production shard counts are 10³–10⁵ files, far above any
+    * executor count; nShards=1 would serialize and is only for toys).
+    * The md5 device is the portable-hash convention ([[permilleBucket]],
+    * `Dsir.bucket`) — any engine reproduces the permutation. */
+  def shuffleShard(df: DataFrame, key: Column, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    Reserved.requireAbsent("shuffleShard", Seq("__h", "shard", "pos"), df)
+    val h = md5(concat(key.cast("string"), lit(":"), lit(seed.toString)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
 }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Boilerplate, LmScore, Sampling, Url}
+
+/** Corpus-curation gates — the crawl-side cleaning and final
+  * shuffle/shard stages of a training-data pipeline, each with a
+  * bit-exact DuckDB oracle:
+  *
+  *   - [[qUrlDedup]] — URL canonicalization + URL-keyed dedup (the
+  *     Common Crawl stage-one dedup);
+  *   - [[qBoilerplate]] — per-site line-frequency boilerplate removal
+  *     (C4 / CCNet line- and paragraph-level cleaning);
+  *   - [[qPplBucket]] — CCNet head/middle/tail perplexity bucketing on
+  *     the [[graft.ops.LmScore]] scorer;
+  *   - [[qEpochShard]] — deterministic epoch shuffle + sharding (the
+  *     trainer hand-off).
+  *
+  * The documents table has no URL column and no newlines in `text`, so
+  * [[qUrlDedup]] and [[qBoilerplate]] synthesize their crawl structure
+  * from doc_id/source arithmetic that BOTH engines replay — the same
+  * device as the PII gate (`ExtensionQueries.qPiiRedact`) and the media
+  * gates: the synthesized input is trivial, the operator under test is
+  * the real code path.
+  */
+object CurationQueries {
+
+  /** Synthesized messy crawl URL per doc: scheme/case/www/default-port/
+    * trailing-slash/tracking-param/param-order/fragment variants, all
+    * pure doc_id arithmetic. Distinct raw spellings collapse to shared
+    * canonical keys, so the gate exercises every normalization rule. */
+  private def synthUrl(d: org.apache.spark.sql.Column) = concat(
+    when(d % 3 === 0, "http").when(d % 3 === 1, "https").otherwise(lit("HTTP")),
+    lit("://"),
+    when(d % 2 === 0, "www.").otherwise(lit("")),
+    when(d % 4 === 0, "Site").otherwise(lit("site")),
+    (d % 25).cast("string"), lit(".Example.com"),
+    when(d % 5 === 0, ":80").when(d % 5 === 1, ":443").otherwise(lit("")),
+    lit("/p/"), (d % 7).cast("string"),
+    when(d % 2 === 0, "/").otherwise(lit("")),
+    when(d % 6 === 0, concat(lit("?utm_source=feed&ref="), (d % 3).cast("string")))
+      .when(d % 6 === 1, concat(lit("?ref="), (d % 3).cast("string"), lit("&utm_campaign=x")))
+      .when(d % 6 === 2, "?b=2&a=1")
+      .when(d % 6 === 3, "?a=1&b=2")
+      .otherwise(lit("")),
+    when(d % 4 === 1, concat(lit("#sec-"), (d % 5).cast("string"))).otherwise(lit("")))
+
+  /** URL canonicalization + dedup ([[graft.ops.Url]]): canonical key,
+    * deterministic keeper, variant counts. */
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+    Url.dedupByCanonical(docs, "url", "doc_id").orderBy("canon_url")
+  }
+
+  /** Line-frequency boilerplate removal ([[graft.ops.Boilerplate]]):
+    * each doc becomes 4 lines — a per-source nav header, the body, an
+    * alternating share/newsletter line, a per-source footer. At
+    * maxDocFrac = 0.6 the header and footer (100 % of each source's
+    * docs) are stripped; the alternating line (~50 %) and the unique
+    * body survive — both the drop and the keep path are exercised. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.documents(s, dir).select(
+      d, col("source"),
+      array(
+        concat(lit("NAV "), col("source"), lit(" home login search")),
+        col("text"),
+        when(d % 2 === 0, "Share this article on social media")
+          .otherwise(lit("Sign up for our newsletter today")),
+        concat(lit("(c) 2026 "), col("source"))).as("lines"))
+    val lines = docs.select(d, col("source"),
+      posexplode(col("lines")).as(Seq("idx", "line")))
+    Boilerplate.stripLines(lines, "doc_id", "source", "idx", "line",
+        maxDocFrac = 0.6)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet perplexity bucketing ([[LmScore.pplBuckets]]): score every
+    * doc under the English-trained LM, then head/middle/tail by
+    * PER-LANGUAGE score terciles (absolute LM scores are not comparable
+    * across languages — CCNet §4.4 buckets within each language). */
+  def qPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = LmScore.train(docs.where(col("lang") === "en"), "text")
+    val scored = LmScore.scoreDocs(docs, "doc_id", "text", m,
+      carry = Seq("lang"))
+    LmScore.pplBuckets(scored, "mean_p", byCol = Some("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_p"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic epoch shuffle + shard ([[Sampling.shuffleShard]]):
+    * seed 42, 8 shards — every (shard, pos, doc_id) is a pure function
+    * of content, so the oracle replays the whole permutation. */
+  def qEpochShard(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShard(
+        Tables.documents(s, dir).select("doc_id"), col("doc_id"),
+        seed = 42L, nShards = 8)
+      .select(col("shard"), col("pos").cast("long").as("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q_url_dedup" -> (qUrlDedup _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_ppl_bucket" -> (qPplBucket _),
+    "q_epoch_shard" -> (qEpochShard _),
+  )
+
+  // Oracle notes: the boilerplate oracle joins on line TEXT where the
+  // engine joins on md5(line) — identical semantics absent a 128-bit
+  // collision (the exact-dedup stance); quantile_cont ≡ Spark
+  // `percentile` (same linear interpolation — the q_len_quantiles
+  // precedent, exact across SFs).
+  val oracles: Map[String, String] = Map(
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'http' WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HTTP' END)
+        |  || '://'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN 'Site' ELSE 'site' END)
+        |  || cast(doc_id % 25 AS varchar) || '.Example.com'
+        |  || (CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END)
+        |  || '/p/' || cast(doc_id % 7 AS varchar)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=' || cast(doc_id % 3 AS varchar)
+        |       WHEN doc_id % 6 = 1 THEN '?ref=' || cast(doc_id % 3 AS varchar) || '&utm_campaign=x'
+        |       WHEN doc_id % 6 = 2 THEN '?b=2&a=1'
+        |       WHEN doc_id % 6 = 3 THEN '?a=1&b=2' ELSE '' END)
+        |  || (CASE WHEN doc_id % 4 = 1 THEN '#sec-' || cast(doc_id % 5 AS varchar) ELSE '' END)
+        |  AS url FROM documents),
+        |cq AS (SELECT doc_id, url,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&') AS q
+        |  FROM u),
+        |c AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |    '^[^@]*@', ''), ':(80|443)$', ''), '^www\.', '')
+        |  || regexp_replace(regexp_replace(
+        |       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |       '/{2,}', '/', 'g'), '/+$', '')
+        |  || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canon_url
+        |  FROM cq)
+        |SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_urls,
+        |  count(distinct url) AS n_raw
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q_boilerplate" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, 0 AS idx,
+        |    'NAV ' || source || ' home login search' AS line FROM documents
+        |  UNION ALL SELECT doc_id, source, 1, text FROM documents
+        |  UNION ALL SELECT doc_id, source, 2,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Share this article on social media'
+        |         ELSE 'Sign up for our newsletter today' END FROM documents
+        |  UNION ALL SELECT doc_id, source, 3, '(c) 2026 ' || source FROM documents),
+        |gs AS (SELECT source, count(distinct doc_id) AS n_grp FROM l GROUP BY source),
+        |f AS (SELECT source, line, count(distinct doc_id) AS n_docs
+        |  FROM l GROUP BY source, line),
+        |bp AS (SELECT f.source, f.line FROM f JOIN gs ON f.source = gs.source
+        |  WHERE n_grp >= 2 AND cast(n_docs AS double) >= 0.6 * n_grp),
+        |kept AS (SELECT l.doc_id, l.idx, l.line FROM l
+        |  LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+        |  WHERE bp.line IS NULL),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY idx) AS clean
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_lines, coalesce(rb.n_kept, 0) AS n_kept,
+        |  md5(coalesce(rb.clean, '')) AS clean_md5
+        |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+    "q_ppl_bucket" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |bi0 AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2 FROM bi0),
+        |tp AS (SELECT w1, w2 FROM bi WHERE lang = 'en'),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tp GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY w1),
+        |trans AS (SELECT c2.w1, c2.w2, 1000000 * c2.c2 // c1.c1 AS p
+        |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+        |uw AS (SELECT unnest(toks) AS w FROM t WHERE lang = 'en'),
+        |uni AS (SELECT w, count(*) AS cu FROM uw GROUP BY w),
+        |n AS (SELECT greatest(count(*), 1) AS n FROM uw),
+        |sc AS (SELECT bi.doc_id,
+        |    coalesce(trans.p, 400000 * uni.cu // (SELECT n FROM n), 0) AS p
+        |  FROM bi LEFT JOIN trans ON bi.w1 = trans.w1 AND bi.w2 = trans.w2
+        |          LEFT JOIN uni ON bi.w2 = uni.w),
+        |agg AS (SELECT doc_id, cast(sum(p) AS bigint) AS score,
+        |    count(*) AS n_trans FROM sc GROUP BY doc_id),
+        |mp AS (SELECT t.doc_id, t.lang,
+        |  cast(CASE WHEN coalesce(agg.n_trans, 0) > 0
+        |    THEN agg.score // agg.n_trans ELSE 0 END AS bigint) AS mean_p
+        |  FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id),
+        |th AS (SELECT lang, quantile_cont(mean_p, 1.0/3) AS t_lo,
+        |    quantile_cont(mean_p, 2.0/3) AS t_hi FROM mp GROUP BY lang)
+        |SELECT mp.doc_id, mp.lang, mp.mean_p,
+        |  CASE WHEN cast(mean_p AS double) >= t_hi THEN 'head'
+        |       WHEN cast(mean_p AS double) >= t_lo THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM mp JOIN th ON mp.lang = th.lang ORDER BY mp.doc_id""".stripMargin,
+    "q_epoch_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(cast(doc_id AS varchar) || ':42') AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    cast(('0x' || substr(h, 1, 8))::bigint % 8 AS int) AS shard FROM h)
+        |SELECT shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+        |  doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
+  )
+}

@@ -48,7 +48,9 @@ class BenchSpec extends AnyFunSuite {
     // an early-warning to re-budget consciously (shave per-query
     // precision or move a field to the fidelity file), never a
     // truncation discovered in the next round's BENCH file.
-    // 81 queries: worst case 1924, real measured sf0.1 line 1893.
+    // 85 queries with the "q_" key prefix stripped from the line
+    // (~160 bytes reclaimed — the room that admitted the r8 curation
+    // queries): worst case 1789.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 3, 99.999, 99.999, "32",
@@ -57,6 +59,19 @@ class BenchSpec extends AnyFunSuite {
       s"stat line worst case is ${line.length} bytes — the ~1956-byte " +
         "usable budget (2 KB cap minus sbt epilogue) would truncate it; " +
         "shave per-query precision or move fields to the fidelity file")
+  }
+
+  test("q_ prefix stripping keeps line keys unique and documented") {
+    val stripped = SparkEntry.queries.keys.toSeq.map(_.stripPrefix("q_"))
+    assert(stripped.distinct.size == stripped.size,
+      "two inventory names differ only by the q_ prefix — line keys would collide")
+    val line = Bench.statLine(Seq("q_x" -> 0.5, "q1_agg" -> 0.3), 3, 1, 1,
+      "32", "sf0.1", "BENCH_FULL.json", Nil, 0.8, 0.8)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("qpfx").asText == "q_")
+    assert(node.get("queries").has("x") && !node.get("queries").has("q_x"))
+    assert(node.get("queries").has("q1_agg"), "non-prefixed names pass through")
   }
 
   test("stat line is valid JSON with the driver-contract fields") {
@@ -70,6 +85,7 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("value").asDouble == 12.37)
     assert(node.get("total_med").asDouble == 12.4)
     assert(node.get("queries").get("q1_agg").asDouble == 0.37)
+    assert(node.get("queries").get("x").asDouble == 12.0)
     assert(node.get("errors").get("q_bad").asText.contains("quoted"))
     assert(node.get("n_errors").asInt == 1)
     assert(node.get("stat").asText == "min3+med5")

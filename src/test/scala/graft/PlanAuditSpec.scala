@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
-    "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency")
+    "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
+    "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -120,6 +121,25 @@ class PlanAuditSpec extends SparkSpec {
     cos.collect()
     assert(cos.queryExecution.executedPlan.toString.contains("ReusedExchange"),
       "vector-attach broadcasts did not reuse a single exchange")
+  }
+
+  test("curation queries: no single-reducer windows, boilerplate anti-join broadcasts") {
+    // q_epoch_shard's window partitions by shard (parallelism = nShards,
+    // never one reducer); q_boilerplate's removal join must broadcast
+    // the (small by construction) boilerplate set as a left-anti, never
+    // sort-merge the corpus line stream; q_ppl_bucket's threshold join
+    // broadcasts the per-language cutoffs.
+    assert(!plan("q_epoch_shard").contains("SinglePartition"),
+      "q_epoch_shard: the within-shard window must hash-partition by " +
+        "shard, never collapse to one reducer")
+    for (name <- Seq("q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard")) {
+      assert(!plan(name).contains("CartesianProduct"), s"$name cartesian")
+      assert(!plan(name).contains("SortMergeJoin"),
+        s"$name: a small-side join fell back to sort-merge")
+    }
+    assert(plan("q_boilerplate").contains("BroadcastHashJoin") ||
+      plan("q_boilerplate").contains("LeftAnti"),
+      "q_boilerplate: boilerplate set must broadcast anti-join")
   }
 
   test("relational pipelines run inside WholeStageCodegen with partial aggregation") {

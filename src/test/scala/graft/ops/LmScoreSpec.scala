@@ -63,6 +63,36 @@ class LmScoreSpec extends SparkSpec {
     assert(ppl(1L) < ppl(2L), "fluent must have LOWER perplexity")
   }
 
+  test("pplBuckets: per-group exact terciles, ties closed above, totality") {
+    // lang a: scores 1..9 → cutoffs percentile(1/3)=3.67, (2/3)=6.33:
+    // 1-3 tail, 4-6 middle, 7-9 head. lang b: all equal → both cutoffs
+    // = 5 → EVERYTHING is head (ties go to the better bucket).
+    val scored = ((1 to 9).map(i => (i.toLong, "a", i.toLong)) ++
+      (10 to 12).map(i => (i.toLong, "b", 5L))).toDF("id", "lang", "mean_p")
+    val out = LmScore.pplBuckets(scored, "mean_p", byCol = Some("lang"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert((1 to 3).forall(i => out(i.toLong) == "tail"))
+    assert((4 to 6).forall(i => out(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => out(i.toLong) == "head"))
+    assert((10 to 12).forall(i => out(i.toLong) == "head"))
+    assert(out.size == 12, "bucketing must keep every row")
+  }
+
+  test("pplBuckets: global (no byCol) and approx paths run and agree here") {
+    val scored = (1 to 90).map(i => (i.toLong, i.toLong)).toDF("id", "mean_p")
+    val exact = LmScore.pplBuckets(scored, "mean_p", byCol = None)
+      .groupBy("bucket").count().as[(String, Long)].collect().toMap
+    assert(exact == Map("tail" -> 30L, "middle" -> 30L, "head" -> 30L))
+    // approx_percentile returns a dataset VALUE (no interpolation), so
+    // cuts can sit one rank off the exact ones — assert the production
+    // path runs and buckets stay balanced within that tolerance
+    val approx = LmScore.pplBuckets(scored, "mean_p", byCol = None, exact = false)
+      .groupBy("bucket").count().as[(String, Long)].collect().toMap
+    assert(approx.keySet == Set("tail", "middle", "head"))
+    assert(approx.values.sum == 90L, "approx bucketing must keep every row")
+    assert(approx.values.forall(n => math.abs(n - 30L) <= 2), approx.toString)
+  }
+
   test("plan shape: both model joins broadcast, no shuffle join") {
     val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
     val plan = LmScore.scoreDocs(docs, "doc_id", "text", model)

@@ -79,4 +79,48 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("copy"))
   }
+
+  test("shuffleShard: a true partition — every row once, pos contiguous per shard") {
+    val d = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
+    val out = Sampling.shuffleShard(d, col("id"), seed = 7L, nShards = 8)
+      .select("shard", "pos", "id").as[(Int, Int, Long)].collect().toSeq
+    assert(out.map(_._3).sorted == (1 to 500).map(_.toLong))
+    assert(out.forall(r => r._1 >= 0 && r._1 < 8))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.size)) // 1..n, no gaps
+    }
+    // ~uniform shard sizes (md5 is uniform; 500/8 = 62.5)
+    val sizes = out.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.values.forall(n => n > 30 && n < 95), sizes.toMap.toString)
+  }
+
+  test("shuffleShard: deterministic under repartition; a new seed permutes") {
+    val d = (1 to 300).map(i => Tuple1(i.toLong)).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.shuffleShard(df, col("id"), seed, nShards = 4)
+        .select("shard", "pos", "id").as[(Int, Int, Long)].collect().toSeq.sorted
+    val a = run(d, 7L)
+    assert(a == run(d.repartition(13), 7L), "partitioning must not matter")
+    val b = run(d, 8L)
+    assert(a != b, "a new seed must produce a different permutation")
+    assert(a.map(_._3).sorted == b.map(_._3).sorted, "…of the same rows")
+  }
+
+  test("shuffleShard matches an independent JVM md5 reference") {
+    val d = (1 to 64).map(i => Tuple1(i.toLong)).toDF("id")
+    val got = Sampling.shuffleShard(d, col("id"), seed = 42L, nShards = 8)
+      .select("shard", "pos", "id").as[(Int, Int, Long)].collect().toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ref = (1 to 64).map { i =>
+      val h = md5hex(s"$i:42")
+      (java.lang.Long.parseLong(h.take(8), 16) % 8).toInt -> (h, i.toLong)
+    }
+    val expected = ref.groupBy(_._1).flatMap { case (shard, rows) =>
+      rows.map(_._2).sorted.zipWithIndex.map { case ((_, id), p) =>
+        (shard, p + 1, id)
+      }
+    }.toSet
+    assert(got == expected)
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOf(urls: String*): Seq[String] =
+    urls.toDF("url").select(Url.canonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalize: each normalization rule, hand-checked") {
+    assert(canonOf(
+      // scheme dropped, host lowercased, www + default port stripped,
+      // trailing slash stripped, params sorted, fragment dropped
+      "http://www.Example.COM:80/a/b/?b=2&a=1#frag",
+      // https ≡ http for identity; :443 is a default port too
+      "https://Example.com:443/a/b?a=1&b=2",
+      // duplicate + trailing slashes collapse
+      "https://example.com/a//b///",
+      // userinfo dropped; root path → empty
+      "HTTP://user:pw@Site.com:443/",
+      // tracking params dropped, empty query disappears
+      "https://example.com/x?utm_source=a&utm_campaign=b",
+      // bare '?' disappears; non-default port KEPT
+      "https://example.com:8080/x?",
+      // utm must match as a literal prefix of exactly 'utm_'
+      "https://example.com/x?utmx=1"
+    ) == Seq(
+      "example.com/a/b?a=1&b=2",
+      "example.com/a/b?a=1&b=2",
+      "example.com/a/b",
+      "site.com",
+      "example.com/x",
+      "example.com:8080/x",
+      "example.com/x?utmx=1"))
+  }
+
+  test("unparseable input (no scheme) canonicalizes to empty, not garbage") {
+    assert(canonOf("example.com/x", "not a url") == Seq("", ""))
+  }
+
+  test("dedupByCanonical groups variants; keeper is min id; n_raw counts spellings") {
+    val df = Seq(
+      (1L, "http://www.A.com/p/"),
+      (2L, "https://a.com/p"),
+      (3L, "https://a.com/p"), // same RAW spelling as id 2
+      (4L, "https://b.com/q")
+    ).toDF("doc_id", "url")
+    val out = Url.dedupByCanonical(df, "url", "doc_id")
+      .orderBy("canon_url")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a.com/p", 1L, 3L, 2L), ("b.com/q", 4L, 1L, 1L)))
+  }
+
+  test("keepFirstByUrl keeps the min-id row intact per canonical key") {
+    val df = Seq(
+      (5L, "http://www.A.com/p/", "later"),
+      (2L, "https://a.com/p", "first"),
+      (9L, "https://b.com/q", "only")
+    ).toDF("doc_id", "url", "payload")
+    val kept = Url.keepFirstByUrl(df, "url", "doc_id")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(kept == Seq((2L, "https://a.com/p", "first"),
+      (9L, "https://b.com/q", "only")))
+  }
+}
