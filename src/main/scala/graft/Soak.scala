@@ -160,10 +160,52 @@ object Soak {
       println(s"[soak] lm model: ${t.count()} transitions, ${u.count()} unigrams")
       ops.LmScore.Model(t, u, m.nTokens)
     }
-    time("lm fluency score")(
-      ops.LmScore.scoreDocs(docs, "id", "text", lmModel).count())
+    val lmScored = ops.LmScore.scoreDocs(docs, "id", "text", lmModel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("lm fluency score")(lmScored.count())
+    // CCNet bucketing on the scored corpus: ONE exact-percentile agg
+    // (state bounded by the fixed-point score domain, NOT corpus size —
+    // the claim this stage validates) + a broadcast cutoff join
+    time("ppl buckets (global cutoffs)") {
+      ops.LmScore.pplBuckets(lmScored, "mean_p", byCol = None)
+        .groupBy("bucket").count().collect()
+    }
+    lmScored.unpersist(blocking = false)
     lmModel.trans.unpersist(blocking = false)
     lmModel.uni.unpersist(blocking = false)
+
+    // Curation family — url dedup / boilerplate / epoch shard. All
+    // should scale ~linearly: url dedup is one shuffle on a short
+    // canonical key; boilerplate is one (grp, md5) count shuffle + a
+    // broadcast anti-join + one per-doc reassembly shuffle; epoch shard
+    // is one shuffle on the shard key with per-shard windows.
+    val messyUrl = concat(
+      when(col("id") % 3 === 0, "http").otherwise(lit("https")), lit("://"),
+      when(col("id") % 2 === 0, "www.").otherwise(lit("")),
+      lit("site"), (col("id") % 100000).cast("string"), lit(".example.com"),
+      lit("/p/"), (col("id") % 997).cast("string"),
+      when(col("id") % 2 === 0, "/").otherwise(lit("")),
+      when(col("id") % 5 === 0, "?utm_source=soak&x=1").otherwise(lit("")))
+    time("url canonical dedup") {
+      ops.Url.dedupByCanonical(
+        docs.select(col("id"), messyUrl.as("url")), "url", "id").count()
+    }
+    // pseudo-sites of ~nDocs/2048 pages each: per-site header/footer are
+    // 100 % frequent (stripped), the alternating promo ~50 % (kept)
+    val grp = (col("id") % 2048).cast("string")
+    val soakLines = docs.select(col("id"), grp.as("site"),
+      array(concat(lit("NAV "), grp), col("text"),
+        when(col("id") % 2 === 0, "promo A").otherwise(lit("promo B")),
+        concat(lit("(c) "), grp)).as("ls"))
+      .select(col("id"), col("site"), posexplode(col("ls")).as(Seq("idx", "line")))
+    time("boilerplate strip (2048 sites)") {
+      ops.Boilerplate.stripLines(soakLines, "id", "site", "idx", "line", 0.6)
+        .count()
+    }
+    time("epoch shuffle-shard (256 shards)") {
+      ops.Sampling.shuffleShard(docs.select("id"), col("id"), seed = 7L,
+        nShards = 256).count()
+    }
     docs.unpersist(blocking = false)
     }
     if (docsOnly) { spark.stop(); return }

@@ -141,12 +141,17 @@ object LmScore {
     val thCols = th.select((byCol.map(col).toSeq :+
       element_at(col("__t"), 1).as("__t_lo") :+
       element_at(col("__t"), 2).as("__t_hi")): _*)
+    // LEFT join: a row whose byCol is NULL has no group distribution to
+    // bucket it in — it must keep its row with bucket NULL (visible),
+    // not vanish through an inner join, and not fall through the CASE's
+    // null-comparison cracks into "tail" (a silent mislabel)
     val joined = byCol match {
-      case Some(g) => scored.join(broadcast(thCols), Seq(g))
+      case Some(g) => scored.join(broadcast(thCols), Seq(g), "left")
       case None    => scored.crossJoin(broadcast(thCols))
     }
     joined.withColumn("bucket",
-        when(col(scoreCol).cast("double") >= col("__t_hi"), "head")
+        when(col("__t_hi").isNull, lit(null).cast("string"))
+          .when(col(scoreCol).cast("double") >= col("__t_hi"), "head")
           .when(col(scoreCol).cast("double") >= col("__t_lo"), "middle")
           .otherwise(lit("tail")))
       .drop("__t_lo", "__t_hi")

@@ -89,7 +89,11 @@ object Sampling {
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     Reserved.requireAbsent("shuffleShard", Seq("__h", "shard", "pos"), df)
-    val h = md5(concat(key.cast("string"), lit(":"), lit(seed.toString)))
+    // null keys hash as "" (the [[permilleBucket]] stance): concat
+    // null-propagates, and a NULL shard would silently park null-key
+    // rows in their own unnumbered partition
+    val h = md5(concat(coalesce(key.cast("string"), lit("")),
+      lit(":"), lit(seed.toString)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), key)
     df.withColumn("__h", h)

@@ -78,6 +78,17 @@ class LmScoreSpec extends SparkSpec {
     assert(out.size == 12, "bucketing must keep every row")
   }
 
+  test("pplBuckets: a null group keeps its row with bucket NULL, never 'tail'") {
+    val scored = (Seq((1L, null.asInstanceOf[String], 5L)) ++
+      (2 to 10).map(i => (i.toLong, "en", i.toLong))).toDF("id", "lang", "mean_p")
+    val out = LmScore.pplBuckets(scored, "mean_p", byCol = Some("lang"))
+    assert(out.count() == 10, "null-group rows must not vanish")
+    val nullRow = out.where(col("id") === 1L).select("bucket").collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(0),
+      "no distribution to bucket a null group in — bucket must be NULL, " +
+        "not a silent 'tail' mislabel")
+  }
+
   test("pplBuckets: global (no byCol) and approx paths run and agree here") {
     val scored = (1 to 90).map(i => (i.toLong, i.toLong)).toDF("id", "mean_p")
     val exact = LmScore.pplBuckets(scored, "mean_p", byCol = None)

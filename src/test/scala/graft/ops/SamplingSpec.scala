@@ -106,6 +106,15 @@ class SamplingSpec extends SparkSpec {
     assert(a.map(_._3).sorted == b.map(_._3).sorted, "…of the same rows")
   }
 
+  test("shuffleShard: null keys land in a real numbered shard (hash as \"\")") {
+    val d = Seq(Tuple1("a"), Tuple1(null.asInstanceOf[String]), Tuple1("b"))
+      .toDF("k")
+    val out = Sampling.shuffleShard(d, col("k"), seed = 1L, nShards = 4)
+    assert(out.count() == 3)
+    assert(out.where(col("shard").isNull || col("pos").isNull).count() == 0,
+      "a NULL shard would silently park null-key rows outside the permutation")
+  }
+
   test("shuffleShard matches an independent JVM md5 reference") {
     val d = (1 to 64).map(i => Tuple1(i.toLong)).toDF("id")
     val got = Sampling.shuffleShard(d, col("id"), seed = 42L, nShards = 8)
