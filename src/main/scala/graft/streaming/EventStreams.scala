@@ -77,6 +77,23 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming URL dedup — the crawl's stage-one dedup ON INGEST:
+    * canonicalize every arriving page's URL ([[graft.ops.Url]] — the
+    * scan-local expression, unchanged) and keep only the FIRST arrival
+    * per canonical key within the watermark horizon. State is one entry
+    * per distinct canonical URL inside the horizon, evicted by
+    * watermark — bounded by crawl rate, not corpus size. The batch twin
+    * is [[graft.ops.Url.keepFirstByUrl]] (keep-first there is min-id;
+    * here it is first-ARRIVAL — identical when ingest order follows
+    * id order, the replay-equivalence EventStreamsSpec pins). Requires
+    * an event-time `ts` column. */
+  def urlDedupStream(pages: DataFrame, urlCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    dedupedWithinWatermark(
+      pages.withColumn("canon_url",
+        graft.ops.Url.canonicalize(col(urlCol))),
+      Seq("canon_url"), watermark)
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

@@ -95,6 +95,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("urlDedupStream: canonical-key dedup on ingest ≡ batch keep-first on replay") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, "http://www.A.com/p/?b=2&a=1"),
+      (ts("2024-01-01 00:01:00"), 2L, "https://a.com/p?a=1&b=2#frag"), // same canon
+      (ts("2024-01-01 00:02:00"), 3L, "https://a.com/p?a=1&b=2&utm_source=x"), // same canon
+      (ts("2024-01-01 00:03:00"), 4L, "https://b.com/q"))
+    in.addData(rows.take(2))
+    in.addData(rows.drop(2)) // dup arrives in a LATER micro-batch — state must hold
+    val q = urlDedupStream(in.toDF().toDF("ts", "id", "url"), "url")
+      .writeStream.format("memory").queryName("ud").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ud").select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L), "only the first arrival per canonical key survives")
+    // replay equivalence: batch keep-first (min id = arrival order here)
+    // keeps the same survivors
+    val batch = graft.ops.Url.keepFirstByUrl(
+      rows.toDF("ts", "id", "url"), "url", "id")
+      .select("id").as[Long].collect().toSet
+    assert(batch == got)
+  }
+
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
