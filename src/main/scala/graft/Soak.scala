@@ -190,15 +190,18 @@ object Soak {
       ops.Url.dedupByCanonical(
         docs.select(col("id"), messyUrl.as("url")), "url", "id").count()
     }
-    // pseudo-sites of ~nDocs/2048 pages each: per-site header/footer are
-    // 100 % frequent (stripped), the alternating promo ~50 % (kept)
-    val grp = (col("id") % 2048).cast("string")
+    // pseudo-sites of ~nDocs/2047 pages each: per-site header/footer are
+    // 100 % frequent (stripped), the alternating promo ~50 % (kept).
+    // The modulus must be ODD: with an even one every id in a site
+    // shares parity, the promo line is 100 % frequent per site, and the
+    // keep path the stage exists to exercise never runs (review catch)
+    val grp = (col("id") % 2047).cast("string")
     val soakLines = docs.select(col("id"), grp.as("site"),
       array(concat(lit("NAV "), grp), col("text"),
         when(col("id") % 2 === 0, "promo A").otherwise(lit("promo B")),
         concat(lit("(c) "), grp)).as("ls"))
       .select(col("id"), col("site"), posexplode(col("ls")).as(Seq("idx", "line")))
-    time("boilerplate strip (2048 sites)") {
+    time("boilerplate strip (2047 sites)") {
       ops.Boilerplate.stripLines(soakLines, "id", "site", "idx", "line", 0.6)
         .count()
     }

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *     shuffle (the [[Dedup]] fingerprint stance; a 128-bit collision
   *     inside one group is negligible, same as exact dedup);
   *   - the boilerplate set is frequency-filtered, so it is ~(sites ×
-  *     few chrome lines) — tiny by construction — and the removal join
-  *     broadcasts it (left_anti, no shuffle of the corpus stream);
+  *     few chrome lines) — tiny per group — and the removal join
+  *     broadcasts it by default (left_anti, no shuffle of the corpus
+  *     stream); it still grows ∝ the NUMBER of groups, so a crawl with
+  *     ~10⁷ sites should pass `broadcastSet = false` and take the
+  *     (grp, md5) shuffle join instead of a driver OOM;
   *   - reassembly aggregates per doc (one shuffle on doc id; partial
   *     aggregation applies) and keeps EVERY doc — a doc whose lines
   *     were all boilerplate survives with empty text, because a silent
@@ -67,13 +70,23 @@ object Boilerplate {
     * order. */
   def stripLines(lines: DataFrame, idCol: String, grpCol: String,
       idxCol: String, lineCol: String, maxDocFrac: Double,
-      minGrpDocs: Int = 2): DataFrame = {
+      minGrpDocs: Int = 2, broadcastSet: Boolean = true): DataFrame = {
     Reserved.requireAbsent("stripLines", Seq("line_md5", "__n_grp"), lines)
+    // NOTE: this pipeline scans `lines` in four places (group sizes,
+    // line frequency, the anti-join stream, the totality count) —
+    // callers whose `lines` is a derived frame (explode over decoded
+    // docs) should persist it first, or the upstream work runs 4×.
     val boiler =
       boilerplateSet(lines, idCol, grpCol, lineCol, maxDocFrac, minGrpDocs)
+    // `broadcastSet` is an honesty knob, not an optimizer guess: the
+    // set is tiny PER GROUP but grows ∝ number of groups, so a crawl
+    // with ~10⁷ sites can outgrow the driver. Pass false there — the
+    // anti-join falls back to a (grp, md5) shuffle join, the honest
+    // trade (the LmScore.broadcastModel stance).
     val kept = lines
       .withColumn("line_md5", md5(col(lineCol)))
-      .join(broadcast(boiler), Seq(grpCol, "line_md5"), "left_anti")
+      .join(if (broadcastSet) broadcast(boiler) else boiler,
+        Seq(grpCol, "line_md5"), "left_anti")
     val rebuilt = kept.groupBy(idCol)
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -144,13 +144,15 @@ object LmScore {
     // LEFT join: a row whose byCol is NULL has no group distribution to
     // bucket it in — it must keep its row with bucket NULL (visible),
     // not vanish through an inner join, and not fall through the CASE's
-    // null-comparison cracks into "tail" (a silent mislabel)
+    // null-comparison cracks into "tail" (a silent mislabel). A NULL
+    // SCORE value gets the same treatment: no score, no bucket.
     val joined = byCol match {
       case Some(g) => scored.join(broadcast(thCols), Seq(g), "left")
       case None    => scored.crossJoin(broadcast(thCols))
     }
     joined.withColumn("bucket",
-        when(col("__t_hi").isNull, lit(null).cast("string"))
+        when(col("__t_hi").isNull || col(scoreCol).isNull,
+          lit(null).cast("string"))
           .when(col(scoreCol).cast("double") >= col("__t_hi"), "head")
           .when(col(scoreCol).cast("double") >= col("__t_lo"), "middle")
           .otherwise(lit("tail")))

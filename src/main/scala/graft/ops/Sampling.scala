@@ -94,8 +94,12 @@ object Sampling {
     // rows in their own unnumbered partition
     val h = md5(concat(coalesce(key.cast("string"), lit("")),
       lit(":"), lit(seed.toString)))
+    // the ORDER slice starts at hex digit 9 — genuinely disjoint from
+    // the shard slice (digits 1–8), as the doc above promises; ordering
+    // by the full hash would key within-shard position partly on the
+    // bits that chose the shard
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("__h"), key)
+      .partitionBy(col("shard")).orderBy(substring(col("__h"), 9, 24), key)
     df.withColumn("__h", h)
       .withColumn("shard",
         (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))

@@ -57,37 +57,55 @@ object Url {
 
   /** Canonical query string: `utm_*` tracking params and empty params
     * dropped, survivors sorted and rejoined with `&`. Empty string when
-    * nothing survives (or there was no query). */
+    * nothing survives (or there was no query). The fragment is stripped
+    * BEFORE the `?` is looked for — a `?` inside the fragment
+    * (`/p#sec?y=1`) is fragment text, not a query, and must not leak
+    * into the key (UrlSpec-pinned). */
   def queryCanonical(url: Column): Column = {
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val q = regexp_extract(regexp_replace(url, "#.*$", ""), "\\?(.*)$", 1)
     val params = filter(split(q, "&"),
       p => (length(p) > 0).and(substring(p, 1, 4) =!= "utm_"))
     array_join(array_sort(params), "&")
   }
 
   /** The canonical identity key: host + path [+ "?" + canonical query].
-    * Scheme and fragment are gone by construction. */
+    * Scheme and fragment are gone by construction. NULL for input with
+    * no parseable scheme://host — "no canonical identity" must be
+    * VISIBLE: an empty-string key would silently collapse every
+    * unparseable row into one dedup group ([[dedupByCanonical]] and
+    * [[keepFirstByUrl]] fall back to the raw spelling for such rows). */
   def canonicalize(url: Column): Column = {
+    val h = host(url)
     val q = queryCanonical(url)
-    concat(host(url), path(url),
-      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    when(h =!= "", concat(h, path(url),
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+      .otherwise(lit(null).cast("string"))
   }
+
+  /** The dedup key: the canonical form, or the raw spelling for rows
+    * with no parseable canonical identity — unparseable rows dedup only
+    * against byte-identical spellings instead of all collapsing into
+    * one group (silent mass data loss in a crawl with junk URLs). */
+  def dedupKey(url: Column): Column = coalesce(canonicalize(url), url)
 
   /** Group-level dedup report: one row per canonical URL with the
     * deterministic keeper (min id), the number of crawled variants, and
     * how many DISTINCT raw spellings collapsed into the key. One
     * shuffle, on the canonical key. */
-  def dedupByCanonical(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+  def dedupByCanonical(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    Reserved.requireAbsent("dedupByCanonical", Seq("canon_url"), df)
     df.select(col(idCol), col(urlCol),
-        canonicalize(col(urlCol)).as("canon_url"))
+        dedupKey(col(urlCol)).as("canon_url"))
       .groupBy("canon_url")
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_urls"),
         countDistinct(col(urlCol)).as("n_raw"))
+  }
 
   /** Row-level keep-first: the surviving row per canonical URL, all
     * original columns intact — [[Dedup.exact]] keyed on the canonical
-    * form (deterministic min-id winner, reproducible run-to-run). */
+    * form (deterministic min-id winner, reproducible run-to-run).
+    * Unparseable URLs keep their rows unless raw-identical. */
   def keepFirstByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
-    Dedup.exact(df, canonicalize(col(urlCol)), col(idCol))
+    Dedup.exact(df, dedupKey(col(urlCol)), col(idCol))
 }

@@ -136,7 +136,8 @@ object CurationQueries {
         |  AS url FROM documents),
         |cq AS (SELECT doc_id, url,
         |  array_to_string(list_sort(list_filter(
-        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    string_split(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '\?(.*)$', 1), '&'),
         |    x -> x <> '' AND substr(x, 1, 4) <> 'utm_')), '&') AS q
         |  FROM u),
         |c AS (SELECT doc_id, url,
@@ -213,7 +214,8 @@ object CurationQueries {
         |s AS (SELECT doc_id, h,
         |    cast(('0x' || substr(h, 1, 8))::bigint % 8 AS int) AS shard FROM h)
         |SELECT shard,
-        |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+        |  row_number() OVER (PARTITION BY shard
+        |    ORDER BY substr(h, 9, 24), doc_id) AS pos,
         |  doc_id
         |FROM s ORDER BY shard, pos""".stripMargin,
   )

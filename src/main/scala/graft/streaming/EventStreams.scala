@@ -88,11 +88,13 @@ object EventStreams {
     * id order, the replay-equivalence EventStreamsSpec pins). Requires
     * an event-time `ts` column. */
   def urlDedupStream(pages: DataFrame, urlCol: String,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    graft.ops.Reserved.requireAbsent("urlDedupStream", Seq("canon_url"), pages)
     dedupedWithinWatermark(
       pages.withColumn("canon_url",
-        graft.ops.Url.canonicalize(col(urlCol))),
+        graft.ops.Url.dedupKey(col(urlCol))),
       Seq("canon_url"), watermark)
+  }
 
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)

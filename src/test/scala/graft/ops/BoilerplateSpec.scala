@@ -60,6 +60,14 @@ class BoilerplateSpec extends SparkSpec {
       .as[String].head() == "a\nb\nc")
   }
 
+  test("broadcastSet=false (the many-sites path) is answer-identical") {
+    val a = Boilerplate.stripLines(lines, "doc_id", "grp", "idx", "line", 0.6)
+      .orderBy("doc_id").collect().toSeq
+    val b = Boilerplate.stripLines(lines, "doc_id", "grp", "idx", "line", 0.6,
+      broadcastSet = false).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("threshold validation and reserved columns") {
     intercept[IllegalArgumentException] {
       Boilerplate.boilerplateSet(lines, "doc_id", "grp", "line", 0.0)

@@ -87,6 +87,14 @@ class LmScoreSpec extends SparkSpec {
     assert(nullRow.length == 1 && nullRow.head.isNullAt(0),
       "no distribution to bucket a null group in — bucket must be NULL, " +
         "not a silent 'tail' mislabel")
+    // same stance for a null SCORE value: no score, no bucket — the
+    // CASE's null comparisons would otherwise mislabel it 'tail'
+    val withNullScore = (Seq((0L, "en", null.asInstanceOf[java.lang.Long])) ++
+      (2 to 10).map(i => (i.toLong, "en", java.lang.Long.valueOf(i.toLong))))
+      .toDF("id", "lang", "mean_p")
+    val ns = LmScore.pplBuckets(withNullScore, "mean_p", byCol = Some("lang"))
+      .where(col("id") === 0L).select("bucket").collect()
+    assert(ns.length == 1 && ns.head.isNullAt(0))
   }
 
   test("pplBuckets: global (no byCol) and approx paths run and agree here") {

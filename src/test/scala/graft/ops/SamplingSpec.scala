@@ -121,9 +121,10 @@ class SamplingSpec extends SparkSpec {
       .select("shard", "pos", "id").as[(Int, Int, Long)].collect().toSet
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // order slice = hex digits 9.. — disjoint from the shard slice
     val ref = (1 to 64).map { i =>
       val h = md5hex(s"$i:42")
-      (java.lang.Long.parseLong(h.take(8), 16) % 8).toInt -> (h, i.toLong)
+      (java.lang.Long.parseLong(h.take(8), 16) % 8).toInt -> (h.drop(8), i.toLong)
     }
     val expected = ref.groupBy(_._1).flatMap { case (shard, rows) =>
       rows.map(_._2).sorted.zipWithIndex.map { case ((_, id), p) =>

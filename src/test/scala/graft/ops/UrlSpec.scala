@@ -26,7 +26,10 @@ class UrlSpec extends SparkSpec {
       // bare '?' disappears; non-default port KEPT
       "https://example.com:8080/x?",
       // utm must match as a literal prefix of exactly 'utm_'
-      "https://example.com/x?utmx=1"
+      "https://example.com/x?utmx=1",
+      // a '?' INSIDE the fragment is fragment text, not a query —
+      // leaking it would give one resource two canonical keys
+      "https://a.com/p#sec?y=1"
     ) == Seq(
       "example.com/a/b?a=1&b=2",
       "example.com/a/b?a=1&b=2",
@@ -34,11 +37,25 @@ class UrlSpec extends SparkSpec {
       "site.com",
       "example.com/x",
       "example.com:8080/x",
-      "example.com/x?utmx=1"))
+      "example.com/x?utmx=1",
+      "a.com/p"))
   }
 
-  test("unparseable input (no scheme) canonicalizes to empty, not garbage") {
-    assert(canonOf("example.com/x", "not a url") == Seq("", ""))
+  test("unparseable input (no scheme) canonicalizes to NULL, and dedup keeps such rows distinct") {
+    val c = Seq("example.com/x", "not a url").toDF("url")
+      .select(Url.canonicalize(col("url")).as("c")).collect()
+    assert(c.forall(_.isNullAt(0)),
+      "no parseable identity must be VISIBLE (null), not empty-string")
+    // an empty-string key would collapse every junk URL into ONE dedup
+    // group — distinct unparseable spellings must all survive
+    val df = Seq((1L, "junk one"), (2L, "junk two"), (3L, "junk one"),
+      (4L, "https://a.com/p")).toDF("doc_id", "url")
+    val kept = Url.keepFirstByUrl(df, "url", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L),
+      "unparseable rows dedup by raw spelling only")
+    val report = Url.dedupByCanonical(df, "url", "doc_id")
+    assert(report.count() == 3)
   }
 
   test("dedupByCanonical groups variants; keeper is min id; n_raw counts spellings") {
