@@ -106,7 +106,8 @@ object Bench {
     // MEDIAN, and carry a min–max spread in the JSON line.
     val multiJob = Set("q_keep_canonical", "q_dedup_groups", "q_graph_day",
       "q_incremental_append", "q_incremental_dedup",
-      "q_incremental_substring", "q_ann_ivf", "q_pq_topk")
+      "q_incremental_substring", "q_incremental_boilerplate",
+      "q_ann_ivf", "q_pq_topk")
     // a query whose body THROWS gets no timing row at all — timing the
     // exception published a fake 0.09 s for the broken q_asof_join in
     // r5/r6; it is recorded under "errors" instead and fails the eye

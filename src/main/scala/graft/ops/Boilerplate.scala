@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-frequency boilerplate removal — the line-level cleaning stage
@@ -78,11 +78,19 @@ object Boilerplate {
     // docs) should persist it first, or the upstream work runs 4×.
     val boiler =
       boilerplateSet(lines, idCol, grpCol, lineCol, maxDocFrac, minGrpDocs)
-    // `broadcastSet` is an honesty knob, not an optimizer guess: the
-    // set is tiny PER GROUP but grows ∝ number of groups, so a crawl
-    // with ~10⁷ sites can outgrow the driver. Pass false there — the
-    // anti-join falls back to a (grp, md5) shuffle join, the honest
-    // trade (the LmScore.broadcastModel stance).
+    applySet(lines, idCol, grpCol, idxCol, lineCol, boiler, broadcastSet)
+  }
+
+  /** Shared removal + reassembly: anti-join the (grpCol, line_md5) set
+    * away, rebuild survivors in original order, keep EVERY doc.
+    * `broadcastSet` is an honesty knob, not an optimizer guess: the set
+    * is tiny PER GROUP but grows ∝ number of groups, so a crawl with
+    * ~10⁷ sites can outgrow the driver — pass false there and the
+    * anti-join falls back to a (grp, md5) shuffle join, the honest
+    * trade (the LmScore.broadcastModel stance). */
+  private def applySet(lines: DataFrame, idCol: String, grpCol: String,
+      idxCol: String, lineCol: String, boiler: DataFrame,
+      broadcastSet: Boolean): DataFrame = {
     val kept = lines
       .withColumn("line_md5", md5(col(lineCol)))
       .join(if (broadcastSet) broadcast(boiler) else boiler,
@@ -100,5 +108,71 @@ object Boilerplate {
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  // ---- incremental form: persisted, mergeable line statistics ----
+  //
+  // Production boilerplate removal does not recount the whole crawl per
+  // batch: yesterday's chrome strips today's pages. The persisted
+  // artifact here is raw COUNTS, not a thresholded set, because counts
+  // are the mergeable form — a doc belongs to exactly ONE crawl batch,
+  // so distinct-doc counts are additive across batches and
+  // `SaveMode.Append` fold-in is exact (the same additive-identity
+  // argument as `Dedup.buildBandIndex`'s append — pinned in
+  // BoilerplateSpec: build 60 % + append 20 % ≡ one-shot 80 %).
+  // Thresholds (maxDocFrac, minGrpDocs) are applied AT READ, so a
+  // corpus can be re-thresholded without a recount.
+
+  /** Persist per-(group, line) doc frequencies and per-group doc counts
+    * for `lines` under `path` (`freq/` and `grps/`, zstd parquet).
+    * Append mode folds a new batch's counts in; readers re-aggregate,
+    * so appended part-files are just more addends. */
+  def buildLineStats(lines: DataFrame, idCol: String, grpCol: String,
+      lineCol: String, path: String,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    lineDocFreq(lines, idCol, grpCol, lineCol)
+      .write.mode(mode).option("compression", "zstd").parquet(s"$path/freq")
+    lines.select(col(grpCol), col(idCol)).distinct()
+      .groupBy(grpCol).agg(count(lit(1)).as("n_docs_grp"))
+      .write.mode(mode).option("compression", "zstd").parquet(s"$path/grps")
+  }
+
+  /** The boilerplate set derived from persisted stats at the given
+    * thresholds — (grpCol, line_md5), same shape [[stripLines]] uses.
+    * Re-aggregates on read so Append-folded parts sum correctly. */
+  def boilerplateSetFromStats(spark: SparkSession, path: String,
+      grpCol: String, maxDocFrac: Double, minGrpDocs: Int = 2): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0, "maxDocFrac in (0,1]")
+    require(minGrpDocs >= 1, "minGrpDocs must be >= 1")
+    val freq = spark.read.parquet(s"$path/freq")
+      .groupBy(grpCol, "line_md5").agg(sum("n_docs").as("n_docs"))
+    val grps = spark.read.parquet(s"$path/grps")
+      .groupBy(grpCol).agg(sum("n_docs_grp").as("__n_grp"))
+    freq.join(grps, Seq(grpCol))
+      .where(col("__n_grp") >= minGrpDocs &&
+        col("n_docs").cast("double") >= lit(maxDocFrac) * col("__n_grp"))
+      .select(col(grpCol), col("line_md5"))
+  }
+
+  /** Strip a NEW batch against the persisted stats: the index corpus's
+    * chrome strips the batch, and a line frequent only WITHIN the batch
+    * is kept (no index evidence yet — fold the batch in afterwards via
+    * [[buildLineStats]] Append if it should count next time). One pass
+    * over the batch + the reassembly shuffle; the index corpus's line
+    * text is never read. */
+  def stripLinesIncrement(batch: DataFrame, idCol: String, grpCol: String,
+      idxCol: String, lineCol: String, statsPath: String,
+      maxDocFrac: Double, minGrpDocs: Int = 2,
+      broadcastSet: Boolean = true): DataFrame = {
+    Reserved.requireAbsent("stripLinesIncrement", Seq("line_md5", "__n_grp"), batch)
+    // the SET is materialized eagerly (it is small by construction and
+    // this is one bounded job), so the returned frame never re-reads
+    // the stats files — the index can be deleted, appended, or
+    // re-thresholded after this call without changing the result (the
+    // incremental-dedup operators' contract, and what Q.withTempIndex
+    // requires of gate bodies)
+    val boiler = boilerplateSetFromStats(batch.sparkSession, statsPath,
+      grpCol, maxDocFrac, minGrpDocs).localCheckpoint(true)
+    applySet(batch, idCol, grpCol, idxCol, lineCol, boiler, broadcastSet)
   }
 }

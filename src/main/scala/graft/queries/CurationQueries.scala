@@ -63,22 +63,54 @@ object CurationQueries {
     * docs) are stripped; the alternating line (~50 %) and the unique
     * body survive — both the drop and the keep path are exercised. */
   def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id")
-    val docs = Tables.documents(s, dir).select(
-      d, col("source"),
-      array(
-        concat(lit("NAV "), col("source"), lit(" home login search")),
-        col("text"),
-        when(d % 2 === 0, "Share this article on social media")
-          .otherwise(lit("Sign up for our newsletter today")),
-        concat(lit("(c) 2026 "), col("source"))).as("lines"))
-    val lines = docs.select(d, col("source"),
-      posexplode(col("lines")).as(Seq("idx", "line")))
-    Boilerplate.stripLines(lines, "doc_id", "source", "idx", "line",
-        maxDocFrac = 0.6)
+    Boilerplate.stripLines(synthLines(s, dir), "doc_id", "source", "idx",
+        "line", maxDocFrac = 0.6)
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
+  }
+
+  /** The 4-line synthesized doc structure shared by [[qBoilerplate]]
+    * and [[qIncrementalBoilerplate]]: per-source nav header, body,
+    * alternating promo, per-source footer. */
+  private def synthLines(s: SparkSession, dir: String) = {
+    val d = col("doc_id")
+    Tables.documents(s, dir).select(
+        d, col("source"),
+        array(
+          concat(lit("NAV "), col("source"), lit(" home login search")),
+          col("text"),
+          when(d % 2 === 0, "Share this article on social media")
+            .otherwise(lit("Sign up for our newsletter today")),
+          concat(lit("(c) 2026 "), col("source"))).as("lines"))
+      .select(d, col("source"),
+        posexplode(col("lines")).as(Seq("idx", "line")))
+  }
+
+  /** Incremental boilerplate ([[Boilerplate.buildLineStats]] →
+    * [[Boilerplate.stripLinesIncrement]]): persist line statistics for
+    * an 80 % reference crawl, then strip a 20 % batch against the
+    * PERSISTED stats only — yesterday's chrome strips today's pages,
+    * today's text is the only text read. The split axis is
+    * `doc_id % 100 < 20` because `source` IS `doc_id % 20` in this
+    * testdata: a doc_id%5 split would put whole sources in the batch
+    * with zero index evidence (nothing stripped — a vacuous gate);
+    * %100<20 slices one-in-five docs from EVERY source, so the batch
+    * meets real per-source frequencies. Whole lifecycle (build → write
+    * → load → strip → delete) runs inside the gate, like the
+    * incremental dedup gates. */
+  def qIncrementalBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lines = synthLines(s, dir)
+    val isBatch = col("doc_id") % 100 < 20
+    Q.withTempIndex("graft-blstats") { idx =>
+      Boilerplate.buildLineStats(lines.where(!isBatch), "doc_id", "source",
+        "line", idx, org.apache.spark.sql.SaveMode.Overwrite)
+      Boilerplate.stripLinesIncrement(lines.where(isBatch), "doc_id",
+          "source", "idx", "line", idx, maxDocFrac = 0.6)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }
   }
 
   /** CCNet perplexity bucketing ([[LmScore.pplBuckets]]): score every
@@ -108,6 +140,7 @@ object CurationQueries {
   val all: Map[String, Q.QueryFn] = Map(
     "q_url_dedup" -> (qUrlDedup _),
     "q_boilerplate" -> (qBoilerplate _),
+    "q_incremental_boilerplate" -> (qIncrementalBoilerplate _),
     "q_ppl_bucket" -> (qPplBucket _),
     "q_epoch_shard" -> (qEpochShard _),
   )
@@ -173,6 +206,36 @@ object CurationQueries {
         |  string_agg(line, chr(10) ORDER BY idx) AS clean
         |  FROM kept GROUP BY doc_id),
         |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_lines, coalesce(rb.n_kept, 0) AS n_kept,
+        |  md5(coalesce(rb.clean, '')) AS clean_md5
+        |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+    // incremental form: bp frequencies come from the INDEX slice only
+    // (doc_id % 100 >= 20); the batch is stripped against them, and a
+    // line frequent only within the batch is kept (no index evidence)
+    "q_incremental_boilerplate" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, 0 AS idx,
+        |    'NAV ' || source || ' home login search' AS line FROM documents
+        |  UNION ALL SELECT doc_id, source, 1, text FROM documents
+        |  UNION ALL SELECT doc_id, source, 2,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Share this article on social media'
+        |         ELSE 'Sign up for our newsletter today' END FROM documents
+        |  UNION ALL SELECT doc_id, source, 3, '(c) 2026 ' || source FROM documents),
+        |lidx AS (SELECT * FROM l WHERE doc_id % 100 >= 20),
+        |lbat AS (SELECT * FROM l WHERE doc_id % 100 < 20),
+        |gs AS (SELECT source, count(distinct doc_id) AS n_grp FROM lidx GROUP BY source),
+        |f AS (SELECT source, line, count(distinct doc_id) AS n_docs
+        |  FROM lidx GROUP BY source, line),
+        |bp AS (SELECT f.source, f.line FROM f JOIN gs ON f.source = gs.source
+        |  WHERE n_grp >= 2 AND cast(n_docs AS double) >= 0.6 * n_grp),
+        |kept AS (SELECT lbat.doc_id, lbat.idx, lbat.line FROM lbat
+        |  LEFT JOIN bp ON lbat.source = bp.source AND lbat.line = bp.line
+        |  WHERE bp.line IS NULL),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY idx) AS clean
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lbat GROUP BY doc_id)
         |SELECT tot.doc_id, tot.n_lines, coalesce(rb.n_kept, 0) AS n_kept,
         |  md5(coalesce(rb.clean, '')) AS clean_md5
         |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id

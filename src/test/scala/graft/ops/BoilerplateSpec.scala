@@ -68,6 +68,43 @@ class BoilerplateSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental: 60% build + 20% Append ≡ one-shot 80% set; batch-only chrome kept") {
+    // lines over 10 docs in one group: header in ALL docs; body unique
+    val all = (1L to 10L).flatMap(i => Seq(
+      (i, "g", 0, "HDR"), (i, "g", 1, s"body $i"))).toDF("doc_id", "grp", "idx", "line")
+    val part60 = all.where(col("doc_id") <= 6)
+    val part20 = all.where(col("doc_id") > 6 && col("doc_id") <= 8)
+    val oneShot80 = all.where(col("doc_id") <= 8)
+    val batch = all.where(col("doc_id") > 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-blstats").toString
+    val inc = s"$dir/inc"; val one = s"$dir/one"
+    try {
+      Boilerplate.buildLineStats(part60, "doc_id", "grp", "line", inc)
+      Boilerplate.buildLineStats(part20, "doc_id", "grp", "line", inc,
+        org.apache.spark.sql.SaveMode.Append)
+      Boilerplate.buildLineStats(oneShot80, "doc_id", "grp", "line", one)
+      // counts are additive across batches (each doc in exactly one
+      // batch), so the folded index must equal the one-shot index
+      def set(p: String) = Boilerplate
+        .boilerplateSetFromStats(spark, p, "grp", 0.6)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(set(inc) == set(one))
+      // strip docs 9..10 against the folded stats: HDR (8/8 index docs)
+      // goes; bodies stay — including body 9/10, which the index never
+      // saw (batch-only lines keep, by design)
+      val out = Boilerplate.stripLinesIncrement(batch, "doc_id", "grp",
+          "idx", "line", inc, maxDocFrac = 0.6)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      assert(out == Seq((9L, 2L, 1L, "body 9"), (10L, 2L, 1L, "body 10")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+  }
+
   test("threshold validation and reserved columns") {
     intercept[IllegalArgumentException] {
       Boilerplate.boilerplateSet(lines, "doc_id", "grp", "line", 0.0)
