@@ -446,6 +446,53 @@ object Dedup {
     profileFromChunks(chunks, dup, idCol)
   }
 
+  /** Lee et al. 2022's REMOVAL step, chunk-granular: rebuild each doc's
+    * text WITHOUT its duplicated chunks (the profile above only scores
+    * them). A chunk is removed when its exact bytes occur in ≥ `minDocs`
+    * distinct docs; survivors are re-concatenated in original order and
+    * the sub-width tail (never hashed, never comparable) is always
+    * kept. Totality: every doc keeps a row — docs shorter than `width`
+    * have no chunks and pass through untouched; a doc whose every chunk
+    * was duplicated survives as just its tail.
+    *
+    * Scale shape matches the profile: both shuffles ride the 16-byte
+    * chunk hash, the duplicated-hash set is small (boilerplate-sized)
+    * so the anti-join broadcasts under AQE, and reassembly is one
+    * per-doc aggregation. The rebuild concatenation is an interpreted
+    * `aggregate` lambda but over ~len/width elements per row — not a
+    * per-token hot loop.
+    *
+    * @return (idCol, n_chunks, n_removed, clean_text) */
+  def removeDupChunks(docs: DataFrame, width: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    Reserved.requireAbsent("removeDupChunks",
+      Seq("__h", "__ci", "__nd", "__keep"), docs)
+    val indexed = docs.where(length(col(textCol)) >= width)
+      .select(col(idCol),
+        posexplode(chunkHashes(col(textCol), width)).as(Seq("__ci", "__h")))
+    val dup = indexed.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs).select("__h")
+    val keep = indexed.join(dup, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__ci"))).as("__keep"))
+    val text = col(textCol)
+    val nch = when(length(text) >= width,
+      floor((length(text) - lit(width)) / lit(width)).cast("int") + 1)
+      .otherwise(lit(0))
+    val keptIdx = coalesce(col("__keep"), array().cast("array<int>"))
+    val body = aggregate(keptIdx, lit(""),
+      (acc, i) => concat(acc, text.substr(i * lit(width) + 1, lit(width))))
+    val tail = text.substr(col("n_chunks") * lit(width) + 1, length(text))
+    docs.join(keep, Seq(idCol), "left")
+      .withColumn("n_chunks", nch)
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - size(keptIdx)).cast("long").as("n_removed"),
+        when(col("n_chunks") === 0, text)
+          .otherwise(concat(body, tail)).as("clean_text"))
+  }
+
   /** One (id, `__h`) row per full-width chunk of each doc — the single
     * definition of the chunk cut shared by the one-shot profile, the
     * index build, and the increment probe (the three must agree or

@@ -436,6 +436,16 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))
       .orderBy("doc_id")
 
+  /** Chunk-granular duplicate-TEXT removal ([[Dedup.removeDupChunks]]):
+    * the Lee et al. removal step completing q_substring_dup's profile —
+    * every duplicated 30-char chunk is cut out, survivors re-join in
+    * order, sub-width tails and short docs pass through whole. */
+  def qSubstringRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupChunks(Tables.documents(s, dir), width = 30)
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
   /** Substring-dup scoring of a 20 % increment against a persisted
     * chunk index of the other 80 % — the whole index lifecycle (build →
     * range-laid write → probe → delete) runs inside the gate. A chunk
@@ -514,6 +524,7 @@ object ExtensionQueries {
     "q_media_features" -> (qMediaFeatures _),
     "q_frame_sample" -> (qFrameSample _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_substring_removal" -> (qSubstringRemoval _),
     "q_incremental_substring" -> (qIncrementalSubstring _),
     "q_semdedup" -> (qSemDedup _),
     "q_dsir_select" -> (qDsirSelect _),
@@ -807,6 +818,30 @@ object ExtensionQueries {
         |  round(count(*) FILTER (d.h IS NOT NULL)::double / count(*)::double, 6) AS dup_frac
         |FROM c LEFT JOIN d ON c.h = d.h
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // removal twin: dup set by chunk TEXT equality where the engine
+    // uses md5(chunk) — identical absent a 128-bit collision (the
+    // exact-dedup stance); short docs and sub-width tails pass through
+    "q_substring_removal" ->
+      """WITH c AS (
+        |  SELECT doc_id, p, substring(text, p, 30) AS chunk
+        |  FROM documents, lateral unnest(range(1, greatest(length(text) - 29, 0) + 1, 30)) AS u(p)
+        |  WHERE length(text) >= 30),
+        |d AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT c.doc_id, c.p, c.chunk FROM c
+        |  LEFT JOIN d ON c.chunk = d.chunk WHERE d.chunk IS NULL),
+        |rb AS (SELECT doc_id, count(*) AS n_keep,
+        |  string_agg(chunk, '' ORDER BY p) AS body FROM k GROUP BY doc_id),
+        |nc AS (SELECT doc_id, text,
+        |  CASE WHEN length(text) >= 30
+        |    THEN cast(floor((length(text) - 30) / 30.0) AS int) + 1
+        |    ELSE 0 END AS n_chunks FROM documents)
+        |SELECT nc.doc_id, nc.n_chunks,
+        |  cast(nc.n_chunks - coalesce(rb.n_keep, 0) AS bigint) AS n_removed,
+        |  md5(CASE WHEN nc.n_chunks = 0 THEN nc.text
+        |       ELSE coalesce(rb.body, '') || substring(nc.text, nc.n_chunks * 30 + 1)
+        |       END) AS clean_md5
+        |FROM nc LEFT JOIN rb ON nc.doc_id = rb.doc_id
+        |ORDER BY nc.doc_id""".stripMargin,
     // the increment (doc_id % 5 = 0) scored against index ∪ batch is
     // exactly the whole-corpus dup-hash set, profile restricted to the
     // increment docs — same CTEs as q_substring_dup, filtered outer

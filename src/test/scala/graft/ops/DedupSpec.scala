@@ -149,4 +149,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L, 1.0)))      // both occurrences count
     assert(out(2L) == ((2L, 1L, 0.5)))
   }
+
+  test("removeDupChunks: duplicated chunks cut, order kept, tails and short docs whole") {
+    val A = "A" * 10; val B = "B" * 10; val C = "C" * 10
+    val d = Seq(
+      (1L, A + B + "xy"),  // A shared → removed; B unique + sub-width tail kept
+      (2L, A + C),         // A removed, C kept
+      (3L, "short"),       // < width → untouched, 0 chunks
+      (4L, A),             // every chunk duplicated → only the (empty) tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupChunks(d, width = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      1L -> ((2, 1L, B + "xy")),
+      2L -> ((2, 1L, C)),
+      3L -> ((0, 0L, "short")),
+      4L -> ((1, 1L, ""))))
+  }
 }
