@@ -69,6 +69,36 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Temperature re-weighting of a domain mixture (the τ-flattened
+    * sampling of DoReMi-adjacent pipelines and the multilingual
+    * mixing in GPT/LLaMA-style recipes): the trained mixture's share
+    * should be ∝ p^τ with τ < 1, which lifts tail domains and damps
+    * the head. The required per-domain replication factor is
+    * m_d ∝ p_d^(τ−1); normalized so the LARGEST domain keeps weight
+    * 1.0 it becomes w_d = (n_head / n_d)^(1−τ) — a pure function of
+    * two INTEGER counts, no share vector, no float summation whose
+    * addend order could differ across engines. Feed the result
+    * straight into [[upsampleByWeight]]. τ = 1 is identity; τ → 0
+    * approaches uniform. At τ = 0.5 the weight is sqrt(n_head/n_d),
+    * computed with `sqrt` (IEEE-754 correctly rounded, so bit-exact on
+    * any engine — the gate's configuration); other τ go through `pow`
+    * (±1 ulp, fine in-engine).
+    *
+    * `counts` is the per-domain token-count table — bounded by the
+    * number of domains, so the max-attach is a broadcast of one row.
+    * @return counts + (weight) */
+  def temperatureWeights(counts: DataFrame, countCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0,1]")
+    Reserved.requireAbsent("temperatureWeights", Seq("__n_head", "weight"), counts)
+    val head = counts.agg(max(col(countCol)).as("__n_head"))
+    val ratio = col("__n_head").cast("double") / col(countCol).cast("double")
+    val w = if (tau == 0.5) sqrt(ratio) else pow(ratio, 1.0 - tau)
+    counts.crossJoin(broadcast(head))
+      .withColumn("weight", w)
+      .drop("__n_head")
+  }
+
   /** Deterministic epoch shuffle + sharding — the last step before a
     * corpus feeds a trainer: every row gets a `shard` in [0, nShards)
     * and a 1-based `pos` within its shard, both pure functions of

@@ -127,6 +127,21 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Temperature mixture re-weighting ([[Sampling.temperatureWeights]]):
+    * per-source token totals, τ = 0.5 — the sqrt configuration, where
+    * the weight (n_head/n_d)^(1−τ) is a correctly-rounded IEEE sqrt of
+    * an integer ratio, bit-exact on any engine. */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+    Sampling.temperatureWeights(counts, "n_tokens", tau = 0.5)
+      .select(col("source"), col("n_tokens"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Deterministic epoch shuffle + shard ([[Sampling.shuffleShard]]):
     * seed 42, 8 shards — every (shard, pos, doc_id) is a pure function
     * of content, so the oracle replays the whole permutation. */
@@ -143,6 +158,7 @@ object CurationQueries {
     "q_incremental_boilerplate" -> (qIncrementalBoilerplate _),
     "q_ppl_bucket" -> (qPplBucket _),
     "q_epoch_shard" -> (qEpochShard _),
+    "q_mix_temperature" -> (qMixTemperature _),
   )
 
   // Oracle notes: the boilerplate oracle joins on line TEXT where the
@@ -271,6 +287,20 @@ object CurationQueries {
         |       WHEN cast(mean_p AS double) >= t_lo THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM mp JOIN th ON mp.lang = th.lang ORDER BY mp.doc_id""".stripMargin,
+    // τ=0.5 temperature weights: integer token counts per source, max
+    // attach, sqrt of an integer ratio — sqrt is IEEE correctly
+    // rounded, so the doubles agree bit-for-bit (no share-vector float
+    // sum whose addend ORDER could differ between engines; sum(len())
+    // needs the hugeint→bigint cast, the known DuckDB pitfall)
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source,
+        |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS bigint)
+        |    AS n_tokens
+        |  FROM documents GROUP BY source),
+        |h AS (SELECT max(n_tokens) AS nh FROM c)
+        |SELECT source, n_tokens,
+        |  round(sqrt(cast(nh AS double) / cast(n_tokens AS double)), 6) AS weight
+        |FROM c, h ORDER BY source""".stripMargin,
     "q_epoch_shard" ->
       """WITH h AS (SELECT doc_id,
         |    md5(cast(doc_id AS varchar) || ':42') AS h FROM documents),

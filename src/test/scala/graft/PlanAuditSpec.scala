@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
     "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
-    "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard")
+    "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
+    "q_substring_removal")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape

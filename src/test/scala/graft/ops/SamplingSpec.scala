@@ -80,6 +80,27 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("copy"))
   }
 
+  test("temperatureWeights: head stays 1.0, tails lift by (n_head/n)^(1-tau)") {
+    val counts = Seq(("web", 900L), ("wiki", 100L), ("code", 225L))
+      .toDF("domain", "n")
+    val w = Sampling.temperatureWeights(counts, "n", tau = 0.5)
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Double]("weight")).toMap
+    assert(w("web") == 1.0)           // largest domain is the anchor
+    assert(w("wiki") == 3.0)          // sqrt(900/100)
+    assert(w("code") == 2.0)          // sqrt(900/225)
+    // tau = 1 is identity — every weight 1.0 (no re-weighting)
+    val id = Sampling.temperatureWeights(counts, "n", tau = 1.0)
+      .collect().map(_.getAs[Double]("weight"))
+    assert(id.forall(_ == 1.0))
+    // monotone: lower tau lifts tails harder
+    val w03 = Sampling.temperatureWeights(counts, "n", tau = 0.3)
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Double]("weight")).toMap
+    assert(w03("wiki") > w("wiki") && w03("code") > w("code"))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(counts, "n", tau = 0.0)
+    }
+  }
+
   test("shuffleShard: a true partition — every row once, pos contiguous per shard") {
     val d = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
     val out = Sampling.shuffleShard(d, col("id"), seed = 7L, nShards = 8)
