@@ -209,6 +209,17 @@ object Soak {
       ops.Sampling.shuffleShard(docs.select("id"), col("id"), seed = 7L,
         nShards = 256).count()
     }
+    // chunk-granular substring family: both stages shuffle on the
+    // 16-byte chunk hash; removal adds the per-doc rebuild aggregation.
+    // Under decor each copy carries the BASE corpus's duplicated-chunk
+    // structure (all docs in a copy share that copy's markers), so the
+    // dup set is non-trivial and grows ∝ copies — linear, like pairs.
+    time("substring-dup profile (w=30)") {
+      ops.Dedup.substringDupProfile(docs, width = 30, idCol = "id").count()
+    }
+    time("substring-dup REMOVAL (w=30)") {
+      ops.Dedup.removeDupChunks(docs, width = 30, idCol = "id").count()
+    }
     docs.unpersist(blocking = false)
     }
     if (docsOnly) { spark.stop(); return }

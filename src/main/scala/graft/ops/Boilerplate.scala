@@ -52,12 +52,20 @@ object Boilerplate {
     * construction, broadcast-ready. */
   def boilerplateSet(lines: DataFrame, idCol: String, grpCol: String,
       lineCol: String, maxDocFrac: Double, minGrpDocs: Int = 2): DataFrame = {
-    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0, "maxDocFrac in (0,1]")
-    require(minGrpDocs >= 1, "minGrpDocs must be >= 1")
     val grpSizes = lines.select(col(grpCol), col(idCol)).distinct()
       .groupBy(grpCol).agg(count(lit(1)).as("__n_grp"))
-    lineDocFreq(lines, idCol, grpCol, lineCol)
-      .join(grpSizes, Seq(grpCol))
+    thresholdSet(lineDocFreq(lines, idCol, grpCol, lineCol), grpSizes,
+      grpCol, maxDocFrac, minGrpDocs)
+  }
+
+  /** The ONE definition of the boilerplate threshold, shared by the
+    * one-shot and from-stats paths so their semantics cannot drift:
+    * `freq` is (grpCol, line_md5, n_docs), `grps` is (grpCol, __n_grp). */
+  private def thresholdSet(freq: DataFrame, grps: DataFrame, grpCol: String,
+      maxDocFrac: Double, minGrpDocs: Int): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0, "maxDocFrac in (0,1]")
+    require(minGrpDocs >= 1, "minGrpDocs must be >= 1")
+    freq.join(grps, Seq(grpCol))
       .where(col("__n_grp") >= minGrpDocs &&
         col("n_docs").cast("double") >= lit(maxDocFrac) * col("__n_grp"))
       .select(col(grpCol), col("line_md5"))
@@ -142,16 +150,11 @@ object Boilerplate {
     * Re-aggregates on read so Append-folded parts sum correctly. */
   def boilerplateSetFromStats(spark: SparkSession, path: String,
       grpCol: String, maxDocFrac: Double, minGrpDocs: Int = 2): DataFrame = {
-    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0, "maxDocFrac in (0,1]")
-    require(minGrpDocs >= 1, "minGrpDocs must be >= 1")
     val freq = spark.read.parquet(s"$path/freq")
       .groupBy(grpCol, "line_md5").agg(sum("n_docs").as("n_docs"))
     val grps = spark.read.parquet(s"$path/grps")
       .groupBy(grpCol).agg(sum("n_docs_grp").as("__n_grp"))
-    freq.join(grps, Seq(grpCol))
-      .where(col("__n_grp") >= minGrpDocs &&
-        col("n_docs").cast("double") >= lit(maxDocFrac) * col("__n_grp"))
-      .select(col(grpCol), col("line_md5"))
+    thresholdSet(freq, grps, grpCol, maxDocFrac, minGrpDocs)
   }
 
   /** Strip a NEW batch against the persisted stats: the index corpus's

@@ -460,7 +460,12 @@ object Dedup {
     * so the anti-join broadcasts under AQE, and reassembly is one
     * per-doc aggregation. The rebuild concatenation is an interpreted
     * `aggregate` lambda but over ~len/width elements per row — not a
-    * per-token hot loop.
+    * per-token hot loop. Like the profile, this makes TWO passes over
+    * the chunk stream (dup-set build, then the anti-join) and re-hashes
+    * chunks on the second — deliberate: persisting a corpus-sized
+    * chunk stream to save one md5 pass is a worse trade at 100 TB than
+    * recomputing it (same stance as `substringDupProfile`'s documented
+    * two passes).
     *
     * @return (idCol, n_chunks, n_removed, clean_text) */
   def removeDupChunks(docs: DataFrame, width: Int = 30,

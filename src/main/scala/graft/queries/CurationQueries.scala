@@ -72,7 +72,19 @@ object CurationQueries {
 
   /** The 4-line synthesized doc structure shared by [[qBoilerplate]]
     * and [[qIncrementalBoilerplate]]: per-source nav header, body,
-    * alternating promo, per-source footer. */
+    * alternating promo, per-source footer. The promo alternates on
+    * `doc_id % 40 < 20` — NOT parity — because `source` is
+    * `doc_id % 20`: members of a source differ by multiples of 20, so
+    * they all SHARE a parity and a %2 promo would be constant (hence
+    * 100 % frequent, always stripped) within every source, never
+    * exercising the mid-frequency keep path (the same even-modulus
+    * trap caught in Soak's pseudo-site keying). With %40 the promo
+    * alternates doc-to-doc within each source: ~50 % < 0.6 → kept.
+    * Left unpersisted DELIBERATELY although stripLines scans it 4× —
+    * a persisted gate frame would be cache-hit by Bench's later reps
+    * of the identical plan and publish fake cheap timings (the r3
+    * leaked-persist lesson); the 4 scans of a synthesized explode ARE
+    * the honest measured cost. */
   private def synthLines(s: SparkSession, dir: String) = {
     val d = col("doc_id")
     Tables.documents(s, dir).select(
@@ -80,7 +92,7 @@ object CurationQueries {
         array(
           concat(lit("NAV "), col("source"), lit(" home login search")),
           col("text"),
-          when(d % 2 === 0, "Share this article on social media")
+          when(d % 40 < 20, "Share this article on social media")
             .otherwise(lit("Sign up for our newsletter today")),
           concat(lit("(c) 2026 "), col("source"))).as("lines"))
       .select(d, col("source"),
@@ -207,7 +219,7 @@ object CurationQueries {
         |    'NAV ' || source || ' home login search' AS line FROM documents
         |  UNION ALL SELECT doc_id, source, 1, text FROM documents
         |  UNION ALL SELECT doc_id, source, 2,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'Share this article on social media'
+        |    CASE WHEN doc_id % 40 < 20 THEN 'Share this article on social media'
         |         ELSE 'Sign up for our newsletter today' END FROM documents
         |  UNION ALL SELECT doc_id, source, 3, '(c) 2026 ' || source FROM documents),
         |gs AS (SELECT source, count(distinct doc_id) AS n_grp FROM l GROUP BY source),
@@ -235,7 +247,7 @@ object CurationQueries {
         |    'NAV ' || source || ' home login search' AS line FROM documents
         |  UNION ALL SELECT doc_id, source, 1, text FROM documents
         |  UNION ALL SELECT doc_id, source, 2,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'Share this article on social media'
+        |    CASE WHEN doc_id % 40 < 20 THEN 'Share this article on social media'
         |         ELSE 'Sign up for our newsletter today' END FROM documents
         |  UNION ALL SELECT doc_id, source, 3, '(c) 2026 ' || source FROM documents),
         |lidx AS (SELECT * FROM l WHERE doc_id % 100 >= 20),
