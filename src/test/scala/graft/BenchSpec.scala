@@ -48,9 +48,9 @@ class BenchSpec extends AnyFunSuite {
     // an early-warning to re-budget consciously (shave per-query
     // precision or move a field to the fidelity file), never a
     // truncation discovered in the next round's BENCH file.
-    // 85 queries with the "q_" key prefix stripped from the line
+    // 88 queries with the "q_" key prefix stripped from the line
     // (~160 bytes reclaimed — the room that admitted the r8 curation
-    // queries): worst case 1789.
+    // queries): worst case ~1880 (run the test to see the live number).
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 3, 99.999, 99.999, "32",

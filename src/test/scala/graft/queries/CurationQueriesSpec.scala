@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the curation gates' FIXTURE LIVENESS — the guard against the
+  * vacuous-coverage class found in review: `source` is `doc_id % 20`
+  * in the testdata, so any synthesized "varies within a source" axis
+  * keyed on an even modulus is secretly CONSTANT per source, and the
+  * code path it exists to exercise never runs while the oracle (same
+  * arithmetic) stays green. These tests fail by name if a testdata
+  * regeneration (the r4→r6 drift precedent) or a fixture edit makes a
+  * gate vacuous again, even though correctness would still read 100 %. */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("boilerplate gates exercise BOTH paths: strip (header/footer) AND keep (promo)") {
+    // n_kept == 2 everywhere: body + promo survive, header + footer
+    // stripped. n_kept == 1 would mean the promo went 100%-frequent
+    // per source again (keep path dead); 3+ would mean chrome survived.
+    val one = CurationQueries.qBoilerplate(spark, sfDir)
+      .agg(min("n_kept"), max("n_kept")).head()
+    assert((one.getLong(0), one.getLong(1)) == ((2L, 2L)),
+      s"q_boilerplate n_kept range ${(one.getLong(0), one.getLong(1))} — " +
+        "the mid-frequency keep path or the strip path went vacuous")
+    val inc = CurationQueries.qIncrementalBoilerplate(spark, sfDir)
+      .agg(min("n_kept"), max("n_kept"), count(lit(1))).head()
+    assert((inc.getLong(0), inc.getLong(1)) == ((2L, 2L)),
+      "q_incremental_boilerplate keep/strip paths must both be live")
+    assert(inc.getLong(2) > 0, "incremental batch slice must be non-empty")
+  }
+
+  test("url gate exercises collisions: some canonical keys collapse multiple raw spellings") {
+    val r = CurationQueries.qUrlDedup(spark, sfDir)
+      .agg(max("n_urls"), max("n_raw"), count(lit(1))).head()
+    assert(r.getLong(0) > 1, "no canonical key collapsed >1 crawl variant — " +
+      "the normalization rules are not being exercised")
+    assert(r.getLong(1) > 1, "no canonical key collapsed >1 DISTINCT raw " +
+      "spelling — the variant synthesis went constant")
+  }
+
+  test("ppl buckets split every language three ways (no degenerate distribution)") {
+    val perLang = CurationQueries.qPplBucket(spark, sfDir)
+      .groupBy("lang").agg(countDistinct("bucket").as("nb"))
+      .where(col("nb") < 3).count()
+    assert(perLang == 0,
+      "a language with <3 distinct buckets means its score distribution " +
+        "degenerated and the tercile logic is untested there")
+  }
+}
