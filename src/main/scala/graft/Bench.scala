@@ -29,8 +29,8 @@ object Bench {
     * worst-case length of this line for the full query inventory under
     * the cap. */
   private[graft] def statLine(results: Seq[(String, Double)], reps: Int,
-      warmupS: Double, load1m: Double, cpus: String, sfName: String,
-      fullPath: String, errors: Seq[(String, String)], totalMed: Double,
+      warmupS: Double, load1m: Double, sfName: String,
+      errors: Seq[(String, String)], totalMed: Double,
       total: Double): String = {
     // the redundant "q_" prefix (79 of the 85 names) is stripped from
     // the LINE's keys only — ~160 bytes of the ~1956-byte budget, the
@@ -43,18 +43,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
-    // free-text fields are escaped AND bounded: an override path with a
-    // quote/backslash must not corrupt the JSON, and a long absolute
-    // path must not eat the line's ~30-byte headroom and reintroduce
-    // the r7 head truncation — so "full" carries only the (escaped,
-    // capped) file NAME; whoever overrode SPARK_GRAFT_BENCH_FULL knows
-    // the directory they chose
+    // free-text fields are escaped AND bounded: a hostile sf name with
+    // a quote/backslash must not corrupt the JSON or bloat the capped
+    // line. ("full" and "cpus" moved to the fidelity file when the
+    // 89th query outgrew the budget — the fidelity file name is the
+    // stable default, and cpus is an invocation constant.)
     def safe(s: String): String =
       s.map(c => if (c == '"' || c == '\\' || c < ' ') '_' else c)
-    // lastOption: Java split drops trailing empties, so an all-slash
-    // path ("/", "///") splits to an EMPTY array and .last would throw
-    // here — after all queries ran, losing the entire result line
-    val fullName = safe(fullPath.split('/').lastOption.getOrElse(fullPath).takeRight(40))
     val sfShort = safe(sfName.takeRight(24))
     // "stat":"min3+med5": single-plan rows publish min-of-3, the 8
     // multi-job rows publish median-of-5 (expanded in the fidelity file
@@ -63,8 +58,8 @@ object Bench {
     // budget and r7's spread map is what pushed the line over the cap
     s"""{"metric":"total","unit":"sec","qpfx":"q_","queries":$qs,""" +
       s""""n_queries":${results.size},"stat":"min$reps+med5",""" +
-      s""""warm_s":${fq(warmupS)},"load1m":${fq(load1m)},"cpus":$cpus,""" +
-      s""""sf":"$sfShort","full":"$fullName",""" +
+      s""""warm_s":${fq(warmupS)},"load1m":${fq(load1m)},""" +
+      s""""sf":"$sfShort",""" +
       s""""errors":$errs,"n_errors":${errors.size},""" +
       s""""total_med":${f(totalMed)},"value":${f(total)}}"""
   }
@@ -176,8 +171,8 @@ $errRows
     val fidelityPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fidelityPath), fullJson)
     catch { case e: Throwable => println(s"[bench] fidelity write failed: ${e.getMessage}") }
-    println(statLine(results.toSeq, reps, warmupS, load1m, cpus,
-      sfDir.split('/').lastOption.getOrElse(sfDir), fidelityPath,
+    println(statLine(results.toSeq, reps, warmupS, load1m,
+      sfDir.split('/').lastOption.getOrElse(sfDir),
       errors.toSeq, totalMed, total))
     spark.stop()
   }

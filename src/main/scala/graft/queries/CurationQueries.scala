@@ -164,7 +164,35 @@ object CurationQueries {
       .select(col("shard"), col("pos").cast("long").as("pos"), col("doc_id"))
       .orderBy("shard", "pos")
 
+  /** The full mixture → epochs hand-off, composed end-to-end:
+    * per-source token counts → τ=0.5 temperature weights
+    * ([[Sampling.temperatureWeights]] — sqrt-exact) → fractional
+    * content-hash upsampling ([[Sampling.upsampleByWeight]]) →
+    * deterministic epoch sharding over (doc, copy) composite keys
+    * ([[Sampling.shuffleShard]]) → per-(shard, source) manifest.
+    * One oracle replays the whole chain; every intermediate value is
+    * either integer or a correctly-rounded IEEE double, so the
+    * composition is bit-exact like its parts. */
+  def qTrainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source")
+      .agg(sum(size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+    val w = Sampling.temperatureWeights(counts, "n_tokens", tau = 0.5)
+      .select(col("source"), col("weight"))
+    val up = Sampling.upsampleByWeight(
+      docs.join(broadcast(w), Seq("source")), col("weight"), col("text"))
+    val keyed = up.select(col("doc_id"), col("source"),
+      concat(col("doc_id").cast("string"), lit("#"),
+        col("copy").cast("string")).as("k"))
+    Sampling.shuffleShard(keyed, col("k"), seed = 7L, nShards = 8)
+      .groupBy("shard", "source")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("shard", "source")
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
+    "q_train_mix" -> (qTrainMix _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_incremental_boilerplate" -> (qIncrementalBoilerplate _),
@@ -299,6 +327,32 @@ object CurationQueries {
         |       WHEN cast(mean_p AS double) >= t_lo THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM mp JOIN th ON mp.lang = th.lang ORDER BY mp.doc_id""".stripMargin,
+    // the full composition: weights (UNROUNDED sqrt — the chain needs
+    // the exact double), permille-resolved fractional copies (the
+    // q_mix_upsample replay), composite (doc#copy) shard keys (the
+    // q_epoch_shard replay, seed 7)
+    "q_train_mix" ->
+      """WITH c AS (SELECT source,
+        |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS bigint)
+        |    AS n_tokens
+        |  FROM documents GROUP BY source),
+        |h AS (SELECT max(n_tokens) AS nh FROM c),
+        |w AS (SELECT source, sqrt(cast(nh AS double) / cast(n_tokens AS double)) AS w
+        |  FROM c, h),
+        |t AS (SELECT d.doc_id, d.source, w.w,
+        |  ('0x' || substr(md5(coalesce(d.text, '')), 1, 8))::bigint % 1000 AS bucket
+        |  FROM documents d JOIN w ON d.source = w.source),
+        |cc AS (SELECT doc_id, source,
+        |  cast(floor(w) + CASE WHEN bucket < cast(round((w - floor(w)) * 1000) AS bigint)
+        |    THEN 1 ELSE 0 END AS int) AS n FROM t),
+        |e AS (SELECT doc_id, source, unnest(range(n)) AS copy FROM cc WHERE n > 0),
+        |k AS (SELECT doc_id, source,
+        |  cast(doc_id AS varchar) || '#' || cast(copy AS varchar) AS kk FROM e),
+        |sh AS (SELECT doc_id, source,
+        |  cast(('0x' || substr(md5(kk || ':7'), 1, 8))::bigint % 8 AS int) AS shard
+        |  FROM k)
+        |SELECT shard, source, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM sh GROUP BY shard, source ORDER BY shard, source""".stripMargin,
     // τ=0.5 temperature weights: integer token counts per source, max
     // attach, sqrt of an integer ratio — sqrt is IEEE correctly
     // rounded, so the doubles agree bit-for-bit (no share-vector float

@@ -48,13 +48,13 @@ class BenchSpec extends AnyFunSuite {
     // an early-warning to re-budget consciously (shave per-query
     // precision or move a field to the fidelity file), never a
     // truncation discovered in the next round's BENCH file.
-    // 88 queries with the "q_" key prefix stripped from the line
-    // (~160 bytes reclaimed — the room that admitted the r8 curation
-    // queries): worst case ~1880 (run the test to see the live number).
+    // 89 queries, "q_" key prefix stripped, "full"/"cpus" moved to the
+    // fidelity file when the 89th query outgrew the old budget: worst
+    // case ~1915; the pin still fires one added query (~25 B) early.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
-    val line = Bench.statLine(results, 3, 99.999, 99.999, "32",
-      "sf0.1", "BENCH_FULL.json", Nil, 9999.999, 9999.999)
+    val line = Bench.statLine(results, 3, 99.999, 99.999,
+      "sf0.1", Nil, 9999.999, 9999.999)
     assert(line.length <= 1930,
       s"stat line worst case is ${line.length} bytes — the ~1956-byte " +
         "usable budget (2 KB cap minus sbt epilogue) would truncate it; " +
@@ -66,7 +66,7 @@ class BenchSpec extends AnyFunSuite {
     assert(stripped.distinct.size == stripped.size,
       "two inventory names differ only by the q_ prefix — line keys would collide")
     val line = Bench.statLine(Seq("q_x" -> 0.5, "q1_agg" -> 0.3), 3, 1, 1,
-      "32", "sf0.1", "BENCH_FULL.json", Nil, 0.8, 0.8)
+      "sf0.1", Nil, 0.8, 0.8)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
     assert(node.get("qpfx").asText == "q_")
@@ -77,7 +77,7 @@ class BenchSpec extends AnyFunSuite {
   test("stat line is valid JSON with the driver-contract fields") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val line = Bench.statLine(Seq("q1_agg" -> 0.37, "q_x" -> 12.0),
-      3, 4.5, 1.2, "32", "sf0.1", "BENCH_FULL.json",
+      3, 4.5, 1.2, "sf0.1",
       Seq("q_bad" -> "boom \"quoted\" \\ msg"), 12.4, 12.37)
     val node = om.readTree(line)
     assert(node.get("metric").asText == "total")
@@ -92,14 +92,12 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("warm_s").asDouble == 4.5)
   }
 
-  test("hostile or long fidelity paths can neither corrupt nor bloat the line") {
+  test("hostile or long sf names can neither corrupt nor bloat the line") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val evil = "/tmp/we\"ird\\dir/" + ("x" * 100) + "\"quote\\.json"
-    val line = Bench.statLine(Seq("q1_agg" -> 0.37), 3, 4.5, 1.2, "32",
-      "a\"b\\c" + ("y" * 50), evil, Nil, 0.4, 0.37)
+    val line = Bench.statLine(Seq("q1_agg" -> 0.37), 3, 4.5, 1.2,
+      "a\"b\\c" + ("y" * 50), Nil, 0.4, 0.37)
     val node = om.readTree(line) // must parse — quotes/backslashes neutralized
-    assert(node.get("full").asText.length <= 40, "full field must stay bounded")
     assert(node.get("sf").asText.length <= 24, "sf field must stay bounded")
-    assert(!node.get("full").asText.contains("\"") && !node.get("full").asText.contains("\\"))
+    assert(!node.get("sf").asText.contains("\"") && !node.get("sf").asText.contains("\\"))
   }
 }

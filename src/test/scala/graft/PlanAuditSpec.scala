@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
     "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
     "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
-    "q_substring_removal")
+    "q_substring_removal", "q_train_mix", "q_mix_temperature")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -38,7 +38,11 @@ class PlanAuditSpec extends SparkSpec {
     // CC/verify stages join candidate pairs on id inequality
     "q_minhash_lsh", "q_simhash", "q_dedup_exact", "q_corpus_pipeline",
     // bounded 5×17 synthetic-dim range() cross building the grid fixture
-    "q_rain_pipeline")
+    "q_rain_pipeline",
+    // temperatureWeights' max-attach: a ONE-ROW broadcast cross join
+    // (scalar attach) — BNLJ with a single-row build side is O(n) and
+    // the correct plan, not a degradation
+    "q_mix_temperature", "q_train_mix")
 
   // Per-query Try, NOT a shared all-or-nothing build: in r6 one query's
   // analysis failure (the NTZ regression) poisoned this map and failed

@@ -40,6 +40,17 @@ class CurationQueriesSpec extends SparkSpec {
       "spelling — the variant synthesis went constant")
   }
 
+  test("train-mix composition is live: real upsampling, all shards populated") {
+    val r = CurationQueries.qTrainMix(spark, sfDir)
+      .agg(sum("n").as("rows_out"), countDistinct("shard").as("shards"))
+      .head()
+    // 500 input docs; temperature weights > 1 for every non-head source
+    // must produce genuine replicas, and the composite (doc#copy) keys
+    // must spread over all 8 shards
+    assert(r.getLong(0) > 500, s"no upsampling happened (rows_out=${r.getLong(0)})")
+    assert(r.getLong(1) == 8L, s"only ${r.getLong(1)}/8 shards populated")
+  }
+
   test("ppl buckets split every language three ways (no degenerate distribution)") {
     val perLang = CurationQueries.qPplBucket(spark, sfDir)
       .groupBy("lang").agg(countDistinct("bucket").as("nb"))
