@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Bpe]] on the classic hand-computable corpus (Sennrich et al.
+  * 2016's low/lower/newest/widest example): exact merge order under the
+  * deterministic tie rule, subword generalization to unseen words,
+  * corpus tokenization ≡ the per-word reference, and the round-trip
+  * concatenation identity. Spec-pinned because the iterative merge loop
+  * has no replayable-SQL oracle (stance documented on the object). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+    "widest" -> 3L)
+
+  test("train: exact merge sequence on the classic corpus, deterministic") {
+    val merges = Bpe.train(freq, 4)
+    // hand-derived under (max count, then lexicographically smallest):
+    // round 1: (e,s)=9 ties (s,t</w>)=9 → (e,s); round 2: (es,t</w>)=9;
+    // round 3: (l,o)=7; round 4: (e,w)=6 ties (n,e),(w,est</w>) → (e,w)
+    assert(merges == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+    assert(Bpe.train(freq, 4) == merges, "training must be deterministic")
+    assert(Bpe.train(freq, 0).isEmpty)
+    // early stop: no adjacent pair reaches count 2 → no merges invented
+    assert(Bpe.train(Map("ab" -> 1L, "cd" -> 1L), 10).isEmpty)
+  }
+
+  test("applyMerges: learned subwords generalize to an UNSEEN word") {
+    val merges = Bpe.train(freq, 4)
+    // "lowest" was never in the corpus; es→est</w>→lo apply by rank
+    assert(Bpe.applyMerges("lowest", merges) == Seq("lo", "w", "est</w>"))
+    assert(Bpe.applyMerges("newest", merges) == Seq("n", "ew", "est</w>"))
+    assert(Bpe.applyMerges("low", merges) == Seq("lo", "w</w>"))
+    // fully OOV characters stay character-split
+    assert(Bpe.applyMerges("zq", merges) == Seq("z", "q</w>"))
+  }
+
+  test("tokenize: corpus path ≡ per-word reference; round-trip identity") {
+    val merges = Bpe.train(freq, 4)
+    val docs = Seq((1L, "low lowest"), (2L, "newest zq")).toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos", "sub_pos")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    val expected = for {
+      (id, text) <- Seq((1L, "low lowest"), (2L, "newest zq"))
+      (w, pos) <- text.split("\\s+").toSeq.zipWithIndex
+      (sub, sp) <- Bpe.applyMerges(w, merges).zipWithIndex
+    } yield (id, pos, sp, sub)
+    assert(out == expected)
+    // round trip: per (doc, word), concatenating subwords and dropping
+    // the sentinel reproduces the word exactly
+    val rt = out.groupBy(t => (t._1, t._2)).values.map { g =>
+      g.sortBy(_._3).map(_._4).mkString.stripSuffix(Bpe.EndOfWord)
+    }.toSet
+    assert(rt == Set("low", "lowest", "newest", "zq"))
+  }
+
+  test("wordFreqs: one bounded table, lowercased, multiplicity kept") {
+    val docs = Seq((1L, "Low low NEWEST"), (2L, "low")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreqs(docs, "text").as[(String, Long)].collect().toMap
+    assert(wf == Map("low" -> 3L, "newest" -> 1L))
+  }
+}
