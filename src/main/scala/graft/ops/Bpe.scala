@@ -36,8 +36,14 @@ object Bpe {
 
   /** End-of-word sentinel appended to each word's final symbol (the
     * Sennrich convention: "est" mid-word and "est</w>" word-final are
-    * different statistics). Chosen outside the tokenizer's own
-    * alphabet. */
+    * different statistics). NOT collision-proof by magic: merges can
+    * assemble the same string from literal corpus characters (an
+    * HTML-heavy corpus full of tag fragments), which would conflate a
+    * text symbol with the word boundary — so [[train]] and
+    * [[tokenize]] FAIL FAST on any word containing the sentinel as a
+    * substring (the [[Reserved]] loud-failure stance), and corpora
+    * where that fires should pass a custom sentinel (e.g. a
+    * private-use character like "\uE000") instead. */
   val EndOfWord = "</w>"
 
   /** One corpus scan → (word, n) frequency table. Lowercased,
@@ -47,37 +53,78 @@ object Bpe {
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** A word as its initial symbol sequence: one symbol per character,
-    * end-of-word sentinel glued to the last. */
-  private def initSymbols(word: String): Vector[String] = {
-    val chars = word.map(_.toString).toVector
-    if (chars.isEmpty) Vector.empty
-    else chars.init :+ (chars.last + EndOfWord)
+  private def requireNoSentinel(word: String, eow: String): Unit = {
+    require(eow.nonEmpty, "end-of-word sentinel must be non-empty")
+    require(!word.contains(eow),
+      s"word '$word' contains the end-of-word sentinel '$eow' — merges " +
+        "could assemble a symbol indistinguishable from the word " +
+        "boundary; pass a sentinel outside the corpus alphabet " +
+        "(e.g. \"\\uE000\")")
+  }
+
+  /** A word as its initial symbol sequence: one symbol per CODE POINT
+    * (not UTF-16 char — a non-BMP character split into lone surrogates
+    * would be mangled by the String→UTF8String conversion on the way
+    * back into Spark, breaking the round-trip identity), end-of-word
+    * sentinel glued to the last. */
+  private def initSymbols(word: String, eow: String): Vector[String] = {
+    val cps = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+    if (cps.isEmpty) Vector.empty
+    else cps.init :+ (cps.last + eow)
   }
 
   /** Learn `numMerges` merges from a word-frequency table. Each round
     * merges the globally most frequent adjacent symbol pair (ties
     * broken lexicographically, so training is DETERMINISTIC — real
     * trainers do the same for reproducible vocabularies). Stops early
-    * when no pair occurs twice. Pure Scala over the bounded vocab. */
-  def train(wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    * when no pair occurs twice.
+    *
+    * Pair counts are maintained INCREMENTALLY (the real-trainer shape):
+    * a merge round touches only the words that contain the chosen pair
+    * — subtract their old adjacency contributions, rewrite, add the new
+    * ones — instead of recounting the whole vocabulary per round, which
+    * would be O(numMerges × total symbols) and prohibitive at a
+    * 10⁶-word vocabulary × 32 k merges. */
+  def train(wordFreq: Map[String, Long], numMerges: Int,
+      eow: String = EndOfWord): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
-    var words: Vector[(Vector[String], Long)] =
-      wordFreq.iterator.map { case (w, n) => (initSymbols(w), n) }.toVector
+    wordFreq.keys.foreach(requireNoSentinel(_, eow))
+    val words = mutable.ArrayBuffer.empty[(Vector[String], Long)]
+    wordFreq.foreach { case (w, n) => words += ((initSymbols(w, eow), n)) }
+    val counts = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    // pair → indices of words that contained it when registered; stale
+    // entries (the word has since merged past the pair) are harmless —
+    // the delta arithmetic below is exact and a dead pair's count is 0
+    val where = mutable.Map[(String, String), mutable.Set[Int]]()
+    def register(i: Int, sign: Long): Unit = {
+      val (syms, n) = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts(p) += sign * n
+        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(register(_, 1L))
     val merges = mutable.ArrayBuffer[(String, String)]()
     var continue = numMerges > 0
     while (continue && merges.size < numMerges) {
-      val counts = mutable.Map[(String, String), Long]().withDefaultValue(0L)
-      for ((syms, n) <- words; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) += n
-      val best = counts.filter(_._2 >= 2L)
-      if (best.isEmpty) continue = false
+      counts.filterInPlace((_, c) => c > 0L) // purge dead pairs
+      val live = counts.filter(_._2 >= 2L)
+      if (live.isEmpty) continue = false
       else {
         // highest count; ties → lexicographically smallest pair —
         // fully deterministic
-        val pair = best.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val pair = live.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += pair
-        words = words.map { case (syms, n) => (mergePair(syms, pair), n) }
+        for (i <- where.getOrElse(pair, mutable.Set.empty[Int]).toSeq) {
+          register(i, -1L)
+          words(i) = (mergePair(words(i)._1, pair), words(i)._2)
+          register(i, 1L)
+        }
+        where.remove(pair)
       }
     }
     merges.toSeq
@@ -97,12 +144,22 @@ object Bpe {
   }
 
   /** Tokenize ONE word with a learned merge table: start from
-    * characters, apply the lowest-rank applicable merge until none
-    * applies (the GPT-2 apply rule — rank order, not training order
-    * per word, though for BPE the two coincide). */
-  def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    val rank = merges.zipWithIndex.toMap
-    var syms = initSymbols(word)
+    * code-point symbols, apply the lowest-rank applicable merge until
+    * none applies (the GPT-2 apply rule — rank order, not training
+    * order per word, though for BPE the two coincide). Convenience
+    * form; bulk callers use [[applyMergesRanked]] with ONE prebuilt
+    * rank map — rebuilding it per word would cost O(|merges|) hash
+    * inserts per vocabulary entry and dominate the actual merge
+    * work. */
+  def applyMerges(word: String, merges: Seq[(String, String)],
+      eow: String = EndOfWord): Seq[String] =
+    applyMergesRanked(word, merges.toVector, merges.zipWithIndex.toMap, eow)
+
+  private[graft] def applyMergesRanked(word: String,
+      merges: Vector[(String, String)], rank: Map[(String, String), Int],
+      eow: String): Seq[String] = {
+    requireNoSentinel(word, eow)
+    var syms = initSymbols(word, eow)
     var done = syms.length < 2
     while (!done) {
       val cands = (0 until syms.length - 1)
@@ -122,7 +179,7 @@ object Bpe {
     * `pos` 0-based over the doc's word stream, `sub_pos` within the
     * word. The merge table rides the closure (KB-scale). */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], eow: String = EndOfWord): DataFrame = {
     Reserved.requireAbsent("tokenize", Seq("word", "pos", "subword", "sub_pos"), docs)
     val spark = docs.sparkSession
     val words = docs
@@ -131,8 +188,12 @@ object Bpe {
       .where(length(col("word")) > 0)
     val vocab = words.select("word").distinct()
     import spark.implicits._
+    // merge table + rank map built ONCE and shipped in the closure
+    // (KB-scale) — never rebuilt per word
+    val mergeVec = merges.toVector
+    val rank = mergeVec.zipWithIndex.toMap
     val table = vocab.as[String].mapPartitions { it =>
-      it.map(w => (w, applyMerges(w, merges)))
+      it.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow)))
     }.toDF("word", "subwords")
     words.join(broadcast(table), Seq("word"))
       .select(col(idCol), col("pos"),

@@ -139,16 +139,21 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source token totals — the ONE definition shared by
+    * [[qMixTemperature]] and [[qTrainMix]] (their oracles replay the
+    * same counts; two inline copies could drift). */
+  private def sourceTokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+
   /** Temperature mixture re-weighting ([[Sampling.temperatureWeights]]):
     * per-source token totals, τ = 0.5 — the sqrt configuration, where
     * the weight (n_head/n_d)^(1−τ) is a correctly-rounded IEEE sqrt of
     * an integer ratio, bit-exact on any engine. */
   def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(s, dir)
-      .groupBy("source")
-      .agg(sum(size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
-        .as("n_tokens"))
-    Sampling.temperatureWeights(counts, "n_tokens", tau = 0.5)
+    Sampling.temperatureWeights(sourceTokenCounts(s, dir), "n_tokens", tau = 0.5)
       .select(col("source"), col("n_tokens"),
         round(col("weight"), 6).as("weight"))
       .orderBy("source")

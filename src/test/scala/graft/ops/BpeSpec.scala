@@ -57,6 +57,38 @@ class BpeSpec extends SparkSpec {
     assert(rt == Set("low", "lowest", "newest", "zq"))
   }
 
+  test("non-BMP characters stay whole code points (no lone surrogates)") {
+    // U+1D11E (𝄞) is a surrogate pair in UTF-16; per-char splitting
+    // would emit lone surrogates that Spark's UTF8String conversion
+    // mangles — symbols must be code points
+    val merges = Bpe.train(freq, 4)
+    val subs = Bpe.applyMerges("𝄞clef", merges)
+    assert(subs.head == "𝄞", "leading symbol must be the full code point")
+    assert(subs.mkString.stripSuffix(Bpe.EndOfWord) == "𝄞clef")
+    // and through the corpus path: round-trip survives Spark's string
+    // round-trip (the actual corruption site)
+    val docs = Seq((1L, "𝄞clef")).toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .orderBy("sub_pos").select("subword").as[String].collect()
+    assert(out.mkString.stripSuffix(Bpe.EndOfWord) == "𝄞clef")
+  }
+
+  test("sentinel collision fails fast instead of conflating word boundaries") {
+    // a word CONTAINING the sentinel string could merge into a symbol
+    // indistinguishable from the boundary — loud failure, with a custom
+    // sentinel as the escape hatch
+    intercept[IllegalArgumentException] {
+      Bpe.train(Map("x</w>y" -> 3L), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.applyMerges("a</w>b", Seq.empty)
+    }
+    val custom = Bpe.train(Map("x</w>y" -> 3L, "x</w>z" -> 2L), 3, eow = "")
+    assert(custom.nonEmpty, "custom sentinel unblocks sentinel-bearing corpora")
+    assert(Bpe.applyMerges("x</w>y", custom, eow = "")
+      .mkString.stripSuffix("") == "x</w>y")
+  }
+
   test("wordFreqs: one bounded table, lowercased, multiplicity kept") {
     val docs = Seq((1L, "Low low NEWEST"), (2L, "low")).toDF("doc_id", "text")
     val wf = Bpe.wordFreqs(docs, "text").as[(String, Long)].collect().toMap
