@@ -220,6 +220,20 @@ object Soak {
     time("substring-dup REMOVAL (w=30)") {
       ops.Dedup.removeDupChunks(docs, width = 30, idCol = "id").count()
     }
+    // BPE: one corpus scan to word freqs (vocab-bounded), driver merge
+    // loop, then per-DISTINCT-word tokenization via broadcast table —
+    // corpus size should move the scan+join stages, never the train
+    val bpeFreq = time("bpe word freqs") {
+      ops.Bpe.wordFreqs(docs, "text").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    println(s"[soak] bpe vocab: ${bpeFreq.size} words")
+    val bpeMerges = time("bpe train (200 merges)") {
+      ops.Bpe.train(bpeFreq, 200)
+    }
+    time("bpe tokenize corpus") {
+      ops.Bpe.tokenize(docs, "id", "text", bpeMerges).count()
+    }
     docs.unpersist(blocking = false)
     }
     if (docsOnly) { spark.stop(); return }
