@@ -228,11 +228,16 @@ object Soak {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
     println(s"[soak] bpe vocab: ${bpeFreq.size} words")
+    // private-use sentinel: the soak points at ARBITRARY corpora via
+    // SPARK_GRAFT_SF_DIR, and the default "</w>" sentinel fails fast on
+    // text containing it literally (HTML fragments) — which would abort
+    // the run after all the expensive earlier stages
+    val bpeEow = ""
     val bpeMerges = time("bpe train (200 merges)") {
-      ops.Bpe.train(bpeFreq, 200)
+      ops.Bpe.train(bpeFreq, 200, eow = bpeEow)
     }
     time("bpe tokenize corpus") {
-      ops.Bpe.tokenize(docs, "id", "text", bpeMerges).count()
+      ops.Bpe.tokenize(docs, "id", "text", bpeMerges, eow = bpeEow).count()
     }
     docs.unpersist(blocking = false)
     }
