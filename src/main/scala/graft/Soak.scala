@@ -224,8 +224,10 @@ object Soak {
     // loop, then per-DISTINCT-word tokenization via broadcast table —
     // corpus size should move the scan+join stages, never the train
     val bpeFreq = time("bpe word freqs") {
-      ops.Bpe.wordFreqs(docs, "text").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the guarded collect (minFreq/topN pruning + loud size cap) —
+      // the soak's corpora are synthetic and small-vocabulary, but the
+      // soak should exercise the production entry point
+      ops.Bpe.collectWordFreqs(ops.Bpe.wordFreqs(docs, "text"))
     }
     println(s"[soak] bpe vocab: ${bpeFreq.size} words")
     // private-use sentinel: the soak points at ARBITRARY corpora via

@@ -53,6 +53,38 @@ object Bpe {
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
+  /** Driver-side materialization of a [[wordFreqs]]-shaped table (word,
+    * n) for [[train]], with the pruning every real trainer applies: a
+    * clean natural-language vocabulary is ~10⁶ words, but a web crawl's
+    * whitespace vocabulary is heavy-tailed (URLs, hashes, typos —
+    * 10⁸–10⁹ distinct "words"), which would blow the collect. `minFreq`
+    * drops the rare tail, `topN` caps what survives (most frequent
+    * first; ties broken by word, so pruning is deterministic) — via
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject, a
+    * per-partition top-k merge, never a single-reducer sort. Pruned
+    * words simply contribute no training statistics; at apply time they
+    * still tokenize through whatever merges the kept vocabulary learned,
+    * falling back to character symbols (standard BPE practice — BpeSpec
+    * pins the round-trip). The collect itself is guarded LOUDLY: a
+    * `topN` above `maxCollect` fails fast instead of silently OOMing
+    * the driver (the [[Reserved]] fail-fast stance). */
+  def collectWordFreqs(wf: DataFrame, minFreq: Long = 1L,
+      topN: Int = 1 << 20, maxCollect: Int = 8 << 20): Map[String, Long] = {
+    require(minFreq >= 1L, "minFreq must be >= 1")
+    require(topN >= 1, "topN must be >= 1")
+    require(topN <= maxCollect,
+      s"topN=$topN exceeds maxCollect=$maxCollect — a driver-side " +
+        "vocabulary this large risks OOM; raise maxCollect explicitly " +
+        "only if the driver is sized for it")
+    import org.apache.spark.sql.Row
+    wf.where(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("word"))
+      .limit(topN)
+      .collect()
+      .map { case Row(w: String, n: Long) => (w, n) }
+      .toMap
+  }
+
   private def requireNoSentinel(word: String, eow: String): Unit = {
     require(eow.nonEmpty, "end-of-word sentinel must be non-empty")
     require(!word.contains(eow),
@@ -83,9 +115,14 @@ object Bpe {
     * Pair counts are maintained INCREMENTALLY (the real-trainer shape):
     * a merge round touches only the words that contain the chosen pair
     * — subtract their old adjacency contributions, rewrite, add the new
-    * ones — instead of recounting the whole vocabulary per round, which
-    * would be O(numMerges × total symbols) and prohibitive at a
-    * 10⁶-word vocabulary × 32 k merges. */
+    * ones — instead of recounting the whole vocabulary per round. The
+    * round's winner comes from a count-keyed lazy-deletion max-heap fed
+    * by the same deltas, so selection is O(log |pairs|) amortized per
+    * delta — a full rescan of the pair map per round would be
+    * O(numMerges × |pairs|) driver work, prohibitive at a 10⁶-word
+    * vocabulary × 32 k merges. A popped entry is live iff its recorded
+    * count still equals the pair's current count (the standard lazy
+    * validity test); stale snapshots are discarded on pop. */
   def train(wordFreq: Map[String, Long], numMerges: Int,
       eow: String = EndOfWord): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
@@ -97,27 +134,35 @@ object Bpe {
     // entries (the word has since merged past the pair) are harmless —
     // the delta arithmetic below is exact and a dead pair's count is 0
     val where = mutable.Map[(String, String), mutable.Set[Int]]()
+    // max by count; ties → lexicographically smallest pair — the same
+    // fully deterministic rule the rescan used
+    val byCountThenPair: Ordering[(Long, String, String)] =
+      Ordering.fromLessThan { case ((c1, a1, b1), (c2, a2, b2)) =>
+        if (c1 != c2) c1 < c2
+        else if (a1 != a2) a1 > a2
+        else b1 > b2
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](byCountThenPair)
     def register(i: Int, sign: Long): Unit = {
       val (syms, n) = words(i)
       var j = 0
       while (j < syms.length - 1) {
         val p = (syms(j), syms(j + 1))
-        counts(p) += sign * n
+        val c = counts(p) + sign * n
+        if (c <= 0L) counts.remove(p) else counts(p) = c
+        // every post-delta count >= 2 gets a snapshot, so the CURRENT
+        // count of every eligible pair is always present in the heap
+        if (c >= 2L) heap.enqueue((c, p._1, p._2))
         if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
         j += 1
       }
     }
     words.indices.foreach(register(_, 1L))
     val merges = mutable.ArrayBuffer[(String, String)]()
-    var continue = numMerges > 0
-    while (continue && merges.size < numMerges) {
-      counts.filterInPlace((_, c) => c > 0L) // purge dead pairs
-      val live = counts.filter(_._2 >= 2L)
-      if (live.isEmpty) continue = false
-      else {
-        // highest count; ties → lexicographically smallest pair —
-        // fully deterministic
-        val pair = live.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+    while (merges.size < numMerges && heap.nonEmpty) {
+      val (c, a, b) = heap.dequeue()
+      if (counts((a, b)) == c) { // live snapshot — this IS the max
+        val pair = (a, b)
         merges += pair
         for (i <- where.getOrElse(pair, mutable.Set.empty[Int]).toSeq) {
           register(i, -1L)
@@ -174,12 +219,22 @@ object Bpe {
   }
 
   /** Tokenize a corpus: distinct words (vocabulary-bounded) → per-word
-    * merge application ONCE each → broadcast word→subwords table →
-    * equi-join + explode. Output: one row per (doc, position, subword),
-    * `pos` 0-based over the doc's word stream, `sub_pos` within the
-    * word. The merge table rides the closure (KB-scale). */
+    * merge application ONCE each → word→subwords table joined back →
+    * explode. Output: one row per (doc, position, subword), `pos`
+    * 0-based over the doc's word stream, `sub_pos` within the word. The
+    * merge table rides the closure (KB-scale).
+    *
+    * `broadcastTable` is an honesty knob, not an optimizer guess (the
+    * `LmScore.broadcastModel` / `Boilerplate.broadcastSet` stance): the
+    * word→subwords table is bounded by the corpus's DISTINCT whitespace
+    * tokens, which for clean text is ~10⁶ but for a raw web crawl is
+    * heavy-tailed (URLs, hashes, numbers — far beyond broadcast range).
+    * Pass `false` there and the join falls back to a shuffle on the
+    * word key — one extra corpus shuffle, the honest trade, instead of
+    * a silent driver/executor OOM. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], eow: String = EndOfWord): DataFrame = {
+      merges: Seq[(String, String)], eow: String = EndOfWord,
+      broadcastTable: Boolean = true): DataFrame = {
     Reserved.requireAbsent("tokenize", Seq("word", "pos", "subword", "sub_pos"), docs)
     val spark = docs.sparkSession
     val words = docs
@@ -195,7 +250,7 @@ object Bpe {
     val table = vocab.as[String].mapPartitions { it =>
       it.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow)))
     }.toDF("word", "subwords")
-    words.join(broadcast(table), Seq("word"))
+    words.join(if (broadcastTable) broadcast(table) else table, Seq("word"))
       .select(col(idCol), col("pos"),
         posexplode(col("subwords")).as(Seq("sub_pos", "subword")))
   }

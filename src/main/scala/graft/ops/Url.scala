@@ -82,11 +82,19 @@ object Url {
       .otherwise(lit(null).cast("string"))
   }
 
-  /** The dedup key: the canonical form, or the raw spelling for rows
-    * with no parseable canonical identity — unparseable rows dedup only
-    * against byte-identical spellings instead of all collapsing into
-    * one group (silent mass data loss in a crawl with junk URLs). */
-  def dedupKey(url: Column): Column = coalesce(canonicalize(url), url)
+  /** The dedup key: the canonical form, or `"RAW:" + raw spelling` for
+    * rows with no parseable canonical identity — unparseable rows dedup
+    * only against byte-identical spellings instead of all collapsing
+    * into one group (silent mass data loss in a crawl with junk URLs).
+    * The fallback keyspace is DISJOINT from the canonical one by
+    * construction: a bare fallback would let raw `a.com/p` collide with
+    * the canonical key of `https://a.com/p` and silently merge an
+    * unparseable row into a parseable group. The prefix's capital `R`
+    * guarantees disjointness — a canonical key always STARTS with the
+    * lowercased host ([[host]] lowercases the whole authority), so no
+    * canonical key can begin with an uppercase letter. */
+  def dedupKey(url: Column): Column =
+    coalesce(canonicalize(url), concat(lit("RAW:"), url))
 
   /** Group-level dedup report: one row per canonical URL with the
     * deterministic keeper (min id), the number of crawled variants, and

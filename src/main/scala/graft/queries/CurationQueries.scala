@@ -328,10 +328,11 @@ object CurationQueries {
         |th AS (SELECT lang, quantile_cont(mean_p, 1.0/3) AS t_lo,
         |    quantile_cont(mean_p, 2.0/3) AS t_hi FROM mp GROUP BY lang)
         |SELECT mp.doc_id, mp.lang, mp.mean_p,
-        |  CASE WHEN cast(mean_p AS double) >= t_hi THEN 'head'
+        |  CASE WHEN th.t_hi IS NULL OR mp.mean_p IS NULL THEN NULL
+        |       WHEN cast(mean_p AS double) >= t_hi THEN 'head'
         |       WHEN cast(mean_p AS double) >= t_lo THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM mp JOIN th ON mp.lang = th.lang ORDER BY mp.doc_id""".stripMargin,
+        |FROM mp LEFT JOIN th ON mp.lang = th.lang ORDER BY mp.doc_id""".stripMargin,
     // the full composition: weights (UNROUNDED sqrt — the chain needs
     // the exact double), permille-resolved fractional copies (the
     // q_mix_upsample replay), composite (doc#copy) shard keys (the

@@ -86,7 +86,10 @@ object EventStreams {
     * is [[graft.ops.Url.keepFirstByUrl]] (keep-first there is min-id;
     * here it is first-ARRIVAL — identical when ingest order follows
     * id order, the replay-equivalence EventStreamsSpec pins). Requires
-    * an event-time `ts` column. */
+    * an event-time `ts` column. Output schema = input schema: the
+    * working `canon_url` key is dropped after the dedup, so the stream
+    * twin is column-compatible with the batch twin (which also returns
+    * the original columns only). */
   def urlDedupStream(pages: DataFrame, urlCol: String,
       watermark: String = "1 hour"): DataFrame = {
     graft.ops.Reserved.requireAbsent("urlDedupStream", Seq("canon_url"), pages)
@@ -94,6 +97,7 @@ object EventStreams {
       pages.withColumn("canon_url",
         graft.ops.Url.dedupKey(col(urlCol))),
       Seq("canon_url"), watermark)
+      .drop("canon_url")
   }
 
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])

@@ -94,4 +94,48 @@ class BpeSpec extends SparkSpec {
     val wf = Bpe.wordFreqs(docs, "text").as[(String, Long)].collect().toMap
     assert(wf == Map("low" -> 3L, "newest" -> 1L))
   }
+
+  test("collectWordFreqs: minFreq/topN pruning, deterministic, loud cap") {
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("rare", 1L)).toDF("word", "n")
+    // no pruning by default (beyond the cap): full table back
+    assert(Bpe.collectWordFreqs(wf) == Map("low" -> 5L, "lower" -> 2L,
+      "newest" -> 6L, "widest" -> 3L, "rare" -> 1L))
+    // minFreq drops the rare tail
+    assert(Bpe.collectWordFreqs(wf, minFreq = 2L).keySet ==
+      Set("low", "lower", "newest", "widest"))
+    // topN keeps the most frequent; the boundary tie (lower=2 vs a
+    // second 2-count word) breaks by word, deterministically
+    val wf2 = wf.union(Seq(("abc", 2L)).toDF("word", "n"))
+    assert(Bpe.collectWordFreqs(wf2, topN = 4).keySet ==
+      Set("newest", "low", "widest", "abc"))
+    // the guard fails FAST, before any job runs
+    intercept[IllegalArgumentException] {
+      Bpe.collectWordFreqs(wf, topN = 100, maxCollect = 10)
+    }
+  }
+
+  test("pruned vocabulary: unseen/pruned words fall back through merges to characters") {
+    // train WITHOUT 'widest' (pruned as if below minFreq): the learned
+    // es/est merges still apply to it, remaining symbols stay characters
+    val prunedMerges = Bpe.train(freq - "widest", 4)
+    val subs = Bpe.applyMerges("widest", prunedMerges)
+    assert(subs.mkString.stripSuffix(Bpe.EndOfWord) == "widest",
+      "round-trip must survive pruning")
+    // and a fully-pruned alphabet stays character-split end-to-end
+    val docs = Seq((1L, "widest zq")).toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", prunedMerges)
+      .orderBy("pos", "sub_pos").select("subword").as[String].collect()
+    assert(out.mkString.replace(Bpe.EndOfWord, "") == "widestzq")
+  }
+
+  test("tokenize: broadcastTable=false shuffle-join path ≡ broadcast path") {
+    val merges = Bpe.train(freq, 4)
+    val docs = Seq((1L, "low lowest"), (2L, "newest zq")).toDF("doc_id", "text")
+    def rows(b: Boolean) =
+      Bpe.tokenize(docs, "doc_id", "text", merges, broadcastTable = b)
+        .orderBy("doc_id", "pos", "sub_pos")
+        .as[(Long, Int, Int, String)].collect().toSeq
+    assert(rows(false) == rows(true))
+  }
 }

@@ -58,6 +58,22 @@ class UrlSpec extends SparkSpec {
     assert(report.count() == 3)
   }
 
+  test("fallback keyspace is disjoint from the canonical keyspace") {
+    // raw 'a.com/p' (no scheme → unparseable) must NOT collide with the
+    // canonical key of 'https://a.com/p' (which canonicalizes to
+    // 'a.com/p') — a bare-raw fallback would silently merge the
+    // unparseable row into the parseable group and drop it
+    val df = Seq((1L, "https://a.com/p"), (2L, "a.com/p"))
+      .toDF("doc_id", "url")
+    val kept = Url.keepFirstByUrl(df, "url", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L),
+      "an unparseable row must never merge into a canonical group")
+    val keys = df.select(Url.dedupKey(col("url")).as("k"))
+      .as[String].collect().toSeq
+    assert(keys == Seq("a.com/p", "RAW:a.com/p"))
+  }
+
   test("dedupByCanonical groups variants; keeper is min id; n_raw counts spellings") {
     val df = Seq(
       (1L, "http://www.A.com/p/"),

@@ -105,7 +105,11 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 00:03:00"), 4L, "https://b.com/q"))
     in.addData(rows.take(2))
     in.addData(rows.drop(2)) // dup arrives in a LATER micro-batch — state must hold
-    val q = urlDedupStream(in.toDF().toDF("ts", "id", "url"), "url")
+    val stream = urlDedupStream(in.toDF().toDF("ts", "id", "url"), "url")
+    // schema parity with the batch twin: the working canon_url column
+    // must not leak into the output
+    assert(stream.columns.toSeq == Seq("ts", "id", "url"))
+    val q = stream
       .writeStream.format("memory").queryName("ud").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("ud").select("id").as[Long].collect().toSet
