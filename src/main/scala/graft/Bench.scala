@@ -28,16 +28,14 @@ object Bench {
     * so a broken query survives truncation. BenchSpec pins the
     * worst-case length of this line for the full query inventory under
     * the cap. */
-  private[graft] def statLine(results: Seq[(String, Double)], reps: Int,
-      warmupS: Double, load1m: Double, sfName: String,
-      errors: Seq[(String, String)], totalMed: Double,
-      total: Double): String = {
-    // the redundant "q_" prefix (79 of the 85 names) is stripped from
-    // the LINE's keys only — ~160 bytes of the ~1956-byte budget, the
-    // room that admitted the r8 curation queries; "qpfx" documents the
-    // transform and the fidelity file keeps full names. Stripping is
-    // collision-free today (BenchSpec pins it) because no two inventory
-    // names differ only by the prefix.
+  private[graft] def statLine(results: Seq[(String, Double)],
+      load1m: Double, sfName: String, errors: Seq[(String, String)],
+      degraded: Boolean, total: Double): String = {
+    // the redundant "q_" prefix (most of the inventory) is stripped
+    // from the LINE's keys only — ~160 bytes of the ~1956-byte budget;
+    // "qpfx" documents the transform and the fidelity file keeps full
+    // names. Stripping is collision-free today (BenchSpec pins it)
+    // because no two inventory names differ only by the prefix.
     val qs = results.map { case (k, v) =>
       s"\"" + k.stripPrefix("q_") + "\":" + fq(v) }
       .mkString("{", ",", "}")
@@ -45,23 +43,24 @@ object Bench {
       .mkString("{", ",", "}")
     // free-text fields are escaped AND bounded: a hostile sf name with
     // a quote/backslash must not corrupt the JSON or bloat the capped
-    // line. ("full" and "cpus" moved to the fidelity file when the
-    // 89th query outgrew the budget — the fidelity file name is the
-    // stable default, and cpus is an invocation constant.)
+    // line. (n_queries/warm_s/cpus/reps detail moved to the fidelity
+    // file as the inventory grew — the line keeps only what the driver
+    // headline needs: per-query medians, load context, errors, total.)
     def safe(s: String): String =
       s.map(c => if (c == '"' || c == '\\' || c < ' ') '_' else c)
     val sfShort = safe(sfName.takeRight(24))
-    // "stat":"min3+med5": single-plan rows publish min-of-3, the 8
-    // multi-job rows publish median-of-5 (expanded in the fidelity file
-    // as reps/reps_multijob/stat_multijob); per-row min–max spreads
-    // live ONLY in the fidelity file — they cost ~110 bytes of the line
-    // budget and r7's spread map is what pushed the line over the cap
+    // "stat":"med": every row publishes its MEDIAN (r8's A/B overlap
+    // showed min-vs-median totals within a few %, and median is robust
+    // to the multi-job scheduling-luck swings that min can't separate
+    // from regressions). reps detail (3 single-plan / 5 multi-job) and
+    // per-row spreads live in the fidelity file. "degraded" tags a run
+    // started on a loaded box (load1m above threshold) — the r8 driver
+    // number was noise and the harness knew it; now the line says so.
     s"""{"metric":"total","unit":"sec","qpfx":"q_","queries":$qs,""" +
-      s""""n_queries":${results.size},"stat":"min$reps+med5",""" +
-      s""""warm_s":${fq(warmupS)},"load1m":${fq(load1m)},""" +
+      s""""stat":"med","load1m":${fq(load1m)},""" +
       s""""sf":"$sfShort",""" +
       s""""errors":$errs,"n_errors":${errors.size},""" +
-      s""""total_med":${f(totalMed)},"value":${f(total)}}"""
+      s""""degraded":$degraded,"value":${f(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,18 +123,29 @@ object Bench {
       if (!errors.contains(name)) allTimes(name) = times.toSeq.sorted
     }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
-    // published per-query statistic — r7 methodology, unchanged for
-    // round-over-round comparability: min for single-plan rows (steady
-    // state, not codegen/page-cache luck), median for multi-job rows
-    // (min can't separate a real 1.5× regression from scheduling luck)
-    val results = allTimes.map { case (k, ts) =>
-      k -> (if (multiJob(k)) median(ts) else ts.head) }
+    // published per-query statistic — MEDIAN everywhere (the r8 flip,
+    // after a round of A/B overlap: r8 recorded both totals, 74.3 min
+    // vs 82.1 med on the driver box, 39.1 vs 42.6 isolated — directly
+    // comparable baselines for this round's med-only number). Median is
+    // robust to the multi-job scheduling-luck swings (±70 % on
+    // byte-identical code in the r6 A/A) that min cannot separate from
+    // real regressions, and under load it degrades honestly instead of
+    // cherry-picking the one lucky rep.
+    val results = allTimes.map { case (k, ts) => k -> median(ts) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // A/B overlap toward median-everywhere (r7 ask): "total_med" sums
-    // every row's MEDIAN, published alongside the r7-method "value" so
-    // next round can flip the per-query statistic to median with one
-    // round of directly comparable totals already on record.
-    val totalMed = if (allTimes.nonEmpty) allTimes.values.map(median).sum else 0.0
+    // the retired r7/r8 statistic (min for single-plan rows, median for
+    // multi-job) — fidelity-file only, so one more round of direct
+    // method-to-method comparison is on record
+    val totalMin3 = if (allTimes.nonEmpty)
+      allTimes.map { case (k, ts) =>
+        if (multiJob(k)) median(ts) else ts.head }.sum
+      else 0.0
+    // a run started on a loaded box is tagged, not trusted: r8's driver
+    // bench began at load1m 2.59 and its per-rep spreads were 2-8× —
+    // the line now carries the flag so a noisy total is never read as a
+    // regression (threshold ~half the cores would be too lax; 1.5 is
+    // the r8 judge's suggested "this number is load, not signal" bar)
+    val degraded = load1m > 1.5
 
     // ---- output, two channels ----
     // 1. FULL-FIDELITY file: every rep of every query, 3 decimals, all
@@ -150,14 +160,15 @@ object Bench {
     //    no per-row spread map (fidelity file only), short sf name.
     val fullJson = {
       val rows = allTimes.map { case (k, ts) =>
-        s"""    "$k": {"reps": [${ts.map(f).mkString(", ")}], "published": ${f(results(k))}, "stat": "${if (multiJob(k)) "median" else "min"}"}"""
+        s"""    "$k": {"reps": [${ts.map(f).mkString(", ")}], "published": ${f(results(k))}, "stat": "median"}"""
       }.mkString(",\n")
       val errRows = errors.map { case (k, v) => s"""    "${esc(k)}": "${esc(v)}"""" }
         .mkString(",\n")
       s"""{
-  "metric": "total", "unit": "sec", "value": ${f(total)}, "total_med": ${f(totalMed)},
-  "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat_multijob": "median",
-  "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "cpus": $cpus, "isolate": $isolate,
+  "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
+  "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
+  "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
+  "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",
   "queries": {
 $rows
@@ -171,9 +182,9 @@ $errRows
     val fidelityPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fidelityPath), fullJson)
     catch { case e: Throwable => println(s"[bench] fidelity write failed: ${e.getMessage}") }
-    println(statLine(results.toSeq, reps, warmupS, load1m,
+    println(statLine(results.toSeq, load1m,
       sfDir.split('/').lastOption.getOrElse(sfDir),
-      errors.toSeq, totalMed, total))
+      errors.toSeq, degraded, total))
     spark.stop()
   }
 }

@@ -78,14 +78,35 @@ object Boilerplate {
     * order. */
   def stripLines(lines: DataFrame, idCol: String, grpCol: String,
       idxCol: String, lineCol: String, maxDocFrac: Double,
-      minGrpDocs: Int = 2, broadcastSet: Boolean = true): DataFrame = {
+      minGrpDocs: Int = 2, broadcastSet: Boolean = true,
+      materialize: Boolean = false): DataFrame = {
     Reserved.requireAbsent("stripLines", Seq("line_md5", "__n_grp"), lines)
-    // NOTE: this pipeline scans `lines` in four places (group sizes,
-    // line frequency, the anti-join stream, the totality count) —
-    // callers whose `lines` is a derived frame (explode over decoded
-    // docs) should persist it first, or the upstream work runs 4×.
+    // This pipeline scans `lines` in four places (group sizes, line
+    // frequency, the anti-join stream, the totality count) — a caller
+    // whose `lines` is a derived frame (explode over decoded docs)
+    // would silently pay the upstream work 4×. `materialize = true`
+    // eagerly localCheckpoints the input ONCE so all four scans read
+    // the materialized rows (the Dedup iterative stance; enforcement a
+    // BoilerplateSpec accumulator pins). Default stays false: an
+    // already-cheap or already-persisted input should not pay a full
+    // extra materialization at 100 TB.
+    val src = if (materialize) lines.localCheckpoint(true) else lines
     val boiler =
-      boilerplateSet(lines, idCol, grpCol, lineCol, maxDocFrac, minGrpDocs)
+      boilerplateSet(src, idCol, grpCol, lineCol, maxDocFrac, minGrpDocs)
+    applySet(src, idCol, grpCol, idxCol, lineCol, boiler, broadcastSet)
+  }
+
+  /** Strip `lines` against an EXPLICIT, already-derived boilerplate set
+    * ((grpCol, line_md5) — a [[boilerplateSet]] /
+    * [[boilerplateSetFromStats]] output): the building block for
+    * callers that reuse one set across many batches — the streaming
+    * twin ([[graft.streaming.EventStreams.boilerplateStripStream]])
+    * derives the set ONCE at wiring time instead of re-aggregating the
+    * persisted stats every micro-batch. */
+  def stripLinesWithSet(lines: DataFrame, idCol: String, grpCol: String,
+      idxCol: String, lineCol: String, boiler: DataFrame,
+      broadcastSet: Boolean = true): DataFrame = {
+    Reserved.requireAbsent("stripLinesWithSet", Seq("line_md5", "__n_grp"), lines)
     applySet(lines, idCol, grpCol, idxCol, lineCol, boiler, broadcastSet)
   }
 

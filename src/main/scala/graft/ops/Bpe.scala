@@ -70,19 +70,28 @@ object Bpe {
     * the driver (the [[Reserved]] fail-fast stance). */
   def collectWordFreqs(wf: DataFrame, minFreq: Long = 1L,
       topN: Int = 1 << 20, maxCollect: Int = 8 << 20): Map[String, Long] = {
-    require(minFreq >= 1L, "minFreq must be >= 1")
-    require(topN >= 1, "topN must be >= 1")
     require(topN <= maxCollect,
       s"topN=$topN exceeds maxCollect=$maxCollect — a driver-side " +
         "vocabulary this large risks OOM; raise maxCollect explicitly " +
         "only if the driver is sized for it")
     import org.apache.spark.sql.Row
-    wf.where(col("n") >= minFreq)
-      .orderBy(col("n").desc, col("word"))
-      .limit(topN)
+    prunedVocab(wf, minFreq, topN)
       .collect()
       .map { case Row(w: String, n: Long) => (w, n) }
       .toMap
+  }
+
+  /** The pruning PLAN behind [[collectWordFreqs]], exposed as a
+    * DataFrame so the correctness gate (`q_bpe_vocab`) replays exactly
+    * what the trainer materializes: frequency floor, then the top-N
+    * most frequent (ties by word — deterministic), as a
+    * TakeOrderedAndProject. */
+  def prunedVocab(wf: DataFrame, minFreq: Long, topN: Int): DataFrame = {
+    require(minFreq >= 1L, "minFreq must be >= 1")
+    require(topN >= 1, "topN must be >= 1")
+    wf.where(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("word"))
+      .limit(topN)
   }
 
   private def requireNoSentinel(word: String, eow: String): Unit = {

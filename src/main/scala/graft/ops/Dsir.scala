@@ -39,28 +39,34 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Unigram + bigram terms from an ALREADY-MATERIALIZED token-array
-    * column. `toks` must be a plain attribute (not the tokenizer
-    * expression inline): every `element_at` in the bigram lambda
-    * re-evaluates its child per sequence element, so an inlined
-    * `split(...)` would re-tokenize the text O(tokens) times per row —
-    * measured 8 s vs 0.3 s on the sf0.1 gate before the projection
-    * boundary was made mandatory here. */
-  private def termsOf(toks: Column): Column = {
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(toks, bigrams)
+  /** 1..n-gram terms from an ALREADY-MATERIALIZED token-array column
+    * (the paper's hashed n-gram generality — Xie et al. 2023 use
+    * unigrams+bigrams, `n = 2`, the default everywhere here). `toks`
+    * must be a plain attribute (not the tokenizer expression inline):
+    * every `element_at` in a gram lambda re-evaluates its child per
+    * sequence element, so an inlined `split(...)` would re-tokenize the
+    * text O(tokens) times per row — measured 8 s vs 0.3 s on the sf0.1
+    * gate before the projection boundary was made mandatory here. */
+  private def termsOf(toks: Column, n: Int = 2): Column = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val grams = (2 to n).map { k =>
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    if (grams.isEmpty) toks else concat(toks +: grams: _*)
   }
 
-  /** Unigram + bigram terms of a text column, WITH multiplicity (term
+  /** 1..n-gram terms of a text column, WITH multiplicity (term
     * frequency matters — a doc that says the target's words twice is
     * twice the evidence). Tokenization matches the inventory's portable
     * convention: lower, trim, split on runs of whitespace. Single-row /
     * expression use only — DataFrame paths ([[bucketCounts]],
     * [[scoreDocs]]) materialize the token array first; see [[termsOf]]. */
-  def terms(text: Column): Column = termsOf(TextOps.tokens(lower(text)))
+  def terms(text: Column, n: Int = 2): Column =
+    termsOf(TextOps.tokens(lower(text)), n)
 
   /** Portable bucket id in [0, buckets): md5-derived so DuckDB (and any
     * other engine) reproduces it exactly — the same md5-hex-prefix
@@ -80,11 +86,13 @@ object Dsir {
     if (portable) bucket(term, buckets) else bucketFast(term, buckets)
 
   /** Hashed-feature counts of a corpus: (bkt, c). One shuffle; at most
-    * `buckets` output rows regardless of corpus size. */
+    * `buckets` output rows regardless of corpus size. `n` is the
+    * max n-gram order (features = 1..n-grams); weights learned at one
+    * `n` must be applied at the same `n`, like `portable`. */
   def bucketCounts(docs: DataFrame, textCol: String, buckets: Int,
-      portable: Boolean = true): DataFrame =
+      portable: Boolean = true, n: Int = 2): DataFrame =
     docs.select(TextOps.tokens(lower(col(textCol))).as("toks"))
-      .select(explode(termsOf(col("toks"))).as("term"))
+      .select(explode(termsOf(col("toks"), n)).as("term"))
       .select(bucketOf(col("term"), buckets, portable).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"))
 
@@ -95,10 +103,11 @@ object Dsir {
     * fewer full-corpus pass than calling [[bucketCounts]] twice;
     * equivalence with the two-pass form is DsirSpec-pinned. */
   def bucketCountsWithTarget(docs: DataFrame, textCol: String,
-      targetPred: Column, buckets: Int, portable: Boolean = true): DataFrame =
+      targetPred: Column, buckets: Int, portable: Boolean = true,
+      n: Int = 2): DataFrame =
     docs.select(TextOps.tokens(lower(col(textCol))).as("toks"),
         targetPred.as("is_tgt"))
-      .select(explode(termsOf(col("toks"))).as("term"), col("is_tgt"))
+      .select(explode(termsOf(col("toks"), n)).as("term"), col("is_tgt"))
       .select(bucketOf(col("term"), buckets, portable).as("bkt"), col("is_tgt"))
       .groupBy("bkt").agg(count(lit(1)).as("c"),
         count(when(col("is_tgt"), 1)).as("tc"))
@@ -144,9 +153,10 @@ object Dsir {
     * neutral ratio 1·10⁶ ((0+1)/(0+1) — both distributions know
     * nothing about the bucket). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, buckets: Int, portable: Boolean = true): DataFrame =
+      weights: DataFrame, buckets: Int, portable: Boolean = true,
+      n: Int = 2): DataFrame =
     docs.select(col(idCol), TextOps.tokens(lower(col(textCol))).as("toks"))
-      .select(col(idCol), explode(termsOf(col("toks"))).as("term"))
+      .select(col(idCol), explode(termsOf(col("toks"), n)).as("term"))
       .select(col(idCol), bucketOf(col("term"), buckets, portable).as("bkt"))
       .join(broadcast(weights), Seq("bkt"), "left")
       .groupBy(idCol)
@@ -174,10 +184,10 @@ object Dsir {
     * The literal costs 8·B bytes in the plan (32 KB at B = 4096 — the
     * LshKeys plane-tensor precedent). */
   def scoreRowLocal(docs: DataFrame, idCol: String, textCol: String,
-      wArr: Array[Long], portable: Boolean = true): DataFrame = {
+      wArr: Array[Long], portable: Boolean = true, n: Int = 2): DataFrame = {
     val buckets = wArr.length
     docs.select(col(idCol), TextOps.tokens(lower(col(textCol))).as("toks"))
-      .select(col(idCol), termsOf(col("toks")).as("terms"))
+      .select(col(idCol), termsOf(col("toks"), n).as("terms"))
       .select(col(idCol),
         aggregate(
           transform(col("terms"), t =>

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Bpe, Packing}
+
+/** Tokenizer-stage gates — the BPE surface's oracle-checked slice plus
+  * the tokenize→pack trainer hand-off:
+  *
+  *   - [[qBpeVocab]] — the trainer's input: word-frequency table with
+  *     the production pruning rule ([[Bpe.prunedVocab]] — frequency
+  *     floor + deterministic top-N), exactly what
+  *     [[Bpe.collectWordFreqs]] materializes driver-side;
+  *   - [[qBpeTokenize]] — [[Bpe.tokenize]] under a FIXED literal merge
+  *     table, so the iterative apply rule itself is oracle-replayable
+  *     (the merge LOOP of `train` stays spec-pinned in BpeSpec — greedy
+  *     selection over mutating counts has no SQL form);
+  *   - [[qTokPack]] — tokenize → per-doc subword counts →
+  *     [[Packing.assignWindows]]: the full tokenizer→trainer hand-off
+  *     with real subwords, replayed by ONE oracle end-to-end (the
+  *     `q_train_mix` composition-oracle pattern).
+  *
+  * Oracle equivalence argument for [[FixedMerges]]: the engine applies
+  * the GPT-2 rule (lowest-rank applicable merge, ALL occurrences
+  * left-to-right, repeat); the DuckDB oracle applies one-at-a-time
+  * (lowest rank, then leftmost single occurrence, repeat — a recursive
+  * CTE step). The two differ only if applying a merge can create a pair
+  * of LOWER rank, i.e. some merge's output symbol appears as a
+  * component of an earlier merge. [[FixedMerges]] is chosen so no
+  * output ("ta", "tab", "ro", "le</w>") equals any earlier merge's
+  * component — so rank r exhausts before rank r+1 starts in both rules;
+  * and within one rank, occurrences of a pair (a,b) with a ≠ b never
+  * overlap, while for a = b one-at-a-time leftmost pairing equals the
+  * engine's single-pass greedy pairing — identical results either way.
+  * The prototype cross-check (oracle vs an exact replica of the engine
+  * rule, all ~118 k rows at sf0.01) matched row-for-row before this
+  * gate shipped.
+  */
+object TokenizerQueries {
+
+  /** The gate's literal merge table: chained (t,a → ta,b), an
+    * end-of-word merge (l + e</w>), and a mid-word pair (r,o) that hits
+    * several vocabulary words — exercising chaining, sentinel gluing,
+    * and the no-merge fallback. See the object doc for why this table
+    * makes the one-at-a-time oracle exact. */
+  private[graft] val FixedMerges: Seq[(String, String)] =
+    Seq(("t", "a"), ("ta", "b"), ("r", "o"), ("l", "e</w>"))
+
+  /** Pruned word-frequency vocabulary ([[Bpe.wordFreqs]] →
+    * [[Bpe.prunedVocab]]): frequency floor 2, top 20 — both the floor
+    * and the deterministic top-N tie-break are live at sf0.01 (the
+    * documents vocabulary is ~31 words, so the cap actually cuts). */
+  def qBpeVocab(s: SparkSession, dir: String): DataFrame =
+    Bpe.prunedVocab(
+      Bpe.wordFreqs(Tables.documents(s, dir), "text"), minFreq = 2L, topN = 20)
+
+  /** Corpus tokenization under [[FixedMerges]]: one row per (doc, word
+    * position, subword). The distinct-word table + join topology is the
+    * production path; only the merge table is pinned to a literal so
+    * DuckDB can replay the apply rule. */
+  def qBpeTokenize(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenize(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", FixedMerges)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("sub_pos").cast("long").as("sub_pos"), col("subword"))
+      .orderBy("doc_id", "pos", "sub_pos")
+
+  /** Tokenize → pack: per-doc REAL subword counts feed the distributed
+    * prefix-sum packer ([[Packing.assignWindows]] — bit-identical to
+    * the naive global window, PackingSpec-pinned, so the oracle's
+    * running sum replays it exactly). Budget 4096 ≈ a training window a
+    * few documents wide at this corpus's ~700 subwords/doc. */
+  def qTokPack(s: SparkSession, dir: String): DataFrame = {
+    val tok = Bpe.tokenize(Tables.documents(s, dir).select("doc_id", "text"),
+      "doc_id", "text", FixedMerges)
+    val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    Packing.assignWindows(counts, "doc_id", "n_tok", budget = 4096L)
+      .select(col("doc_id"), col("n_tok"), col("tokens_before"),
+        col("window_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q_bpe_vocab" -> (qBpeVocab _),
+    "q_bpe_tokenize" -> (qBpeTokenize _),
+    "q_tok_pack" -> (qTokPack _),
+  )
+
+  /** The tokenize replay shared by the q_bpe_tokenize and q_tok_pack
+    * oracles — built once here so the two cannot drift. Produces CTEs
+    * `wp` (doc_id, pos, word) and `tok` (word, syms). */
+  private val TokenizeCtes: String =
+    """t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |wi AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM t),
+      |wp AS (SELECT doc_id, i-1 AS pos, toks[i] AS word FROM wi WHERE toks[i] <> ''),
+      |vocab AS (SELECT DISTINCT word FROM wp),
+      |ini AS (SELECT word, regexp_split_to_array(word,'') AS chars FROM vocab),
+      |init AS (SELECT word,
+      |  list_slice(chars, 1, len(chars)-1) || [chars[len(chars)] || '</w>'] AS syms,
+      |  FALSE AS done FROM ini),
+      |rec AS (
+      |  SELECT word, syms, done FROM init
+      |  UNION ALL
+      |  SELECT word,
+      |    CASE WHEN best IS NULL THEN syms
+      |         ELSE list_slice(syms, 1, best[2]-1)
+      |              || [syms[best[2]] || syms[best[2]+1]]
+      |              || list_slice(syms, best[2]+2, len(syms)) END,
+      |    best IS NULL
+      |  FROM (
+      |    SELECT word, syms,
+      |      list_sort(list_filter(list_transform(range(1, len(syms)),
+      |        i -> [CASE WHEN syms[i]='t'  AND syms[i+1]='a'     THEN 0
+      |                   WHEN syms[i]='ta' AND syms[i+1]='b'     THEN 1
+      |                   WHEN syms[i]='r'  AND syms[i+1]='o'     THEN 2
+      |                   WHEN syms[i]='l'  AND syms[i+1]='e</w>' THEN 3 END, i]),
+      |        p -> p[1] IS NOT NULL))[1] AS best
+      |    FROM rec WHERE NOT done) s
+      |),
+      |tok AS (SELECT word, syms FROM rec WHERE done)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_vocab" ->
+      """WITH wf AS (SELECT w AS word, count(*) AS n
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY w)
+        |SELECT word, n FROM wf WHERE n >= 2
+        |ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // NOTE: plain concatenation, not an interpolated stripMargin — a
+    // second stripMargin over the already-stripped CTE block would eat
+    // one '|' of every line-leading '||' list concat
+    "q_bpe_tokenize" ->
+      ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
+        """sub AS (SELECT word, unnest(range(1, len(syms)+1)) AS si, syms FROM tok)
+          |SELECT wp.doc_id, cast(wp.pos AS bigint) AS pos,
+          |  cast(sub.si - 1 AS bigint) AS sub_pos, sub.syms[sub.si] AS subword
+          |FROM wp JOIN sub ON wp.word = sub.word
+          |ORDER BY doc_id, pos, sub_pos""".stripMargin),
+    // tokenize → per-doc subword counts → global-order exclusive prefix
+    // sum (≡ assignWindows by PackingSpec's bit-identity pin)
+    "q_tok_pack" ->
+      ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
+        """cnt AS (SELECT wp.doc_id, cast(sum(len(tok.syms)) AS bigint) AS n_tok
+          |  FROM wp JOIN tok ON wp.word = tok.word GROUP BY wp.doc_id)
+          |SELECT doc_id, n_tok,
+          |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before,
+          |  cast(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS bigint)
+          |    AS window_id
+          |FROM cnt ORDER BY doc_id""".stripMargin),
+  )
+}

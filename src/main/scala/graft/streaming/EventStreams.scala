@@ -100,6 +100,41 @@ object EventStreams {
       .drop("canon_url")
   }
 
+  /** Streaming boilerplate removal — the incremental twin of
+    * [[graft.ops.Boilerplate.stripLinesIncrement]], wired as a
+    * foreachBatch stream (the [[idempotentAppend]] pattern): yesterday's
+    * crawl's persisted line statistics strip today's arriving pages.
+    * The boilerplate set is derived from the stats ONCE at wiring time
+    * (eager localCheckpoint — small by construction) and reused across
+    * micro-batches, so a long-running stream never re-aggregates the
+    * stats per trigger and never re-reads them after start; each batch
+    * then pays only the stateless strip + per-doc reassembly the batch
+    * operator pays. A doc's lines must arrive within one micro-batch
+    * (reassembly is batch-local — the same whole-unit contract as
+    * [[packStream]]'s per-shard packing); replaying the batches
+    * reproduces the batch operator's output exactly
+    * (EventStreamsSpec-pinned). `sink` receives each stripped batch:
+    * one row per input doc, (idCol, n_lines, n_kept, clean_text). */
+  def boilerplateStripStream(lines: DataFrame, idCol: String,
+      grpCol: String, idxCol: String, lineCol: String, statsPath: String,
+      maxDocFrac: Double, checkpoint: String, minGrpDocs: Int = 2,
+      broadcastSet: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val boiler = graft.ops.Boilerplate.boilerplateSetFromStats(
+      lines.sparkSession, statsPath, grpCol, maxDocFrac, minGrpDocs)
+      .localCheckpoint(true)
+    lines.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Boilerplate.stripLinesWithSet(
+          batch, idCol, grpCol, idxCol, lineCol, boiler, broadcastSet))
+      }
+      .start()
+  }
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

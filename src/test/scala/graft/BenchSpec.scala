@@ -48,13 +48,15 @@ class BenchSpec extends AnyFunSuite {
     // an early-warning to re-budget consciously (shave per-query
     // precision or move a field to the fidelity file), never a
     // truncation discovered in the next round's BENCH file.
-    // 89 queries, "q_" key prefix stripped, "full"/"cpus" moved to the
-    // fidelity file when the 89th query outgrew the old budget: worst
-    // case ~1915; the pin still fires one added query (~25 B) early.
+    // 92 queries, "q_" key prefix stripped; "full"/"cpus" (r8) then
+    // "n_queries"/"warm_s"/"total_med" (r9 median flip — total_med IS
+    // the value now) moved to the fidelity file as the inventory grew:
+    // worst case ~1905; the pin still fires one added query (~25 B)
+    // early.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
-    val line = Bench.statLine(results, 3, 99.999, 99.999,
-      "sf0.1", Nil, 9999.999, 9999.999)
+    val line = Bench.statLine(results, 99.999,
+      "sf0.1", Nil, degraded = true, 9999.999)
     assert(line.length <= 1930,
       s"stat line worst case is ${line.length} bytes — the ~1956-byte " +
         "usable budget (2 KB cap minus sbt epilogue) would truncate it; " +
@@ -65,8 +67,8 @@ class BenchSpec extends AnyFunSuite {
     val stripped = SparkEntry.queries.keys.toSeq.map(_.stripPrefix("q_"))
     assert(stripped.distinct.size == stripped.size,
       "two inventory names differ only by the q_ prefix — line keys would collide")
-    val line = Bench.statLine(Seq("q_x" -> 0.5, "q1_agg" -> 0.3), 3, 1, 1,
-      "sf0.1", Nil, 0.8, 0.8)
+    val line = Bench.statLine(Seq("q_x" -> 0.5, "q1_agg" -> 0.3), 1,
+      "sf0.1", Nil, degraded = false, 0.8)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
     assert(node.get("qpfx").asText == "q_")
@@ -77,25 +79,25 @@ class BenchSpec extends AnyFunSuite {
   test("stat line is valid JSON with the driver-contract fields") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val line = Bench.statLine(Seq("q1_agg" -> 0.37, "q_x" -> 12.0),
-      3, 4.5, 1.2, "sf0.1",
-      Seq("q_bad" -> "boom \"quoted\" \\ msg"), 12.4, 12.37)
+      1.2, "sf0.1",
+      Seq("q_bad" -> "boom \"quoted\" \\ msg"), degraded = false, 12.37)
     val node = om.readTree(line)
     assert(node.get("metric").asText == "total")
     assert(node.get("unit").asText == "sec")
     assert(node.get("value").asDouble == 12.37)
-    assert(node.get("total_med").asDouble == 12.4)
     assert(node.get("queries").get("q1_agg").asDouble == 0.37)
     assert(node.get("queries").get("x").asDouble == 12.0)
     assert(node.get("errors").get("q_bad").asText.contains("quoted"))
     assert(node.get("n_errors").asInt == 1)
-    assert(node.get("stat").asText == "min3+med5")
-    assert(node.get("warm_s").asDouble == 4.5)
+    assert(node.get("stat").asText == "med")
+    assert(!node.get("degraded").asBoolean)
+    assert(node.get("load1m").asDouble == 1.2)
   }
 
   test("hostile or long sf names can neither corrupt nor bloat the line") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val line = Bench.statLine(Seq("q1_agg" -> 0.37), 3, 4.5, 1.2,
-      "a\"b\\c" + ("y" * 50), Nil, 0.4, 0.37)
+    val line = Bench.statLine(Seq("q1_agg" -> 0.37), 1.2,
+      "a\"b\\c" + ("y" * 50), Nil, degraded = false, 0.37)
     val node = om.readTree(line) // must parse — quotes/backslashes neutralized
     assert(node.get("sf").asText.length <= 24, "sf field must stay bounded")
     assert(!node.get("sf").asText.contains("\"") && !node.get("sf").asText.contains("\\"))

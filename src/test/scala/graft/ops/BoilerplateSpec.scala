@@ -105,6 +105,37 @@ class BoilerplateSpec extends SparkSpec {
     }
   }
 
+  test("materialize=true evaluates a derived input exactly once (not 4x)") {
+    val acc = spark.sparkContext.longAccumulator("line-evals")
+    val counting = udf { (s: String) => { acc.add(1L); s } }.asNondeterministic()
+    def derived = Seq(
+      (1L, "g", 0, "HDR"), (1L, "g", 1, "body one"),
+      (2L, "g", 0, "HDR"), (2L, "g", 1, "body two"))
+      .toDF("doc_id", "grp", "idx", "line")
+      .withColumn("line", counting(col("line")))
+    // materialized: the eager localCheckpoint evaluates the 4 input
+    // rows once; all four downstream scans read the checkpoint
+    Boilerplate.stripLines(derived, "doc_id", "grp", "idx", "line", 0.6,
+      materialize = true).collect()
+    assert(acc.value == 4L,
+      s"derived input evaluated ${acc.value} row-times over 4 rows — " +
+        "materialize=true must evaluate the upstream exactly once")
+    // and the default really does re-scan (the documented 4x trade),
+    // so the knob is load-bearing, not decorative
+    acc.reset()
+    Boilerplate.stripLines(derived, "doc_id", "grp", "idx", "line", 0.6)
+      .collect()
+    assert(acc.value > 4L,
+      "unmaterialized path no longer re-scans — if the pipeline shape " +
+        "changed, re-evaluate whether the materialize knob is still needed")
+    // both paths agree on the answer
+    val a = Boilerplate.stripLines(derived, "doc_id", "grp", "idx", "line",
+      0.6, materialize = true).orderBy("doc_id").drop("clean_text").collect().toSeq
+    val b = Boilerplate.stripLines(derived, "doc_id", "grp", "idx", "line",
+      0.6).orderBy("doc_id").drop("clean_text").collect().toSeq
+    assert(a == b)
+  }
+
   test("threshold validation and reserved columns") {
     intercept[IllegalArgumentException] {
       Boilerplate.boilerplateSet(lines, "doc_id", "grp", "line", 0.0)

@@ -42,6 +42,45 @@ class DsirSpec extends SparkSpec {
     assert(one.toSeq == Seq("solo"))
   }
 
+  test("n-gram order: n=2 default unchanged; n=1/n=3 produce the paper's generality") {
+    // default n=2 ≡ explicit n=2, end-to-end (weights AND scores)
+    val w2 = Dsir.ratioWeightsJoint(Dsir.bucketCountsWithTarget(
+      corpus, "text", col("lab") === "tgt", B))
+    val w2e = Dsir.ratioWeightsJoint(Dsir.bucketCountsWithTarget(
+      corpus, "text", col("lab") === "tgt", B, n = 2))
+    val s2 = Dsir.scoreDocs(corpus, "doc_id", "text", w2, B)
+      .collect().sortBy(_.getLong(0)).toSeq
+    val s2e = Dsir.scoreDocs(corpus, "doc_id", "text", w2e, B, n = 2)
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(s2 == s2e, "n=2 must be byte-identical to today's default")
+    // term expansion at each order, hand-checked
+    def termsAt(n: Int) = Seq(Tuple1("a b c")).toDF("text")
+      .select(Dsir.terms(col("text"), n).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t").toSeq
+    assert(termsAt(1) == Seq("a", "b", "c"))
+    assert(termsAt(2) == Seq("a", "b", "c", "a b", "b c"))
+    assert(termsAt(3) == Seq("a", "b", "c", "a b", "b c", "a b c"))
+    // short docs stay total at higher orders (no trigram from 2 tokens)
+    assert(Seq(Tuple1("x y")).toDF("text")
+      .select(Dsir.terms(col("text"), 3).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t").toSeq ==
+      Seq("x", "y", "x y"))
+    // trigram scoring still ranks the obviously-target-like doc first,
+    // and n_terms reflects the larger feature multiset
+    val w3 = Dsir.ratioWeightsJoint(Dsir.bucketCountsWithTarget(
+      corpus, "text", col("lab") === "tgt", B, n = 3))
+    val s3 = Dsir.scoreDocs(corpus, "doc_id", "text", w3, B, n = 3)
+      .withColumn("mean_w", col("score").cast("double") / col("n_terms"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_w")).toMap
+    assert(s3(1L) > s3(3L) && s3(2L) > s3(4L),
+      "trigram features must still separate target from non-target")
+    val n2 = Dsir.scoreDocs(corpus, "doc_id", "text", w2, B)
+      .where(col("doc_id") === 1L).head().getAs[Long]("n_terms")
+    val n3 = Dsir.scoreDocs(corpus, "doc_id", "text", w3, B, n = 3)
+      .where(col("doc_id") === 1L).head().getAs[Long]("n_terms")
+    assert(n3 == n2 + 4, "6 tokens: 6 uni + 5 bi (+4 tri at n=3)")
+  }
+
   test("both weight forms rank target-like docs above target-unlike ones") {
     for (form <- Seq("ratio", "log")) {
       val scored = Dsir.scoreDocs(corpus, "doc_id", "text", weights(form), B)

@@ -122,6 +122,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("boilerplateStripStream: persisted-stats strip per micro-batch ≡ batch twin on replay") {
+    implicit val sc = spark.sqlContext
+    // index corpus: header chrome in all 6 docs, bodies unique
+    val index = (1L to 6L).flatMap(i => Seq(
+      (i, "g", 0, "HDR"), (i, "g", 1, s"body $i")))
+      .toDF("doc_id", "grp", "idx", "line")
+    val batch1 = Seq((7L, "g", 0, "HDR"), (7L, "g", 1, "body 7"))
+    val batch2 = Seq((8L, "g", 0, "HDR"), (8L, "g", 1, "body 8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-blstream").toString
+    try {
+      graft.ops.Boilerplate.buildLineStats(index, "doc_id", "grp", "line",
+        s"$dir/stats")
+      val in = MemoryStream[(Long, String, Int, String)]
+      in.addData(batch1)
+      in.addData(batch2) // separate micro-batch: set reuse across triggers
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      val q = EventStreams.boilerplateStripStream(
+        in.toDF().toDF("doc_id", "grp", "idx", "line"),
+        "doc_id", "grp", "idx", "line", s"$dir/stats",
+        maxDocFrac = 0.6, checkpoint = s"$dir/ckpt") { out =>
+        got ++= out.as[(Long, Long, Long, String)].collect()
+      }
+      q.processAllAvailable(); q.stop()
+      // replay equivalence: the batch operator over the union of the
+      // replayed batches produces the same rows
+      val replay = graft.ops.Boilerplate.stripLinesIncrement(
+        (batch1 ++ batch2).toDF("doc_id", "grp", "idx", "line"),
+        "doc_id", "grp", "idx", "line", s"$dir/stats", maxDocFrac = 0.6)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got.sortBy(_._1).toSeq == replay.sortBy(_._1))
+      // the strip actually fired: HDR gone, bodies kept
+      assert(got.forall { case (_, nl, nk, txt) =>
+        nl == 2L && nk == 1L && txt.startsWith("body") })
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+  }
+
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
