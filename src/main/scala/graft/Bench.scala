@@ -101,7 +101,9 @@ object Bench {
     val multiJob = Set("q_keep_canonical", "q_dedup_groups", "q_graph_day",
       "q_incremental_append", "q_incremental_dedup",
       "q_incremental_substring", "q_incremental_boilerplate",
-      "q_ann_ivf", "q_pq_topk")
+      "q_ann_ivf", "q_pq_topk",
+      // assignWindows runs eager prefix-sum jobs + a checkpoint per rep
+      "q_tok_pack")
     // a query whose body THROWS gets no timing row at all — timing the
     // exception published a fake 0.09 s for the broken q_asof_join in
     // r5/r6; it is recorded under "errors" instead and fails the eye

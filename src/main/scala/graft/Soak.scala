@@ -94,6 +94,30 @@ object Soak {
     val embOnly = sys.env.get("SPARK_GRAFT_SOAK_EMB_ONLY").contains("1")
     val docsOnly = sys.env.get("SPARK_GRAFT_SOAK_DOCS_ONLY").contains("1")
 
+    // SPARK_GRAFT_SOAK_BPE_VOCAB=<n> (with optional _BPE_MERGES): the
+    // DRIVER merge loop alone, on a synthetic Zipf-ish vocabulary
+    // independent of any corpus — the receipt for the heap-selected
+    // trainer's real-trainer shape (10⁶-word vocab × 32 k merges must
+    // be minutes of driver time, not hours; the per-round pair-map
+    // rescan this replaced was O(numMerges × |pairs|)). Dedicated mode:
+    // runs and exits, so doubling runs isolate trainer scaling.
+    val bpeVocab = sys.env.getOrElse("SPARK_GRAFT_SOAK_BPE_VOCAB", "0").toInt
+    if (bpeVocab > 0) {
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_SOAK_BPE_MERGES", "2000").toInt
+      val rnd = new scala.util.Random(42)
+      val syn = (0 until bpeVocab).map { i =>
+        val w = (0 until 3 + rnd.nextInt(10))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        w -> (1L + bpeVocab.toLong / (i + 1)) // zipf-ish counts
+      }.toMap
+      println(s"[soak] bpe synthetic vocab: ${syn.size} distinct words")
+      val m = time(s"bpe train ($nMerges merges)") {
+        ops.Bpe.train(syn, nMerges)
+      }
+      println(s"[soak] merges learned: ${m.size}")
+      spark.stop(); return
+    }
+
     if (!embOnly) {
     val docs = replicate(
       Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")),

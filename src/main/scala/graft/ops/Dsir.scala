@@ -52,8 +52,11 @@ object Dsir {
     val grams = (2 to n).map { k =>
       when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(toks, i + j)): _*)))
+          // j = 0 uses `i` bare: higher-order-function lambdas run
+          // INTERPRETED, so a decorative `i + 0` would be a real Add
+          // per element per row on the hot path
+          i => concat_ws(" ", element_at(toks, i) +:
+            (1 until k).map(j => element_at(toks, i + j)): _*)))
         .otherwise(array().cast("array<string>"))
     }
     if (grams.isEmpty) toks else concat(toks +: grams: _*)

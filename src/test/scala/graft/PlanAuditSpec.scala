@@ -24,7 +24,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
     "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
     "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
-    "q_substring_removal", "q_train_mix", "q_mix_temperature")
+    "q_substring_removal", "q_train_mix", "q_mix_temperature",
+    // q_tok_pack is excluded like q_incremental_append: assignWindows
+    // runs eager prefix-sum jobs at plan-build time and checkpoints,
+    // truncating the visible plan — its windowing topology is audited
+    // structurally via Packing.planShape below
+    "q_bpe_vocab", "q_bpe_tokenize")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -145,6 +150,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_boilerplate").contains("BroadcastHashJoin") ||
       plan("q_boilerplate").contains("LeftAnti"),
       "q_boilerplate: boilerplate set must broadcast anti-join")
+  }
+
+  test("tokenizer gates: vocab top-k never global-sorts; subword table broadcasts") {
+    // q_bpe_vocab's pruning must plan as TakeOrderedAndProject (a
+    // per-partition top-k merge) — a global Sort+Limit would
+    // single-reduce the vocabulary at scale
+    assert(plan("q_bpe_vocab").contains("TakeOrderedAndProject"),
+      "q_bpe_vocab: orderBy+limit must lower to TakeOrderedAndProject")
+    // q_bpe_tokenize's word→subwords attach must broadcast the
+    // vocabulary-bounded table — the corpus word stream must never
+    // sort-merge on its way to the explode
+    assert(plan("q_bpe_tokenize").contains("BroadcastHashJoin"),
+      "q_bpe_tokenize: the subword table join must broadcast by default")
+    assert(!plan("q_bpe_tokenize").contains("SortMergeJoin"),
+      "q_bpe_tokenize: corpus words fell into a sort-merge join")
   }
 
   test("relational pipelines run inside WholeStageCodegen with partial aggregation") {
