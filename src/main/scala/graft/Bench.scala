@@ -49,17 +49,19 @@ object Bench {
     def safe(s: String): String =
       s.map(c => if (c == '"' || c == '\\' || c < ' ') '_' else c)
     val sfShort = safe(sfName.takeRight(24))
-    // "stat":"med": every row publishes its MEDIAN (r8's A/B overlap
-    // showed min-vs-median totals within a few %, and median is robust
-    // to the multi-job scheduling-luck swings that min can't separate
-    // from regressions). reps detail (3 single-plan / 5 multi-job) and
-    // per-row spreads live in the fidelity file. "degraded" tags a run
-    // started on a loaded box (load1m above threshold) — the r8 driver
-    // number was noise and the harness knew it; now the line says so.
-    s"""{"metric":"total","unit":"sec","qpfx":"q_","queries":$qs,""" +
-      s""""stat":"med","load1m":${fq(load1m)},""" +
+    // Every row publishes its MEDIAN (r8's A/B overlap showed
+    // min-vs-median totals within a few %, and median is robust to the
+    // multi-job scheduling-luck swings that min can't separate from
+    // regressions). Methodology ("stat"/"qpfx"/reps), per-row spreads,
+    // and n_queries live in the FIDELITY file — the capped line keeps
+    // only what the driver headline needs (error keys keep FULL
+    // names). "degraded" tags a run started on a loaded box (load1m
+    // above threshold) — the r8 driver number was noise and the
+    // harness knew it; now the line says so.
+    s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+      s""""load1m":${fq(load1m)},""" +
       s""""sf":"$sfShort",""" +
-      s""""errors":$errs,"n_errors":${errors.size},""" +
+      s""""errors":$errs,""" +
       s""""degraded":$degraded,"value":${f(total)}}"""
   }
 
@@ -103,7 +105,9 @@ object Bench {
       "q_incremental_substring", "q_incremental_boilerplate",
       "q_ann_ivf", "q_pq_topk",
       // assignWindows runs eager prefix-sum jobs + a checkpoint per rep
-      "q_tok_pack")
+      "q_tok_pack",
+      // whole subword-table lifecycle (build+write, load, checkpoint)
+      "q_incremental_tokenize")
     // a query whose body THROWS gets no timing row at all — timing the
     // exception published a fake 0.09 s for the broken q_asof_join in
     // r5/r6; it is recorded under "errors" instead and fails the eye
@@ -168,7 +172,7 @@ object Bench {
         .mkString(",\n")
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
-  "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
+  "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median", "qpfx": "q_",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenization (Sennrich et al. 2016, "Neural
@@ -259,6 +259,178 @@ object Bpe {
     val table = vocab.as[String].mapPartitions { it =>
       it.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow)))
     }.toDF("word", "subwords")
+    words.join(if (broadcastTable) broadcast(table) else table, Seq("word"))
+      .select(col(idCol), col("pos"),
+        posexplode(col("subwords")).as(Seq("sub_pos", "subword")))
+  }
+
+  // ---- trainer artifacts: persisted merges, id vocabulary ----
+
+  /** Persist a learned merge table under `path` (parquet (rank, left,
+    * right), zstd) — the trainer artifact, reloadable across sessions
+    * like the dedup band index or the IVF centroids. One small file:
+    * merge tables are ≤ ~10⁵ rows by construction. */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+      path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode(mode).option("compression", "zstd").parquet(path)
+  }
+
+  /** Reload a persisted merge table in rank order. The collect is
+    * bounded by the merge count (vocabulary-scale) — the same bounded
+    * stance as [[collectWordFreqs]], no guard needed because the
+    * artifact was written size-bounded by [[saveMerges]]'s caller. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** The token-id vocabulary a trainer hands to the model: base symbols
+    * (every code-point symbol that appears in the training vocabulary's
+    * initial decomposition — mid-word chars plus the `char+eow` finals),
+    * sorted, ids 0..; then each merge's output symbol in rank order
+    * (the GPT-2 vocab construction — base alphabet first, merges
+    * appended in learn order). Deterministic given (wordFreq keys,
+    * merges). Fails fast on an output colliding with a base symbol or a
+    * duplicate output — ids must be unambiguous. */
+  def vocabulary(words: Iterable[String], merges: Seq[(String, String)],
+      eow: String = EndOfWord): Seq[(String, Int)] = {
+    words.foreach(requireNoSentinel(_, eow))
+    val base = words.iterator.flatMap(initSymbols(_, eow)).toSet
+    val sortedBase = base.toSeq.sorted
+    val outputs = merges.map { case (a, b) => a + b }
+    require(outputs.distinct.size == outputs.size,
+      "duplicate merge outputs — token ids would be ambiguous")
+    outputs.foreach(o => require(!base.contains(o),
+      s"merge output '$o' collides with a base symbol — token ids would " +
+        "be ambiguous"))
+    (sortedBase ++ outputs).zipWithIndex
+  }
+
+  /** Tokenize to TOKEN IDS — the form a training pipeline actually
+    * ships: [[tokenize]]'s (id, pos, sub_pos, subword) with `tid` from
+    * the vocabulary attached; subwords outside the vocabulary (characters
+    * never seen at training time) get `unkId`, kept VISIBLE rather than
+    * dropped (a dropped token would silently shift every later position).
+    * The vocab rides the closure as a scala Map (vocabulary-scale). */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: Seq[(String, Int)],
+      unkId: Int = -1, eow: String = EndOfWord,
+      broadcastTable: Boolean = true): DataFrame = {
+    val vmap = vocab.toMap
+    require(vmap.size == vocab.size, "vocabulary has duplicate subwords")
+    val lookup = typedlit(vmap)
+    tokenize(docs, idCol, textCol, merges, eow, broadcastTable)
+      .withColumn("tid",
+        coalesce(element_at(lookup, col("subword")), lit(unkId)))
+  }
+
+  // ---- incremental tokenization vs a persisted subword table ----
+  //
+  // A cumulative crawl's distinct-word table is the expensive side of
+  // tokenization once merge tables are 10⁴–10⁵ deep: most of a new
+  // batch's words were already tokenized by earlier batches. The
+  // persisted artifact here is the word→subwords table itself;
+  // tokenizeIncrement joins the batch against it and applies merges
+  // ONLY to the misses (the increment), optionally folding the misses
+  // back in (SaveMode.Append) so tomorrow's batch sees them — the
+  // Dedup.appendToBandIndex stance. Tokenization is a pure function of
+  // (word, merges), so duplicate rows from overlapping appends are
+  // harmless (any copy is correct; reads dedup) — but the table is
+  // bound to ONE merge table, enforced by persisting the merge list's
+  // fingerprint alongside and failing fast on mismatch.
+
+  private def mergesFingerprint(merges: Seq[(String, String)], eow: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(eow.getBytes("UTF-8"))
+    merges.foreach { case (a, b) =>
+      md.update(0.toByte); md.update(a.getBytes("UTF-8"))
+      md.update(1.toByte); md.update(b.getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Persist the word→subwords table for the DISTINCT words of `docs`
+    * under `path` (`table/` + `meta/` carrying the merge-table
+    * fingerprint). Append folds a new batch's words in. */
+  def buildSubwordTable(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], path: String,
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      eow: String = EndOfWord): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeVec = merges.toVector
+    val rank = mergeVec.zipWithIndex.toMap
+    docs.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+      .as[String]
+      .mapPartitions(_.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow))))
+      .toDF("word", "subwords")
+      .write.mode(mode).option("compression", "zstd").parquet(s"$path/table")
+    Seq(Tuple1(mergesFingerprint(merges, eow))).toDF("merges_md5")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+  }
+
+  /** Tokenize a batch against the persisted table: rows whose word is
+    * KNOWN take their subwords from the table (no merge application);
+    * the batch's NEW distinct words — the increment — tokenize on the
+    * fly. Output ≡ [[tokenize]] row-for-row (BpeSpec-pinned; the
+    * `q_incremental_tokenize` gate shares `q_bpe_tokenize`'s oracle —
+    * the two construction paths must agree). With `appendNew` the
+    * increment folds into the table for the next batch. Fails FAST if
+    * the table was built under a different merge table (a stale table
+    * would silently tokenize with yesterday's vocabulary). The
+    * persisted side joins on the word key — `broadcastTable = false`
+    * is the beyond-broadcast fallback, as in [[tokenize]].
+    * `materializeTable = true` eagerly checkpoints the loaded table so
+    * the RESULT never re-reads the files (required by callers that
+    * delete/rotate the store after wiring, e.g. the gate's temp-index
+    * lifecycle); default false — at production scale the table streams
+    * from the store. */
+  def tokenizeIncrement(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], path: String,
+      appendNew: Boolean = false, eow: String = EndOfWord,
+      broadcastTable: Boolean = true,
+      materializeTable: Boolean = false): DataFrame = {
+    Reserved.requireAbsent("tokenizeIncrement",
+      Seq("word", "pos", "subword", "sub_pos", "subwords"), docs)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val want = mergesFingerprint(merges, eow)
+    val got = spark.read.parquet(s"$path/meta")
+      .select("merges_md5").as[String].collect().toSet
+    require(got == Set(want),
+      s"subword table at $path was built under a different merge table " +
+        s"(fingerprints $got != $want) — rebuild it or pass the matching " +
+        "merges")
+    // overlapping appends may duplicate a word; any copy is correct
+    // (tokenization is a pure function of (word, merges)), so dedup by
+    // first — the arrays are identical, so the pick is deterministic
+    val known0 = spark.read.parquet(s"$path/table")
+      .groupBy("word").agg(first(col("subwords")).as("subwords"))
+    val known = if (materializeTable) known0.localCheckpoint(true) else known0
+    val words = docs
+      .select(col(idCol), posexplode(TextOps.tokens(lower(col(textCol))))
+        .as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+    val mergeVec = merges.toVector
+    val rank = mergeVec.zipWithIndex.toMap
+    val misses = words.select("word").distinct()
+      .join(known.select("word"), Seq("word"), "left_anti")
+      .as[String]
+      .mapPartitions(_.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow))))
+      .toDF("word", "subwords")
+      // materialized ONCE: consumed by the batch join below and (under
+      // appendNew) the fold-in write — and the result must not re-read
+      // the table files after this call (the incremental contract)
+      .localCheckpoint(true)
+    if (appendNew)
+      misses.write.mode(SaveMode.Append)
+        .option("compression", "zstd").parquet(s"$path/table")
+    val table = known.unionByName(misses)
     words.join(if (broadcastTable) broadcast(table) else table, Seq("word"))
       .select(col(idCol), col("pos"),
         posexplode(col("subwords")).as(Seq("sub_pos", "subword")))

@@ -82,9 +82,56 @@ object TokenizerQueries {
       .orderBy("doc_id")
   }
 
+  /** Token IDS — the artifact a model consumes: the corpus-derived id
+    * vocabulary ([[Bpe.vocabulary]]: sorted base symbols, then merge
+    * outputs in rank order — the GPT-2 construction, ASCII corpus so
+    * JVM and DuckDB sort identically) attached to every subword via
+    * [[Bpe.tokenizeToIds]]. The vocab covers the corpus by
+    * construction, so the unk path stays out of the gate (BpeSpec pins
+    * it on a fixture). */
+  def qBpeIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val wf = Bpe.collectWordFreqs(Bpe.wordFreqs(docs, "text"))
+    val vocab = Bpe.vocabulary(wf.keys, FixedMerges)
+    Bpe.tokenizeToIds(docs, "doc_id", "text", FixedMerges, vocab)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("sub_pos").cast("long").as("sub_pos"), col("subword"),
+        col("tid").cast("int").as("tid"))
+      .orderBy("doc_id", "pos", "sub_pos")
+  }
+
+  /** Incremental tokenization vs a persisted subword table
+    * ([[Bpe.buildSubwordTable]] → [[Bpe.tokenizeIncrement]]): the table
+    * holds the a–m HALF of the vocabulary (a word-initial predicate —
+    * a doc-id slice of this small-vocabulary corpus would cover every
+    * word and leave the miss path vacuous), the n–z half arrives as
+    * the increment and tokenizes on the fly. Output must equal plain
+    * [[Bpe.tokenize]] row-for-row, so this gate SHARES
+    * `q_bpe_tokenize`'s oracle — the two construction paths must agree
+    * (the `q_incremental_append` pattern). Whole lifecycle (build →
+    * load → tokenize → delete) runs inside the gate. */
+  def qIncrementalTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    Q.withTempIndex("graft-bpetable") { idx =>
+      val half = docs
+        .select(explode(graft.ops.TextOps.tokens(lower(col("text"))))
+          .as("text"))
+        .where(length(col("text")) > 0 && substring(col("text"), 1, 1) < "n")
+      Bpe.buildSubwordTable(half, "text", FixedMerges, idx,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      Bpe.tokenizeIncrement(docs, "doc_id", "text", FixedMerges, idx,
+          materializeTable = true)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("sub_pos").cast("long").as("sub_pos"), col("subword"))
+        .orderBy("doc_id", "pos", "sub_pos")
+    }
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_bpe_tokenize" -> (qBpeTokenize _),
+    "q_bpe_ids" -> (qBpeIds _),
+    "q_incremental_tokenize" -> (qIncrementalTokenize _),
     "q_tok_pack" -> (qTokPack _),
   )
 
@@ -134,6 +181,37 @@ object TokenizerQueries {
     // second stripMargin over the already-stripped CTE block would eat
     // one '|' of every line-leading '||' list concat
     "q_bpe_tokenize" ->
+      ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
+        """sub AS (SELECT word, unnest(range(1, len(syms)+1)) AS si, syms FROM tok)
+          |SELECT wp.doc_id, cast(wp.pos AS bigint) AS pos,
+          |  cast(sub.si - 1 AS bigint) AS sub_pos, sub.syms[sub.si] AS subword
+          |FROM wp JOIN sub ON wp.word = sub.word
+          |ORDER BY doc_id, pos, sub_pos""".stripMargin),
+    // the id vocabulary: distinct initial symbols sorted (row_number,
+    // ASCII ⇒ same order as the engine's JVM sort), then merge outputs
+    // at base-count + rank — joined back onto the tokenize replay
+    "q_bpe_ids" ->
+      ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
+        """base AS (SELECT DISTINCT s FROM (SELECT unnest(syms) AS s FROM init)),
+          |nb AS (SELECT count(*) AS n FROM base),
+          |vid AS (
+          |  SELECT s AS subword,
+          |    cast(row_number() OVER (ORDER BY s) - 1 AS int) AS tid
+          |  FROM base
+          |  UNION ALL
+          |  SELECT m.s, cast((SELECT n FROM nb) + m.r AS int)
+          |  FROM (VALUES ('ta', 0), ('tab', 1), ('ro', 2), ('le</w>', 3)) m(s, r)),
+          |sub AS (SELECT word, unnest(range(1, len(syms)+1)) AS si, syms FROM tok)
+          |SELECT wp.doc_id, cast(wp.pos AS bigint) AS pos,
+          |  cast(sub.si - 1 AS bigint) AS sub_pos, sub.syms[sub.si] AS subword,
+          |  coalesce(vid.tid, -1) AS tid
+          |FROM wp JOIN sub ON wp.word = sub.word
+          |LEFT JOIN vid ON sub.syms[sub.si] = vid.subword
+          |ORDER BY doc_id, pos, sub_pos""".stripMargin),
+    // SAME oracle as q_bpe_tokenize BY DESIGN: the incremental
+    // (persisted-table + on-the-fly misses) and one-shot construction
+    // paths must produce identical tokenization
+    "q_incremental_tokenize" ->
       ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
         """sub AS (SELECT word, unnest(range(1, len(syms)+1)) AS si, syms FROM tok)
           |SELECT wp.doc_id, cast(wp.pos AS bigint) AS pos,

@@ -48,11 +48,13 @@ class BenchSpec extends AnyFunSuite {
     // an early-warning to re-budget consciously (shave per-query
     // precision or move a field to the fidelity file), never a
     // truncation discovered in the next round's BENCH file.
-    // 92 queries, "q_" key prefix stripped; "full"/"cpus" (r8) then
+    // 94 queries, "q_" key prefix stripped; "full"/"cpus" (r8), then
     // "n_queries"/"warm_s"/"total_med" (r9 median flip — total_med IS
-    // the value now) moved to the fidelity file as the inventory grew:
-    // worst case ~1905; the pin still fires one added query (~25 B)
-    // early.
+    // the value now), then "qpfx"/"n_errors"/"stat" (r9, the 93rd/94th
+    // queries; all reconstructable — qpfx/stat from the fidelity file,
+    // n_errors by counting "errors") moved off the line as the
+    // inventory grew: worst case 1930 — AT the pin, so the NEXT added
+    // query must re-budget consciously (the early-warning design).
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 99.999,
@@ -71,7 +73,6 @@ class BenchSpec extends AnyFunSuite {
       "sf0.1", Nil, degraded = false, 0.8)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
-    assert(node.get("qpfx").asText == "q_")
     assert(node.get("queries").has("x") && !node.get("queries").has("q_x"))
     assert(node.get("queries").has("q1_agg"), "non-prefixed names pass through")
   }
@@ -88,8 +89,7 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").get("q1_agg").asDouble == 0.37)
     assert(node.get("queries").get("x").asDouble == 12.0)
     assert(node.get("errors").get("q_bad").asText.contains("quoted"))
-    assert(node.get("n_errors").asInt == 1)
-    assert(node.get("stat").asText == "med")
+    assert(node.get("errors").size == 1)
     assert(!node.get("degraded").asBoolean)
     assert(node.get("load1m").asDouble == 1.2)
   }

@@ -25,11 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
     "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
     "q_substring_removal", "q_train_mix", "q_mix_temperature",
-    // q_tok_pack is excluded like q_incremental_append: assignWindows
-    // runs eager prefix-sum jobs at plan-build time and checkpoints,
-    // truncating the visible plan — its windowing topology is audited
-    // structurally via Packing.planShape below
-    "q_bpe_vocab", "q_bpe_tokenize")
+    // q_tok_pack and q_incremental_tokenize are excluded like
+    // q_incremental_append: they run eager jobs at plan-build time
+    // (prefix-sum collect + checkpoint; subword-table build+write) —
+    // their topologies are audited structurally via Packing.planShape
+    // below and BpeSpec's incremental ≡ one-shot pin
+    "q_bpe_vocab", "q_bpe_tokenize", "q_bpe_ids")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -161,10 +162,12 @@ class PlanAuditSpec extends SparkSpec {
     // q_bpe_tokenize's word→subwords attach must broadcast the
     // vocabulary-bounded table — the corpus word stream must never
     // sort-merge on its way to the explode
-    assert(plan("q_bpe_tokenize").contains("BroadcastHashJoin"),
-      "q_bpe_tokenize: the subword table join must broadcast by default")
-    assert(!plan("q_bpe_tokenize").contains("SortMergeJoin"),
-      "q_bpe_tokenize: corpus words fell into a sort-merge join")
+    for (name <- Seq("q_bpe_tokenize", "q_bpe_ids")) {
+      assert(plan(name).contains("BroadcastHashJoin"),
+        s"$name: the subword table join must broadcast by default")
+      assert(!plan(name).contains("SortMergeJoin"),
+        s"$name: corpus words fell into a sort-merge join")
+    }
   }
 
   test("relational pipelines run inside WholeStageCodegen with partial aggregation") {

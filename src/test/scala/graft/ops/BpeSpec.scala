@@ -138,4 +138,91 @@ class BpeSpec extends SparkSpec {
         .as[(Long, Int, Int, String)].collect().toSeq
     assert(rows(false) == rows(true))
   }
+
+  test("saveMerges/loadMerges round-trips the artifact in rank order") {
+    val merges = Bpe.train(freq, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpemerges").toString
+    try {
+      Bpe.saveMerges(spark, merges, s"$dir/m")
+      assert(Bpe.loadMerges(spark, s"$dir/m") == merges)
+    } finally deleteRec(dir)
+  }
+
+  test("vocabulary: sorted base symbols then merge outputs; collisions fail fast") {
+    val merges = Bpe.train(freq, 4)
+    val vocab = Bpe.vocabulary(freq.keys, merges)
+    val ids = vocab.toMap
+    // base block: every initial symbol present, ids dense from 0,
+    // lexicographic
+    val base = vocab.take(vocab.size - merges.size).map(_._1)
+    assert(base == base.sorted)
+    assert(vocab.map(_._2) == vocab.indices)
+    // merge outputs appended in LEARN order after the base block
+    assert(vocab.drop(base.size).map(_._1) ==
+      merges.map { case (a, b) => a + b })
+    assert(ids.contains("es") && ids.contains("est</w>"))
+    // ambiguity guards fail fast: a merge output colliding with a base
+    // symbol (a foreign corpus's merge list — "b"+"</w>" assembles the
+    // base final "b</w>"), and duplicate outputs
+    intercept[IllegalArgumentException] {
+      Bpe.vocabulary(Seq("ab", "b"), Seq(("b", "</w>")))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.vocabulary(Seq("ab"), Seq(("a", "b"), ("a", "b")))
+    }
+  }
+
+  test("tokenizeToIds: corpus ids match the vocabulary; OOV gets unkId, stays visible") {
+    val merges = Bpe.train(freq, 4)
+    val vocab = Bpe.vocabulary(freq.keys, merges)
+    val ids = vocab.toMap
+    val docs = Seq((1L, "low lowest"), (2L, "newest zq")).toDF("doc_id", "text")
+    val out = Bpe.tokenizeToIds(docs, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id", "pos", "sub_pos")
+      .select("subword", "tid").as[(String, Int)].collect().toSeq
+    out.foreach { case (sub, tid) =>
+      assert(tid == ids.getOrElse(sub, -1), s"'$sub' → $tid")
+    }
+    // 'z'/'q' never appeared in the training vocabulary → unk, but the
+    // rows are PRESENT (dropping them would shift later positions)
+    val zq = out.filter { case (s, _) => s == "z" || s == "q</w>" }
+    assert(zq.nonEmpty && zq.forall(_._2 == -1))
+    assert(out.count(_._2 >= 0) > 0)
+  }
+
+  test("tokenizeIncrement ≡ tokenize; appendNew folds the increment in; stale table fails fast") {
+    val merges = Bpe.train(freq, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpetbl").toString
+    try {
+      // table knows only 'low'; 'lowest'/'newest'/'zq' are misses
+      Bpe.buildSubwordTable(Seq(Tuple1("low low")).toDF("text"), "text",
+        merges, s"$dir/t")
+      val docs = Seq((1L, "low lowest"), (2L, "newest zq")).toDF("doc_id", "text")
+      val inc = Bpe.tokenizeIncrement(docs, "doc_id", "text", merges,
+          s"$dir/t", appendNew = true)
+        .orderBy("doc_id", "pos", "sub_pos")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      val full = Bpe.tokenize(docs, "doc_id", "text", merges)
+        .orderBy("doc_id", "pos", "sub_pos")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      assert(inc == full, "incremental path must equal one-shot tokenize")
+      // fold-in happened: the misses are in the table now, so a replay
+      // against the grown table has NO misses left
+      val tbl = spark.read.parquet(s"$dir/t/table")
+        .select("word").as[String].collect().toSet
+      assert(tbl == Set("low", "lowest", "newest", "zq"))
+      // a different merge table must be rejected loudly
+      intercept[IllegalArgumentException] {
+        Bpe.tokenizeIncrement(docs, "doc_id", "text", merges.take(2), s"$dir/t")
+      }
+    } finally deleteRec(dir)
+  }
+
+  private def deleteRec(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally w.close()
+  }
 }

@@ -54,6 +54,28 @@ class TokenizerQueriesSpec extends SparkSpec {
       "the cap did not actually cut anything — raise the fixture's topN liveness")
   }
 
+  test("incremental-tokenize gate: both the table-hit and miss paths are live") {
+    // the persisted half holds words < 'n'; the corpus must have words
+    // on BOTH sides or one path goes vacuous while the shared oracle
+    // stays green
+    val words = graft.ops.Bpe.wordFreqs(
+        graft.Tables.documents(spark, sfDir), "text")
+      .select("word").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    assert(words.exists(_ < "n"), "no table-hit words — hit path vacuous")
+    assert(words.exists(w => !(w < "n")), "no miss words — increment path vacuous")
+  }
+
+  test("ids gate: vocabulary covers the corpus (no unk), ids dense from 0") {
+    val tids = TokenizerQueries.qBpeIds(spark, sfDir)
+      .select("tid").distinct()
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().sorted
+    assert(!tids.contains(-1),
+      "unk id leaked into the gate — the vocab no longer covers the corpus")
+    assert(tids.head >= 0 && tids.last > tids.length / 2,
+      "token ids look degenerate")
+  }
+
   test("tok_pack packs multiple docs per window and multiple windows") {
     val r = TokenizerQueries.qTokPack(spark, sfDir)
       .agg(countDistinct("window_id").as("nw"), count(lit(1)).as("nd")).head()
