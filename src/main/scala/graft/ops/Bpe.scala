@@ -319,6 +319,7 @@ object Bpe {
       merges: Seq[(String, String)], vocab: Seq[(String, Int)],
       unkId: Int = -1, eow: String = EndOfWord,
       broadcastTable: Boolean = true): DataFrame = {
+    Reserved.requireAbsent("tokenizeToIds", Seq("tid"), docs)
     val vmap = vocab.toMap
     require(vmap.size == vocab.size, "vocabulary has duplicate subwords")
     val lookup = typedlit(vmap)
@@ -342,25 +343,44 @@ object Bpe {
   // bound to ONE merge table, enforced by persisting the merge list's
   // fingerprint alongside and failing fast on mismatch.
 
+  /** Injective serialization → MD5: every field is LENGTH-PREFIXED, so
+    * no two distinct (eow, merge list) values share a byte stream —
+    * separator bytes alone would not be injective, because raw crawl
+    * tokens can legitimately contain any control character. */
   private def mergesFingerprint(merges: Seq[(String, String)], eow: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(eow.getBytes("UTF-8"))
-    merges.foreach { case (a, b) =>
-      md.update(0.toByte); md.update(a.getBytes("UTF-8"))
-      md.update(1.toByte); md.update(b.getBytes("UTF-8"))
+    def field(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
     }
+    field(eow)
+    merges.foreach { case (a, b) => field(a); field(b) }
     md.digest().map("%02x".format(_)).mkString
   }
 
   /** Persist the word→subwords table for the DISTINCT words of `docs`
     * under `path` (`table/` + `meta/` carrying the merge-table
-    * fingerprint). Append folds a new batch's words in. */
+    * fingerprint). Append folds a new batch's words in — but FIRST
+    * verifies the existing fingerprint: appending rows tokenized under
+    * DIFFERENT merges would silently poison the artifact (the mismatch
+    * would only surface at the next read, after the damage), so the
+    * check fails fast BEFORE any write, and Append never duplicates
+    * the meta row. */
   def buildSubwordTable(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)], path: String,
       mode: SaveMode = SaveMode.ErrorIfExists,
       eow: String = EndOfWord): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val want = mergesFingerprint(merges, eow)
+    val existingMeta =
+      if (mode == SaveMode.Append) readFingerprints(spark, path) else Set.empty[String]
+    if (existingMeta.nonEmpty)
+      require(existingMeta == Set(want),
+        s"subword table at $path was built under a different merge table " +
+          s"(fingerprints $existingMeta != $want) — appending would poison " +
+          "it; rebuild under the new merges instead")
     val mergeVec = merges.toVector
     val rank = mergeVec.zipWithIndex.toMap
     docs.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
@@ -370,8 +390,22 @@ object Bpe {
       .mapPartitions(_.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow))))
       .toDF("word", "subwords")
       .write.mode(mode).option("compression", "zstd").parquet(s"$path/table")
-    Seq(Tuple1(mergesFingerprint(merges, eow))).toDF("merges_md5")
-      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    if (existingMeta.isEmpty)
+      Seq(Tuple1(want)).toDF("merges_md5")
+        .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+  }
+
+  /** The fingerprint rows of a persisted subword table; empty when the
+    * meta file does not exist yet (a first Append against a fresh
+    * path). */
+  private def readFingerprints(spark: SparkSession, path: String): Set[String] = {
+    import spark.implicits._
+    try spark.read.parquet(s"$path/meta")
+      .select("merges_md5").as[String].collect().toSet
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getErrorClass == "PATH_NOT_FOUND" => Set.empty
+    }
   }
 
   /** Tokenize a batch against the persisted table: rows whose word is

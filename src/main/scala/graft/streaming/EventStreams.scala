@@ -104,33 +104,51 @@ object EventStreams {
     * [[graft.ops.Boilerplate.stripLinesIncrement]], wired as a
     * foreachBatch stream (the [[idempotentAppend]] pattern): yesterday's
     * crawl's persisted line statistics strip today's arriving pages.
-    * The boilerplate set is derived from the stats ONCE at wiring time
-    * (eager localCheckpoint — small by construction) and reused across
-    * micro-batches, so a long-running stream never re-aggregates the
-    * stats per trigger and never re-reads them after start; each batch
-    * then pays only the stateless strip + per-doc reassembly the batch
-    * operator pays. A doc's lines must arrive within one micro-batch
-    * (reassembly is batch-local — the same whole-unit contract as
-    * [[packStream]]'s per-shard packing); replaying the batches
-    * reproduces the batch operator's output exactly
-    * (EventStreamsSpec-pinned). `sink` receives each stripped batch:
-    * one row per input doc, (idCol, n_lines, n_kept, clean_text). */
+    * With `broadcastSet = true` (default) the boilerplate set is
+    * derived from the stats ONCE at wiring time and COLLECTED to the
+    * driver (small by construction — frequency-filtered), then
+    * re-created as a local DataFrame for every micro-batch: resilient
+    * for the stream's whole lifetime (a localCheckpoint here would
+    * pin executor-resident blocks with no fault tolerance — one
+    * executor loss hours in would fail every later micro-batch), and
+    * the stats files are never re-read after start. With
+    * `broadcastSet = false` (a set too large for the driver — the
+    * ~10⁷-site crawl) each micro-batch re-derives the set from the
+    * persisted stats and takes the shuffle join: per-trigger
+    * re-aggregation is the honest trade at that scale, and the stats
+    * path must stay live for the stream's lifetime. A doc's lines must
+    * arrive within one micro-batch (reassembly is batch-local — the
+    * same whole-unit contract as [[packStream]]'s per-shard packing);
+    * replaying the batches reproduces the batch operator's output
+    * exactly (EventStreamsSpec-pinned). `sink` receives each stripped
+    * batch: one row per input doc, (idCol, n_lines, n_kept,
+    * clean_text). */
   def boilerplateStripStream(lines: DataFrame, idCol: String,
       grpCol: String, idxCol: String, lineCol: String, statsPath: String,
       maxDocFrac: Double, checkpoint: String, minGrpDocs: Int = 2,
       broadcastSet: Boolean = true,
       trigger: Trigger = Trigger.AvailableNow())(
       sink: DataFrame => Unit): StreamingQuery = {
-    val boiler = graft.ops.Boilerplate.boilerplateSetFromStats(
-      lines.sparkSession, statsPath, grpCol, maxDocFrac, minGrpDocs)
-      .localCheckpoint(true)
+    val spark = lines.sparkSession
+    val boiler: () => DataFrame =
+      if (broadcastSet) {
+        val derived = graft.ops.Boilerplate.boilerplateSetFromStats(
+          spark, statsPath, grpCol, maxDocFrac, minGrpDocs)
+        val schema = derived.schema
+        val rows = derived.collect().toSeq
+        () => spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), schema)
+      } else {
+        () => graft.ops.Boilerplate.boilerplateSetFromStats(
+          spark, statsPath, grpCol, maxDocFrac, minGrpDocs)
+      }
     lines.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.ops.Boilerplate.stripLinesWithSet(
-          batch, idCol, grpCol, idxCol, lineCol, boiler, broadcastSet))
+          batch, idCol, grpCol, idxCol, lineCol, boiler(), broadcastSet))
       }
       .start()
   }

@@ -21,4 +21,15 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   spark.sparkContext.setLogLevel("ERROR")
+
+  /** Recursive temp-dir cleanup for specs exercising persisted
+    * artifacts — ONE definition (the idiom was copied into three specs
+    * before this was hoisted). */
+  protected def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally w.close()
+  }
 }

@@ -96,13 +96,7 @@ class BoilerplateSpec extends SparkSpec {
           "idx", "line", inc, maxDocFrac = 0.6)
         .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
       assert(out == Seq((9L, 2L, 1L, "body 9"), (10L, 2L, 1L, "body 10")))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally w.close()
-    }
+    } finally deleteRecursively(dir)
   }
 
   test("materialize=true evaluates a derived input exactly once (not 4x)") {

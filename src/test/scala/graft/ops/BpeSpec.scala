@@ -145,7 +145,7 @@ class BpeSpec extends SparkSpec {
     try {
       Bpe.saveMerges(spark, merges, s"$dir/m")
       assert(Bpe.loadMerges(spark, s"$dir/m") == merges)
-    } finally deleteRec(dir)
+    } finally deleteRecursively(dir)
   }
 
   test("vocabulary: sorted base symbols then merge outputs; collisions fail fast") {
@@ -215,14 +215,24 @@ class BpeSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Bpe.tokenizeIncrement(docs, "doc_id", "text", merges.take(2), s"$dir/t")
       }
-    } finally deleteRec(dir)
-  }
-
-  private def deleteRec(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-    try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-    finally w.close()
+      // and an Append BUILD under different merges must fail BEFORE any
+      // write — appending would poison the artifact, not just misread it
+      intercept[IllegalArgumentException] {
+        Bpe.buildSubwordTable(Seq(Tuple1("lower")).toDF("text"), "text",
+          merges.take(2), s"$dir/t",
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      // same-merges Append folds in without duplicating the meta row
+      Bpe.buildSubwordTable(Seq(Tuple1("lower")).toDF("text"), "text",
+        merges, s"$dir/t", org.apache.spark.sql.SaveMode.Append)
+      assert(spark.read.parquet(s"$dir/t/meta").count() == 1L)
+      assert(spark.read.parquet(s"$dir/t/table")
+        .where(col("word") === "lower").count() == 1L)
+      // a FIRST Append against a fresh path is a valid bootstrap (no
+      // meta yet → nothing to verify, meta gets written)
+      Bpe.buildSubwordTable(Seq(Tuple1("low")).toDF("text"), "text",
+        merges, s"$dir/fresh", org.apache.spark.sql.SaveMode.Append)
+      assert(spark.read.parquet(s"$dir/fresh/meta").count() == 1L)
+    } finally deleteRecursively(dir)
   }
 }

@@ -155,13 +155,7 @@ class EventStreamsSpec extends SparkSpec {
       // the strip actually fired: HDR gone, bodies kept
       assert(got.forall { case (_, nl, nk, txt) =>
         nl == 2L && nk == 1L && txt.startsWith("body") })
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally w.close()
-    }
+    } finally deleteRecursively(dir)
   }
 
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
