@@ -18,6 +18,15 @@ object Bench {
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString }
 
+  /** Stat-line key for a query name: "q_" stripped, then the leading
+    * "incremental_" family prefix compressed to "i_". Full names stay
+    * in the fidelity file ("key_transform" documents this). */
+  private[graft] def lineKey(k: String): String = {
+    val s = k.stripPrefix("q_")
+    if (s.startsWith("incremental_")) "i_" + s.stripPrefix("incremental_")
+    else s
+  }
+
   /** The single machine-parseable stdout line for the driver. Field
     * order is truncation-aware: the archiver keeps only the TAIL of
     * stdout (~2 KB cap; r4 lost the total to the head cut, r7 lost 6
@@ -31,13 +40,13 @@ object Bench {
   private[graft] def statLine(results: Seq[(String, Double)],
       load1m: Double, sfName: String, errors: Seq[(String, String)],
       degraded: Boolean, total: Double): String = {
-    // the redundant "q_" prefix (most of the inventory) is stripped
-    // from the LINE's keys only — ~160 bytes of the ~1956-byte budget;
-    // "qpfx" documents the transform and the fidelity file keeps full
-    // names. Stripping is collision-free today (BenchSpec pins it)
-    // because no two inventory names differ only by the prefix.
+    // LINE-key transform (full names live in the fidelity file, whose
+    // "key_transform" field documents this): the redundant "q_" prefix
+    // is stripped (~160 B of the ~1956-byte budget) and the leading
+    // "incremental_" family prefix compresses to "i_" (~50 B — the
+    // 95th query's re-budget). Collision-free today, BenchSpec-pinned.
     val qs = results.map { case (k, v) =>
-      s"\"" + k.stripPrefix("q_") + "\":" + fq(v) }
+      s"\"" + lineKey(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
@@ -172,7 +181,8 @@ object Bench {
         .mkString(",\n")
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
-  "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median", "qpfx": "q_",
+  "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

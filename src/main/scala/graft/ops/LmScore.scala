@@ -159,6 +159,122 @@ object LmScore {
       .drop("__t_lo", "__t_hi")
   }
 
+  // ---- n-gram generalization (Brants et al. 2007 use 5-grams;
+  // CCNet's KenLM is 5-gram too; the bigram surface above is the
+  // oracle-checked default and stays byte-identical) ----
+
+  /** n-gram stupid-backoff model: `orders(m)` for m = 2..n holds
+    * (ctx, w, cm, cctx) — the m-gram count and its (m−1)-gram context
+    * count, ctx space-joined; `uni` and `nTokens` as in [[Model]].
+    * Counts stay RAW (ratios + the 0.4^k backoff scale are applied at
+    * score time as one floor division per level), because pre-dividing
+    * per level and then scaling would round twice and break the exact
+    * integer form the oracle replays. */
+  final case class NModel(orders: Map[Int, DataFrame], uni: DataFrame,
+    nTokens: Long, n: Int)
+
+  /** Position stream: one row per scoring position i (1-based, i ≥ 2)
+    * with the token at i and the space-joined m−1-gram contexts for
+    * every order. Slices/joins are all codegen'd builtins; `toks` is a
+    * materialized attribute (the [[Dsir]] projection-boundary rule). */
+  private def positions(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val base = docs.select(col(idCol), toks(textCol).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(2), size(col("toks")))).as("i"))
+      .select(col(idCol) +: col("toks") +: col("i") +:
+        element_at(col("toks"), col("i")).as("w") +:
+        (2 to n).map { m =>
+          when(col("i") >= m,
+            concat_ws(" ", slice(col("toks"), col("i") - (m - 1), lit(m - 1))))
+            .as(s"ctx$m")
+        }: _*)
+    base.drop("toks")
+  }
+
+  /** Train the order-`n` model: for each m, ONE m-gram aggregation plus
+    * a context re-aggregation — all bounded by target-corpus
+    * vocabulary. `trainN(…, n = 2)` carries the same statistics as
+    * [[train]] (LmScoreSpec pins score equality). */
+  def trainN(target: DataFrame, textCol: String, n: Int): NModel = {
+    require(n >= 2, "order must be >= 2")
+    require(n <= 7, "0.4^k backoff scale stays integer-exact only to k = 6")
+    val tagged = target.select(lit(0L).as("_id"), col(textCol))
+    val pos = positions(tagged, "_id", textCol, n)
+    val orders = (2 to n).map { m =>
+      val cm = pos.where(col(s"ctx$m").isNotNull)
+        .groupBy(col(s"ctx$m").as("ctx"), col("w"))
+        .agg(count(lit(1)).as("cm"))
+      val cctx = cm.groupBy("ctx").agg(sum("cm").as("cctx"))
+      m -> cm.join(cctx, Seq("ctx"))
+    }.toMap
+    val uni = tagged.select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val nTok = tagged.select(explode(toks(textCol)).as("w")).count()
+    NModel(orders, uni, math.max(1L, nTok), n)
+  }
+
+  /** 10⁶·0.4^k exactly (400000, 160000, 64000, …) — integer for k ≤ 6,
+    * which `trainN`'s n ≤ 7 guard guarantees. */
+  private def backoffScale(k: Int): Long =
+    (0 until k).foldLeft(1000000L)((s, _) => s * 2 / 5)
+
+  /** Score documents under an n-gram stupid-backoff model: each
+    * position starts at its LONGEST AVAILABLE context (min(n−1, i−1)
+    * words — doc starts score with what exists, unpenalized, the
+    * standard treatment) and backs off 0.4 per unseen level down to
+    * the unigram, OOV → 0. All fixed-point floor divisions, so
+    * `scoreDocsN` under an n = 2 model is BYTE-IDENTICAL to
+    * [[scoreDocs]] (LmScoreSpec pins it). One left join per order
+    * (broadcast by default — `broadcastModel = false` is the honest
+    * beyond-broadcast fallback) + the per-doc sum. */
+  def scoreDocsN(docs: DataFrame, idCol: String, textCol: String,
+      m: NModel, broadcastModel: Boolean = true,
+      carry: Seq[String] = Nil): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    var stream = positions(docs, idCol, textCol, m.n)
+    for (o <- 2 to m.n) {
+      val tbl = m.orders(o)
+        .select(col("ctx").as(s"ctx$o"), col("w"),
+          col("cm").as(s"cm$o"), col("cctx").as(s"cctx$o"))
+      stream = stream.join(hint(tbl), Seq(s"ctx$o", "w"), "left")
+    }
+    stream = stream.join(hint(m.uni), Seq("w"), "left")
+    // One SQL CASE, longest level first: avail = min(i, n) is the
+    // longest level whose context exists at this position; the used
+    // level o pays 0.4^(avail − o), the unigram terminal pays
+    // 0.4^(avail − 1), OOV scores 0. Every arithmetic step is an
+    // integer `div` — double division would round differently and
+    // break oracle exactness.
+    val availSql = s"least(i, ${m.n})"
+    def scaleSql(o: Int): String =
+      s"(CASE $availSql " +
+        (o to m.n).map(a => s"WHEN $a THEN ${backoffScale(a - o)}L").mkString(" ") +
+        " END)"
+    val uniScaleSql =
+      s"(CASE $availSql " +
+        (2 to m.n).map(a => s"WHEN $a THEN ${backoffScale(a - 1)}L").mkString(" ") +
+        " END)"
+    val tpSql = "CASE " +
+      (m.n to 2 by -1).map(o =>
+        s"WHEN $availSql >= $o AND cm$o IS NOT NULL " +
+          s"THEN ${scaleSql(o)} * cm$o div cctx$o ").mkString +
+      s"WHEN cu IS NOT NULL THEN $uniScaleSql * cu div ${m.nTokens}L " +
+      "ELSE 0L END"
+    val scored = stream
+      .select(col(idCol), expr(tpSql).as("tp"))
+      .groupBy(idCol)
+      .agg(sum(col("tp")).as("score"), count(lit(1)).as("n_trans"))
+    docs.select(col(idCol) +: carry.map(col): _*)
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol) +: carry.map(col) :+
+        coalesce(col("score"), lit(0L)).as("score") :+
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"): _*)
+      .withColumn("mean_p",
+        when(col("n_trans") > 0, expr("score div n_trans")).otherwise(lit(0L)))
+  }
+
   /** The paper form: perplexity exp(−1/n Σ ln p) with p the (unscaled)
     * stupid-backoff probability, floored at 10⁻⁹ so OOV transitions
     * penalize hard instead of producing ±∞. Floating point — for

@@ -139,6 +139,18 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** TRIGRAM stupid-backoff fluency ([[LmScore.trainN]] /
+    * [[LmScore.scoreDocsN]] at n = 3 — the order real CCNet-style
+    * pipelines run near; the bigram surface `q_lm_fluency` stays the
+    * baseline gate): each position starts at its longest available
+    * context and pays 0.4 per backoff level, all fixed-point floor
+    * divisions so the oracle replays the chain bit-for-bit. */
+  def qLmTrigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = LmScore.trainN(docs.where(col("lang") === "en"), "text", 3)
+    LmScore.scoreDocsN(docs, "doc_id", "text", m).orderBy("doc_id")
+  }
+
   /** Per-source token totals — the ONE definition shared by
     * [[qMixTemperature]] and [[qTrainMix]] (their oracles replay the
     * same counts; two inline copies could drift). */
@@ -202,6 +214,7 @@ object CurationQueries {
     "q_boilerplate" -> (qBoilerplate _),
     "q_incremental_boilerplate" -> (qIncrementalBoilerplate _),
     "q_ppl_bucket" -> (qPplBucket _),
+    "q_lm_trigram" -> (qLmTrigram _),
     "q_epoch_shard" -> (qEpochShard _),
     "q_mix_temperature" -> (qMixTemperature _),
   )
@@ -373,6 +386,52 @@ object CurationQueries {
         |SELECT source, n_tokens,
         |  round(sqrt(cast(nh AS double) / cast(n_tokens AS double)), 6) AS weight
         |FROM c, h ORDER BY source""".stripMargin,
+    // trigram stupid backoff: per position, longest-available context
+    // first (avail = least(i, 3)), 0.4 per backoff level as the exact
+    // integer scales 1000000/400000/160000, floor division everywhere —
+    // the q_lm_fluency replay extended one order up
+    "q_lm_trigram" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |p0 AS (SELECT doc_id, lang, toks, unnest(range(2, len(toks)+1)) AS i
+        |  FROM t WHERE len(toks) >= 2),
+        |p AS (SELECT doc_id, lang, i, toks[i] AS w, toks[i-1] AS ctx2,
+        |    CASE WHEN i >= 3 THEN toks[i-2] || ' ' || toks[i-1] END AS ctx3
+        |  FROM p0),
+        |tp AS (SELECT i, w, ctx2, ctx3 FROM p WHERE lang = 'en'),
+        |c2 AS (SELECT ctx2, w, count(*) AS cm FROM tp GROUP BY ctx2, w),
+        |cc2 AS (SELECT ctx2, sum(cm) AS cctx FROM c2 GROUP BY ctx2),
+        |c3 AS (SELECT ctx3, w, count(*) AS cm FROM tp
+        |  WHERE ctx3 IS NOT NULL GROUP BY ctx3, w),
+        |cc3 AS (SELECT ctx3, sum(cm) AS cctx FROM c3 GROUP BY ctx3),
+        |uw AS (SELECT unnest(toks) AS w FROM t WHERE lang = 'en'),
+        |uni AS (SELECT w, count(*) AS cu FROM uw GROUP BY w),
+        |n AS (SELECT greatest(count(*), 1) AS n FROM uw),
+        |sc AS (SELECT p.doc_id,
+        |  CASE WHEN least(p.i, 3) >= 3 AND c3.cm IS NOT NULL
+        |         THEN 1000000 * c3.cm // cc3.cctx
+        |       WHEN c2.cm IS NOT NULL
+        |         THEN (CASE least(p.i, 3) WHEN 2 THEN 1000000 ELSE 400000 END)
+        |              * c2.cm // cc2.cctx
+        |       WHEN uni.cu IS NOT NULL
+        |         THEN (CASE least(p.i, 3) WHEN 2 THEN 400000 ELSE 160000 END)
+        |              * uni.cu // (SELECT n FROM n)
+        |       ELSE 0 END AS tp
+        |  FROM p
+        |  LEFT JOIN c3 ON p.ctx3 = c3.ctx3 AND p.w = c3.w
+        |  LEFT JOIN cc3 ON p.ctx3 = cc3.ctx3
+        |  LEFT JOIN c2 ON p.ctx2 = c2.ctx2 AND p.w = c2.w
+        |  LEFT JOIN cc2 ON p.ctx2 = cc2.ctx2
+        |  LEFT JOIN uni ON p.w = uni.w),
+        |agg AS (SELECT doc_id, cast(sum(tp) AS bigint) AS score,
+        |    count(*) AS n_trans FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(agg.score, 0) AS score,
+        |  coalesce(agg.n_trans, 0) AS n_trans,
+        |  cast(CASE WHEN coalesce(agg.n_trans, 0) > 0
+        |    THEN agg.score // agg.n_trans ELSE 0 END AS bigint) AS mean_p
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_epoch_shard" ->
       """WITH h AS (SELECT doc_id,
         |    md5(cast(doc_id AS varchar) || ':42') AS h FROM documents),

@@ -153,6 +153,36 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming BPE tokenization — the crawl tokenizer: documents
+    * arrive, each micro-batch is tokenized against the PERSISTED
+    * word→subwords table ([[graft.ops.Bpe.tokenizeIncrement]]), and
+    * each batch's new distinct words fold into the table
+    * (`appendNew = true`) so later batches — and later streams — only
+    * pay merge application for vocabulary they have never seen. The
+    * merge-table fingerprint check runs at every batch, so a table
+    * swapped under a live stream fails fast instead of silently
+    * tokenizing with the wrong vocabulary. Replaying the batches
+    * reproduces plain [[graft.ops.Bpe.tokenize]] exactly
+    * (EventStreamsSpec-pinned — tokenization is a pure per-word
+    * function, so batch boundaries cannot change the output). `sink`
+    * receives each batch's (idCol, pos, sub_pos, subword) rows. */
+  def tokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], tablePath: String, checkpoint: String,
+      eow: String = graft.ops.Bpe.EndOfWord,
+      broadcastTable: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Bpe.tokenizeIncrement(batch, idCol, textCol, merges,
+          tablePath, appendNew = true, eow = eow,
+          broadcastTable = broadcastTable, materializeTable = true))
+      }
+      .start()
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

@@ -48,13 +48,14 @@ class BenchSpec extends AnyFunSuite {
     // an early-warning to re-budget consciously (shave per-query
     // precision or move a field to the fidelity file), never a
     // truncation discovered in the next round's BENCH file.
-    // 94 queries, "q_" key prefix stripped; "full"/"cpus" (r8), then
-    // "n_queries"/"warm_s"/"total_med" (r9 median flip — total_med IS
-    // the value now), then "qpfx"/"n_errors"/"stat" (r9, the 93rd/94th
-    // queries; all reconstructable — qpfx/stat from the fidelity file,
-    // n_errors by counting "errors") moved off the line as the
-    // inventory grew: worst case 1930 — AT the pin, so the NEXT added
-    // query must re-budget consciously (the early-warning design).
+    // 95 queries; successive re-budgets as the inventory grew: "q_"
+    // prefix stripped (r8), "full"/"cpus" → fidelity (r8),
+    // "n_queries"/"warm_s"/"total_med" → fidelity (r9 median flip),
+    // "qpfx"/"n_errors"/"stat" → fidelity (93rd/94th queries), and the
+    // "incremental_" family prefix compressed to "i_" (95th query,
+    // ~50 B — "key_transform" in the fidelity file documents it):
+    // worst case ~1887, headroom for ~2 more queries before the pin
+    // fires again.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 99.999,
@@ -65,16 +66,19 @@ class BenchSpec extends AnyFunSuite {
         "shave per-query precision or move fields to the fidelity file")
   }
 
-  test("q_ prefix stripping keeps line keys unique and documented") {
-    val stripped = SparkEntry.queries.keys.toSeq.map(_.stripPrefix("q_"))
-    assert(stripped.distinct.size == stripped.size,
-      "two inventory names differ only by the q_ prefix — line keys would collide")
-    val line = Bench.statLine(Seq("q_x" -> 0.5, "q1_agg" -> 0.3), 1,
-      "sf0.1", Nil, degraded = false, 0.8)
+  test("line-key transform keeps keys unique; both rules applied") {
+    val keys = SparkEntry.queries.keys.toSeq.map(Bench.lineKey)
+    assert(keys.distinct.size == keys.size,
+      "two inventory names collide after the line-key transform")
+    val line = Bench.statLine(
+      Seq("q_x" -> 0.5, "q1_agg" -> 0.3, "q_incremental_dedup" -> 0.7), 1,
+      "sf0.1", Nil, degraded = false, 1.5)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
     assert(node.get("queries").has("x") && !node.get("queries").has("q_x"))
     assert(node.get("queries").has("q1_agg"), "non-prefixed names pass through")
+    assert(node.get("queries").has("i_dedup") &&
+      !node.get("queries").has("incremental_dedup"))
   }
 
   test("stat line is valid JSON with the driver-contract fields") {

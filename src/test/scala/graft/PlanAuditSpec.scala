@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
     "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
     "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
-    "q_substring_removal", "q_train_mix", "q_mix_temperature",
+    "q_substring_removal", "q_train_mix", "q_mix_temperature", "q_lm_trigram",
     // q_tok_pack and q_incremental_tokenize are excluded like
     // q_incremental_append: they run eager jobs at plan-build time
     // (prefix-sum collect + checkpoint; subword-table build+write) —
@@ -143,7 +143,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q_epoch_shard").contains("SinglePartition"),
       "q_epoch_shard: the within-shard window must hash-partition by " +
         "shard, never collapse to one reducer")
-    for (name <- Seq("q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard")) {
+    for (name <- Seq("q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
+        "q_lm_trigram")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name cartesian")
       assert(!plan(name).contains("SortMergeJoin"),
         s"$name: a small-side join fell back to sort-merge")

@@ -51,6 +51,55 @@ class LmScoreSpec extends SparkSpec {
     assert(s.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("scoreDocsN at n=2 is byte-identical to the bigram surface") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "sat the cat"), (3L, "xyzzy plugh"),
+      (4L, "solo"), (5L, "the dog sat the cat ran")
+    ).toDF("doc_id", "text")
+    val a = LmScore.scoreDocs(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val b = LmScore.scoreDocsN(docs, "doc_id", "text",
+        LmScore.trainN(target, "text", 2))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "n = 2 must reproduce the oracle-checked bigram scores exactly")
+  }
+
+  test("trigram stupid backoff: hand-computed levels, early-position context, 0.4^k chain") {
+    // target "a b c a b d": bigrams (a,b)x2 (b,c) (c,a) (b,d);
+    // trigrams (a b,c) (b c,a) (c a,b) (a b,d); N = 6
+    val tgt = Seq(Tuple1("a b c a b d")).toDF("text")
+    val m3 = LmScore.trainN(tgt, "text", 3)
+    val docs = Seq(
+      (1L, "a b c"),    // i=2 avail=2 bigram 10^6*2div2; i=3 trigram (a b,c): 10^6*1div2
+      (2L, "c a b d"),  // all levels seen: 10^6 + 10^6 + 500000
+      (3L, "b c d"),    // i=3: trigram (b c,d) miss, bigram (c,d) miss → uni d: 160000*1div6
+      (4L, "z b")       // i=2: bigram (z,b) miss → uni b: avail=2 → 400000*2div6
+    ).toDF("doc_id", "text")
+    val s = LmScore.scoreDocsN(docs, "doc_id", "text", m3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score")).toMap
+    assert(s(1L) == 1000000L + 500000L)
+    assert(s(2L) == 1000000L + 1000000L + 500000L)
+    assert(s(3L) == 500000L + 160000L / 6)
+    assert(s(4L) == 400000L * 2 / 6)
+    // order guard: 0.4^k stays integer-exact only to n = 7
+    intercept[IllegalArgumentException] { LmScore.trainN(tgt, "text", 8) }
+    intercept[IllegalArgumentException] { LmScore.trainN(tgt, "text", 1) }
+  }
+
+  test("trigram model still ranks fluent above gibberish; broadcast-off path agrees") {
+    val m3 = LmScore.trainN(target, "text", 3)
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "cat the sat ran dog"), (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val s = LmScore.scoreDocsN(docs, "doc_id", "text", m3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("mean_p")).toMap
+    assert(s(1L) > s(2L) && s(2L) >= s(3L))
+    val off = LmScore.scoreDocsN(docs, "doc_id", "text", m3,
+        broadcastModel = false)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("mean_p")).toMap
+    assert(off == s)
+  }
+
   test("both forms agree: fluent docs beat gibberish (perplexity inverted)") {
     val docs = Seq(
       (1L, "the cat sat the cat ran"),

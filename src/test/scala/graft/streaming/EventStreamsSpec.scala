@@ -158,6 +158,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("tokenizeStream: per-batch incremental tokenize ≡ batch tokenize; table grows") {
+    implicit val sc = spark.sqlContext
+    val merges = graft.ops.Bpe.train(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    val batch1 = Seq((1L, "low lowest"), (2L, "newest low"))
+    val batch2 = Seq((3L, "widest newest zq")) // zq: never-seen word
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokstream").toString
+    try {
+      // bootstrap: an empty table built from no docs (fresh Append path)
+      graft.ops.Bpe.buildSubwordTable(
+        Seq.empty[Tuple1[String]].toDF("text"), "text", merges, s"$dir/t",
+        org.apache.spark.sql.SaveMode.Append)
+      val in = MemoryStream[(Long, String)]
+      in.addData(batch1)
+      in.addData(batch2)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+      val q = EventStreams.tokenizeStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", merges,
+        s"$dir/t", s"$dir/ckpt") { out =>
+        got ++= out.as[(Long, Int, Int, String)].collect()
+      }
+      q.processAllAvailable(); q.stop()
+      val replay = graft.ops.Bpe.tokenize(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", merges)
+        .as[(Long, Int, Int, String)].collect().toSeq
+      assert(got.sortBy(t => (t._1, t._2, t._3)).toSeq ==
+        replay.sortBy(t => (t._1, t._2, t._3)))
+      // fold-in across batches: the table now knows the whole stream's
+      // vocabulary, including batch-2's never-seen word
+      val tbl = spark.read.parquet(s"$dir/t/table")
+        .select("word").distinct().as[String].collect().toSet
+      assert(tbl == Set("low", "lowest", "newest", "widest", "zq"))
+    } finally deleteRecursively(dir)
+  }
+
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
