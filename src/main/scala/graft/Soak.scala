@@ -265,6 +265,42 @@ object Soak {
     time("bpe tokenize corpus") {
       ops.Bpe.tokenize(docs, "id", "text", bpeMerges, eow = bpeEow).count()
     }
+    // incremental tokenization lifecycle: index the corpus's word →
+    // subwords table once, then tokenize a 20 % "new batch" against it
+    // (the known words join, only the batch's new vocabulary pays merge
+    // application) — time should track BATCH size, not corpus size
+    val bpeDir = java.nio.file.Files.createTempDirectory("graft-soak-bpetbl").toString
+    try {
+      time("bpe subword-table build") {
+        ops.Bpe.buildSubwordTable(docs.where(col("id") % 5 =!= 0), "text",
+          bpeMerges, bpeDir, eow = bpeEow)
+      }
+      time("bpe tokenize increment (20%)") {
+        ops.Bpe.tokenizeIncrement(docs.where(col("id") % 5 === 0), "id",
+          "text", bpeMerges, bpeDir, eow = bpeEow).count()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(bpeDir))
+      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+    // trigram stupid backoff: model one order up — train is 2 more
+    // aggregations over the 20% slice, scoring adds one broadcast join
+    val lm3 = time("lm trigram train (20% slice)") {
+      val m = ops.LmScore.trainN(docs.where(dsirTarget), "text", 3)
+      ops.LmScore.NModel(
+        m.orders.map { case (k, df) => k ->
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) },
+        m.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        m.nTokens, m.n)
+    }
+    time("lm trigram score") {
+      ops.LmScore.scoreDocsN(docs, "id", "text", lm3).count()
+    }
+    lm3.orders.values.foreach(_.unpersist(blocking = false))
+    lm3.uni.unpersist(blocking = false)
     docs.unpersist(blocking = false)
     }
     if (docsOnly) { spark.stop(); return }
