@@ -136,4 +136,71 @@ object Packing {
       .withColumn("tokens_before", coalesce(sum(col(tokCol)).over(w), lit(0L)))
       .withColumn("window_id", floor(col("tokens_before") / budget))
   }
+
+  final case class PackedSample(shard: Int, doc_id: Long, n_tok: Long, bin: Long)
+
+  /** SAMPLE-level packing — the SFT-style complement of the
+    * concat-and-chunk layout above: each document is INDIVISIBLE (a
+    * training sample that must not split across sequences), and the
+    * packer assigns documents to fixed-budget bins minimizing padding
+    * via first-fit-decreasing (the classic ≤ 11/9·OPT + 1 bound).
+    *
+    * FFD is inherently sequential, so the scale shape is the same as
+    * [[graft.ops.Sampling.shuffleShard]]'s: documents hash into
+    * `nShards` DETERMINISTIC shards (the portable md5 slice — any
+    * engine reproduces the assignment), each shard packs sequentially
+    * inside one task in (n_tok desc, doc_id) order, and shards pack in
+    * parallel — (shard, bin) is the training-sequence key, exactly how
+    * a multi-writer shard layout packs. Parallelism = nShards; size it
+    * to the cluster (production shard counts are 10³–10⁵).
+    *
+    * Totality: a document LARGER than the budget opens its own bin
+    * (never silently dropped — the caller decides whether to truncate
+    * or reject upstream); the bin goes negative-remaining so nothing
+    * else joins it. Output: (shard, doc_id, n_tok, bin) with `bin`
+    * 0-based per shard. Deterministic under any input partitioning
+    * (PackingSpec pins it, and pins the packing against an independent
+    * reference FFD). */
+  def packSamplesFFD(docs: DataFrame, idCol: String, tokCol: String,
+      budget: Long, nShards: Int, seed: Long = 0L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
+    val sharded = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(tokCol).cast("long").as("n_tok"),
+      (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards)
+        .cast("int").as("shard"))
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // a partition may hold several shards (hash partitioning):
+        // rows arrive shard-contiguous, so bins reset at each boundary
+        var cur = Int.MinValue
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (id, tok, sh) =>
+          if (sh != cur) { cur = sh; bins.clear() }
+          var b = 0
+          while (b < bins.length && bins(b) < tok) b += 1
+          if (b == bins.length) bins += (budget - tok)
+          else bins(b) -= tok
+          PackedSample(sh, id, tok, b.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** Per-(shard, bin) packing report: fill, padding, member count —
+    * the padding-efficiency view a trainer reads. */
+  def packSamplesSummary(docs: DataFrame, idCol: String, tokCol: String,
+      budget: Long, nShards: Int, seed: Long = 0L): DataFrame =
+    packSamplesFFD(docs, idCol, tokCol, budget, nShards, seed)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("fill"),
+        (lit(budget) - sum(col("n_tok"))).as("padding"))
 }

@@ -112,6 +112,22 @@ object PipelineQueries {
       .orderBy("window_id")
   }
 
+  /** Sample-level FFD packing ([[Packing.packSamplesFFD]]): documents
+    * as INDIVISIBLE training samples, first-fit-decreasing into
+    * 512-token bins within 8 deterministic md5 shards — the SFT-style
+    * complement of q_seq_pack's concat-and-chunk. The oracle replays
+    * the whole sequential FFD loop per shard as a recursive CTE
+    * (cross-checked row-for-row against an independent reference
+    * before shipping); the oversize-doc own-bin path is spec-pinned
+    * (no oversize doc exists at gate scale). */
+  def qFfdPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    Packing.packSamplesFFD(docs, "doc_id", "n_tok", budget = 512L,
+        nShards = 8, seed = 0L)
+      .orderBy("shard", "bin", "doc_id")
+  }
+
   /** Z-order (Morton) key of two bucketed dims — the clustering key
     * behind [[graft.ops.ZOrder.clusterWrite]]'s multi-dim data-skipping
     * layout. The oracle replays the same five magic-mask spread steps
@@ -256,6 +272,7 @@ object PipelineQueries {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_mix_upsample" -> (qMixUpsample _),
     "q_seq_pack" -> (qSeqPack _),
+    "q_ffd_pack" -> (qFfdPack _),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -469,6 +486,42 @@ object PipelineQueries {
         | count(DISTINCT doc_id) AS n_docs,
         | cast(max(copy) as bigint) AS max_copy
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    // per-shard sequential FFD replayed as a recursive CTE: one doc
+    // placed per recursion step, bins carried as a remaining-capacity
+    // list, first fit found by a filtered index scan over the bins
+    "q_ffd_pack" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |  cast(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok
+        | FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |   cast(('0x' || substr(md5(cast(doc_id AS varchar) || ':0'), 1, 8))::bigint % 8
+        |     AS int) AS shard FROM t),
+        |init AS (SELECT shard,
+        |   list([doc_id, n_tok] ORDER BY n_tok DESC, doc_id) AS ds,
+        |   1 AS i,
+        |   cast([] AS bigint[]) AS bins,
+        |   cast([] AS bigint[][]) AS asg
+        | FROM s GROUP BY shard),
+        |rec AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT shard, ds, i+1,
+        |    CASE WHEN bidx IS NULL THEN list_append(bins, 512 - ds[i][2])
+        |         ELSE list_transform(range(1, len(bins)+1),
+        |                j -> CASE WHEN j = bidx THEN bins[j] - ds[i][2] ELSE bins[j] END) END,
+        |    list_append(asg, [ds[i][1], coalesce(bidx, len(bins)+1) - 1])
+        |  FROM (
+        |    SELECT shard, ds, i, bins, asg,
+        |      list_filter(list_transform(range(1, len(bins)+1),
+        |        j -> CASE WHEN bins[j] >= ds[i][2] THEN j END), x -> x IS NOT NULL)[1] AS bidx
+        |    FROM rec WHERE i <= len(ds)) q
+        |),
+        |fin AS (SELECT shard, asg FROM rec WHERE i = len(ds) + 1),
+        |u AS (SELECT shard, unnest(asg) AS a FROM fin)
+        |SELECT u.shard, a[1] AS doc_id, t.n_tok, a[2] AS bin
+        |FROM u JOIN t ON a[1] = t.doc_id
+        |ORDER BY shard, bin, doc_id""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tok

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     // (prefix-sum collect + checkpoint; subword-table build+write) —
     // their topologies are audited structurally via Packing.planShape
     // below and BpeSpec's incremental ≡ one-shot pin
-    "q_bpe_vocab", "q_bpe_tokenize", "q_bpe_ids")
+    "q_bpe_vocab", "q_bpe_tokenize", "q_bpe_ids", "q_ffd_pack")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -226,6 +226,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "plan shape lost its window stage")
     assert(!p.contains("SinglePartition"),
       "packing collapsed to a single-partition global window")
+    // FFD sample packing: ONE hash exchange on the shard key, shards
+    // pack in parallel — never a single-partition collapse
+    assert(!plan("q_ffd_pack").contains("SinglePartition"),
+      "q_ffd_pack: per-shard FFD collapsed to a single partition")
+    assert(plan("q_ffd_pack").contains("MapPartitions") ||
+      plan("q_ffd_pack").contains("SerializeFromObject"),
+      "q_ffd_pack: expected the per-shard sequential packing stage")
   }
 
   test("column pruning: projection-only scan reads a narrow schema") {

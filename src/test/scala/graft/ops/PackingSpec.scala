@@ -69,4 +69,48 @@ class PackingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__pid"))
   }
+
+  test("packSamplesFFD ≡ independent reference FFD; partitioning-independent") {
+    val rnd = new scala.util.Random(53)
+    val docs = (1L to 400L).map(i => (i, 1L + rnd.nextInt(120)))
+    val budget = 128L
+    val nShards = 4
+    // independent reference: same md5 shard slice, per-shard FFD in
+    // (tok desc, id) order
+    def shardOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:0".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % nShards).toInt
+    }
+    val ref = docs.groupBy(t => shardOf(t._1)).flatMap { case (sh, ds) =>
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy(t => (-t._2, t._1)).map { case (id, tok) =>
+        var b = 0
+        while (b < bins.length && bins(b) < tok) b += 1
+        if (b == bins.length) bins += (budget - tok) else bins(b) -= tok
+        (sh, id, tok, b.toLong)
+      }
+    }.toSet
+    for (parts <- Seq(1, 3, 9)) {
+      val got = Packing.packSamplesFFD(
+          docs.toDF("doc_id", "n_tok").repartition(parts),
+          "doc_id", "n_tok", budget, nShards)
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(got == ref, s"diverged from reference FFD at $parts input partitions")
+    }
+  }
+
+  test("packSamplesFFD: oversize docs isolate in their own bin, never dropped") {
+    val docs = Seq((1L, 500L), (2L, 40L), (3L, 40L)).toDF("doc_id", "n_tok")
+    val out = Packing.packSamplesFFD(docs, "doc_id", "n_tok",
+        budget = 100L, nShards = 1)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out.map(_._2) == Seq(1L, 2L, 3L), "totality: all docs present")
+    val binOf = out.map(t => t._2 -> t._4).toMap
+    assert(binOf(2L) == binOf(3L), "small docs share a bin")
+    assert(binOf(1L) != binOf(2L), "the oversize doc must sit alone")
+    assert(out.count(_._4 == binOf(1L)) == 1,
+      "nothing may join the oversize doc's (negative-remaining) bin")
+  }
 }

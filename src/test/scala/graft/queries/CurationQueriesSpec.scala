@@ -59,4 +59,39 @@ class CurationQueriesSpec extends SparkSpec {
       "a language with <3 distinct buckets means its score distribution " +
         "degenerated and the tercile logic is untested there")
   }
+
+  test("trigram gate exercises every backoff level (trigram hit, bigram, unigram)") {
+    // re-derive the level used per position the same way the engine
+    // does, and require each of the three levels to actually fire —
+    // a corpus whose every position resolves at the trigram level
+    // would leave the 0.4/0.4² chains green-but-untested
+    val docs = graft.Tables.documents(spark, sfDir)
+    val m = graft.ops.LmScore.trainN(
+      docs.where(col("lang") === "en"), "text", 3)
+    val c3 = m.orders(3).select(col("ctx").as("k3"), col("w").as("w3"))
+      .withColumn("hit3", lit(1))
+    val c2 = m.orders(2).select(col("ctx").as("k2"), col("w").as("w2"))
+      .withColumn("hit2", lit(1))
+    import org.apache.spark.sql.functions.{concat_ws, explode, sequence, size => sz, element_at, when => whenF}
+    val toks = graft.ops.TextOps.tokens(lower(col("text")))
+    val pos = docs.select(col("doc_id"), toks.as("t"))
+      .where(sz(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(3), sz(col("t")))).as("i"))
+      .select(element_at(col("t"), col("i")).as("w"),
+        concat_ws(" ", element_at(col("t"), col("i") - 2),
+          element_at(col("t"), col("i") - 1)).as("k3"),
+        element_at(col("t"), col("i") - 1).as("k2"))
+    val lv = pos
+      .join(c3, pos("k3") === c3("k3") && pos("w") === c3("w3"), "left")
+      .join(c2, pos("k2") === c2("k2") && pos("w") === c2("w2"), "left")
+      .select(whenF(col("hit3").isNotNull, "tri")
+        .when(col("hit2").isNotNull, "bi").otherwise("uni").as("level"))
+      .groupBy("level").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (l <- Seq("tri", "bi", "uni"))
+      assert(lv.getOrElse(l, 0L) > 0,
+        s"no position resolves at the $l level — that backoff path is " +
+          "vacuous on this corpus")
+  }
 }
