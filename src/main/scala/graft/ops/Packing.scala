@@ -179,19 +179,73 @@ object Packing {
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
         // a partition may hold several shards (hash partitioning):
-        // rows arrive shard-contiguous, so bins reset at each boundary
+        // rows arrive shard-contiguous, so bins reset at each boundary.
+        // First-fit lookup is a SEGMENT TREE over bin capacities
+        // (leftmost leaf with remaining >= tok, O(log bins) per doc) —
+        // a linear bin scan would be O(docs x bins) per task, which
+        // dies on a shard with ~10^6 docs; the tree keeps the exact
+        // same leftmost-bin semantics (PackingSpec's differential
+        // reference uses the naive scan).
         var cur = Int.MinValue
-        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var tree: FirstFitTree = null
         it.map { case (id, tok, sh) =>
-          if (sh != cur) { cur = sh; bins.clear() }
-          var b = 0
-          while (b < bins.length && bins(b) < tok) b += 1
-          if (b == bins.length) bins += (budget - tok)
-          else bins(b) -= tok
-          PackedSample(sh, id, tok, b.toLong)
+          if (sh != cur) { cur = sh; tree = new FirstFitTree(budget) }
+          PackedSample(sh, id, tok, tree.place(tok).toLong)
         }
       }
       .toDF()
+  }
+
+  /** Leftmost-first-fit over growable bins: a binary segment tree whose
+    * leaves are bin remaining-capacities and inner nodes hold subtree
+    * maxima — `place` descends left-first to the lowest-index bin that
+    * fits (identical semantics to a linear scan), opening a new bin
+    * when none does. O(log bins) per placement. */
+  private final class FirstFitTree(budget: Long) {
+    private var cap = 1                       // leaf slots (power of 2)
+    private var tree = new Array[Long](2)     // 1-based; leaves at [cap, 2cap)
+    private var n = 0                         // bins in use
+    tree(1) = Long.MinValue
+
+    private def grow(): Unit = {
+      val oldCap = cap
+      cap *= 2
+      val t = Array.fill(2 * cap)(Long.MinValue)
+      var i = 0
+      while (i < n) { t(cap + i) = tree(oldCap + i); i += 1 }
+      var j = cap - 1
+      while (j >= 1) { t(j) = math.max(t(2 * j), t(2 * j + 1)); j -= 1 }
+      tree = t
+    }
+
+    private def update(idx: Int, rem: Long): Unit = {
+      var i = cap + idx
+      tree(i) = rem
+      i /= 2
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i /= 2 }
+    }
+
+    /** Place a doc of `tok` tokens: the lowest-index bin with remaining
+      * ≥ tok, else a new bin (whose remaining may go negative for an
+      * oversize doc — nothing else ever fits it). Returns the 0-based
+      * bin index. */
+    def place(tok: Long): Int = {
+      if (n > 0 && tree(1) >= tok) {
+        var i = 1
+        while (i < cap) {
+          i = if (tree(2 * i) >= tok) 2 * i else 2 * i + 1
+        }
+        val idx = i - cap
+        update(idx, tree(i) - tok)
+        idx
+      } else {
+        if (n == cap) grow()
+        val idx = n
+        n += 1
+        update(idx, budget - tok)
+        idx
+      }
+    }
   }
 
   /** Per-(shard, bin) packing report: fill, padding, member count —

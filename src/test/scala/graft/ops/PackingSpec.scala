@@ -101,6 +101,28 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packSamplesFFD: segment-tree first-fit ≡ naive scan through many growth doublings") {
+    // one shard, thousands of bins: the first-fit tree must grow
+    // through several capacity doublings and still match the naive
+    // leftmost-scan reference bin-for-bin
+    val rnd = new scala.util.Random(71)
+    val docs = (1L to 5000L).map(i => (i, 1L + rnd.nextInt(63)))
+    val budget = 64L
+    val got = Packing.packSamplesFFD(docs.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget, nShards = 1)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(t => t._2 -> t._4).toMap
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ref = docs.sortBy(t => (-t._2, t._1)).map { case (id, tok) =>
+      var b = 0
+      while (b < bins.length && bins(b) < tok) b += 1
+      if (b == bins.length) bins += (budget - tok) else bins(b) -= tok
+      id -> b.toLong
+    }.toMap
+    assert(bins.length > 1000, "stress fixture no longer produces many bins")
+    assert(got == ref)
+  }
+
   test("packSamplesFFD: oversize docs isolate in their own bin, never dropped") {
     val docs = Seq((1L, 500L), (2L, 40L), (3L, 40L)).toDF("doc_id", "n_tok")
     val out = Packing.packSamplesFFD(docs, "doc_id", "n_tok",
