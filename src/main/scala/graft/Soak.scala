@@ -290,11 +290,17 @@ object Soak {
     // aggregations over the 20% slice, scoring adds one broadcast join
     val lm3 = time("lm trigram train (20% slice)") {
       val m = ops.LmScore.trainN(docs.where(dsirTarget), "text", 3)
-      ops.LmScore.NModel(
+      val p = ops.LmScore.NModel(
         m.orders.map { case (k, df) => k ->
           df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) },
         m.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         m.nTokens, m.n)
+      // MATERIALIZE inside the timed block (the bigram stage's stance):
+      // lazily-persisted orders would bill the training aggregations to
+      // the score stage and corrupt the train-vs-score receipts
+      p.orders.values.foreach(_.count())
+      p.uni.count()
+      p
     }
     time("lm trigram score") {
       ops.LmScore.scoreDocsN(docs, "id", "text", lm3).count()

@@ -85,6 +85,10 @@ object LmScore {
     * pipeline toward longer text). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String, m: Model,
       broadcastModel: Boolean = true, carry: Seq[String] = Nil): DataFrame = {
+    // a carry column named like an output would be silently replaced
+    // (mean_p) or turn ambiguous downstream (score/n_trans) — fail fast
+    Reserved.requireAbsent("scoreDocs", Seq("score", "n_trans", "mean_p"),
+      docs.select(col(idCol) +: carry.map(col): _*))
     def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     val scored = bigramPairs(docs, idCol, textCol)
       .join(hint(m.trans), Seq("w1", "w2"), "left")
@@ -211,7 +215,12 @@ object LmScore {
     }.toMap
     val uni = tagged.select(explode(toks(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-    val nTok = tagged.select(explode(toks(textCol)).as("w")).count()
+    // the token total IS Σcu — deriving it from the unigram aggregation
+    // avoids a second tokenize+explode pass over the target corpus
+    // (the bigram train() predates this and keeps its oracle-checked
+    // shape)
+    val nTok = Option(uni.agg(sum("cu")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     NModel(orders, uni, math.max(1L, nTok), n)
   }
 
@@ -232,6 +241,8 @@ object LmScore {
   def scoreDocsN(docs: DataFrame, idCol: String, textCol: String,
       m: NModel, broadcastModel: Boolean = true,
       carry: Seq[String] = Nil): DataFrame = {
+    Reserved.requireAbsent("scoreDocsN", Seq("score", "n_trans", "mean_p"),
+      docs.select(col(idCol) +: carry.map(col): _*))
     def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     var stream = positions(docs, idCol, textCol, m.n)
     for (o <- 2 to m.n) {

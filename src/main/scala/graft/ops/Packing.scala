@@ -160,17 +160,29 @@ object Packing {
     * else joins it. Output: (shard, doc_id, n_tok, bin) with `bin`
     * 0-based per shard. Deterministic under any input partitioning
     * (PackingSpec pins it, and pins the packing against an independent
-    * reference FFD). */
+    * reference FFD).
+    *
+    * Contract: `idCol`/`tokCol` must be NON-NULL and integral — a null
+    * (or a string that does not parse as a long) fails FAST with a
+    * named error instead of a cryptic Dataset-decode crash downstream;
+    * an id outside long range or a fractional id would truncate
+    * silently, so pass integral ids only. */
   def packSamplesFFD(docs: DataFrame, idCol: String, tokCol: String,
       budget: Long, nShards: Int, seed: Long = 0L): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(nShards > 0, "nShards must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val h = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
+    def req(c: Column, name: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"packSamplesFFD: null or non-integral $name — every sample " +
+          "needs a non-null integral id and token count"))).otherwise(c)
+    val id = req(col(idCol).cast("long"), idCol)
+    val tok = req(col(tokCol).cast("long"), tokCol)
+    val h = md5(concat(id.cast("string"), lit(":"), lit(seed.toString)))
     val sharded = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      col(tokCol).cast("long").as("n_tok"),
+      id.as("doc_id"),
+      tok.as("n_tok"),
       (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards)
         .cast("int").as("shard"))
     sharded
@@ -249,12 +261,15 @@ object Packing {
   }
 
   /** Per-(shard, bin) packing report: fill, padding, member count —
-    * the padding-efficiency view a trainer reads. */
+    * the padding-efficiency view a trainer reads. An OVERSIZE doc's bin
+    * reports padding 0 plus the overage in `overflow` — a negative
+    * "padding" would silently understate total padding when summed. */
   def packSamplesSummary(docs: DataFrame, idCol: String, tokCol: String,
       budget: Long, nShards: Int, seed: Long = 0L): DataFrame =
     packSamplesFFD(docs, idCol, tokCol, budget, nShards, seed)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("fill"),
-        (lit(budget) - sum(col("n_tok"))).as("padding"))
+        greatest(lit(0L), lit(budget) - sum(col("n_tok"))).as("padding"),
+        greatest(lit(0L), sum(col("n_tok")) - lit(budget)).as("overflow"))
 }

@@ -170,6 +170,7 @@ object EventStreams {
       merges: Seq[(String, String)], tablePath: String, checkpoint: String,
       eow: String = graft.ops.Bpe.EndOfWord,
       broadcastTable: Boolean = true,
+      materializeTable: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow())(
       sink: DataFrame => Unit): StreamingQuery =
     docs.writeStream
@@ -177,9 +178,15 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materializeTable defaults FALSE here: the stream only ever
+        // APPENDS to its own table (never rotates it mid-batch), and
+        // appended duplicates dedup on read — eagerly checkpointing the
+        // whole cumulative table every trigger would pay O(vocabulary)
+        // per batch, growing for the stream's lifetime
         sink(graft.ops.Bpe.tokenizeIncrement(batch, idCol, textCol, merges,
           tablePath, appendNew = true, eow = eow,
-          broadcastTable = broadcastTable, materializeTable = true))
+          broadcastTable = broadcastTable,
+          materializeTable = materializeTable))
       }
       .start()
 
