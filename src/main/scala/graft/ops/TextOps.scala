@@ -122,4 +122,32 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(1000003L) + crc32(t).cast("long"))
+
+  /** Context-window chunking with stride overlap — the LONG-doc
+    * complement of sequence packing (packing joins short samples;
+    * embedding/RAG and max-length pipelines SPLIT long ones): the
+    * token stream becomes overlapping windows of `window` tokens whose
+    * starts step by `stride` (stride < window ⇒ window−stride tokens
+    * of overlap — the HuggingFace `return_overflowing_tokens` layout).
+    * The final chunk is the natural tail (shorter, never duplicated):
+    * nChunks = 1 + ⌈max(0, n − window) / stride⌉, so every token is in
+    * ≥ 1 chunk and no start lies beyond the text. Chunk text is the
+    * space-rejoin of its token slice (the token stream is the unit —
+    * original inter-token whitespace is already normalized away by the
+    * portable convention). Returns ARRAY<STRING> of chunk texts —
+    * per-row codegen'd builtins only, no shuffle; callers posexplode
+    * for (chunk_id, chunk). Empty/whitespace text → one empty chunk
+    * (split("") yields one empty token — totality, not a dropped
+    * row). */
+  def chunkTokenWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      "stride must be in [1, window] — a stride above window would skip tokens")
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise((n - window + (stride - 1)).divide(stride).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      k => array_join(slice(toks, k * stride + 1, lit(window)), " "))
+  }
 }

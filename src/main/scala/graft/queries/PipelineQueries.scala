@@ -128,6 +128,22 @@ object PipelineQueries {
       .orderBy("shard", "bin", "doc_id")
   }
 
+  /** Context-window chunking ([[TextOps.chunkTokenWindows]]): every
+    * document split into 32-token windows stepping by 24 (8 tokens of
+    * overlap — the embedding/RAG and max-length layout, the long-doc
+    * complement of the packing gates). One row per (doc, chunk) with
+    * the chunk's token count and text md5 — any off-by-one in the
+    * stride/tail arithmetic breaks the hash. */
+  def qDocChunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunkTokenWindows(col("text"), 32, 24))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), "\\s+")).cast("long").as("n_toks"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Z-order (Morton) key of two bucketed dims — the clustering key
     * behind [[graft.ops.ZOrder.clusterWrite]]'s multi-dim data-skipping
     * layout. The oracle replays the same five magic-mask spread steps
@@ -273,6 +289,7 @@ object PipelineQueries {
     "q_mix_upsample" -> (qMixUpsample _),
     "q_seq_pack" -> (qSeqPack _),
     "q_ffd_pack" -> (qFfdPack _),
+    "q_doc_chunk" -> (qDocChunk _),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -486,6 +503,23 @@ object PipelineQueries {
         | count(DISTINCT doc_id) AS n_docs,
         | cast(max(copy) as bigint) AS max_copy
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    // chunk replay: nChunks closed form, list_slice per window with a
+    // least() clamp for the natural tail — off-by-one anywhere breaks
+    // the md5
+    "q_doc_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 32 THEN 1
+        |       ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS k FROM c)
+        |SELECT doc_id, cast(k AS bigint) AS chunk_id,
+        |  cast(len(list_slice(toks, k*24 + 1, least(k*24 + 32, len(toks))))
+        |    AS bigint) AS n_toks,
+        |  md5(array_to_string(
+        |    list_slice(toks, k*24 + 1, least(k*24 + 32, len(toks))), ' '))
+        |    AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // per-shard sequential FFD replayed as a recursive CTE: one doc
     // placed per recursion step, bins carried as a remaining-capacity
     // list, first fit found by a filtered index scan over the bins

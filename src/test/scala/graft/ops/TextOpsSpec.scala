@@ -77,4 +77,30 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.ngramsAll(col("t"), 2)).head().getSeq[String](0)
     assert(g == Seq("a b", "b a", "a b"))
   }
+
+  test("chunkTokenWindows: stride overlap, natural tail, full coverage, totality") {
+    def chunks(t: String, w: Int, s: Int) =
+      Seq(t).toDF("t").select(TextOps.chunkTokenWindows(col("t"), w, s))
+        .head().getSeq[String](0)
+    // 7 tokens, window 3, stride 2: starts 1,3,5 — overlap of 1 token,
+    // every token covered, no start past the text
+    assert(chunks("a b c d e f g", 3, 2) ==
+      Seq("a b c", "c d e", "e f g"))
+    // 8 tokens: the 4th chunk is the natural SHORTER tail
+    assert(chunks("a b c d e f g h", 3, 2) ==
+      Seq("a b c", "c d e", "e f g", "g h"))
+    // no overlap when stride == window
+    assert(chunks("a b c d e f", 3, 3) == Seq("a b c", "d e f"))
+    // short and exact-fit docs stay one chunk; empty text keeps a row
+    assert(chunks("a b", 3, 2) == Seq("a b"))
+    assert(chunks("a b c", 3, 2) == Seq("a b c"))
+    assert(chunks("", 3, 2) == Seq(""))
+    // guards: stride above window would silently skip tokens
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokenWindows(col("t"), 3, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokenWindows(col("t"), 0, 1)
+    }
+  }
 }
