@@ -286,6 +286,19 @@ object Soak {
         .foreach(java.nio.file.Files.deleteIfExists(_))
       finally w.close()
     }
+    // long-doc chunking + sample-level FFD packing: both per-row /
+    // per-shard — time should track corpus size linearly at worst
+    time("doc chunking (w=32 s=24)") {
+      docs.select(posexplode(
+        ops.TextOps.chunkTokenWindows(col("text"), 32, 24))
+        .as(Seq("cid", "chunk"))).count()
+    }
+    time("ffd sample packing (256 shards)") {
+      ops.Packing.packSamplesFFD(
+        docs.select(col("id"),
+          ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "id", "n_tok", budget = 512L, nShards = 256).count()
+    }
     // trigram stupid backoff: model one order up — train is 2 more
     // aggregations over the 20% slice, scoring adds one broadcast join
     val lm3 = time("lm trigram train (20% slice)") {
