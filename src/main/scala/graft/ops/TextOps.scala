@@ -136,14 +136,17 @@ object TextOps {
     * original inter-token whitespace is already normalized away by the
     * portable convention). Returns ARRAY<STRING> of chunk texts —
     * per-row codegen'd builtins only, no shuffle; callers posexplode
-    * for (chunk_id, chunk). Empty/whitespace text → one empty chunk
-    * (split("") yields one empty token — totality, not a dropped
+    * for (chunk_id, chunk). Empty, whitespace, or NULL text → one
+    * empty chunk (split("") yields one empty token; NULL coalesces to
+    * "" BEFORE tokenizing — without it, size(NULL) = −1 under non-ANSI
+    * Spark would make a NULL row emit one NULL chunk while a SQL
+    * replay emits zero rows: totality, not a dropped or poisoned
     * row). */
   def chunkTokenWindows(text: Column, window: Int, stride: Int): Column = {
     require(window > 0, "window must be positive")
     require(stride > 0 && stride <= window,
       "stride must be in [1, window] — a stride above window would skip tokens")
-    val toks = tokens(text)
+    val toks = tokens(coalesce(text, lit("")))
     val n = size(toks)
     val nChunks = when(n <= window, lit(1))
       .otherwise((n - window + (stride - 1)).divide(stride).cast("int") + 1)

@@ -140,7 +140,7 @@ object PipelineQueries {
         posexplode(TextOps.chunkTokenWindows(col("text"), 32, 24))
           .as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        size(split(col("chunk"), "\\s+")).cast("long").as("n_toks"),
+        TextOps.tokenCount(col("chunk")).cast("long").as("n_toks"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
@@ -508,7 +508,8 @@ object PipelineQueries {
     // the md5
     "q_doc_chunk" ->
       """WITH t AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+        |  FROM documents),
         |c AS (SELECT doc_id, toks,
         |  CASE WHEN len(toks) <= 32 THEN 1
         |       ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc FROM t),

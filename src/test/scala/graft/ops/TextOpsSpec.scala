@@ -95,6 +95,13 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks("a b", 3, 2) == Seq("a b"))
     assert(chunks("a b c", 3, 2) == Seq("a b c"))
     assert(chunks("", 3, 2) == Seq(""))
+    // NULL text: one EMPTY chunk, not a NULL chunk (size(NULL) = -1
+    // under non-ANSI Spark would otherwise poison the arithmetic) and
+    // not a dropped row
+    val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(TextOps.chunkTokenWindows(col("t"), 3, 2))
+      .head().getSeq[String](0)
+    assert(nullRow == Seq(""))
     // guards: stride above window would silently skip tokens
     intercept[IllegalArgumentException] {
       TextOps.chunkTokenWindows(col("t"), 3, 4)
