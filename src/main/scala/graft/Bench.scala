@@ -18,13 +18,18 @@ object Bench {
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString }
 
-  /** Stat-line key for a query name: "q_" stripped, then the leading
-    * "incremental_" family prefix compressed to "i_". Full names stay
+  /** Stat-line key for a query name: "q_" stripped, the leading
+    * "incremental_" family prefix compressed to "i_", the "_pipeline"
+    * suffix to "_pl", and "substring" to "ss" (the 98th query's
+    * re-budget — ~56 worst-case bytes across 8 keys). Full names stay
     * in the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
-    val s = k.stripPrefix("q_")
-    if (s.startsWith("incremental_")) "i_" + s.stripPrefix("incremental_")
-    else s
+    val s0 = k.stripPrefix("q_")
+    val s1 =
+      if (s0.startsWith("incremental_")) "i_" + s0.stripPrefix("incremental_")
+      else s0
+    val s2 = if (s1.endsWith("_pipeline")) s1.stripSuffix("_pipeline") + "_pl" else s1
+    s2.replace("substring", "ss")
   }
 
   /** The single machine-parseable stdout line for the driver. Field
@@ -182,7 +187,7 @@ object Bench {
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

@@ -381,6 +381,27 @@ object Bpe {
         s"subword table at $path was built under a different merge table " +
           s"(fingerprints $existingMeta != $want) — appending would poison " +
           "it; rebuild under the new merges instead")
+    // crash-safety ordering: an UNFINGERPRINTED table must never accept
+    // an Append (a build that died between its two writes would
+    // otherwise let a later Append under DIFFERENT merges mix rows and
+    // then stamp the new fingerprint over the mix). So (a) Append
+    // refuses a table/ without meta/, and (b) the fresh-Append path
+    // writes meta BEFORE table — a crash then leaves a fingerprinted
+    // (possibly empty) table, which every later op handles. Overwrite
+    // keeps table-first: a crash there leaves new table + OLD meta,
+    // which fails fast at the next read (the safe direction).
+    if (mode == SaveMode.Append) {
+      val tableDir = new org.apache.hadoop.fs.Path(s"$path/table")
+      val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(existingMeta.nonEmpty || !fs.exists(tableDir),
+        s"subword table at $path has table/ but no meta/ fingerprint " +
+          "(interrupted build?) — appending could mix merge tables; " +
+          "rebuild with Overwrite")
+    }
+    def writeMeta(): Unit =
+      Seq(Tuple1(want)).toDF("merges_md5")
+        .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    if (existingMeta.isEmpty && mode == SaveMode.Append) writeMeta()
     val mergeVec = merges.toVector
     val rank = mergeVec.zipWithIndex.toMap
     docs.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
@@ -390,9 +411,7 @@ object Bpe {
       .mapPartitions(_.map(w => (w, applyMergesRanked(w, mergeVec, rank, eow))))
       .toDF("word", "subwords")
       .write.mode(mode).option("compression", "zstd").parquet(s"$path/table")
-    if (existingMeta.isEmpty)
-      Seq(Tuple1(want)).toDF("merges_md5")
-        .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    if (existingMeta.isEmpty && mode != SaveMode.Append) writeMeta()
   }
 
   /** The fingerprint rows of a persisted subword table; empty when the
@@ -404,7 +423,7 @@ object Bpe {
       .select("merges_md5").as[String].collect().toSet
     catch {
       case e: org.apache.spark.sql.AnalysisException
-        if e.getErrorClass == "PATH_NOT_FOUND" => Set.empty
+        if e.getCondition == "PATH_NOT_FOUND" => Set.empty
     }
   }
 
@@ -445,7 +464,13 @@ object Bpe {
     // first — the arrays are identical, so the pick is deterministic
     val known0 = spark.read.parquet(s"$path/table")
       .groupBy("word").agg(first(col("subwords")).as("subwords"))
-    val known = if (materializeTable) known0.localCheckpoint(true) else known0
+    // under appendNew, `known` MUST be pinned before the append below:
+    // if the read re-resolved its file listing after the append, the
+    // appended misses would appear in `known` too and the union would
+    // duplicate every miss word's rows — so don't rely on
+    // InMemoryFileIndex caching, materialize eagerly
+    val known =
+      if (materializeTable || appendNew) known0.localCheckpoint(true) else known0
     val words = docs
       .select(col(idCol), posexplode(TextOps.tokens(lower(col(textCol))))
         .as(Seq("pos", "word")))

@@ -542,11 +542,20 @@ object Dedup {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = docs.sparkSession
     if (mode == SaveMode.Append) requireIndexWidth(spark, path, width, "append to")
-    chunkStream(docs, width, idCol, textCol)
+    // persisted before the range layout: repartitionByRange SAMPLES its
+    // child to pick boundaries, which would otherwise run the whole
+    // chunk aggregation twice (sampling job + shuffle job) — the single
+    // heaviest cost of a build. The cached frame is the narrow (hash,
+    // count) table, whose size tracks distinct chunks, not corpus bytes.
+    val counts = chunkStream(docs, width, idCol, textCol)
       .groupBy("__h").agg(countDistinct(col(idCol)).as("n_docs"))
-      .repartitionByRange(col("__h"))
-      .sortWithinPartitions("__h")
-      .write.mode(mode).option("compression", "zstd").parquet(s"$path/chunks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      counts
+        .repartitionByRange(col("__h"))
+        .sortWithinPartitions("__h")
+        .write.mode(mode).option("compression", "zstd").parquet(s"$path/chunks")
+    finally counts.unpersist(blocking = false)
     if (mode != SaveMode.Append) {
       import spark.implicits._
       Seq(width).toDF("width").coalesce(1)

@@ -178,7 +178,15 @@ object Packing {
         s"packSamplesFFD: null or non-integral $name — every sample " +
           "needs a non-null integral id and token count"))).otherwise(c)
     val id = req(col(idCol).cast("long"), idCol)
-    val tok = req(col(tokCol).cast("long"), tokCol)
+    // a NEGATIVE count must also fail fast: under non-ANSI Spark,
+    // TextOps.tokenCount(NULL text) yields -1, and a -1 flowing through
+    // would silently INCREASE a bin's remaining capacity and corrupt
+    // the packing/padding accounting
+    val tok0 = req(col(tokCol).cast("long"), tokCol)
+    val tok = when(tok0 < 0, raise_error(concat(lit(
+      s"packSamplesFFD: negative $tokCol ("), tok0.cast("string"),
+      lit(") — a NULL text under non-ANSI tokenCount yields -1; clean " +
+        "or coalesce upstream")))).otherwise(tok0)
     val h = md5(concat(id.cast("string"), lit(":"), lit(seed.toString)))
     val sharded = docs.select(
       id.as("doc_id"),

@@ -128,7 +128,10 @@ object TextOps {
     * embedding/RAG and max-length pipelines SPLIT long ones): the
     * token stream becomes overlapping windows of `window` tokens whose
     * starts step by `stride` (stride < window ⇒ window−stride tokens
-    * of overlap — the HuggingFace `return_overflowing_tokens` layout).
+    * of overlap). NAMING CAUTION for anyone porting HuggingFace
+    * chunking configs: this `stride` is the window STEP size, while
+    * HF's `stride` parameter (in `return_overflowing_tokens`) is the
+    * OVERLAP token count — this stride = window − HF's stride.
     * The final chunk is the natural tail (shorter, never duplicated):
     * nChunks = 1 + ⌈max(0, n − window) / stride⌉, so every token is in
     * ≥ 1 chunk and no start lies beyond the text. Chunk text is the

@@ -128,6 +128,19 @@ object PipelineQueries {
       .orderBy("shard", "bin", "doc_id")
   }
 
+  /** Per-(shard, bin) FFD packing report ([[Packing.packSamplesSummary]]):
+    * fill, padding, overflow, member count over q_ffd_pack's exact
+    * layout — the padding-accounting view a trainer actually reads
+    * (the packSummary/q_seq_pack pattern). Same FFD replay oracle, one
+    * GROUP BY further. */
+  def qFfdSummary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    Packing.packSamplesSummary(docs, "doc_id", "n_tok", budget = 512L,
+        nShards = 8, seed = 0L)
+      .orderBy("shard", "bin")
+  }
+
   /** Context-window chunking ([[TextOps.chunkTokenWindows]]): every
     * document split into 32-token windows stepping by 24 (8 tokens of
     * overlap — the embedding/RAG and max-length layout, the long-doc
@@ -289,6 +302,7 @@ object PipelineQueries {
     "q_mix_upsample" -> (qMixUpsample _),
     "q_seq_pack" -> (qSeqPack _),
     "q_ffd_pack" -> (qFfdPack _),
+    "q_ffd_summary" -> (qFfdSummary _),
     "q_doc_chunk" -> (qDocChunk _),
   )
 
@@ -364,6 +378,41 @@ object PipelineQueries {
       | GROUP BY l.event_id, l.user_id, l.ts, l.value)
       |SELECT user_id, epoch_us(ts) AS ts_us, click_value, last_purchase
       |FROM m ORDER BY user_id, ts_us""".stripMargin
+
+  /** The per-shard sequential-FFD replay shared by the q_ffd_pack and
+    * q_ffd_summary oracles — built once here so the two cannot drift.
+    * Produces CTEs `t` (doc_id, n_tok) and `u` (shard, a = [doc_id,
+    * bin]). NOTE: already stripped — concatenate, don't re-stripMargin
+    * (the TokenizeCtes lesson: a second pass eats line-leading `||`). */
+  private val FfdCtes: String =
+    """t AS (SELECT doc_id,
+      |  cast(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok
+      | FROM documents),
+      |s AS (SELECT doc_id, n_tok,
+      |   cast(('0x' || substr(md5(cast(doc_id AS varchar) || ':0'), 1, 8))::bigint % 8
+      |     AS int) AS shard FROM t),
+      |init AS (SELECT shard,
+      |   list([doc_id, n_tok] ORDER BY n_tok DESC, doc_id) AS ds,
+      |   1 AS i,
+      |   cast([] AS bigint[]) AS bins,
+      |   cast([] AS bigint[][]) AS asg
+      | FROM s GROUP BY shard),
+      |rec AS (
+      |  SELECT * FROM init
+      |  UNION ALL
+      |  SELECT shard, ds, i+1,
+      |    CASE WHEN bidx IS NULL THEN list_append(bins, 512 - ds[i][2])
+      |         ELSE list_transform(range(1, len(bins)+1),
+      |                j -> CASE WHEN j = bidx THEN bins[j] - ds[i][2] ELSE bins[j] END) END,
+      |    list_append(asg, [ds[i][1], coalesce(bidx, len(bins)+1) - 1])
+      |  FROM (
+      |    SELECT shard, ds, i, bins, asg,
+      |      list_filter(list_transform(range(1, len(bins)+1),
+      |        j -> CASE WHEN bins[j] >= ds[i][2] THEN j END), x -> x IS NOT NULL)[1] AS bidx
+      |    FROM rec WHERE i <= len(ds)) q
+      |),
+      |fin AS (SELECT shard, asg FROM rec WHERE i = len(ds) + 1),
+      |u AS (SELECT shard, unnest(asg) AS a FROM fin)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_prep_pipeline" ->
@@ -524,39 +573,24 @@ object PipelineQueries {
     // per-shard sequential FFD replayed as a recursive CTE: one doc
     // placed per recursion step, bins carried as a remaining-capacity
     // list, first fit found by a filtered index scan over the bins
+    // (shared by q_ffd_pack and q_ffd_summary via FfdCtes so the two
+    // replays cannot drift)
     "q_ffd_pack" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id,
-        |  cast(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok
-        | FROM documents),
-        |s AS (SELECT doc_id, n_tok,
-        |   cast(('0x' || substr(md5(cast(doc_id AS varchar) || ':0'), 1, 8))::bigint % 8
-        |     AS int) AS shard FROM t),
-        |init AS (SELECT shard,
-        |   list([doc_id, n_tok] ORDER BY n_tok DESC, doc_id) AS ds,
-        |   1 AS i,
-        |   cast([] AS bigint[]) AS bins,
-        |   cast([] AS bigint[][]) AS asg
-        | FROM s GROUP BY shard),
-        |rec AS (
-        |  SELECT * FROM init
-        |  UNION ALL
-        |  SELECT shard, ds, i+1,
-        |    CASE WHEN bidx IS NULL THEN list_append(bins, 512 - ds[i][2])
-        |         ELSE list_transform(range(1, len(bins)+1),
-        |                j -> CASE WHEN j = bidx THEN bins[j] - ds[i][2] ELSE bins[j] END) END,
-        |    list_append(asg, [ds[i][1], coalesce(bidx, len(bins)+1) - 1])
-        |  FROM (
-        |    SELECT shard, ds, i, bins, asg,
-        |      list_filter(list_transform(range(1, len(bins)+1),
-        |        j -> CASE WHEN bins[j] >= ds[i][2] THEN j END), x -> x IS NOT NULL)[1] AS bidx
-        |    FROM rec WHERE i <= len(ds)) q
-        |),
-        |fin AS (SELECT shard, asg FROM rec WHERE i = len(ds) + 1),
-        |u AS (SELECT shard, unnest(asg) AS a FROM fin)
-        |SELECT u.shard, a[1] AS doc_id, t.n_tok, a[2] AS bin
-        |FROM u JOIN t ON a[1] = t.doc_id
-        |ORDER BY shard, bin, doc_id""".stripMargin,
+      ("WITH RECURSIVE\n" + FfdCtes + "\n" +
+        """SELECT u.shard, a[1] AS doc_id, t.n_tok, a[2] AS bin
+          |FROM u JOIN t ON a[1] = t.doc_id
+          |ORDER BY shard, bin, doc_id""".stripMargin),
+    // the packing report one GROUP BY further: per-(shard, bin) fill /
+    // padding / overflow — sums cast (DuckDB sum(BIGINT) is HUGEINT)
+    "q_ffd_summary" ->
+      ("WITH RECURSIVE\n" + FfdCtes + "\n" +
+        """SELECT u.shard, a[2] AS bin, count(*) AS n_docs,
+          |  cast(sum(t.n_tok) AS bigint) AS fill,
+          |  cast(greatest(0, 512 - sum(t.n_tok)) AS bigint) AS padding,
+          |  cast(greatest(0, sum(t.n_tok) - 512) AS bigint) AS overflow
+          |FROM u JOIN t ON a[1] = t.doc_id
+          |GROUP BY u.shard, a[2]
+          |ORDER BY shard, bin""".stripMargin),
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tok

@@ -222,14 +222,19 @@ object TokenizerQueries {
     // sum (≡ assignWindows by PackingSpec's bit-identity pin)
     "q_tok_pack" ->
       ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
+        // cast the windowed sum: DuckDB's sum(BIGINT) widens to HUGEINT
+        // (arrow decimal128), which can never hash-match the engine's
+        // int64 even when values agree — the same cast every other
+        // windowed-sum oracle (q_seq_pack, q_running_total) applies
         """cnt AS (SELECT wp.doc_id, cast(sum(len(tok.syms)) AS bigint) AS n_tok
           |  FROM wp JOIN tok ON wp.word = tok.word GROUP BY wp.doc_id)
           |SELECT doc_id, n_tok,
-          |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before,
-          |  cast(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS bigint)
-          |    AS window_id
+          |  cast(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+          |    AS tokens_before,
+          |  cast(floor(cast(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+          |    / 4096.0) AS bigint) AS window_id
           |FROM cnt ORDER BY doc_id""".stripMargin),
   )
 }

@@ -190,6 +190,20 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming context-window chunking — the long-doc twin of
+    * [[graft.ops.TextOps.chunkTokenWindows]] (q_doc_chunk's operator).
+    * Chunking is STATELESS per row, so unlike [[tokenizeStream]] no
+    * foreachBatch or keyed state is needed: the same codegen'd builtins
+    * run inside the micro-batch plan, the stream works in pure Append
+    * mode with any sink/trigger, and batch boundaries cannot change the
+    * output (EventStreamsSpec pins replay ≡ the batch operator).
+    * Output: one row per (doc, chunk) — (idCol, chunk_id, chunk). */
+  def chunkStream(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    docs.select(col(idCol),
+      posexplode(graft.ops.TextOps.chunkTokenWindows(col(textCol), window, stride))
+        .as(Seq("chunk_id", "chunk")))
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

@@ -51,11 +51,12 @@ class BenchSpec extends AnyFunSuite {
     // 95 queries; successive re-budgets as the inventory grew: "q_"
     // prefix stripped (r8), "full"/"cpus" → fidelity (r8),
     // "n_queries"/"warm_s"/"total_med" → fidelity (r9 median flip),
-    // "qpfx"/"n_errors"/"stat" → fidelity (93rd/94th queries), and the
+    // "qpfx"/"n_errors"/"stat" → fidelity (93rd/94th queries), the
     // "incremental_" family prefix compressed to "i_" (95th query,
-    // ~50 B — "key_transform" in the fidelity file documents it):
-    // worst case ~1887, headroom for ~2 more queries before the pin
-    // fires again.
+    // ~50 B), and "_pipeline" → "_pl" + "substring" → "ss" (98th query,
+    // ~56 B across 8 keys — "key_transform" in the fidelity file
+    // documents all of it): worst case ~1893, headroom for ~1 more
+    // query before the pin fires again.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 99.999,
@@ -71,14 +72,17 @@ class BenchSpec extends AnyFunSuite {
     assert(keys.distinct.size == keys.size,
       "two inventory names collide after the line-key transform")
     val line = Bench.statLine(
-      Seq("q_x" -> 0.5, "q1_agg" -> 0.3, "q_incremental_dedup" -> 0.7), 1,
-      "sf0.1", Nil, degraded = false, 1.5)
+      Seq("q_x" -> 0.5, "q1_agg" -> 0.3, "q_incremental_dedup" -> 0.7,
+        "q_rain_pipeline" -> 0.2, "q_incremental_substring" -> 0.4), 1,
+      "sf0.1", Nil, degraded = false, 2.1)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
     assert(node.get("queries").has("x") && !node.get("queries").has("q_x"))
     assert(node.get("queries").has("q1_agg"), "non-prefixed names pass through")
     assert(node.get("queries").has("i_dedup") &&
       !node.get("queries").has("incremental_dedup"))
+    assert(node.get("queries").has("rain_pl"), "_pipeline compresses to _pl")
+    assert(node.get("queries").has("i_ss"), "both i_ and ss rules compose")
   }
 
   test("stat line is valid JSON with the driver-contract fields") {

@@ -235,4 +235,31 @@ class BpeSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/fresh/meta").count() == 1L)
     } finally deleteRecursively(dir)
   }
+
+  test("buildSubwordTable: Append refuses an UNFINGERPRINTED table (interrupted build)") {
+    val merges = Bpe.train(freq, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpetbl2").toString
+    try {
+      // simulate a build that died between its two writes: table/ exists,
+      // meta/ does not — an Append (under ANY merges) must refuse, since
+      // it cannot know which merge table the orphan rows were cut under
+      Seq(("low", Seq("low</w>"))).toDF("word", "subwords")
+        .write.parquet(s"$dir/t/table")
+      val e = intercept[IllegalArgumentException] {
+        Bpe.buildSubwordTable(Seq(Tuple1("newest")).toDF("text"), "text",
+          merges, s"$dir/t", org.apache.spark.sql.SaveMode.Append)
+      }
+      assert(e.getMessage.contains("meta"))
+      // the refused Append wrote NOTHING (no meta stamped over the mix)
+      assert(!new java.io.File(s"$dir/t/meta").exists())
+      // fresh-Append crash-ordering: meta is written BEFORE table, so an
+      // interrupted bootstrap leaves a fingerprinted path, which later
+      // Appends handle — pin the invariant by checking meta exists even
+      // though this build completed both writes
+      Bpe.buildSubwordTable(Seq(Tuple1("low")).toDF("text"), "text",
+        merges, s"$dir/fresh", org.apache.spark.sql.SaveMode.Append)
+      assert(new java.io.File(s"$dir/fresh/meta").exists() &&
+        new java.io.File(s"$dir/fresh/table").exists())
+    } finally deleteRecursively(dir)
+  }
 }

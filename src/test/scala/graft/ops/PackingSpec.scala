@@ -135,4 +135,25 @@ class PackingSpec extends SparkSpec {
     assert(out.count(_._4 == binOf(1L)) == 1,
       "nothing may join the oversize doc's (negative-remaining) bin")
   }
+
+  test("packSamplesFFD: null AND negative token counts fail fast by name") {
+    // null id/count — the original guard
+    val withNull = Seq((Some(1L), Some(10L)), (Some(2L), None))
+      .toDF("doc_id", "n_tok")
+    val e1 = intercept[Exception] {
+      Packing.packSamplesFFD(withNull, "doc_id", "n_tok",
+        budget = 100L, nShards = 1).collect()
+    }
+    assert(e1.getMessage.contains("packSamplesFFD"))
+    // NEGATIVE count — what tokenCount(NULL text) yields under non-ANSI
+    // Spark (-1): flowing through would silently GROW a bin's remaining
+    // capacity and corrupt padding accounting, so it must raise
+    val withNeg = Seq((1L, 10L), (2L, -1L)).toDF("doc_id", "n_tok")
+    val e2 = intercept[Exception] {
+      Packing.packSamplesFFD(withNeg, "doc_id", "n_tok",
+        budget = 100L, nShards = 1).collect()
+    }
+    assert(e2.getMessage.contains("negative") ||
+      e2.getMessage.contains("packSamplesFFD"))
+  }
 }

@@ -193,6 +193,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("chunkStream: stateless per-row chunking ≡ batch chunkTokenWindows on replay") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val batch1 = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens: 3 windows at (4, 3)
+      (2L, "one two three"))       // fits one window
+    val batch2 = Seq(
+      (3L, ""),                    // empty text: one empty chunk (totality)
+      (4L, (1 to 11).map(i => s"t$i").mkString(" "))) // tail chunk shorter
+    in.addData(batch1)
+    in.addData(batch2) // split across micro-batches — boundaries must not matter
+    val q = EventStreams.chunkStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", window = 4, stride = 3)
+      .writeStream.format("memory").queryName("cs").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cs").as[(Long, Int, String)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    val replay = (batch1 ++ batch2).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.ops.TextOps.chunkTokenWindows(col("text"), 4, 3))
+          .as(Seq("chunk_id", "chunk")))
+      .as[(Long, Int, String)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(got == replay)
+    // spot-pin the stride arithmetic: doc 1's windows step by 3
+    assert(got.filter(_._1 == 1L).map(_._3) ==
+      Seq("a b c d", "d e f g", "g h i j"))
+    // totality: the empty doc emits exactly one empty chunk
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq(""))
+  }
+
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]

@@ -8,12 +8,34 @@ and runs the matching oracle SQL (from oracle_sql.json) in DuckDB over
 the raw tables in <sfDir>; compares schema (column names), row count and
 values (exact, plus a 1e-9-relative float fallback so we can tell
 "bit-mismatch only" from "wrong answer").
+
+TYPE-STRICT (r10): the driver hashes TYPED arrow values, so an oracle
+whose column widens (DuckDB sum(BIGINT) -> HUGEINT/decimal128) fails at
+the driver even when every value matches -- and fetchall() coerces that
+away, which is exactly how the r9 q_tok_pack slip shipped. So now we
+also (a) compare DuckDB-level column types between the engine parquet
+and the oracle result, and (b) assert every oracle output column lands
+in the portable type set; either mismatch is a red row.
 """
-import sys, os, json, math
+import sys, os, json, math, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Types whose DuckDB->arrow mapping is unambiguous and matches what
+# Spark writes to parquet. An oracle emitting anything else (HUGEINT,
+# DECIMAL, UTINYINT, ...) must cast.
+PORTABLE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+            "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+
+
+def norm_type(t):
+    s = str(t).upper()
+    # engine parquet timestamps read back as TIMESTAMP WITH TIME ZONE
+    # under some duckdb versions; the driver's arrow hash treats both as
+    # timestamp[us] -- normalize
+    return re.sub(r"\s+WITH TIME ZONE$", "", s)
 
 
 def canon(rows, cols):
@@ -74,6 +96,21 @@ def main(sf_dir, out_dir):
         ec, er = canon(erows, ecols)
         if gc != ec:
             print(f"✗ {name:24s} SCHEMA got={gc} exp={ec}")
+            continue
+        # type strictness: oracle types must be portable AND equal the
+        # engine's parquet types column-for-column
+        gtypes = {c: norm_type(t) for c, t in zip(gcols, got_rel.types)}
+        etypes = {c: norm_type(t) for c, t in zip(ecols, exp_rel.types)}
+        bad_portable = sorted(c for c, t in etypes.items() if t not in PORTABLE)
+        if bad_portable:
+            print(f"✗ {name:24s} ORACLE NON-PORTABLE TYPES: "
+                  + ", ".join(f"{c}:{etypes[c]}" for c in bad_portable))
+            continue
+        bad_types = sorted(c for c in etypes if gtypes.get(c) != etypes[c])
+        if bad_types:
+            print(f"✗ {name:24s} TYPES "
+                  + ", ".join(f"{c} got={gtypes.get(c)} exp={etypes[c]}"
+                              for c in bad_types))
             continue
         if len(gr) != len(er):
             print(f"✗ {name:24s} ROWS got={len(gr)} exp={len(er)}")
