@@ -7,48 +7,51 @@ import org.apache.spark.sql.functions._
   * doc copy i shifts ids and appends a marker token, so every doc gains
   * N−1 planted near-duplicates; embedding copy i sign-flips dims so the
   * base pair geometry repeats per copy without quadratic cross-copy
-  * pairs — see the inline note) and run the dedup/ANN family once,
-  * timing each stage.
-  * Catches scale cliffs (plan blow-ups, candidate explosions, empty
-  * IVF cells) before the designs meet real 100 TB data. Not part of
-  * the correctness gate — timings go to stdout for NOTES.
+  * pairs — see [[Soak.Ctx.emb]]) and run the operator families, timing
+  * each stage. Catches scale cliffs (plan blow-ups, candidate
+  * explosions, empty IVF cells) before the designs meet real 100 TB
+  * data. Not part of the correctness gate — timings go to stdout for
+  * NOTES.
+  *
+  * STRUCTURE (r10): stages live in the [[families]] REGISTRY — a data
+  * list of (name, Ctx => Unit) — and every stage body is one
+  * `ctx.time("label") { op }` line against the shared replicated
+  * corpus in [[Ctx]]. Soaking a new operator = adding one such line to
+  * its family (or one new registry row); the session / replication /
+  * partition-sizing / timing boilerplate is written once, in Ctx.
   *
   * Usage: SPARK_GRAFT_SF_DIR=… SPARK_GRAFT_SOAK_X=10 runMain graft.Soak
-  * (SPARK_GRAFT_SOAK_X_DOCS / _EMB override per-table — the doc and
-  * embedding base tables differ in size, so hitting a target corpus
-  * needs different multipliers.)
+  *   - SPARK_GRAFT_SOAK_X_DOCS / _EMB override per-table multipliers
+  *     (the doc and embedding base tables differ in size).
+  *   - SPARK_GRAFT_SOAK_FAMILIES=dedup,ann … runs a subset (names =
+  *     registry keys; default all). Legacy aliases kept:
+  *     SPARK_GRAFT_SOAK_DOCS_ONLY=1 (all doc families),
+  *     SPARK_GRAFT_SOAK_EMB_ONLY=1 (embedding + semdedup).
+  *   - SPARK_GRAFT_SOAK_BPE_VOCAB=<n> (+ optional _BPE_MERGES): a
+  *     dedicated driver-merge-loop mode that runs and exits.
   */
 object Soak {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val multDefault = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
-    val multDocs = sys.env.get("SPARK_GRAFT_SOAK_X_DOCS").map(_.toInt).getOrElse(multDefault)
-    val multEmb = sys.env.get("SPARK_GRAFT_SOAK_X_EMB").map(_.toInt).getOrElse(multDefault)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // partitions size to DATA, not cores (the production rule): past
-    // ~10⁶ docs the verify stage's per-task hash builds outgrow the
-    // heap at partitions=cores — 1.6 M docs OOM'd at 24 but runs at
-    // 128. Sized automatically once the corpus count is known (below);
-    // SPARK_GRAFT_SOAK_PARTITIONS overrides.
-    val partsEnv = sys.env.get("SPARK_GRAFT_SOAK_PARTITIONS")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", partsEnv.getOrElse(cpus))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Shared soak context: the Spark session, the replicated corpora
+    * (lazy — a families subset only pays for the tables it touches),
+    * and the measurement helpers every stage uses. */
+  final class Ctx(val spark: SparkSession, sfDir: String,
+      multDocs: Int, multEmb: Int, docDecor: Boolean,
+      partsEnv: Option[String], cpus: Int) {
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[soak] $label%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    // ~12.5 k rows per task is what kept the 1.6 M-doc run inside the
-    // heap (128 partitions); never fewer partitions than cores
+    /** Partitions size to DATA, not cores (the production rule): past
+      * ~10⁶ docs the verify stage's per-task hash builds outgrow the
+      * heap at partitions=cores — 1.6 M docs OOM'd at 24 but runs at
+      * 128. ~12.5 k rows per task kept that run inside the heap; never
+      * fewer partitions than cores. SPARK_GRAFT_SOAK_PARTITIONS
+      * overrides. */
     def sizePartitions(rows: Long): Unit = if (partsEnv.isEmpty) {
-      val p = math.max(cpus.toInt, (rows / 12500L).toInt)
+      val p = math.max(cpus, (rows / 12500L).toInt)
       spark.conf.set("spark.sql.shuffle.partitions", p)
       println(s"[soak] shuffle partitions: $p (auto, $rows rows)")
     }
@@ -73,8 +76,8 @@ object Soak {
     // within-copy pairs keep the base corpus geometry (both members get
     // the same tagging). True pairs then grow ∝ mult — doubling runs
     // measure the ALGORITHM, not the topology.
-    val docDecor = sys.env.get("SPARK_GRAFT_SOAK_DOC_DECOR").contains("1")
-    def replicate(df: DataFrame, idCol: String, marker: Option[String], mult: Int): DataFrame =
+    private def replicate(df: DataFrame, idCol: String,
+        marker: Option[String], mult: Int): DataFrame =
       (0 until mult).map { i =>
         val shifted = df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L))
         marker match {
@@ -88,45 +91,74 @@ object Soak {
         }
       }.reduce(_ unionByName _)
 
-    // SPARK_GRAFT_SOAK_EMB_ONLY=1: only the embedding LSH/cosine
-    // stages; SPARK_GRAFT_SOAK_DOCS_ONLY=1: only the doc dedup stages —
-    // fast loops for before/after measurements on one operator family
-    val embOnly = sys.env.get("SPARK_GRAFT_SOAK_EMB_ONLY").contains("1")
-    val docsOnly = sys.env.get("SPARK_GRAFT_SOAK_DOCS_ONLY").contains("1")
+    // touch-tracking: releaseAll must not FORCE a lazy corpus a
+    // families subset never used (materializing the 10× doc corpus
+    // just to unpersist it)
+    private var docsTouched = false
+    private var embTouched = false
 
-    // SPARK_GRAFT_SOAK_BPE_VOCAB=<n> (with optional _BPE_MERGES): the
-    // DRIVER merge loop alone, on a synthetic Zipf-ish vocabulary
-    // independent of any corpus — the receipt for the heap-selected
-    // trainer's real-trainer shape (10⁶-word vocab × 32 k merges must
-    // be minutes of driver time, not hours; the per-round pair-map
-    // rescan this replaced was O(numMerges × |pairs|)). Dedicated mode:
-    // runs and exits, so doubling runs isolate trainer scaling.
-    val bpeVocab = sys.env.getOrElse("SPARK_GRAFT_SOAK_BPE_VOCAB", "0").toInt
-    if (bpeVocab > 0) {
-      val nMerges = sys.env.getOrElse("SPARK_GRAFT_SOAK_BPE_MERGES", "2000").toInt
-      val rnd = new scala.util.Random(42)
-      val syn = (0 until bpeVocab).map { i =>
-        val w = (0 until 3 + rnd.nextInt(10))
-          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-        w -> (1L + bpeVocab.toLong / (i + 1)) // zipf-ish counts
-      }.toMap
-      println(s"[soak] bpe synthetic vocab: ${syn.size} distinct words")
-      val m = time(s"bpe train ($nMerges merges)") {
-        ops.Bpe.train(syn, nMerges)
-      }
-      println(s"[soak] merges learned: ${m.size}")
-      spark.stop(); return
+    /** The replicated doc corpus, persisted on first touch. */
+    lazy val docs: DataFrame = {
+      docsTouched = true
+      val d = replicate(
+        Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")),
+        "id", Some("text"), multDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = time("docs materialize")(d.count())
+      println(s"[soak] corpus: $n docs (${multDocs}x)")
+      nDocsV = n
+      sizePartitions(n)
+      d
     }
+    private var nDocsV = -1L
+    def nDocs: Long = { docs; nDocsV }
 
-    if (!embOnly) {
-    val docs = replicate(
-      Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")),
-      "id", Some("text"), multDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = time("docs materialize")(docs.count())
-    println(s"[soak] corpus: $nDocs docs (${multDocs}x)")
-    sizePartitions(nDocs)
+    /** Embedding replication flips signs per (copy, dim) — NOT identical
+      * copies. Identical copies make the TRUE pair set quadratic in the
+      * multiplier (every copy of every base pair is again a pair, plus
+      * C(mult, 2) intra-group pairs per base vector), so no algorithm
+      * could show linear stage time against that topology — the r4
+      * soak's "2.4× time for 2× data" on this stage was output growth,
+      * not a design regression. A per-dim sign flip applied to BOTH
+      * vectors of a pair preserves their cosine (Σ s_d² u_d v_d =
+      * Σ u_d v_d), so each copy carries the full base pair geometry,
+      * while cross-copy cosines decorrelate to ~0 — true output grows
+      * ∝ n and stage time can be judged against a linear bar. */
+    lazy val embBase: DataFrame =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+    lazy val emb: DataFrame = {
+      embTouched = true
+      val e = (0 until multEmb).map { i =>
+        val shifted = embBase.withColumn("id", col("id") + lit(i.toLong * 100000000L))
+        if (i == 0) shifted
+        else shifted.withColumn("embedding", transform(col("embedding"), (x, d) =>
+          (x * when(pmod(xxhash64(lit(i), d), lit(2)) === 0, 1.0d).otherwise(-1.0d)).cast("float")))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = e.count()
+      println(s"[soak] embeddings: $n")
+      sizePartitions(n)
+      e
+    }
+    /** Small query batch every ANN stage shares. */
+    lazy val q: DataFrame =
+      emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
 
+    /** Deterministic 20 % doc slice the selection/LM families model
+      * (timing, not semantics; the replicated corpus has no lang col). */
+    val target20 = col("id") % 5 === 0
+
+    def releaseAll(): Unit = {
+      if (docsTouched) docs.unpersist(blocking = false)
+      if (embTouched) emb.unpersist(blocking = false)
+    }
+  }
+
+  // ---- operator families — SOAK A NEW OPERATOR BY ADDING A LINE HERE ----
+
+  private def dedupFamily(c: Ctx): Unit = {
+    import c._
     time("exact dedup") {
       ops.Dedup.exact(
         docs.withColumn("fp", md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))),
@@ -157,18 +189,29 @@ object Soak {
     time("simhash near-dups") {
       ops.Dedup.simhashNearDups(docs, maxDist = 3).count()
     }
+    // chunk-granular substring family: both stages shuffle on the
+    // 16-byte chunk hash; removal adds the per-doc rebuild aggregation.
+    // Under decor each copy carries the BASE corpus's duplicated-chunk
+    // structure (all docs in a copy share that copy's markers), so the
+    // dup set is non-trivial and grows ∝ copies — linear, like pairs.
+    time("substring-dup profile (w=30)") {
+      ops.Dedup.substringDupProfile(docs, width = 30, idCol = "id").count()
+    }
+    time("substring-dup REMOVAL (w=30)") {
+      ops.Dedup.removeDupChunks(docs, width = 30, idCol = "id").count()
+    }
+  }
 
-    // Data-selection family (DSIR + LM fluency): weight/model tables
-    // are bounded by B / target vocabulary, so stage time must stay
-    // ~linear in corpus size — a super-linear step here means the
-    // broadcast side started growing with the corpus (the cliff to
-    // announce). Target = a deterministic 20 % slice (timing, not
-    // semantics; the replicated soak corpus has no lang column).
+  /** DSIR + LM fluency: weight/model tables are bounded by B / target
+    * vocabulary, so stage time must stay ~linear in corpus size — a
+    * super-linear step here means the broadcast side started growing
+    * with the corpus (the cliff to announce). */
+  private def selectionFamily(c: Ctx): Unit = {
+    import c._
     val dsirB = 65536
-    val dsirTarget = col("id") % 5 === 0
     val dsirW = time("dsir joint counts + weights") {
       val w = ops.Dsir.ratioWeightsJoint(
-        ops.Dsir.bucketCountsWithTarget(docs, "text", dsirTarget, dsirB))
+        ops.Dsir.bucketCountsWithTarget(docs, "text", target20, dsirB))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       w.count(); w
     }
@@ -178,7 +221,7 @@ object Soak {
     }
     dsirW.unpersist(blocking = false)
     val lmModel = time("lm train (20% slice)") {
-      val m = ops.LmScore.train(docs.where(dsirTarget), "text")
+      val m = ops.LmScore.train(docs.where(target20), "text")
       val t = m.trans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val u = m.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[soak] lm model: ${t.count()} transitions, ${u.count()} unigrams")
@@ -197,12 +240,36 @@ object Soak {
     lmScored.unpersist(blocking = false)
     lmModel.trans.unpersist(blocking = false)
     lmModel.uni.unpersist(blocking = false)
+    // trigram stupid backoff: model one order up — train is 2 more
+    // aggregations over the 20% slice, scoring adds one broadcast join
+    val lm3 = time("lm trigram train (20% slice)") {
+      val m = ops.LmScore.trainN(docs.where(target20), "text", 3)
+      val p = ops.LmScore.NModel(
+        m.orders.map { case (k, df) => k ->
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) },
+        m.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        m.nTokens, m.n)
+      // MATERIALIZE inside the timed block (the bigram stage's stance):
+      // lazily-persisted orders would bill the training aggregations to
+      // the score stage and corrupt the train-vs-score receipts
+      p.orders.values.foreach(_.count())
+      p.uni.count()
+      p
+    }
+    time("lm trigram score") {
+      ops.LmScore.scoreDocsN(docs, "id", "text", lm3).count()
+    }
+    lm3.orders.values.foreach(_.unpersist(blocking = false))
+    lm3.uni.unpersist(blocking = false)
+  }
 
-    // Curation family — url dedup / boilerplate / epoch shard. All
-    // should scale ~linearly: url dedup is one shuffle on a short
-    // canonical key; boilerplate is one (grp, md5) count shuffle + a
-    // broadcast anti-join + one per-doc reassembly shuffle; epoch shard
-    // is one shuffle on the shard key with per-shard windows.
+  /** url dedup / boilerplate / epoch shard. All should scale ~linearly:
+    * url dedup is one shuffle on a short canonical key; boilerplate is
+    * one (grp, md5) count shuffle + a broadcast anti-join + one per-doc
+    * reassembly shuffle; epoch shard is one shuffle on the shard key
+    * with per-shard windows. */
+  private def curationFamily(c: Ctx): Unit = {
+    import c._
     val messyUrl = concat(
       when(col("id") % 3 === 0, "http").otherwise(lit("https")), lit("://"),
       when(col("id") % 2 === 0, "www.").otherwise(lit("")),
@@ -233,20 +300,13 @@ object Soak {
       ops.Sampling.shuffleShard(docs.select("id"), col("id"), seed = 7L,
         nShards = 256).count()
     }
-    // chunk-granular substring family: both stages shuffle on the
-    // 16-byte chunk hash; removal adds the per-doc rebuild aggregation.
-    // Under decor each copy carries the BASE corpus's duplicated-chunk
-    // structure (all docs in a copy share that copy's markers), so the
-    // dup set is non-trivial and grows ∝ copies — linear, like pairs.
-    time("substring-dup profile (w=30)") {
-      ops.Dedup.substringDupProfile(docs, width = 30, idCol = "id").count()
-    }
-    time("substring-dup REMOVAL (w=30)") {
-      ops.Dedup.removeDupChunks(docs, width = 30, idCol = "id").count()
-    }
-    // BPE: one corpus scan to word freqs (vocab-bounded), driver merge
-    // loop, then per-DISTINCT-word tokenization via broadcast table —
-    // corpus size should move the scan+join stages, never the train
+  }
+
+  /** BPE: one corpus scan to word freqs (vocab-bounded), driver merge
+    * loop, then per-DISTINCT-word tokenization via broadcast table —
+    * corpus size should move the scan+join stages, never the train. */
+  private def tokenizerFamily(c: Ctx): Unit = {
+    import c._
     val bpeFreq = time("bpe word freqs") {
       // the guarded collect (minFreq/topN pruning + loud size cap) —
       // the soak's corpora are synthetic and small-vocabulary, but the
@@ -286,8 +346,12 @@ object Soak {
         .foreach(java.nio.file.Files.deleteIfExists(_))
       finally w.close()
     }
-    // long-doc chunking + sample-level FFD packing: both per-row /
-    // per-shard — time should track corpus size linearly at worst
+  }
+
+  /** Long-doc chunking + sample-level FFD packing: per-row / per-shard —
+    * time should track corpus size linearly at worst. */
+  private def packingFamily(c: Ctx): Unit = {
+    import c._
     time("doc chunking (w=32 s=24)") {
       docs.select(posexplode(
         ops.TextOps.chunkTokenWindows(col("text"), 32, 24))
@@ -299,56 +363,16 @@ object Soak {
           ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
         "id", "n_tok", budget = 512L, nShards = 256).count()
     }
-    // trigram stupid backoff: model one order up — train is 2 more
-    // aggregations over the 20% slice, scoring adds one broadcast join
-    val lm3 = time("lm trigram train (20% slice)") {
-      val m = ops.LmScore.trainN(docs.where(dsirTarget), "text", 3)
-      val p = ops.LmScore.NModel(
-        m.orders.map { case (k, df) => k ->
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) },
-        m.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        m.nTokens, m.n)
-      // MATERIALIZE inside the timed block (the bigram stage's stance):
-      // lazily-persisted orders would bill the training aggregations to
-      // the score stage and corrupt the train-vs-score receipts
-      p.orders.values.foreach(_.count())
-      p.uni.count()
-      p
+    time("ffd packing summary (256 shards)") {
+      ops.Packing.packSamplesSummary(
+        docs.select(col("id"),
+          ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "id", "n_tok", budget = 512L, nShards = 256).count()
     }
-    time("lm trigram score") {
-      ops.LmScore.scoreDocsN(docs, "id", "text", lm3).count()
-    }
-    lm3.orders.values.foreach(_.unpersist(blocking = false))
-    lm3.uni.unpersist(blocking = false)
-    docs.unpersist(blocking = false)
-    }
-    if (docsOnly) { spark.stop(); return }
+  }
 
-    // Embedding replication flips signs per (copy, dim) — NOT identical
-    // copies. Identical copies make the TRUE pair set quadratic in the
-    // multiplier (every copy of every base pair is again a pair, plus
-    // C(mult, 2) intra-group pairs per base vector), so no algorithm
-    // could show linear stage time against that topology — the r4 soak's
-    // "2.4× time for 2× data" on this stage was output growth, not a
-    // design regression. A per-dim sign flip applied to BOTH vectors of
-    // a pair preserves their cosine (Σ s_d² u_d v_d = Σ u_d v_d), so each
-    // copy carries the full base pair geometry, while cross-copy cosines
-    // decorrelate to ~0 — true output grows ∝ n and stage time can be
-    // judged against a linear bar.
-    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding"))
-    val emb = (0 until multEmb).map { i =>
-      val shifted = embBase.withColumn("id", col("id") + lit(i.toLong * 100000000L))
-      if (i == 0) shifted
-      else shifted.withColumn("embedding", transform(col("embedding"), (x, d) =>
-        (x * when(pmod(xxhash64(lit(i), d), lit(2)) === 0, 1.0d).otherwise(-1.0d)).cast("float")))
-    }.reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEmb = emb.count()
-    println(s"[soak] embeddings: $nEmb")
-    sizePartitions(nEmb)
-    val q = emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
-
+  private def embeddingFamily(c: Ctx): Unit = {
+    import c._
     time("ann brute-force topk")(ops.Similarity.bruteForceTopK(emb, q, k = 10).count())
     time("ann lsh topk")(ops.Similarity.lshTopK(emb, q, k = 10).count())
     val cosPairs = time("cosine near-dups bucketed") {
@@ -360,12 +384,15 @@ object Soak {
       ops.Similarity.cosineCandidatesBucketed(emb).count()
     }
     println(s"[soak] cosine candidates: $nCosCands, verified pairs: ${cosPairs.count()}")
+  }
 
-    // SemDeDup at production-ish k: assignment is ONE codegen pass whose
-    // plan is O(1) in k (the centroid matrix rides as a reference
-    // object — a per-centroid-expression formulation dies near k ≈ 10³);
-    // prune pair-gen is Σ|cluster|² inside per-cluster tasks, bounded by
-    // the clustering granularity (mean cluster = n/k)
+  /** SemDeDup at production-ish k: assignment is ONE codegen pass whose
+    * plan is O(1) in k (the centroid matrix rides as a reference
+    * object — a per-centroid-expression formulation dies near k ≈ 10³);
+    * prune pair-gen is Σ|cluster|² inside per-cluster tasks, bounded by
+    * the clustering granularity (mean cluster = n/k). */
+  private def semdedupFamily(c: Ctx): Unit = {
+    import c._
     val kSem = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEM_K", "1024").toInt
     val semCents = embBase.limit(kSem).select(col("id").as("cid"), col("embedding"))
     val semAsg = time(s"semdedup assign k=$kSem") {
@@ -380,8 +407,10 @@ object Soak {
     }
     println(s"[soak] semdedup kept: $semKept")
     semAsg.unpersist(blocking = false)
+  }
 
-    if (embOnly) { emb.unpersist(blocking = false); spark.stop(); return }
+  private def annFamily(c: Ctx): Unit = {
+    import c._
     // larger nlist than the gate's 16 — exercises the O(1)-plan argmin
     // and seeding at a cell count closer to production
     val model = time("ivf fit nlist=64")(ops.Ivf.fit(emb, nlist = 64, iters = 3))
@@ -428,7 +457,92 @@ object Soak {
       ops.IvfPq.topKDistributed(idx, emb, qBig, ivfpq, k = 10, nprobe = 8).count()
     }
     idx.unpersist(blocking = false)
-    emb.unpersist(blocking = false)
+  }
+
+  /** THE REGISTRY — soak families in run order. Add a family by adding
+    * a row; add an operator by adding a `ctx.time(...)` line to its
+    * family. Doc families first (they share the doc corpus), embedding
+    * families after (they share the embedding corpus). */
+  private val families: Seq[(String, Ctx => Unit)] = Seq(
+    "dedup" -> dedupFamily,
+    "selection" -> selectionFamily,
+    "curation" -> curationFamily,
+    "tokenizer" -> tokenizerFamily,
+    "packing" -> packingFamily,
+    "embedding" -> embeddingFamily,
+    "semdedup" -> semdedupFamily,
+    "ann" -> annFamily,
+  )
+  private val docFamilies = Set("dedup", "selection", "curation", "tokenizer", "packing")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val multDefault = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+    val multDocs = sys.env.get("SPARK_GRAFT_SOAK_X_DOCS").map(_.toInt).getOrElse(multDefault)
+    val multEmb = sys.env.get("SPARK_GRAFT_SOAK_X_EMB").map(_.toInt).getOrElse(multDefault)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val partsEnv = sys.env.get("SPARK_GRAFT_SOAK_PARTITIONS")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", partsEnv.getOrElse(cpus))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_SOAK_BPE_VOCAB=<n> (with optional _BPE_MERGES): the
+    // DRIVER merge loop alone, on a synthetic Zipf-ish vocabulary
+    // independent of any corpus — the receipt for the heap-selected
+    // trainer's real-trainer shape (10⁶-word vocab × 32 k merges must
+    // be minutes of driver time, not hours; the per-round pair-map
+    // rescan this replaced was O(numMerges × |pairs|)). Dedicated mode:
+    // runs and exits, so doubling runs isolate trainer scaling.
+    val bpeVocab = sys.env.getOrElse("SPARK_GRAFT_SOAK_BPE_VOCAB", "0").toInt
+    if (bpeVocab > 0) {
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_SOAK_BPE_MERGES", "2000").toInt
+      val rnd = new scala.util.Random(42)
+      val syn = (0 until bpeVocab).map { i =>
+        val w = (0 until 3 + rnd.nextInt(10))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        w -> (1L + bpeVocab.toLong / (i + 1)) // zipf-ish counts
+      }.toMap
+      println(s"[soak] bpe synthetic vocab: ${syn.size} distinct words")
+      val m = (new Ctx(spark, sfDir, multDocs, multEmb, docDecor = false,
+        partsEnv, cpus.toInt)).time(s"bpe train ($nMerges merges)") {
+        ops.Bpe.train(syn, nMerges)
+      }
+      println(s"[soak] merges learned: ${m.size}")
+      spark.stop(); return
+    }
+
+    // family selection: explicit list wins; legacy DOCS_ONLY/EMB_ONLY
+    // aliases keep old invocations working
+    val selected: Set[String] =
+      sys.env.get("SPARK_GRAFT_SOAK_FAMILIES") match {
+        case Some(list) =>
+          val names = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = names -- families.map(_._1).toSet
+          require(unknown.isEmpty,
+            s"unknown soak families $unknown — known: ${families.map(_._1).mkString(", ")}")
+          names
+        case None if sys.env.get("SPARK_GRAFT_SOAK_DOCS_ONLY").contains("1") =>
+          docFamilies
+        case None if sys.env.get("SPARK_GRAFT_SOAK_EMB_ONLY").contains("1") =>
+          Set("embedding", "semdedup")
+        case None => families.map(_._1).toSet
+      }
+
+    val ctx = new Ctx(spark, sfDir, multDocs, multEmb,
+      docDecor = sys.env.get("SPARK_GRAFT_SOAK_DOC_DECOR").contains("1"),
+      partsEnv, cpus.toInt)
+    families.foreach { case (name, run) =>
+      if (selected(name)) {
+        println(s"[soak] ==== family: $name ====")
+        run(ctx)
+      }
+    }
+    ctx.releaseAll()
     spark.stop()
   }
 }
