@@ -371,6 +371,29 @@ object Soak {
     }
   }
 
+  /** BM25 inverted index + retrieval: the index build is one token
+    * explosion → (term, doc) aggregation (shuffle ∝ corpus tokens);
+    * the query side must be ∝ the queried terms' postings, never the
+    * corpus — a super-linear query stage means the term filter stopped
+    * pruning. */
+  private def searchFamily(c: Ctx): Unit = {
+    import c._
+    val stats = time("bm25 index build") {
+      val st = ops.Bm25.buildStats(docs, idCol = "id")
+      st.postings.count(); st
+    }
+    time("bm25 topk (5 terms)") {
+      ops.Bm25.topK(stats, Seq("spark", "hash", "join", "vector", "scan"),
+        k = 20).count()
+    }
+    stats.postings.unpersist(blocking = false)
+    time("gopher rule battery") {
+      val rules = ops.Quality.gopherRules(col("text"))
+      docs.select(rules.map { case (n, cc) => cc.as(n) }: _*)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
+  }
+
   private def embeddingFamily(c: Ctx): Unit = {
     import c._
     time("ann brute-force topk")(ops.Similarity.bruteForceTopK(emb, q, k = 10).count())
@@ -469,11 +492,12 @@ object Soak {
     "curation" -> curationFamily,
     "tokenizer" -> tokenizerFamily,
     "packing" -> packingFamily,
+    "search" -> searchFamily,
     "embedding" -> embeddingFamily,
     "semdedup" -> semdedupFamily,
     "ann" -> annFamily,
   )
-  private val docFamilies = Set("dedup", "selection", "curation", "tokenizer", "packing")
+  private val docFamilies = Set("dedup", "selection", "curation", "tokenizer", "packing", "search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ DomainQueries.all ++ ExtensionQueries.all ++
-      PipelineQueries.all ++ CurationQueries.all ++ TokenizerQueries.all
+      PipelineQueries.all ++ CurationQueries.all ++ TokenizerQueries.all ++
+      SearchQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DomainQueries.oracles ++
       ExtensionQueries.oracles ++ PipelineQueries.oracles ++
-      CurationQueries.oracles ++ TokenizerQueries.oracles
+      CurationQueries.oracles ++ TokenizerQueries.oracles ++
+      SearchQueries.oracles
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Bm25, Quality}
+
+/** Corpus search + rule-battery quality gates:
+  *
+  *   - [[qBm25]] — BM25 keyword retrieval over the documents table
+  *     (inverted-index build + top-k scoring, [[graft.ops.Bm25]]);
+  *   - [[qBm25Index]] — the PERSISTED index lifecycle: two disjoint
+  *     appends fold into one index, then the query reads only its
+  *     terms' postings; same oracle as [[qBm25]], which proves
+  *     fold-in ≡ full rebuild (the incremental-dedup gate pattern);
+  *   - [[qGopher]] — the Gopher doc-level rule battery as named
+  *     boolean columns ([[graft.ops.Quality.gopherRules]]);
+  *   - [[qC4Lines]] — C4 line-level cleaning as a pure per-row
+  *     transform ([[graft.ops.Quality.c4CleanDoc]]); documents have no
+  *     newlines, so the gate synthesizes a deterministic multi-line
+  *     page around each doc's text (the qBoilerplate device) that both
+  *     engines replay.
+  *
+  * Oracle-parity notes: the BM25 score is irrational (ln), so each
+  * per-term contribution quantizes to decimal(28,12) before the
+  * per-doc sum (order-independent — `Q.sumq` stance) and BOTH engines
+  * spell the arithmetic with the same operation tree and the same
+  * spelled-out constants (`1.2 + 1.0`, `1.0 - 0.75`) so the doubles
+  * agree bit-for-bit; ranking orders by the ROUNDED score (+ doc_id)
+  * so sub-round noise can never reorder the top-k. The rule gates
+  * output only booleans/longs — integer counts with one final
+  * comparison per rule.
+  */
+object SearchQueries {
+
+  /** The shared query-term set (terms that really occur in the corpus
+    * vocabulary) and the shared top-k. */
+  private val Terms = Seq("spark", "hash", "join", "vector", "scan")
+  private val K = 20
+
+  private def ranked(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val stats = Bm25.buildStats(Tables.documents(s, dir))
+    val out = ranked(Bm25.score(stats, Terms)).localCheckpoint(true)
+    stats.postings.unpersist(blocking = false)
+    out
+  }
+
+  def qBm25Index(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Q.withTempIndex("graft-bm25") { idx =>
+      // two doc-disjoint appends (every third doc folds in second) —
+      // the oracle scores the FULL corpus, so green means the summed
+      // meta deltas + appended postings equal a single build
+      Bm25.appendIndex(docs.where(col("doc_id") % 3 =!= 1), idx)
+      Bm25.appendIndex(docs.where(col("doc_id") % 3 === 1), idx)
+      ranked(Bm25.topKIndexed(s, idx, Terms, K)).localCheckpoint(true)
+    }
+  }
+
+  def qGopher(s: SparkSession, dir: String): DataFrame = {
+    val rules = Quality.gopherRules(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic multi-line page around each doc's text: a nav line
+    * (no terminal punctuation → line-dropped), the doc text, a kept
+    * closing line, and three doc_id-parameterized variants exercising
+    * the javascript / curly-brace / lorem-ipsum rules. */
+  private def synthPage = concat_ws("\n",
+    concat(lit("NAV "), col("source"), lit(" home login")),
+    col("text"),
+    lit("Read the full story here."),
+    when(col("doc_id") % 7 === 0, lit("Enable javascript to continue."))
+      .otherwise(lit("Contact our editorial team today.")),
+    when(col("doc_id") % 5 === 0, lit("function() { return 1; }"))
+      .otherwise(lit("All rights reserved worldwide.")),
+    when(col("doc_id") % 13 === 0, lit("Lorem ipsum dolor sit amet."))
+      .otherwise(lit("Thanks for reading this article.")))
+
+  def qC4Lines(s: SparkSession, dir: String): DataFrame = {
+    val c = Quality.c4CleanDoc(synthPage)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), c.as("c"))
+      .select(col("doc_id"),
+        col("c.n_lines").as("n_lines"),
+        col("c.n_kept").as("n_kept"),
+        col("c.keep").as("keep"),
+        md5(col("c.clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q.QueryFn] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_bm25_index" -> (qBm25Index _),
+    "q_gopher" -> (qGopher _),
+    "q_c4_lines" -> (qC4Lines _),
+  )
+
+  /** Shared BM25 oracle body: the full-corpus score, written once —
+    * both gates must equal it. Constants are spelled as arithmetic
+    * (`1.2 + 1.0`) so DuckDB performs the same IEEE ops the Spark plan
+    * compiled from `lit(k1 + 1.0)`. */
+  private val bm25Sql =
+    """WITH tok AS (SELECT doc_id, t.term AS term
+      |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)),
+      |p AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY doc_id),
+      |tot AS (SELECT cast(count(*) AS bigint) AS n, cast(sum(dl) AS bigint) AS s FROM dl),
+      |st AS (SELECT n, cast(s AS double) / cast(n AS double) AS avgdl FROM tot),
+      |q AS (SELECT * FROM p WHERE term IN ('spark','hash','join','vector','scan')),
+      |qdf AS (SELECT term, count(*) AS df FROM q GROUP BY term),
+      |sc AS (SELECT q.doc_id,
+      |    cast(ln(1.0 + (cast((SELECT n FROM st) AS double) - df + 0.5) / (df + 0.5))
+      |         * (tf * (1.2 + 1.0))
+      |         / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (SELECT avgdl FROM st)))
+      |      AS decimal(28,12)) AS c
+      |  FROM q JOIN qdf USING (term) JOIN dl USING (doc_id))
+      |SELECT doc_id, cast(count(*) AS bigint) AS n_terms,
+      |  round(cast(sum(c) AS double), 6) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
+    "q_bm25_index" -> bm25Sql,
+    "q_gopher" ->
+      """WITH w AS (SELECT doc_id, coalesce(text, '') AS t,
+        |  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws FROM documents),
+        |r AS (SELECT doc_id, t, ws, len(ws) AS n FROM w)
+        |SELECT doc_id,
+        |  n BETWEEN 50 AND 100000 AS wc_ok,
+        |  (cast(list_sum(list_transform(ws, x -> length(x))) AS double) / cast(n AS double))
+        |    BETWEEN 3.0 AND 10.0 AS mwl_ok,
+        |  cast(len(regexp_extract_all(t, '#|\.\.\.|…')) AS double) / cast(n AS double) <= 0.1 AS sym_ok,
+        |  cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS double) / cast(n AS double) >= 0.8 AS alpha_ok,
+        |  len(list_intersect(list_transform(ws, x -> lower(x)),
+        |    ['the','a','an','of','to','and','in','is','it','that',
+        |     'for','on','with','as','at','by','this','was','are','be'])) >= 2 AS stop_ok,
+        |  (n BETWEEN 50 AND 100000)
+        |    AND ((cast(list_sum(list_transform(ws, x -> length(x))) AS double) / cast(n AS double)) BETWEEN 3.0 AND 10.0)
+        |    AND (cast(len(regexp_extract_all(t, '#|\.\.\.|…')) AS double) / cast(n AS double) <= 0.1)
+        |    AND (cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS double) / cast(n AS double) >= 0.8)
+        |    AND (len(list_intersect(list_transform(ws, x -> lower(x)),
+        |      ['the','a','an','of','to','and','in','is','it','that',
+        |       'for','on','with','as','at','by','this','was','are','be'])) >= 2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_c4_lines" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |    'NAV ' || source || ' home login',
+        |    text,
+        |    'Read the full story here.',
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Enable javascript to continue.'
+        |         ELSE 'Contact our editorial team today.' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'function() { return 1; }'
+        |         ELSE 'All rights reserved worldwide.' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.'
+        |         ELSE 'Thanks for reading this article.' END) AS t FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d),
+        |k AS (SELECT doc_id, t, lines,
+        |  list_filter(lines, x -> regexp_matches(x, '[.!?"'']$')
+        |    AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+        |    AND NOT contains(lower(x), 'javascript')
+        |    AND NOT contains(x, '{')) AS kept FROM l)
+        |SELECT doc_id,
+        |  cast(len(lines) AS bigint) AS n_lines,
+        |  cast(len(kept) AS bigint) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')) AS keep,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+  )
+}

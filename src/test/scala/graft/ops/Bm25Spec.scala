@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with known stats: 4 docs, hand-countable tf/df
+  private def corpus = Seq(
+    (1L, "spark joins data with spark"),
+    (2L, "hash join beats sort join"),
+    (3L, "the vector scan is fast"),
+    (4L, "spark hash join")).toDF("doc_id", "text")
+
+  test("buildStats: tf, df, dl, and global totals are exact") {
+    val st = Bm25.buildStats(corpus)
+    assert(st.nDocs == 4L)
+    assert(st.sumDl == 5L + 5L + 5L + 3L)
+    val tf = st.postings.where($"term" === "spark")
+      .orderBy("doc_id").select("doc_id", "tf").as[(Long, Long)].collect().toSeq
+    assert(tf == Seq((1L, 2L), (4L, 1L)))
+    val df = st.df.where($"term".isin("spark", "join", "the"))
+      .orderBy("term").select("term", "df").as[(String, Long)].collect().toSeq
+    assert(df == Seq(("join", 2L), ("spark", 2L), ("the", 1L)))
+    st.postings.unpersist(blocking = false)
+  }
+
+  test("score matches the closed-form BM25 value") {
+    val st = Bm25.buildStats(corpus)
+    val got = Bm25.topK(st, Seq("spark"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    def bm25(tf: Long, df: Long, dl: Long): Double = {
+      val avgdl = st.sumDl.toDouble / st.nDocs.toDouble
+      val idf = math.log(1.0 + (st.nDocs.toDouble - df + 0.5) / (df + 0.5))
+      val raw = idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+      BigDecimal(raw).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == Set(1L, 4L))
+    assert(math.abs(got(1L) - bm25(2, 2, 5)) < 1e-11)
+    assert(math.abs(got(4L) - bm25(1, 2, 3)) < 1e-11)
+    // doc 4 is shorter than average → its single occurrence outranks
+    // a flat tf=1 at dl=5 (the length normalization doing its job)
+    assert(got(4L) > bm25(1, 2, 5))
+    st.postings.unpersist(blocking = false)
+  }
+
+  test("multi-term scores sum per doc; n_terms counts matched terms") {
+    val st = Bm25.buildStats(corpus)
+    val row = Bm25.score(st, Seq("spark", "join"))
+      .where($"doc_id" === 4L).select("n_terms", "score")
+      .as[(Long, Double)].head()
+    assert(row._1 == 2L)
+    val single = Bm25.score(st, Seq("spark")).where($"doc_id" === 4L)
+      .select("score").as[Double].head() +
+      Bm25.score(st, Seq("join")).where($"doc_id" === 4L)
+        .select("score").as[Double].head()
+    assert(math.abs(row._2 - single) < 1e-11)
+    st.postings.unpersist(blocking = false)
+  }
+
+  test("persisted index: two disjoint appends ≡ one in-memory build") {
+    val st = Bm25.buildStats(corpus)
+    val expect = Bm25.topK(st, Seq("spark", "join", "scan"), k = 10)
+      .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("bm25spec").toString
+    try {
+      Bm25.appendIndex(corpus.where($"doc_id" <= 2), idx)
+      Bm25.appendIndex(corpus.where($"doc_id" > 2), idx)
+      val got = Bm25.topKIndexed(spark, idx, Seq("spark", "join", "scan"), k = 10)
+        .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(got == expect)
+      // meta carries one delta row per append; totals sum exactly
+      val meta = spark.read.parquet(s"$idx/meta")
+      assert(meta.count() == 2L)
+      assert(meta.agg(sum("n_docs"), sum("sum_dl"))
+        .as[(Long, Long)].head() == ((4L, 18L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(idx)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    st.postings.unpersist(blocking = false)
+  }
+
+  test("indexed query plan prunes postings partitions to the query terms' buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    try {
+      Bm25.appendIndex(corpus, idx, nBuckets = 8)
+      val plan = Bm25.topKIndexed(spark, idx, Seq("spark"), k = 5)
+        .queryExecution.executedPlan.toString
+      // the bucket column is a partition dir: the scan must carry a
+      // pushed term filter, and the fused top-k must be present
+      assert(plan.contains("PushedFilters") && plan.contains("term"),
+        s"no pushed term filter in:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), "top-k did not fuse")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  test("NULL text contributes no postings; inconsistent bucket counts fail fast") {
+    val withNull = corpus.union(Seq((9L, null: String)).toDF("doc_id", "text"))
+    val st = Bm25.buildStats(withNull)
+    assert(st.nDocs == 4L) // the NULL doc has no tokens, hence no dl row
+    st.postings.unpersist(blocking = false)
+    val idx = java.nio.file.Files.createTempDirectory("bm25bad").toString
+    try {
+      Bm25.appendIndex(corpus.where($"doc_id" <= 2), idx, nBuckets = 8)
+      Bm25.appendIndex(corpus.where($"doc_id" > 2), idx, nBuckets = 16)
+      val e = intercept[IllegalArgumentException] {
+        Bm25.topKIndexed(spark, idx, Seq("spark"), k = 5).collect()
+      }
+      assert(e.getMessage.contains("n_buckets"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+}
