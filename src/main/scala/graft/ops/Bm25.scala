@@ -35,33 +35,40 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bm25 {
 
-  /** In-memory inverted index: postings + doc lengths + df + exact
-    * integer corpus totals. */
-  final case class Stats(postings: DataFrame, docLen: DataFrame,
-      df: DataFrame, nDocs: Long, sumDl: Long) {
+  /** In-memory inverted index: postings (each row carrying its doc's
+    * length — see [[postingsOf]]) + df + exact integer corpus totals. */
+  final case class Stats(postings: DataFrame, df: DataFrame,
+      nDocs: Long, sumDl: Long) {
     def avgdl: Double = sumDl.toDouble / nDocs.toDouble
   }
 
   /** Tokenize like the rest of the text family (whitespace split of
     * lowercased trimmed text — `TextOps.tokens`; NULL text → no
-    * postings on both engines). */
+    * postings on both engines) into `(term, doc_id, tf, dl)`. The doc
+    * length is computed per ROW before the explosion (dl = the doc's
+    * token count) and rides the aggregation as a constant-per-doc
+    * `min` — postings never need a doc-keyed join to recover it, at
+    * build or at query. One shuffle total. */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        TextOps.tokens(lower(col(textCol))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
 
-  /** One corpus pass → the whole index. df and dl derive from the
-    * postings frame (|postings| ≪ |tokens|), so the raw token explosion
-    * is shuffled exactly once. The two driver scalars are a bounded
-    * collect (one row). */
+  /** One corpus pass → the whole index. df and the global totals
+    * derive from the postings frame (|postings| ≪ |tokens|), so the
+    * raw token explosion is shuffled exactly once. The two driver
+    * scalars are a bounded collect (one row). */
   def buildStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Stats = {
     val postings = postingsOf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val totals = docLen.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
-    Stats(postings, docLen, dfT, totals.getLong(0), totals.getLong(1))
+    val totals = postings.groupBy("doc_id").agg(min("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    Stats(postings, dfT, totals.getLong(0), totals.getLong(1))
   }
 
   /** Per-(term, doc) BM25 contribution as a deterministic double
@@ -75,13 +82,13 @@ object Bm25 {
 
   /** Score every doc matching ≥1 query term; returns
     * `(doc_id, n_terms, score)`. The term filter lands on the postings
-    * scan (pushed to parquet in the persisted form); df/dl attach by
-    * join (df restricted to query terms is tiny → broadcast). */
+    * scan (pushed to parquet in the persisted form); df attaches by
+    * broadcast join (restricted to the query terms, it is tiny); dl is
+    * already in the posting row. */
   def score(stats: Stats, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val hits = stats.postings.where(col("term").isin(terms: _*))
       .join(broadcast(stats.df.where(col("term").isin(terms: _*))), Seq("term"))
-      .join(stats.docLen, Seq("doc_id"))
     hits
       .withColumn("c", contrib(k1, b, stats.nDocs, stats.avgdl).cast(DecimalType(28, 12)))
       .groupBy("doc_id")
@@ -98,15 +105,21 @@ object Bm25 {
 
   // ---- persisted, appendable index -------------------------------------
 
-  /** Directory layout: `postings/` (term-bucketed parquet),
-    * `doclen/`, `meta/` (one row PER APPEND: batch doc count + token
-    * sum — summed on read, so fold-in needs no read-modify-write).
-    * df is NOT stored: recomputing it from the term-pruned postings a
-    * query actually reads is cheaper at scale than maintaining a
-    * second mergeable table, and stays exact under appends. Meta
-    * writes FIRST (the crash-safety stance `Bpe.buildSubwordTable`
-    * settled): a torn append leaves extra meta with no postings —
-    * detectable — never unaccounted postings.
+  /** Directory layout: `postings/` (term-bucket-partitioned parquet;
+    * each posting row carries its doc's length — the search-engine
+    * "norms in the posting" denormalization, free at build since dl is
+    * computed before the explosion, so a query NEVER joins a
+    * doc-keyed table) and `meta/` (one row PER
+    * APPEND: batch doc count + token sum — summed on read, so fold-in
+    * needs no read-modify-write). df is NOT stored: recomputing it
+    * from the term-pruned postings a query actually reads is cheaper
+    * at scale than maintaining a second mergeable table, and stays
+    * exact under appends. Meta writes FIRST (the crash-safety stance
+    * `Bpe.buildSubwordTable` settled): a torn append leaves extra meta
+    * with no postings — detectable — never unaccounted postings. The
+    * postings repartition on the bucket key before the partitioned
+    * write: one writer per bucket directory instead of
+    * |tasks|×|buckets| small files.
     *
     * Batches must be doc-disjoint (the same contract as the other
     * incremental indexes): re-appending a doc_id would double its
@@ -114,36 +127,39 @@ object Bm25 {
   def appendIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
       textCol: String = "text", nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    val postings = postingsOf(docs, idCol, textCol)
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+    val base = postingsOf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = docLen.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    val totals = base.groupBy("doc_id").agg(min("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
     import spark.implicits._
     Seq((totals.getLong(0), totals.getLong(1), nBuckets))
       .toDF("n_docs", "sum_dl", "n_buckets")
       .write.mode(SaveMode.Append).parquet(s"$path/meta")
-    postings.write.mode(SaveMode.Append)
+    base
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Append)
       .partitionBy("bucket").parquet(s"$path/postings")
-    docLen.write.mode(SaveMode.Append).parquet(s"$path/doclen")
-    postings.unpersist(blocking = false)
-    docLen.unpersist(blocking = false)
+    base.unpersist(blocking = false)
   }
 
   /** Query the persisted index: prune postings to the query terms'
     * hash buckets (partition pruning) + an `isin` term filter (row-group
     * stats), recompute df for just those terms, sum the meta deltas for
-    * the exact global stats. The corpus text is never read. */
+    * the exact global stats. The corpus text is never read, and thanks
+    * to the denormalized dl no doc-keyed table is joined — query cost
+    * is ∝ the queried terms' postings alone. */
   def topKIndexed(spark: SparkSession, path: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta")
-    val nBuckets = meta.select("n_buckets").head().getInt(0)
-    require(meta.select(countDistinct(col("n_buckets"))).head().getLong(0) == 1L,
-      s"inconsistent n_buckets across appends at $path — rebuild the index")
-    val totals = meta.agg(sum("n_docs"), sum("sum_dl")).head()
-    val nDocs = totals.getLong(0)
-    val avgdl = totals.getLong(1).toDouble / nDocs.toDouble
+    // meta is one row per append — a bounded driver read
+    val metaRows = spark.read.parquet(s"$path/meta")
+      .select("n_docs", "sum_dl", "n_buckets").collect()
+    val nBucketsAll = metaRows.map(_.getInt(2)).distinct
+    require(nBucketsAll.length == 1,
+      s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
+    val nBuckets = nBucketsAll.head
+    val nDocs = metaRows.map(_.getLong(0)).sum
+    val avgdl = metaRows.map(_.getLong(1)).sum.toDouble / nDocs.toDouble
 
     // term→bucket must equal the WRITER's pmod(xxhash64(term), nBuckets);
     // compute it with Spark's own expression on a literal frame so the
@@ -156,10 +172,8 @@ object Bm25 {
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
     val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val docLen = spark.read.parquet(s"$path/doclen")
     postings
       .join(broadcast(dfT), Seq("term"))
-      .join(docLen, Seq("doc_id"))
       .withColumn("c", contrib(k1, b, nDocs, avgdl).cast(DecimalType(28, 12)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c").cast("double").as("score"))

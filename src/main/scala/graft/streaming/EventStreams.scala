@@ -204,6 +204,28 @@ object EventStreams {
       posexplode(graft.ops.TextOps.chunkTokenWindows(col(textCol), window, stride))
         .as(Seq("chunk_id", "chunk")))
 
+  /** Streaming BM25 index maintenance — the stream twin of
+    * [[graft.ops.Bm25.appendIndex]] (q_bm25_index's operator): each
+    * micro-batch of newly-crawled docs folds its postings + integer
+    * meta deltas into the persisted index, so the searchable corpus
+    * grows trigger by trigger and any later [[graft.ops.Bm25
+    * .topKIndexed]] sees exactly the docs ingested so far. Append-only
+    * by construction (postings/doclen/meta all append; no
+    * read-modify-write), so a retried batch is the only duplication
+    * hazard — the same doc-disjointness contract as the batch form.
+    * Equivalence to one batch build is EventStreamsSpec-pinned. */
+  def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpoint: String, nBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Bm25.appendIndex(batch, indexPath, idCol, textCol, nBuckets)
+      }
+      .start()
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

@@ -193,6 +193,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("bm25IndexStream: per-trigger fold-in ≡ one batch index over the replayed stream") {
+    implicit val sc = spark.sqlContext
+    val batch1 = Seq((1L, "spark joins data with spark"),
+      (2L, "hash join beats sort join"))
+    val batch2 = Seq((3L, "the vector scan is fast"), (4L, "spark hash join"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25stream").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = EventStreams.bm25IndexStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/idx", s"$dir/ckpt", nBuckets = 8,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      // two SEPARATE triggers (drain between adds) — batch boundaries
+      // must not change the index, and each fold-in leaves a meta delta
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      q.stop()
+      val got = graft.ops.Bm25.topKIndexed(spark, s"$dir/idx",
+          Seq("spark", "join", "scan"), k = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      val st = graft.ops.Bm25.buildStats((batch1 ++ batch2).toDF("doc_id", "text"))
+      val replay = graft.ops.Bm25.topK(st, Seq("spark", "join", "scan"), k = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      st.postings.unpersist(blocking = false)
+      assert(got == replay)
+      // one meta delta per non-empty trigger — the fold-in audit trail
+      assert(spark.read.parquet(s"$dir/idx/meta").count() == 2L)
+    } finally deleteRecursively(dir)
+  }
+
   test("chunkStream: stateless per-row chunking ≡ batch chunkTokenWindows on replay") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
