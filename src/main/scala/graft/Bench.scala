@@ -21,10 +21,12 @@ object Bench {
   /** Stat-line key for a query name: "q_" stripped, the leading
     * "incremental_" family prefix compressed to "i_", the "_pipeline"
     * suffix to "_pl", "substring" to "ss" (the 98th query's re-budget
-    * — ~56 worst-case bytes across 8 keys), and "boilerplate" → "bp" /
+    * — ~56 worst-case bytes across 8 keys), "boilerplate" → "bp" /
     * "tokenize" → "tok" (the 102nd query's re-budget — ~28 bytes
-    * across 4 keys). Full names stay in the fidelity file
-    * ("key_transform" documents this). */
+    * across 4 keys), and "dedup" → "dd" / "cosine" → "cos" /
+    * "stratified" → "strat" (the 103rd — ~32 bytes across 9 keys).
+    * Full names stay in the fidelity file ("key_transform" documents
+    * this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -32,7 +34,8 @@ object Bench {
       else s0
     val s2 = if (s1.endsWith("_pipeline")) s1.stripSuffix("_pipeline") + "_pl" else s1
     s2.replace("substring", "ss").replace("boilerplate", "bp")
-      .replace("tokenize", "tok")
+      .replace("tokenize", "tok").replace("dedup", "dd")
+      .replace("cosine", "cos").replace("stratified", "strat")
   }
 
   /** The single machine-parseable stdout line for the driver. Field
@@ -190,7 +193,7 @@ object Bench {
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

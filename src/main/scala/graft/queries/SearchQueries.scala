@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
-import graft.ops.{Bm25, Quality}
+import graft.ops.{Bm25, Fusion, Quality, Similarity}
 
 /** Corpus search + rule-battery quality gates:
   *
@@ -99,11 +101,47 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval: BM25 top-50 (lexical) ∪ brute-force cosine
+    * top-50 around vector 0 (semantic; the verification baseline — the
+    * production arm is `Similarity.lshTopK`/IVF), fused by RRF.
+    * Determinism: only INTEGER ranks cross the fusion boundary. The
+    * lexical arm cuts and ranks on (round(score, 6) desc, doc_id) — a
+    * distributed TakeOrderedAndProject, then row_number over the
+    * bounded 50-row list; the semantic arm reuses the q_ann_topk
+    * ranking convention; membership in the final 20 is decided by the
+    * unrounded rrf (bit-identical in both engines — rational
+    * arithmetic on integers), final display order by the rounded
+    * value. */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val stats = Bm25.buildStats(Tables.documents(s, dir))
+    val lexTop = Bm25.score(stats, Terms)
+      .withColumn("score_r", round(col("score"), 6))
+      .orderBy(col("score_r").desc, col("doc_id")).limit(50)
+    val lex = lexTop.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_r").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val sem = Similarity.bruteForceTopK(emb,
+        emb.where(col("id") === 0).select(col("id").as("qid"), col("embedding")),
+        k = 50)
+      .select(col("id"), col("rank"))
+    val out = Fusion.rrf(Seq("bm25" -> lex, "cos" -> sem))
+      .orderBy(col("rrf").desc, col("id")).limit(20)
+      .select(col("id"), col("rank_bm25"), col("rank_cos"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .localCheckpoint(true)
+    stats.postings.unpersist(blocking = false)
+    out
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_bm25" -> (qBm25 _),
     "q_bm25_index" -> (qBm25Index _),
     "q_gopher" -> (qGopher _),
     "q_c4_lines" -> (qC4Lines _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
   )
 
   /** Shared BM25 oracle body: the full-corpus score, written once —
@@ -133,6 +171,43 @@ object SearchQueries {
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_bm25_index" -> bm25Sql,
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, t.term AS term
+        |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)),
+        |p AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM p GROUP BY doc_id),
+        |tot AS (SELECT cast(count(*) AS bigint) AS n, cast(sum(dl) AS bigint) AS s FROM dl),
+        |st AS (SELECT n, cast(s AS double) / cast(n AS double) AS avgdl FROM tot),
+        |q AS (SELECT * FROM p WHERE term IN ('spark','hash','join','vector','scan')),
+        |qdf AS (SELECT term, count(*) AS df FROM q GROUP BY term),
+        |sc AS (SELECT q.doc_id,
+        |    cast(ln(1.0 + (cast((SELECT n FROM st) AS double) - df + 0.5) / (df + 0.5))
+        |         * (tf * (1.2 + 1.0))
+        |         / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / (SELECT avgdl FROM st)))
+        |      AS decimal(28,12)) AS c
+        |  FROM q JOIN qdf USING (term) JOIN dl USING (doc_id)),
+        |bscore AS (SELECT doc_id, round(cast(sum(c) AS double), 6) AS score_r
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank_bm25
+        |  FROM bscore QUALIFY rank_bm25 <= 50),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |cp AS (SELECT c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> q.vec_id),
+        |cs AS (SELECT id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM cp),
+        |sem AS (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank_cos
+        |  FROM cs QUALIFY rank_cos <= 50),
+        |fused AS (SELECT coalesce(lex.id, sem.id) AS id,
+        |    cast(rank_bm25 AS bigint) AS rank_bm25, cast(rank_cos AS bigint) AS rank_cos,
+        |    coalesce(1.0 / (60.0 + rank_bm25), 0.0) + coalesce(1.0 / (60.0 + rank_cos), 0.0) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id),
+        |top AS (SELECT id, rank_bm25, rank_cos, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused)
+        |SELECT id, rank_bm25, rank_cos, round(rrf, 6) AS rrf
+        |FROM top WHERE rn <= 20 ORDER BY round(rrf, 6) DESC, id""".stripMargin,
     "q_gopher" ->
       """WITH w AS (SELECT doc_id, coalesce(text, '') AS t,
         |  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws FROM documents),

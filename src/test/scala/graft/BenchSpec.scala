@@ -79,7 +79,7 @@ class BenchSpec extends AnyFunSuite {
     val node = om.readTree(line)
     assert(node.get("queries").has("x") && !node.get("queries").has("q_x"))
     assert(node.get("queries").has("q1_agg"), "non-prefixed names pass through")
-    assert(node.get("queries").has("i_dedup") &&
+    assert(node.get("queries").has("i_dd") &&
       !node.get("queries").has("incremental_dedup"))
     assert(node.get("queries").has("rain_pl"), "_pipeline compresses to _pl")
     assert(node.get("queries").has("i_ss"), "both i_ and ss rules compose")
