@@ -39,7 +39,23 @@ object Packing {
   def assignWindows(docs: DataFrame, orderCol: String, tokCol: String,
       budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    Reserved.requireAbsent("assignWindows", Seq("__pid", "__offset"), docs)
+    runningTokens(docs, Seq(col(orderCol)), tokCol, numPartitions,
+      Some(budget))
+  }
+
+  /** The generalized two-phase prefix sum behind [[assignWindows]] and
+    * [[Selection.selectByBudget]]: `tokens_before` = exclusive running
+    * token total in the global order given by `sortExprs` (any mix of
+    * asc/desc columns), plus `window_id` when a `budget` is given.
+    * Steps 1–3 of the object scaladoc; the result is checkpointed (the
+    * offsets were computed against THIS materialized pid layout —
+    * recomputing the lineage could re-sample different range
+    * boundaries and silently shift per-row results; project the input
+    * down to needed columns BEFORE calling, as packSummary's callers
+    * do). */
+  private[ops] def runningTokens(docs: DataFrame, sortExprs: Seq[Column],
+      tokCol: String, numPartitions: Int, budget: Option[Long]): DataFrame = {
+    Reserved.requireAbsent("runningTokens", Seq("__pid", "__offset"), docs)
     val spark = docs.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -48,10 +64,7 @@ object Packing {
     //    for the lifetime of this lineage because every downstream use
     //    hangs off the SAME ranged node (range boundaries are sampled,
     //    but any contiguous partitioning yields the same global result)
-    val ranged = docs
-      .repartitionByRange(nPart, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedByExprs(docs, sortExprs, nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
@@ -72,29 +85,32 @@ object Packing {
       import spark.implicits._
       val offsetsDf = offsets.toSeq.toDF("__pid", "__offset")
 
-      // The checkpoint is REQUIRED for correctness, not a cache nicety:
-      // the offsets were computed against THIS materialized pid layout,
-      // and recomputing the lineage later (after unpersist) could
-      // re-sample different range boundaries — per-row results would
-      // silently shift. It does materialize the frame at full width, so
-      // at scale project `docs` down to (orderCol, tokCol, carry-alongs)
-      // BEFORE calling (as packSummary's callers do).
-      windowStage(ranged, offsetsDf, orderCol, tokCol, budget)
+      // 3. checkpoint — REQUIRED for correctness, not a cache nicety
+      //    (see the scaladoc above)
+      windowStage(ranged, offsetsDf, sortExprs, tokCol, budget)
         .localCheckpoint(true)
     } finally ranged.unpersist(blocking = false)
   }
 
+  private def rangedByExprs(docs: DataFrame, sortExprs: Seq[Column],
+      nPart: Int): DataFrame =
+    docs
+      .repartitionByRange(nPart, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+
   /** Within-partition running sum + broadcast offset = global exclusive
     * prefix; the window never sees more than one contiguous slice. */
   private def windowStage(ranged: DataFrame, offsetsDf: DataFrame,
-      orderCol: String, tokCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      sortExprs: Seq[Column], tokCol: String, budget: Option[Long]): DataFrame = {
+    val w = Window.partitionBy("__pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val base = ranged
       .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn("tokens_before",
         coalesce(sum(col(tokCol)).over(w), lit(0L)) + col("__offset"))
-      .withColumn("window_id", floor(col("tokens_before") / budget))
+    budget.fold(base)(b =>
+        base.withColumn("window_id", floor(col("tokens_before") / b)))
       .drop("__pid", "__offset")
   }
 
@@ -107,12 +123,9 @@ object Packing {
       tokCol: String, budget: Long, numPartitions: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranged = docs
-      .repartitionByRange(numPartitions, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedByExprs(docs, Seq(col(orderCol)), numPartitions)
     windowStage(ranged, Seq((0, 0L)).toDF("__pid", "__offset"),
-      orderCol, tokCol, budget)
+      Seq(col(orderCol)), tokCol, Some(budget))
   }
 
   /** Packed-window summary: one row per training window. */
