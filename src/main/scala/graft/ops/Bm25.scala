@@ -1,3 +1,183 @@
 package graft.ops
 
-import org.apache.spark.fs.{Path => _} // (no such pkg — placeholder guard, removed below)
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** BM25 keyword retrieval over a document corpus — the curation-side
+  * search primitive (find benchmark-like docs, mine domain-targeted
+  * subsets, audit dedup clusters by query) the reference's relational
+  * surface has no analogue for.
+  *
+  * Scale design (the 100 TB posture):
+  *   - The corpus text is tokenized ONCE into an inverted index:
+  *     postings `(term, doc_id, tf)` plus exact integer corpus stats
+  *     (`n_docs`, `sum_dl` for avgdl, per-term `df`). Queries touch
+  *     ONLY the postings of their terms — persisted form partitions by
+  *     a term hash bucket so a query's `isin` filter prunes parquet
+  *     row groups instead of scanning the corpus.
+  *   - All global stats are INTEGERS (token counts), so the persisted
+  *     index folds in new batches by appending delta rows and summing
+  *     on read — fold-in is bit-identical to a full rebuild, which the
+  *     `q_bm25_index` gate proves against the full-corpus oracle.
+  *   - Scoring is one broadcast-ish join (query terms are tiny) plus
+  *     one doc-keyed aggregation; top-k fuses to TakeOrderedAndProject.
+  *     Per-term contributions quantize to decimal(28,12) before the
+  *     per-doc sum so Spark's partial-aggregation tree and a sequential
+  *     scan agree bit-for-bit (the `Q.sumq` parity pattern).
+  *
+  * Formula (classic Robertson/Spärck Jones with the +1 idf floor used
+  * by Lucene): idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+  * contrib(t, D) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+  * avgdl = sum_dl / N computed from exact integer sums — one
+  * correctly-rounded division on both engines, never a float mean.
+  */
+object Bm25 {
+
+  /** In-memory inverted index: postings (each row carrying its doc's
+    * length — see [[postingsOf]]) + df + exact integer corpus totals. */
+  final case class Stats(postings: DataFrame, df: DataFrame,
+      nDocs: Long, sumDl: Long) {
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+  }
+
+  /** Tokenize like the rest of the text family (whitespace split of
+    * lowercased trimmed text — `TextOps.tokens`; NULL text → no
+    * postings on both engines) into `(term, doc_id, tf, dl)`. The doc
+    * length is computed per ROW before the explosion (dl = the doc's
+    * token count) and rides the aggregation as a constant-per-doc
+    * `min` — postings never need a doc-keyed join to recover it, at
+    * build or at query. One shuffle total. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+
+  /** One corpus pass → the whole index. df and the global totals
+    * derive from the postings frame (|postings| ≪ |tokens|), so the
+    * raw token explosion is shuffled exactly once. The two driver
+    * scalars are a bounded collect (one row). */
+  def buildStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Stats = {
+    val postings = postingsOf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = postings.groupBy("doc_id").agg(min("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    Stats(postings, dfT, totals.getLong(0), totals.getLong(1))
+  }
+
+  /** Per-(term, doc) BM25 contribution as a deterministic double
+    * expression over integer tf/dl/df — written identically in the
+    * DuckDB oracle so the doubles agree bit-for-bit. */
+  private def contrib(k1: Double, b: Double, nDocs: Long, avgdl: Double) = {
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+  }
+
+  /** Score every doc matching ≥1 query term; returns
+    * `(doc_id, n_terms, score)`. The term filter lands on the postings
+    * scan (pushed to parquet in the persisted form); df attaches by
+    * broadcast join (restricted to the query terms, it is tiny); dl is
+    * already in the posting row. */
+  def score(stats: Stats, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val hits = stats.postings.where(col("term").isin(terms: _*))
+      .join(broadcast(stats.df.where(col("term").isin(terms: _*))), Seq("term"))
+    hits
+      .withColumn("c", contrib(k1, b, stats.nDocs, stats.avgdl).cast(DecimalType(28, 12)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c").cast("double").as("score"))
+  }
+
+  /** Top-k by score (ties broken on doc_id) — fuses to
+    * TakeOrderedAndProject, no global sort materializes. */
+  def topK(stats: Stats, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    score(stats, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  // ---- persisted, appendable index -------------------------------------
+
+  /** Directory layout: `postings/` (term-bucket-partitioned parquet;
+    * each posting row carries its doc's length — the search-engine
+    * "norms in the posting" denormalization, free at build since dl is
+    * computed before the explosion, so a query NEVER joins a
+    * doc-keyed table) and `meta/` (one row PER
+    * APPEND: batch doc count + token sum — summed on read, so fold-in
+    * needs no read-modify-write). df is NOT stored: recomputing it
+    * from the term-pruned postings a query actually reads is cheaper
+    * at scale than maintaining a second mergeable table, and stays
+    * exact under appends. Meta writes FIRST (the crash-safety stance
+    * `Bpe.buildSubwordTable` settled): a torn append leaves extra meta
+    * with no postings — detectable — never unaccounted postings. The
+    * postings repartition on the bucket key before the partitioned
+    * write: one writer per bucket directory instead of
+    * |tasks|×|buckets| small files.
+    *
+    * Batches must be doc-disjoint (the same contract as the other
+    * incremental indexes): re-appending a doc_id would double its
+    * postings and its meta contribution. */
+  def appendIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val base = postingsOf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base.groupBy("doc_id").agg(min("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    import spark.implicits._
+    Seq((totals.getLong(0), totals.getLong(1), nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .write.mode(SaveMode.Append).parquet(s"$path/meta")
+    base
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket").parquet(s"$path/postings")
+    base.unpersist(blocking = false)
+  }
+
+  /** Query the persisted index: prune postings to the query terms'
+    * hash buckets (partition pruning) + an `isin` term filter (row-group
+    * stats), recompute df for just those terms, sum the meta deltas for
+    * the exact global stats. The corpus text is never read, and thanks
+    * to the denormalized dl no doc-keyed table is joined — query cost
+    * is ∝ the queried terms' postings alone. */
+  def topKIndexed(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // meta is one row per append — a bounded driver read
+    val metaRows = spark.read.parquet(s"$path/meta")
+      .select("n_docs", "sum_dl", "n_buckets").collect()
+    val nBucketsAll = metaRows.map(_.getInt(2)).distinct
+    require(nBucketsAll.length == 1,
+      s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
+    val nBuckets = nBucketsAll.head
+    val nDocs = metaRows.map(_.getLong(0)).sum
+    val avgdl = metaRows.map(_.getLong(1)).sum.toDouble / nDocs.toDouble
+
+    // term→bucket must equal the WRITER's pmod(xxhash64(term), nBuckets);
+    // compute it with Spark's own expression on a literal frame so the
+    // two sides can never drift.
+    import spark.implicits._
+    val wanted = terms.toDF("term")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+    val buckets = wanted.select("bucket").distinct().as[Int].collect().toSeq
+
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfT), Seq("term"))
+      .withColumn("c", contrib(k1, b, nDocs, avgdl).cast(DecimalType(28, 12)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}
