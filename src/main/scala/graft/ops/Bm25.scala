@@ -180,4 +180,66 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Compact the persisted index in place: collapse each bucket
+    * directory to ONE parquet file and `meta/` to one summed row.
+    * [[appendIndex]] writes one file per bucket per append — at
+    * streaming cadence ([[graft.streaming.EventStreams.bm25IndexStream]])
+    * that is the classic small-file cliff: a year of 5-minute triggers
+    * is ~10⁵ files per bucket, and every query pays the listing + open
+    * cost. Run this on whatever cadence keeps per-bucket file counts
+    * O(1) (the `Warehouse.compact` stance).
+    *
+    * No merge logic is needed: appends are doc-disjoint by contract,
+    * so the compacted postings are a pure re-layout (same rows, fewer
+    * files), and the meta collapse preserves the exact integer sums
+    * [[topKIndexed]] reads. That also makes the swap crash-tolerant
+    * beyond the staged-rename ordering below: ANY interleaving of the
+    * two directory swaps leaves a queryable, correct index — old meta
+    * with new postings (or vice versa) sums and scores identically.
+    * Swap order per directory is live→__old, staged→live, drop __old
+    * (`Warehouse.compact`): every intermediate state keeps the data
+    * adjacent, never deleted-before-replaced. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    require(fs.exists(new Path(s"$path/postings")) && fs.exists(new Path(s"$path/meta")),
+      s"no index at $path")
+    val metaRows = spark.read.parquet(s"$path/meta")
+      .select("n_docs", "sum_dl", "n_buckets").collect()
+    val nBucketsAll = metaRows.map(_.getInt(2)).distinct
+    require(nBucketsAll.length == 1,
+      s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
+
+    // stage both replacements fully before touching anything live
+    val stagedPost = new Path(s"$path/postings__compacting")
+    val stagedMeta = new Path(s"$path/meta__compacting")
+    fs.delete(stagedPost, true); fs.delete(stagedMeta, true)
+    // one hash exchange on the bucket key → each bucket's rows land in
+    // exactly one writer task → exactly one file per bucket directory
+    spark.read.parquet(s"$path/postings")
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(stagedPost.toString)
+    import spark.implicits._
+    Seq((metaRows.map(_.getLong(0)).sum, metaRows.map(_.getLong(1)).sum, nBucketsAll.head))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(stagedMeta.toString)
+
+    def swap(name: String, staged: Path): Unit = {
+      val live = new Path(s"$path/$name")
+      val old = new Path(s"$path/${name}__old")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compaction: cannot stage out live $name at $path")
+      if (!fs.rename(staged, live)) {
+        require(fs.rename(old, live), s"compaction: $name lost at $path — data in $old")
+        throw new IllegalStateException(s"compaction swap failed for $name at $path; live restored")
+      }
+      fs.delete(old, true)
+    }
+    swap("postings", stagedPost)
+    swap("meta", stagedMeta)
+  }
 }

@@ -213,16 +213,26 @@ object EventStreams {
     * by construction (postings/doclen/meta all append; no
     * read-modify-write), so a retried batch is the only duplication
     * hazard — the same doc-disjointness contract as the batch form.
-    * Equivalence to one batch build is EventStreamsSpec-pinned. */
+    * Equivalence to one batch build is EventStreamsSpec-pinned.
+    *
+    * Every append adds one file per touched bucket, so at trigger
+    * cadence the index hits the small-file cliff in days —
+    * `compactEvery = n` runs [[graft.ops.Bm25.compactIndex]] after
+    * every n-th micro-batch (crash-safe staged-rename re-layout;
+    * results are bit-identical before/after, Bm25Spec-pinned), keeping
+    * per-bucket file counts O(1) without an external janitor. */
   def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String, nBuckets: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Bm25.appendIndex(batch, indexPath, idCol, textCol, nBuckets)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ops.Bm25.compactIndex(batch.sparkSession, indexPath)
       }
       .start()
 

@@ -109,6 +109,67 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("compactIndex: identical results, one file per bucket, one meta row") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25compact").toString
+    try {
+      // three appends → up to 3 files per touched bucket + 3 meta rows
+      Bm25.appendIndex(corpus.where($"doc_id" === 1), idx, nBuckets = 8)
+      Bm25.appendIndex(corpus.where($"doc_id" === 2 || $"doc_id" === 3), idx, nBuckets = 8)
+      Bm25.appendIndex(corpus.where($"doc_id" === 4), idx, nBuckets = 8)
+      val terms = Seq("spark", "join", "scan", "vector")
+      val before = Bm25.topKIndexed(spark, idx, terms, k = 10)
+        .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+        .collect().toSet
+      val filesBefore = countParquetFiles(s"$idx/postings")
+      assert(filesBefore.values.exists(_ > 1),
+        s"fixture too weak — no bucket accumulated multiple files: $filesBefore")
+
+      Bm25.compactIndex(spark, idx)
+
+      val after = Bm25.topKIndexed(spark, idx, terms, k = 10)
+        .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(after == before, "compaction changed query results")
+      val filesAfter = countParquetFiles(s"$idx/postings")
+      assert(filesAfter.values.forall(_ == 1),
+        s"a bucket still holds >1 file after compaction: $filesAfter")
+      assert(filesAfter.keySet == filesBefore.keySet, "compaction lost a bucket dir")
+      val meta = spark.read.parquet(s"$idx/meta")
+      assert(meta.count() == 1L, "meta not collapsed to one row")
+      assert(meta.select("n_docs", "sum_dl", "n_buckets")
+        .as[(Long, Long, Int)].head() == ((4L, 18L, 8)))
+      // no staging / __old debris survives the swap
+      val leftovers = new java.io.File(idx).listFiles().map(_.getName)
+        .filter(n => n.contains("__compacting") || n.contains("__old"))
+      assert(leftovers.isEmpty, s"staging debris left behind: ${leftovers.mkString(",")}")
+      // compaction is idempotent and re-appendable: a fresh append then
+      // a second compaction still answers identically
+      Bm25.appendIndex(Seq((9L, "spark scan again")).toDF("doc_id", "text"),
+        idx, nBuckets = 8)
+      val withNine = Bm25.topKIndexed(spark, idx, terms, k = 10)
+        .select("doc_id").as[Long].collect().toSet
+      Bm25.compactIndex(spark, idx)
+      val withNineCompacted = Bm25.topKIndexed(spark, idx, terms, k = 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(withNine == withNineCompacted && withNine.contains(9L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** parquet file count per bucket=N directory under a postings root */
+  private def countParquetFiles(postingsDir: String): Map[String, Int] = {
+    val root = new java.io.File(postingsDir)
+    root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().count(f => f.getName.endsWith(".parquet")))
+      .toMap
+  }
+
   test("NULL text contributes no postings; inconsistent bucket counts fail fast") {
     val withNull = corpus.union(Seq((9L, null: String)).toDF("doc_id", "text"))
     val st = Bm25.buildStats(withNull)

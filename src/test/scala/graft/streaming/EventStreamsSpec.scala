@@ -220,6 +220,28 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == replay)
       // one meta delta per non-empty trigger — the fold-in audit trail
       assert(spark.read.parquet(s"$dir/idx/meta").count() == 2L)
+
+      // compacting variant: same two triggers, compactEvery = 2 →
+      // identical answers, meta collapsed, one file per bucket dir
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = EventStreams.bm25IndexStream(
+        in2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/idx2", s"$dir/ckpt2", nBuckets = 8,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        compactEvery = 2)
+      in2.addData(batch1); q2.processAllAvailable()
+      in2.addData(batch2); q2.processAllAvailable()
+      q2.stop()
+      val got2 = graft.ops.Bm25.topKIndexed(spark, s"$dir/idx2",
+          Seq("spark", "join", "scan"), k = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got2 == replay)
+      assert(spark.read.parquet(s"$dir/idx2/meta").count() == 1L)
+      val multiFile = new java.io.File(s"$dir/idx2/postings").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+        .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+      assert(multiFile.isEmpty,
+        s"buckets with >1 file after in-stream compaction: ${multiFile.map(_.getName).mkString(",")}")
     } finally deleteRecursively(dir)
   }
 
