@@ -112,28 +112,68 @@ object SearchQueries {
     * unrounded rrf (bit-identical in both engines — rational
     * arithmetic on integers), final display order by the rounded
     * value. */
-  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val stats = Bm25.buildStats(Tables.documents(s, dir))
-    val lexTop = Bm25.score(stats, Terms)
+  /** The lexical arm: BM25 top-50 cut + ranked on (round(score,6)
+    * desc, doc_id) — a distributed TakeOrderedAndProject, then
+    * row_number over the bounded 50-row list. */
+  private[graft] def lexicalArm(stats: Bm25.Stats): DataFrame =
+    Bm25.score(stats, Terms)
       .withColumn("score_r", round(col("score"), 6))
       .orderBy(col("score_r").desc, col("doc_id")).limit(50)
-    val lex = lexTop.withColumn("rank",
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("score_r").desc, col("doc_id"))))
       .select(col("doc_id").as("id"), col("rank"))
+
+  /** RRF fusion of the two (already rank-only, already ≤50-row) arms —
+    * shared by the gate and the production-ANN equivalence spec, so
+    * the fusion semantics cannot drift between them. */
+  private[graft] def fuseArms(lex: DataFrame, sem: DataFrame): DataFrame =
+    Fusion.rrf(Seq("bm25" -> lex, "cos" -> sem))
+      .orderBy(col("rrf").desc, col("id")).limit(20)
+      .select(col("id"), col("rank_bm25"), col("rank_cos"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+
+  /** The un-checkpointed hybrid frame (gate = this + checkpoint). */
+  private def hybridFused(s: SparkSession, dir: String,
+      stats: Bm25.Stats): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
     val sem = Similarity.bruteForceTopK(emb,
         emb.where(col("id") === 0).select(col("id").as("qid"), col("embedding")),
         k = 50)
       .select(col("id"), col("rank"))
-    val out = Fusion.rrf(Seq("bm25" -> lex, "cos" -> sem))
-      .orderBy(col("rrf").desc, col("id")).limit(20)
-      .select(col("id"), col("rank_bm25"), col("rank_cos"),
-        round(col("rrf"), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col("id"))
-      .localCheckpoint(true)
+    fuseArms(lexicalArm(stats), sem)
+  }
+
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val stats = Bm25.buildStats(Tables.documents(s, dir))
+    val out = hybridFused(s, dir, stats).localCheckpoint(true)
     stats.postings.unpersist(blocking = false)
     out
+  }
+
+  /** Plan-audit views (PLANS.md + PlanAuditSpec): the search gates
+    * checkpoint their results, which truncates the plans PlanDump and
+    * the audit would read to a LogicalRDD stub — so expose the SAME
+    * frames un-checkpointed, as formatted explain strings. The indexed
+    * view needs real files for partition pruning to show, so it builds
+    * a temp index and explains inside its lifetime. */
+  def planViews(s: SparkSession, dir: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(df: DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val stats = Bm25.buildStats(Tables.documents(s, dir))
+    val bm25View = fmt(ranked(Bm25.score(stats, Terms)))
+    val hybridView = fmt(hybridFused(s, dir, stats))
+    stats.postings.unpersist(blocking = false)
+    var indexedView: String = ""
+    Q.withTempIndex("graft-bm25plan") { idx =>
+      Bm25.appendIndex(Tables.documents(s, dir), idx)
+      indexedView = fmt(Bm25.topKIndexed(s, idx, Terms, K))
+      s.emptyDataFrame
+    }
+    Seq("q_bm25" -> bm25View, "q_bm25_index" -> indexedView,
+      "q_hybrid_rrf" -> hybridView)
   }
 
   val all: Map[String, Q.QueryFn] = Map(

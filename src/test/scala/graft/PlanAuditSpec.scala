@@ -235,6 +235,33 @@ class PlanAuditSpec extends SparkSpec {
       "q_ffd_pack: expected the per-shard sequential packing stage")
   }
 
+  test("search family: bm25 fuses top-k; indexed scan prunes buckets + pushes terms; fusion arms stay bounded") {
+    // the gates checkpoint (truncated plans) — audit the un-checkpointed
+    // operator views, the same device as the near-dup attach audit above
+    val views = graft.queries.SearchQueries.planViews(spark, sfDir).toMap
+    val bm25 = views("q_bm25")
+    assert(bm25.contains("TakeOrderedAndProject"),
+      "q_bm25: orderBy+limit must lower to TakeOrderedAndProject, not a global sort")
+    assert(bm25.contains("BroadcastHashJoin") && !bm25.contains("SortMergeJoin"),
+      "q_bm25: the (query-term-bounded) df attach must broadcast")
+    val idx = views("q_bm25_index")
+    assert(idx.contains("TakeOrderedAndProject"),
+      "q_bm25_index: top-k did not fuse")
+    assert(raw"PartitionFilters: \[bucket#\d+ IN \(".r.findFirstIn(idx).isDefined,
+      "q_bm25_index: postings scan lost partition pruning on the term-hash bucket")
+    assert(idx.contains("In(term, ["),
+      "q_bm25_index: the term isin filter is not pushed into the parquet scan")
+    assert(idx.contains("BroadcastHashJoin") && !idx.contains("SortMergeJoin"),
+      "q_bm25_index: the recomputed-df attach must broadcast")
+    val hyb = views("q_hybrid_rrf")
+    assert(!hyb.contains("CartesianProduct"), "q_hybrid_rrf degraded to a cartesian")
+    // the RRF full-outer join may legitimately sort-merge (full outer
+    // cannot broadcast) — what must hold is that BOTH of its inputs are
+    // bounded: the lexical arm cut by a fused top-k, the final cut too
+    assert(raw"TakeOrderedAndProject".r.findAllIn(hyb).size >= 2,
+      "q_hybrid_rrf: an arm lost its bounded top-k cut before the fusion join")
+  }
+
   test("column pruning: projection-only scan reads a narrow schema") {
     // q_scan_project touches 4 lineitem columns; the scan must not
     // read the 16-column table
