@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Bm25, Fusion, Quality, Similarity}
+import graft.ops.{Bm25, Fusion, Quality, Similarity, TextOps}
 
 /** Corpus search + rule-battery quality gates:
   *
@@ -112,6 +112,31 @@ object SearchQueries {
     * unrounded rrf (bit-identical in both engines — rational
     * arithmetic on integers), final display order by the rounded
     * value. */
+  /** The full quality chain composed end-to-end — Gopher doc-level
+    * keep on the RAW text → C4 line-level cleaning of the synthesized
+    * page → composite [[TextOps.qualityScore]] of the CLEANED text —
+    * aggregated per language (the q_prep_pipeline composition
+    * pattern for the rule-battery family). Every stage is a codegen'd
+    * per-row expression, so the whole chain is one scan + one shuffle
+    * (the final groupBy); quality scores are exact binary quarters
+    * (k/4), so their sum is order-independent on both engines. */
+  def qQualityPipeline(s: SparkSession, dir: String): DataFrame = {
+    val gopherKeep = Quality.gopherRules(col("text")).toMap.apply("keep")
+    val c = Quality.c4CleanDoc(synthPage)
+    Tables.documents(s, dir)
+      .where(gopherKeep)
+      .withColumn("c", c)
+      .where(col("c.keep"))
+      .withColumn("clean", col("c.clean_text"))
+      .withColumn("q", TextOps.qualityScore(col("clean")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= 0.75, 1L).otherwise(0L)).as("n_hq"),
+        sum(col("q")).as("sum_q"),
+        sum(TextOps.tokenCount(col("clean")).cast("long")).as("n_tok"))
+      .orderBy("lang")
+  }
+
   /** The lexical arm: BM25 top-50 cut + ranked on (round(score,6)
     * desc, doc_id) — a distributed TakeOrderedAndProject, then
     * row_number over the bounded 50-row list. */
@@ -182,6 +207,7 @@ object SearchQueries {
     "q_gopher" -> (qGopher _),
     "q_c4_lines" -> (qC4Lines _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_quality_pipeline" -> (qQualityPipeline _),
   )
 
   /** Shared BM25 oracle body: the full-corpus score, written once —
@@ -292,5 +318,66 @@ object SearchQueries {
         |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')) AS keep,
         |  md5(array_to_string(kept, chr(10))) AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q_quality_pipeline" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, coalesce(text, '') AS t,
+        |  regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws FROM documents),
+        |r AS (SELECT doc_id, lang, source, t, ws, len(ws) AS n FROM w),
+        |g AS (SELECT doc_id, lang, source, t FROM r WHERE
+        |  (n BETWEEN 50 AND 100000)
+        |  AND ((cast(list_sum(list_transform(ws, x -> length(x))) AS double) / cast(n AS double)) BETWEEN 3.0 AND 10.0)
+        |  AND (cast(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS double) / cast(n AS double) <= 0.1)
+        |  AND (cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS double) / cast(n AS double) >= 0.8)
+        |  AND (len(list_intersect(list_transform(ws, x -> lower(x)),
+        |    ['the','a','an','of','to','and','in','is','it','that',
+        |     'for','on','with','as','at','by','this','was','are','be'])) >= 2)),
+        |d AS (SELECT doc_id, lang, concat_ws(chr(10),
+        |    'NAV ' || source || ' home login',
+        |    t,
+        |    'Read the full story here.',
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Enable javascript to continue.'
+        |         ELSE 'Contact our editorial team today.' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'function() { return 1; }'
+        |         ELSE 'All rights reserved worldwide.' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.'
+        |         ELSE 'Thanks for reading this article.' END) AS page FROM g),
+        |l AS (SELECT doc_id, lang, page, string_split(page, chr(10)) AS lines FROM d),
+        |k AS (SELECT doc_id, lang, page,
+        |  list_filter(lines, x -> regexp_matches(x, '[.!?"'']$$')
+        |    AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+        |    AND NOT contains(lower(x), 'javascript')
+        |    AND NOT contains(x, '{')) AS kept FROM l),
+        |c4 AS (SELECT doc_id, lang, array_to_string(kept, chr(10)) AS clean
+        |  FROM k WHERE len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')),
+        |tq AS (SELECT doc_id, lang, clean, length(clean) AS n_chars,
+        |  regexp_split_to_array(trim(clean), '\\s+') AS toks,
+        |  regexp_split_to_array(lower(trim(clean)), '\\s+') AS ltoks FROM c4),
+        |m AS (SELECT *,
+        |  CASE WHEN n_chars > 0 THEN
+        |    cast(length(regexp_replace(clean, '[^.,;:!?''"()\\[\\]-]', '', 'g')) as double) / cast(n_chars as double)
+        |  ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+        |  ELSE 0.0 END AS mean_tok_len,
+        |  CASE WHEN len(ltoks) > 0 THEN
+        |    cast(len(list_filter(ltoks, x -> x IN ($qualityStopList))) as double) / cast(len(ltoks) as double)
+        |  ELSE 0.0 END AS stop_ratio
+        | FROM tq),
+        |q AS (SELECT *,
+        |  ((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        |   (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+        |   (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |   (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        | FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END) AS bigint) AS n_hq,
+        |  sum(quality) AS sum_q,
+        |  cast(sum(len(toks)) AS bigint) AS n_tok
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
   )
+
+  /** The FULL English stopword list qualityScore's stopwordRatio uses
+    * (the 20-word list inside the gopher keep rule is that rule's own,
+    * hardcoded in both engines above). */
+  private def qualityStopList: String =
+    TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 }
