@@ -23,10 +23,12 @@ object Bench {
     * suffix to "_pl", "substring" to "ss" (the 98th query's re-budget
     * — ~56 worst-case bytes across 8 keys), "boilerplate" → "bp" /
     * "tokenize" → "tok" (the 102nd query's re-budget — ~28 bytes
-    * across 4 keys), and "dedup" → "dd" / "cosine" → "cos" /
-    * "stratified" → "strat" (the 103rd — ~32 bytes across 9 keys).
-    * Full names stay in the fidelity file ("key_transform" documents
-    * this). */
+    * across 4 keys), "dedup" → "dd" / "cosine" → "cos" /
+    * "stratified" → "strat" (the 103rd — ~32 bytes across 9 keys),
+    * and "quality" → "ql" / "contamination" → "contam" /
+    * "temperature" → "temp" / "repetition" → "rep" / "window" → "win"
+    * (the 104th — ~32 bytes across 6 keys). Full names stay in the
+    * fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -36,6 +38,9 @@ object Bench {
     s2.replace("substring", "ss").replace("boilerplate", "bp")
       .replace("tokenize", "tok").replace("dedup", "dd")
       .replace("cosine", "cos").replace("stratified", "strat")
+      .replace("quality", "ql").replace("contamination", "contam")
+      .replace("temperature", "temp").replace("repetition", "rep")
+      .replace("window", "win")
   }
 
   /** The single machine-parseable stdout line for the driver. Field
@@ -193,7 +198,7 @@ object Bench {
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

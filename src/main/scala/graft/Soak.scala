@@ -387,6 +387,38 @@ object Soak {
         k = 20).count()
     }
     stats.postings.unpersist(blocking = false)
+    // persisted index lifecycle at scale: three disjoint appends fold
+    // in (the streaming cadence shape), the query prunes to its terms'
+    // buckets (cost ∝ those postings, NOT the append count), and
+    // compaction re-lays one file per bucket without changing answers.
+    // Watch: topKIndexed time should be flat in corpus size for fixed
+    // terms; post-compact should be ≤ pre-compact (fewer files).
+    val idx = java.nio.file.Files.createTempDirectory("graft-soak-bm25").toString
+    try {
+      val terms = Seq("spark", "hash", "join", "vector", "scan")
+      time("bm25 appendIndex 1/3") {
+        ops.Bm25.appendIndex(docs.where(col("id") % 3 === 0), idx, idCol = "id")
+      }
+      time("bm25 appendIndex 2/3") {
+        ops.Bm25.appendIndex(docs.where(col("id") % 3 === 1), idx, idCol = "id")
+      }
+      time("bm25 appendIndex 3/3") {
+        ops.Bm25.appendIndex(docs.where(col("id") % 3 === 2), idx, idCol = "id")
+      }
+      time("bm25 topKIndexed (3 appends)") {
+        ops.Bm25.topKIndexed(spark, idx, terms, k = 20).count()
+      }
+      time("bm25 compactIndex") { ops.Bm25.compactIndex(spark, idx) }
+      time("bm25 topKIndexed post-compact") {
+        ops.Bm25.topKIndexed(spark, idx, terms, k = 20).count()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
     time("gopher rule battery") {
       val rules = ops.Quality.gopherRules(col("text"))
       docs.select(rules.map { case (n, cc) => cc.as(n) }: _*)

@@ -53,9 +53,10 @@ class BenchSpec extends AnyFunSuite {
     // "n_queries"/"warm_s"/"total_med" → fidelity (r9 median flip),
     // "qpfx"/"n_errors"/"stat" → fidelity (93rd/94th queries), the
     // "incremental_" family prefix compressed to "i_" (95th query,
-    // ~50 B), and "_pipeline" → "_pl" + "substring" → "ss" (98th query,
-    // ~56 B across 8 keys — "key_transform" in the fidelity file
-    // documents all of it): worst case ~1893, headroom for ~1 more
+    // ~50 B), "_pipeline" → "_pl" + "substring" → "ss" (98th query,
+    // ~56 B across 8 keys), and "quality" → "ql" etc. (104th query,
+    // ~32 B across 6 keys — "key_transform" in the fidelity file
+    // documents all of it): worst case ~1902, headroom for ~1 more
     // query before the pin fires again.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
