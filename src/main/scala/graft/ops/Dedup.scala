@@ -29,6 +29,58 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Corpus-wide exact paragraph dedup with KEEP-FIRST removal — the
+    * CCNet (Wenzek et al. 2020) paragraph-dedup stage and the
+    * line-dedup pass of RefinedWeb-style pipelines: every distinct
+    * paragraph survives exactly once, at its FIRST occurrence in
+    * corpus order (idCol asc, posCol asc); later occurrences are
+    * removed and docs reassembled from their survivors in original
+    * order. Differs from [[Boilerplate.stripLines]] in both rule and
+    * outcome: frequency stripping removes EVERY copy of
+    * above-threshold chrome; keep-first dedup keeps ONE copy of
+    * everything, chrome or prose, with no threshold to tune.
+    *
+    * Scale design (100 TB):
+    *   - winner election shuffles (md5, id, pos) only — 16-byte
+    *     fingerprints, never paragraph text — and `min(struct(id,
+    *     pos))` aggregates with map-side partial min;
+    *   - the winner set is one row per DISTINCT paragraph (corpus
+    *     sized, NOT broadcastable), so survivors attach by a shuffle
+    *     semi-join on the fingerprint; paragraph text rides exactly
+    *     two shuffles (the attach + the per-doc reassembly) — the
+    *     lower bound for a reassembling dedup;
+    *   - every input doc keeps its output row (empty clean_text when
+    *     all its paragraphs were seen earlier) — the Boilerplate
+    *     totality stance.
+    *
+    * Output: (idCol, n_paras, n_kept, clean_text). */
+  def paragraphDedup(lines: DataFrame, idCol: String, posCol: String,
+      paraCol: String): DataFrame = {
+    Reserved.requireAbsent("paragraphDedup",
+      Seq("__pmd5", "__w", "__wid", "__wpos"), lines)
+    val keyed = lines.withColumn("__pmd5", md5(col(paraCol)))
+    val winners = keyed
+      .select(col("__pmd5"), struct(col(idCol), col(posCol)).as("__w"))
+      .groupBy("__pmd5").agg(min("__w").as("__w"))
+      .select(col("__pmd5"), col("__w").getField(idCol).as("__wid"),
+        col("__w").getField(posCol).as("__wpos"))
+    val kept = keyed.join(winners,
+      keyed("__pmd5") === winners("__pmd5") &&
+        col(idCol) === col("__wid") && col(posCol) === col("__wpos"),
+      "left_semi")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(posCol), col(paraCol)))),
+            x => x.getField(paraCol)),
+          "\n").as("clean_text"))
+    lines.groupBy(idCol).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Word n-gram shingles of normalized text, deduplicated. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextOps.tokens(lower(text))

@@ -208,10 +208,26 @@ object CurationQueries {
       .orderBy("shard", "source")
   }
 
+  /** Corpus-wide keep-first paragraph dedup over the same synthesized
+    * 4-line crawl pages as [[qBoilerplate]] — deliberately the same
+    * input, opposite rule: frequency stripping removes EVERY copy of
+    * the nav/footer chrome, keep-first dedup KEEPS exactly one (at its
+    * first corpus occurrence — docs 0–19, the first doc of each
+    * source) and drops only the later copies. Unique bodies always
+    * survive; the two promo variants survive once each (docs 0 and
+    * 20). */
+  def qParaDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.paragraphDedup(synthLines(s, dir).drop("source"),
+        "doc_id", "idx", "line")
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_train_mix" -> (qTrainMix _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_boilerplate" -> (qBoilerplate _),
+    "q_para_dedup" -> (qParaDedup _),
     "q_incremental_boilerplate" -> (qIncrementalBoilerplate _),
     "q_ppl_bucket" -> (qPplBucket _),
     "q_lm_trigram" -> (qLmTrigram _),
@@ -281,6 +297,31 @@ object CurationQueries {
         |  FROM kept GROUP BY doc_id),
         |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
         |SELECT tot.doc_id, tot.n_lines, coalesce(rb.n_kept, 0) AS n_kept,
+        |  md5(coalesce(rb.clean, '')) AS clean_md5
+        |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+    // keep-first paragraph dedup: winner = min (doc_id, idx) per
+    // distinct line (idx < 4, so doc_id*4+idx orders identically to
+    // the engine's min(struct(doc_id, idx)) on this fixture); the
+    // oracle keys on line TEXT where the engine keys on md5(line) —
+    // the exact-dedup collision stance
+    "q_para_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, 0 AS idx,
+        |    'NAV ' || source || ' home login search' AS line FROM documents
+        |  UNION ALL SELECT doc_id, source, 1, text FROM documents
+        |  UNION ALL SELECT doc_id, source, 2,
+        |    CASE WHEN doc_id % 40 < 20 THEN 'Share this article on social media'
+        |         ELSE 'Sign up for our newsletter today' END FROM documents
+        |  UNION ALL SELECT doc_id, source, 3, '(c) 2026 ' || source FROM documents),
+        |w AS (SELECT line, min(doc_id * 4 + idx) AS wk FROM l GROUP BY line),
+        |kept AS (SELECT l.doc_id, l.idx, l.line FROM l JOIN w
+        |  ON l.line = w.line AND l.doc_id * 4 + l.idx = w.wk),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY idx) AS clean
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_paras FROM l GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_paras, coalesce(rb.n_kept, 0) AS n_kept,
         |  md5(coalesce(rb.clean, '')) AS clean_md5
         |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id
         |ORDER BY tot.doc_id""".stripMargin,

@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     // their topologies are audited structurally via Packing.planShape
     // below and BpeSpec's incremental ≡ one-shot pin
     "q_bpe_vocab", "q_bpe_tokenize", "q_bpe_ids", "q_ffd_pack", "q_doc_chunk",
-    "q_gopher", "q_c4_lines", "q_quality_pipeline")
+    "q_gopher", "q_c4_lines", "q_quality_pipeline", "q_para_dedup")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape

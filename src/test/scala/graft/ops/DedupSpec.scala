@@ -20,6 +20,27 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L, 5L)) // 4 deduped against 1
   }
 
+  test("paragraphDedup: keep-first per distinct paragraph, totality, in-order reassembly") {
+    // doc 1 owns A,B; doc 2 repeats A (dropped) + unique C; doc 3 is
+    // ALL repeats (survives with empty text); doc 4 repeats B within
+    // ITSELF — only the first in-doc occurrence survives
+    val lines = Seq(
+      (1L, 0, "A"), (1L, 1, "B"),
+      (2L, 0, "A"), (2L, 1, "C"),
+      (3L, 0, "A"), (3L, 1, "B"),
+      (4L, 0, "B"), (4L, 1, "D"), (4L, 2, "D"),
+    ).toDF("id", "pos", "para")
+    val out = Dedup.paragraphDedup(lines, "id", "pos", "para")
+      .orderBy("id")
+      .select("id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "A\nB"),
+      (2L, 2L, 1L, "C"),
+      (3L, 2L, 0L, ""),     // all paragraphs seen earlier — row kept, text empty
+      (4L, 3L, 1L, "D")))   // B lost to doc 1; second D lost to the first
+  }
+
   test("shingles: distinct word 3-grams; short docs → empty") {
     val sh = docs.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
