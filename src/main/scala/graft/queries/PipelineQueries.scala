@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Packing, Pii, Sampling, TextOps}
+import graft.ops.{Packing, Pii, Sampling, Selection, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -288,7 +288,26 @@ object PipelineQueries {
       .orderBy("split", "lang")
   }
 
+  /** Budget-bounded quality selection ([[Selection.selectByBudget]]):
+    * rank the corpus (qualityScore desc, doc_id asc — a total order),
+    * keep the maximal prefix totalling ≤ 10 k tokens. The prefix sum
+    * is the two-phase distributed device (never a single-reducer
+    * window); quality scores are exact binary quarters, so the
+    * ranking — and therefore the cut — is bit-identical on both
+    * engines. */
+  def qBudgetFill(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    Selection.selectByBudget(ranked,
+        Seq(col("q").desc, col("doc_id").asc), "n_tok", budget = 10000L)
+      .select(col("doc_id"), col("q"), col("n_tok"), col("tokens_before"))
+      .orderBy(col("q").desc, col("doc_id"))
+  }
+
   val all: Map[String, Q.QueryFn] = Map(
+    "q_budget_fill" -> (qBudgetFill _),
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_asof_join" -> (qAsofJoin _),
@@ -415,6 +434,34 @@ object PipelineQueries {
       |u AS (SELECT shard, unnest(asg) AS a FROM fin)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // strict-prefix budget cut: inclusive running total ≤ budget, over
+    // the total order (quality desc, doc_id) — monotone costs make
+    // "cum ≤ b" ≡ the maximal rank prefix
+    "q_budget_fill" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars,
+         |  regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks FROM documents),
+         |m AS (SELECT *,
+         |  CASE WHEN n_chars > 0 THEN
+         |    cast(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) as double) / cast(n_chars as double)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+         |  ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN len(ltoks) > 0 THEN
+         |    cast(len(list_filter(ltoks, x -> x IN ($stopList))) as double) / cast(len(ltoks) as double)
+         |  ELSE 0.0 END AS stop_ratio
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  ((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS q,
+         |  cast(len(toks) AS bigint) AS n_tok FROM m),
+         |c AS (SELECT *, sum(n_tok) OVER (ORDER BY q DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+         |SELECT doc_id, q, n_tok, cast(cum - n_tok AS bigint) AS tokens_before
+         |FROM c WHERE cum <= 10000 ORDER BY q DESC, doc_id""".stripMargin,
     "q_prep_pipeline" ->
       s"""WITH p AS (SELECT doc_id, lang, $piiTextSql AS ptext FROM documents),
          |r AS (SELECT doc_id, lang,
