@@ -25,10 +25,13 @@ object Bench {
     * "tokenize" → "tok" (the 102nd query's re-budget — ~28 bytes
     * across 4 keys), "dedup" → "dd" / "cosine" → "cos" /
     * "stratified" → "strat" (the 103rd — ~32 bytes across 9 keys),
-    * and "quality" → "ql" / "contamination" → "contam" /
+    * "quality" → "ql" / "contamination" → "contam" /
     * "temperature" → "temp" / "repetition" → "rep" / "window" → "win"
-    * (the 104th — ~32 bytes across 6 keys). Full names stay in the
-    * fidelity file ("key_transform" documents this). */
+    * (the 104th — ~32 bytes across 6 keys), and "weighted" → "wtd" /
+    * "_sample" → "_smp" / "budget" → "bdg" / "fingerprint" → "fp" /
+    * "canonical" → "canon" / "incident" → "inc" (the 107th — ~37
+    * bytes). Full names stay in the fidelity file ("key_transform"
+    * documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -41,6 +44,9 @@ object Bench {
       .replace("quality", "ql").replace("contamination", "contam")
       .replace("temperature", "temp").replace("repetition", "rep")
       .replace("window", "win")
+      .replace("weighted", "wtd").replace("_sample", "_smp")
+      .replace("budget", "bdg").replace("fingerprint", "fp")
+      .replace("canonical", "canon").replace("incident", "inc")
   }
 
   /** The single machine-parseable stdout line for the driver. Field
@@ -198,7 +204,7 @@ object Bench {
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

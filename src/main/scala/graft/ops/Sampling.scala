@@ -136,4 +136,37 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("__h")
   }
+
+  /** Weighted sampling WITHOUT replacement, k items — Efraimidis &
+    * Spirakis (2006) A-ES: give each row the key ln(u)/w (u a
+    * per-row uniform, w its weight) and take the top k; the selected
+    * set is distributed exactly as sequential weighted draws without
+    * replacement. The textbook form draws u from a PRNG; here u is
+    * the md5-derived deterministic uniform (the [[permilleBucket]] /
+    * [[shuffleShard]] portable-hash convention, salted by `seed`), so
+    * the sample is reproducible on any engine — the property every
+    * other sampler in this file guarantees.
+    *
+    * u uses the first 13 hex digits (52 bits — exact in a double):
+    * u = (v+1)/(2^52+1) ∈ (0,1), never 0 or 1, so ln(u) is finite.
+    * Rows with weight ≤ 0 or NULL are excluded (zero-weight items
+    * have probability 0 by definition; ln(u)/0 would be ±Inf).
+    *
+    * Scale: one codegen'd projection + a distributed top-k
+    * (TakeOrderedAndProject) — no shuffle of the full data, no
+    * global sort. Output: the selected rows + `es_key`, ordered
+    * (es_key desc, then `key` as the deterministic tie-break). */
+  def weightedSampleK(df: DataFrame, key: Column, weight: Column,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    Reserved.requireAbsent("weightedSampleK", Seq("__u", "es_key"), df)
+    val h = md5(concat(coalesce(key.cast("string"), lit("")),
+      lit(":"), lit(seed.toString)))
+    val u = (conv(substring(h, 1, 13), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4503599627370497L).cast("double")
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("es_key", log(u) / weight.cast("double"))
+      .orderBy(col("es_key").desc, key)
+      .limit(k)
+  }
 }

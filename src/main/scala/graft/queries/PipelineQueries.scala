@@ -306,8 +306,23 @@ object PipelineQueries {
       .orderBy(col("q").desc, col("doc_id"))
   }
 
+  /** Efraimidis–Spirakis weighted sample (k=100, weight = token
+    * count, md5-uniform salted seed=7). Oracle parity: u is an exact
+    * rational of the shared md5 (52-bit numerator, both engines divide
+    * the same two exact doubles), then ln and one divide — the BM25
+    * ln-parity precedent; membership cut on the raw key, display
+    * rounded. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSampleK(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        col("doc_id"), col("n_tok"), k = 100, seed = 7L)
+      .select(col("doc_id"), col("n_tok"), round(col("es_key"), 6).as("es_r"))
+      .orderBy(col("es_r").desc, col("doc_id"))
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_budget_fill" -> (qBudgetFill _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_asof_join" -> (qAsofJoin _),
@@ -434,6 +449,23 @@ object PipelineQueries {
       |u AS (SELECT shard, unnest(asg) AS a FROM fin)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // A-ES weighted sampling: key = ln(u)/w with the deterministic
+    // md5 uniform u = (v+1)/(2^52+1); membership by the raw key
+    // (doubles are bit-identical — the BM25 ln precedent), display
+    // rounded to 6 dp
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  cast(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok
+        |  FROM documents),
+        |e AS (SELECT doc_id, n_tok,
+        |  ln((('0x' || substr(md5(cast(doc_id AS varchar) || ':7'), 1, 13))::bigint + 1)
+        |      / 4503599627370497.0)
+        |    / cast(n_tok AS double) AS es
+        | FROM t WHERE n_tok > 0),
+        |r AS (SELECT doc_id, n_tok, es,
+        |  row_number() OVER (ORDER BY es DESC, doc_id) AS rn FROM e)
+        |SELECT doc_id, n_tok, round(es, 6) AS es_r
+        |FROM r WHERE rn <= 100 ORDER BY es_r DESC, doc_id""".stripMargin,
     // strict-prefix budget cut: inclusive running total ≤ budget, over
     // the total order (quality desc, doc_id) — monotone costs make
     // "cum ≤ b" ≡ the maximal rank prefix

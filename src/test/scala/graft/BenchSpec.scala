@@ -54,10 +54,11 @@ class BenchSpec extends AnyFunSuite {
     // "qpfx"/"n_errors"/"stat" → fidelity (93rd/94th queries), the
     // "incremental_" family prefix compressed to "i_" (95th query,
     // ~50 B), "_pipeline" → "_pl" + "substring" → "ss" (98th query,
-    // ~56 B across 8 keys), and "quality" → "ql" etc. (104th query,
-    // ~32 B across 6 keys — "key_transform" in the fidelity file
-    // documents all of it): worst case ~1902, headroom for ~1 more
-    // query before the pin fires again.
+    // ~56 B across 8 keys), "quality" → "ql" etc. (104th query,
+    // ~32 B across 6 keys), and "weighted" → "wtd" etc. (107th query,
+    // ~37 B — "key_transform" in the fidelity file documents all of
+    // it): worst case ~1914, headroom for <1 query before the pin
+    // fires again — the NEXT added query must bring its own re-budget.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 99.999,

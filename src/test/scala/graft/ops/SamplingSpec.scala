@@ -154,4 +154,44 @@ class SamplingSpec extends SparkSpec {
     }.toSet
     assert(got == expected)
   }
+
+  test("weightedSampleK: matches the local A-ES formula; deterministic; weight-guarded") {
+    val d = (1 to 400).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "w")
+      // zero/null weights must be excluded, never ±Inf keys
+      .union(Seq((9001L, 0L), (9002L, -3L)).toDF("id", "w"))
+    val got = Sampling.weightedSampleK(d, col("id"), col("w"), k = 50, seed = 7L)
+      .select("id", "es_key").as[(Long, Double)].collect().toSeq
+    assert(got.size == 50 && !got.map(_._1).exists(Set(9001L, 9002L)))
+    // local oracle: same md5-uniform, same key formula, top-50
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // StrictMath.log, not Math.log: Spark's Logarithm expression
+    // evaluates via StrictMath, and the JVM intrinsic Math.log can
+    // differ in the last ulp
+    val expect = (1 to 400).map { i =>
+      val v = java.lang.Long.parseLong(md5hex(s"$i:7").take(13), 16)
+      val u = (v + 1).toDouble / 4503599627370497.0
+      (i.toLong, StrictMath.log(u) / (i % 7 + 1).toDouble)
+    }.sortBy { case (id, es) => (-es, id) }.take(50)
+    assert(got == expect, "engine A-ES keys diverge from the local formula")
+    // reproducible; a new seed reselects
+    val again = Sampling.weightedSampleK(d, col("id"), col("w"), k = 50, seed = 7L)
+      .select("id").as[Long].collect().toSeq
+    assert(again == got.map(_._1))
+    val other = Sampling.weightedSampleK(d, col("id"), col("w"), k = 50, seed = 8L)
+      .select("id").as[Long].collect().toSeq
+    assert(other != got.map(_._1), "seed must matter")
+  }
+
+  test("weightedSampleK: heavier rows win more often (weight bias sanity)") {
+    // two weight classes, 1 vs 9 — across the whole population the
+    // heavy class must dominate the sample decisively
+    val d = (1 to 1000).map(i => (i.toLong, if (i <= 500) 1L else 9L))
+      .toDF("id", "w")
+    val heavy = Sampling.weightedSampleK(d, col("id"), col("w"), k = 100, seed = 3L)
+      .where(col("w") === 9L).count()
+    assert(heavy > 70, s"only $heavy/100 selected from the 9x-weight class")
+  }
 }
