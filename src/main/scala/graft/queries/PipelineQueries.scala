@@ -193,6 +193,28 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** Distinct-cardinality estimation — the HLL++ twin of the CMS gate
+    * and the only sane way to count distinct tokens at 100 TB (exact
+    * countDistinct shuffles every distinct value; the sketch is a
+    * fixed-size mergeable register set with map-side partial merge).
+    * The gate's contract is the q_cms_counts device: publish the EXACT
+    * count (oracle-checkable) plus a BOOLEAN asserting the estimate
+    * landed inside the error envelope — rsd 0.02, asserted at ±5 %
+    * (2.5 σ) — so the oracle pins the sketch's accuracy without
+    * requiring a bit-identical estimator across engines. */
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("source")
+      .agg(countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), 0.02).as("est"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("source"), col("n_docs"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")).cast("double") /
+          col("exact_distinct").cast("double") <= 0.05).as("within_eps"))
+      .orderBy("source")
+
   /** As-of join: each click event picks up the user's most recent
     * purchase value at click time ([[graft.ops.AsofJoin]] — one
     * shuffle, union–sort–carry-forward). Oracle: DuckDB's NATIVE
@@ -325,6 +347,7 @@ object PipelineQueries {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
+    "q_hll_distinct" -> (qHllDistinct _),
     "q_asof_join" -> (qAsofJoin _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_incremental_append" -> (qIncrementalAppend _),
@@ -539,6 +562,15 @@ object PipelineQueries {
       """SELECT user_id, count(*) AS exact_n,
         | true AS lower_bounded, true AS within_eps
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the exact side is oracle-checked; the sketch side is pinned as a
+    // boolean envelope (the q_cms_counts device)
+    "q_hll_distinct" ->
+      """WITH t AS (SELECT source, doc_id, unnest(
+        |    regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(DISTINCT tok) AS exact_distinct, true AS within_eps
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // Brute-force n² Jaccard restricted to pairs touching the increment
     // (id % 10 >= 8): cross pairs emit the increment doc first,
     // batch-internal pairs (min, max) — the incrementalNearDups contract.

@@ -57,7 +57,7 @@ class BenchSpec extends AnyFunSuite {
     // ~56 B across 8 keys), "quality" → "ql" etc. (104th query,
     // ~32 B across 6 keys), and "weighted" → "wtd" etc. (107th query,
     // ~37 B — "key_transform" in the fidelity file documents all of
-    // it): worst case ~1914, headroom for <1 query before the pin
+    // it): worst case ~1916 after the 108th re-budget, headroom for <1 query before the pin
     // fires again — the NEXT added query must bring its own re-budget.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
