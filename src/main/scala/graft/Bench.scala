@@ -31,9 +31,10 @@ object Bench {
     * "_sample" → "_smp" / "budget" → "bdg" / "fingerprint" → "fp" /
     * "canonical" → "canon" / "incident" → "inc" (the 107th — ~37
     * bytes), and "distinct" → "dst" / "coalesce" → "coal" /
-    * "epoch" → "ep" / "chunk" → "chk" (the 108th — ~15 bytes). Full
-    * names stay in the fidelity file ("key_transform" documents
-    * this). */
+    * "epoch" → "ep" / "chunk" → "chk" (the 108th — ~15 bytes), and
+    * "fertility" → "fert" / "features" → "feat" / "positive" → "pos"
+    * (the 109th — ~14 bytes). Full names stay in the fidelity file
+    * ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -51,6 +52,8 @@ object Bench {
       .replace("canonical", "canon").replace("incident", "inc")
       .replace("distinct", "dst").replace("coalesce", "coal")
       .replace("epoch", "ep").replace("chunk", "chk")
+      .replace("fertility", "fert").replace("features", "feat")
+      .replace("positive", "pos")
   }
 
   /** The single machine-parseable stdout line for the driver. Field
@@ -208,7 +211,7 @@ object Bench {
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos",
   "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

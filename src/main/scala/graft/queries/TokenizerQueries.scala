@@ -82,6 +82,31 @@ object TokenizerQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY — subwords emitted per input word, the
+    * standard tokenizer-quality diagnostic (a fertility creeping above
+    * ~1.5–2 on a language means the vocabulary underserves it and the
+    * model pays the context-length tax): per-language totals under
+    * [[FixedMerges]], fertility = Σ subwords / Σ words as one
+    * correctly-rounded divide on both engines. Word counts come from
+    * the tokenize output itself (distinct word positions), so the
+    * numerator and denominator can never disagree about what counts
+    * as a word. */
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val per = Bpe.tokenize(docs.select("doc_id", "text"),
+        "doc_id", "text", FixedMerges)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("pos")).as("n_words"), count(lit(1)).as("n_sub"))
+    docs.select("doc_id", "lang")
+      .join(per, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6))
+      .orderBy("lang")
+  }
+
   /** Token IDS — the artifact a model consumes: the corpus-derived id
     * vocabulary ([[Bpe.vocabulary]]: sorted base symbols, then merge
     * outputs in rank order — the GPT-2 construction, ASCII corpus so
@@ -130,6 +155,7 @@ object TokenizerQueries {
   val all: Map[String, Q.QueryFn] = Map(
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_bpe_tokenize" -> (qBpeTokenize _),
+    "q_bpe_fertility" -> (qBpeFertility _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_incremental_tokenize" -> (qIncrementalTokenize _),
     "q_tok_pack" -> (qTokPack _),
@@ -187,6 +213,20 @@ object TokenizerQueries {
           |  cast(sub.si - 1 AS bigint) AS sub_pos, sub.syms[sub.si] AS subword
           |FROM wp JOIN sub ON wp.word = sub.word
           |ORDER BY doc_id, pos, sub_pos""".stripMargin),
+    // fertility = Σ subwords / Σ words per language; word counts from
+    // the tokenize replay (one wp row per word), so the two sides
+    // cannot disagree about what counts as a word
+    "q_bpe_fertility" ->
+      ("WITH RECURSIVE\n" + TokenizeCtes + ",\n" +
+        """ns AS (SELECT word, len(syms) AS n_sub FROM tok),
+          |pd AS (SELECT wp.doc_id, count(*) AS n_words, sum(ns.n_sub) AS n_sub
+          |  FROM wp JOIN ns ON wp.word = ns.word GROUP BY wp.doc_id)
+          |SELECT d.lang, count(*) AS n_docs,
+          |  cast(sum(pd.n_words) AS bigint) AS n_words,
+          |  cast(sum(pd.n_sub) AS bigint) AS n_subwords,
+          |  round(cast(sum(pd.n_sub) AS double) / cast(sum(pd.n_words) AS double), 6) AS fertility
+          |FROM pd JOIN documents d ON pd.doc_id = d.doc_id
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
     // the id vocabulary: distinct initial symbols sorted (row_number,
     // ASCII ⇒ same order as the engine's JVM sort), then merge outputs
     // at base-count + rank — joined back onto the tokenize replay
