@@ -59,13 +59,23 @@ object Dedup {
     Reserved.requireAbsent("paragraphDedup",
       Seq("__pmd5", "__w", "__wid", "__wpos"), lines)
     val keyed = lines.withColumn("__pmd5", md5(col(paraCol)))
-    val winners = keyed
+    paragraphDedupCore(keyed, keyed, idCol, posCol, paraCol)
+  }
+
+  /** Shared winner-election + reassembly behind [[paragraphDedup]] and
+    * [[paragraphDedupIncrement]]: keep-first among `candidates` (an
+    * already-`__pmd5`-keyed lines frame); totality over `universe` —
+    * every universe doc gets an output row, empty when none of its
+    * paragraphs survived. */
+  private def paragraphDedupCore(candidates: DataFrame, universe: DataFrame,
+      idCol: String, posCol: String, paraCol: String): DataFrame = {
+    val winners = candidates
       .select(col("__pmd5"), struct(col(idCol), col(posCol)).as("__w"))
       .groupBy("__pmd5").agg(min("__w").as("__w"))
       .select(col("__pmd5"), col("__w").getField(idCol).as("__wid"),
         col("__w").getField(posCol).as("__wpos"))
-    val kept = keyed.join(winners,
-      keyed("__pmd5") === winners("__pmd5") &&
+    val kept = candidates.join(winners,
+      candidates("__pmd5") === winners("__pmd5") &&
         col(idCol) === col("__wid") && col(posCol) === col("__wpos"),
       "left_semi")
     val rebuilt = kept.groupBy(idCol)
@@ -74,11 +84,54 @@ object Dedup {
           transform(array_sort(collect_list(struct(col(posCol), col(paraCol)))),
             x => x.getField(paraCol)),
           "\n").as("clean_text"))
-    lines.groupBy(idCol).agg(count(lit(1)).as("n_paras"))
+    universe.groupBy(idCol).agg(count(lit(1)).as("n_paras"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Incremental [[paragraphDedup]] against a PERSISTED
+    * seen-fingerprint index: paragraphs already recorded at
+    * `indexPath` strip entirely, the batch's own fresh paragraphs
+    * dedupe keep-first within the batch, and the fresh fingerprints
+    * fold into the index — so replaying doc-ascending batches equals
+    * one batch run (spec-pinned), and yesterday's crawl strips
+    * today's, the [[Boilerplate]] incremental stance.
+    *
+    * Side-effect ordering is OUTPUT-FIRST: the result is materialized
+    * (localCheckpoint) BEFORE the index append, so a crash between
+    * the two and a retried batch re-emits the same rows (at-least-once,
+    * the foreachBatch norm) — appending first would make the retry see
+    * its own paragraphs as "seen" and silently strip everything (data
+    * loss, not duplication). Duplicate fingerprints in the index from
+    * a retry are harmless: the strip is an anti-join on md5.
+    *
+    * The index is a flat parquet dir of 16-byte md5s — one file per
+    * append; periodic compaction is a pure re-layout (any rewrite of
+    * the same rows), the [[Bm25.compactIndex]] argument. */
+  def paragraphDedupIncrement(newLines: DataFrame, indexPath: String,
+      idCol: String, posCol: String, paraCol: String): DataFrame = {
+    val spark = newLines.sparkSession
+    Reserved.requireAbsent("paragraphDedupIncrement", Seq("__pmd5"), newLines)
+    val keyed = newLines.withColumn("__pmd5", md5(col(paraCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val conf = spark.sessionState.newHadoopConf()
+    val idxDir = new org.apache.hadoop.fs.Path(s"$indexPath/pmd5")
+    val haveIndex = idxDir.getFileSystem(conf).exists(idxDir)
+    val fresh =
+      if (haveIndex)
+        keyed.join(spark.read.parquet(idxDir.toString), Seq("__pmd5"), "left_anti")
+      else keyed
+    // within-batch keep-first on the fresh paragraphs (the batch core),
+    // but totality over the FULL batch: a doc whose every paragraph was
+    // seen before still gets its (empty) output row
+    val rebuilt = paragraphDedupCore(fresh, keyed, idCol, posCol, paraCol)
+      .localCheckpoint(true) // output BEFORE the append — see scaladoc
+    fresh.select("__pmd5").distinct()
+      .write.mode(SaveMode.Append).parquet(idxDir.toString)
+    keyed.unpersist(blocking = false)
+    rebuilt
   }
 
   /** Word n-gram shingles of normalized text, deduplicated. */

@@ -236,6 +236,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming keep-first paragraph dedup — the stream twin of
+    * [[graft.ops.Dedup.paragraphDedup]], wired as a foreachBatch
+    * stream over the persisted fingerprint index
+    * ([[graft.ops.Dedup.paragraphDedupIncrement]]): paragraphs seen in
+    * ANY earlier micro-batch strip from arriving docs, each batch's
+    * fresh paragraphs dedupe keep-first within the batch, and the
+    * fresh fingerprints fold into the index. A doc's lines must
+    * arrive within one micro-batch (reassembly is batch-local — the
+    * [[boilerplateStripStream]] whole-unit contract). Replaying
+    * doc-ascending batches reproduces the batch operator exactly
+    * (EventStreamsSpec-pinned). Output-first/append-second crash
+    * ordering is the increment's (a retried batch re-emits, never
+    * self-strips). `sink` receives one row per input doc:
+    * (idCol, n_paras, n_kept, clean_text). */
+  def paraDedupStream(lines: DataFrame, idCol: String, posCol: String,
+      paraCol: String, indexPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: DataFrame => Unit): StreamingQuery =
+    lines.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Dedup.paragraphDedupIncrement(
+          batch, indexPath, idCol, posCol, paraCol))
+      }
+      .start()
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

@@ -41,6 +41,40 @@ class DedupSpec extends SparkSpec {
       (4L, 3L, 1L, "D")))   // B lost to doc 1; second D lost to the first
   }
 
+  test("paragraphDedupIncrement: two doc-ascending increments ≡ one batch run") {
+    val lines = Seq(
+      (1L, 0, "A"), (1L, 1, "B"),
+      (2L, 0, "A"), (2L, 1, "C"),
+      (3L, 0, "A"), (3L, 1, "B"),
+      (4L, 0, "B"), (4L, 1, "D"), (4L, 2, "D"),
+    ).toDF("id", "pos", "para")
+    val expect = Dedup.paragraphDedup(lines, "id", "pos", "para")
+      .select("id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("paradedup").toString
+    try {
+      val out1 = Dedup.paragraphDedupIncrement(lines.where($"id" <= 2), idx,
+          "id", "pos", "para")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val out2 = Dedup.paragraphDedupIncrement(lines.where($"id" > 2), idx,
+          "id", "pos", "para")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(out1 ++ out2 == expect,
+        "incremental fold-in diverged from the one-shot batch run")
+      // doc 3 arrived in batch 2 with only batch-1 paragraphs → empty
+      assert(out2.contains((3L, 2L, 0L, "")))
+      // the index holds each distinct fingerprint (dups from retries
+      // would be harmless; here there are none)
+      assert(spark.read.parquet(s"$idx/pmd5").distinct().count() == 4L) // A B C D
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("shingles: distinct word 3-grams; short docs → empty") {
     val sh = docs.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap

@@ -245,6 +245,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("paraDedupStream: per-trigger keep-first vs the index ≡ batch paragraphDedup on replay") {
+    implicit val sc = spark.sqlContext
+    // (id, pos, para): batch 2 repeats batch-1 paragraphs (A, B) and
+    // brings new ones (C, D incl. a within-batch dup)
+    val batch1 = Seq((1L, 0, "A"), (1L, 1, "B"), (2L, 0, "A"), (2L, 1, "C"))
+    val batch2 = Seq((3L, 0, "A"), (3L, 1, "B"), (4L, 0, "B"), (4L, 1, "D"), (4L, 2, "D"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-parastream").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    try {
+      val in = MemoryStream[(Long, Int, String)]
+      val q = EventStreams.paraDedupStream(
+        in.toDF().toDF("id", "pos", "para"), "id", "pos", "para",
+        s"$dir/idx", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { out =>
+        got ++= out.as[(Long, Long, Long, String)].collect()
+      }
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      q.stop()
+      val replay = graft.ops.Dedup.paragraphDedup(
+          (batch1 ++ batch2).toDF("id", "pos", "para"), "id", "pos", "para")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got.toSet == replay,
+        "streamed keep-first diverged from the batch operator on replay")
+      assert(got.size == 4, "one output row per input doc")
+    } finally deleteRecursively(dir)
+  }
+
   test("chunkStream: stateless per-row chunking ≡ batch chunkTokenWindows on replay") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
