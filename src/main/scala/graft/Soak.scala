@@ -296,6 +296,33 @@ object Soak {
       ops.Boilerplate.stripLines(soakLines, "id", "site", "idx", "line", 0.6)
         .count()
     }
+    // keep-first paragraph dedup over the same pseudo-site pages:
+    // winner election is fingerprint-only; the semi-join attach and
+    // reassembly are the two text shuffles — watch for time ∝ lines,
+    // never ∝ distinct-paragraph² (no pairwise anything here)
+    time("paragraph dedup (keep-first)") {
+      ops.Dedup.paragraphDedup(soakLines, "id", "idx", "line").count()
+    }
+    // budget selection + weighted sampling at corpus size: the prefix
+    // sum is the two-phase device (range partition ∝ cpus), A-ES is a
+    // projection + TakeOrdered — both should stay near scan cost
+    val costed = docs.select(col("id"),
+      ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    time("budget fill (50% of corpus)") {
+      val budget = 20L * docs.count() // tokens ≈ 40/doc → ~half selected
+      ops.Selection.selectByBudget(costed,
+        Seq(col("n_tok").desc, col("id").asc), "n_tok", budget).count()
+    }
+    time("weighted sample k=1000 (A-ES)") {
+      ops.Sampling.weightedSampleK(costed, col("id"), col("n_tok"),
+        k = 1000, seed = 7L).count()
+    }
+    time("hll distinct tokens per site") {
+      docs.select(grp.as("site"),
+          explode(ops.TextOps.tokens(lower(col("text")))).as("tok"))
+        .groupBy("site").agg(approx_count_distinct(col("tok"), 0.02))
+        .count()
+    }
     time("epoch shuffle-shard (256 shards)") {
       ops.Sampling.shuffleShard(docs.select("id"), col("id"), seed = 7L,
         nShards = 256).count()

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared maintenance for the persisted append-only index directories
+  * the incremental operators accumulate (paragraph-dedup fingerprints,
+  * MinHash band indexes, boilerplate line stats, …): every append adds
+  * at least one parquet file, so at streaming cadence any of them hits
+  * the small-file cliff — a year of 5-minute triggers is ~10⁵ files,
+  * and every query pays the listing + open cost.
+  *
+  * [[compactDir]] is the generic re-layout: read → optionally
+  * `distinct` → repartition → staged-rename swap (live→__old,
+  * staged→live, drop __old — the `Warehouse.compact` crash ordering:
+  * every intermediate state keeps the data adjacent, never
+  * deleted-before-replaced). It is only correct for indexes whose
+  * semantics are ROW-SET semantics — where any rewrite of the same
+  * rows (or, with `dedupeRows`, of the distinct row set) answers
+  * queries identically. That holds for fingerprint sets (anti-join
+  * membership), band indexes (candidate generation), and additive
+  * stats rows; it does NOT hold for anything carrying file-order or
+  * per-append meta — [[Bm25.compactIndex]] stays bespoke for exactly
+  * that reason (its meta rows collapse by SUM, not distinct).
+  */
+object IndexMaintenance {
+
+  /** Compact one flat parquet directory in place.
+    *
+    * @param dedupeRows also collapse duplicate rows — for
+    *   membership-set indexes (e.g. the paragraph-dedup `pmd5` dir,
+    *   where an at-least-once retry may have appended the same
+    *   fingerprints twice); duplicates there are semantically inert,
+    *   so dropping them is a pure shrink. Leave false for indexes
+    *   where row multiplicity carries information (additive stats).
+    * @param targetFiles output file count (1 is right until the index
+    *   outgrows a single task's comfortable write — then pick
+    *   ~bytes/128 MB). */
+  def compactDir(spark: SparkSession, dir: String,
+      dedupeRows: Boolean = false, targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(targetFiles > 0, "targetFiles must be positive")
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(live), s"no index directory at $dir")
+    val staged = new Path(s"$dir/../${live.getName}__compacting").toString
+    fs.delete(new Path(staged), true)
+    val df0 = spark.read.parquet(dir)
+    val df = if (dedupeRows) df0.distinct() else df0
+    df.repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val old = new Path(s"$dir/../${live.getName}__old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compaction: cannot stage out live $dir")
+    if (!fs.rename(new Path(staged), live)) {
+      require(fs.rename(old, live), s"compaction: $dir lost — data in $old")
+      throw new IllegalStateException(s"compaction swap failed for $dir; live restored")
+    }
+    fs.delete(old, true)
+  }
+}

@@ -249,18 +249,25 @@ object EventStreams {
     * (EventStreamsSpec-pinned). Output-first/append-second crash
     * ordering is the increment's (a retried batch re-emits, never
     * self-strips). `sink` receives one row per input doc:
-    * (idCol, n_paras, n_kept, clean_text). */
+    * (idCol, n_paras, n_kept, clean_text). `compactEvery = n` runs
+    * [[graft.ops.IndexMaintenance.compactDir]] (dedupeRows — retry
+    * duplicates are inert) on the fingerprint dir after every n-th
+    * micro-batch, the [[bm25IndexStream]] small-file stance. */
   def paraDedupStream(lines: DataFrame, idCol: String, posCol: String,
       paraCol: String, indexPath: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow())(
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0)(
       sink: DataFrame => Unit): StreamingQuery =
     lines.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.ops.Dedup.paragraphDedupIncrement(
           batch, indexPath, idCol, posCol, paraCol))
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ops.IndexMaintenance.compactDir(batch.sparkSession,
+            s"$indexPath/pmd5", dedupeRows = true)
       }
       .start()
 

@@ -270,6 +270,24 @@ class EventStreamsSpec extends SparkSpec {
       assert(got.toSet == replay,
         "streamed keep-first diverged from the batch operator on replay")
       assert(got.size == 4, "one output row per input doc")
+
+      // compacting variant: compactEvery=1 → same answers, one file
+      val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      val in2 = MemoryStream[(Long, Int, String)]
+      val q2 = EventStreams.paraDedupStream(
+        in2.toDF().toDF("id", "pos", "para"), "id", "pos", "para",
+        s"$dir/idx2", s"$dir/ckpt2",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        compactEvery = 1) { out =>
+        got2 ++= out.as[(Long, Long, Long, String)].collect()
+      }
+      in2.addData(batch1); q2.processAllAvailable()
+      in2.addData(batch2); q2.processAllAvailable()
+      q2.stop()
+      assert(got2.toSet == replay, "in-stream compaction changed results")
+      val nFiles = new java.io.File(s"$dir/idx2/pmd5").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles == 1, s"fingerprint dir holds $nFiles files after compaction")
     } finally deleteRecursively(dir)
   }
 
