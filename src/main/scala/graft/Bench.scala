@@ -33,8 +33,13 @@ object Bench {
     * bytes), and "distinct" → "dst" / "coalesce" → "coal" /
     * "epoch" → "ep" / "chunk" → "chk" (the 108th — ~15 bytes), and
     * "fertility" → "fert" / "features" → "feat" / "positive" → "pos"
-    * (the 109th — ~14 bytes). Full names stay in the fidelity file
-    * ("key_transform" documents this). */
+    * (the 109th — ~14 bytes), "join" → "jn" / "graph" → "gr" /
+    * "session" → "sess" (the 110th — ~21 bytes across 8 keys), and
+    * "group" → "grp" / "count" → "cnt" / "filter" → "flt" (the 111th —
+    * ~17 bytes across 6 keys), and "embed" → "emb" / "centroid" → "ctr"
+    * / "revenue" → "rev" / "running" → "run" / "tumbling" → "tumb"
+    * (the 112th — ~23 bytes across 6 keys). Full names stay in the
+    * fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -54,6 +59,13 @@ object Bench {
       .replace("epoch", "ep").replace("chunk", "chk")
       .replace("fertility", "fert").replace("features", "feat")
       .replace("positive", "pos")
+      .replace("join", "jn").replace("graph", "gr")
+      .replace("session", "sess")
+      .replace("group", "grp").replace("count", "cnt")
+      .replace("filter", "flt")
+      .replace("embed", "emb").replace("centroid", "ctr")
+      .replace("revenue", "rev").replace("running", "run")
+      .replace("tumbling", "tumb")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

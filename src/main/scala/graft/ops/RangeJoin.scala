@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Range (interval-containment) join — the second classic operator
+  * Spark's join zoo lacks beside [[AsofJoin]]: for each left POINT row
+  * attach every right INTERVAL row of the same key group whose
+  * `[start, end]` contains the point (click → every attribution window
+  * it falls in, a reading → every calibration period covering it, an
+  * event → every active experiment).
+  *
+  * Expressed naively (`l.key = r.key AND l.pt BETWEEN r.start AND
+  * r.end`) Spark plans the range predicate as a JOIN RESIDUAL: the
+  * equi part hashes on `key` alone, so one hot key degenerates to an
+  * all-pairs scan within the key — quadratic at 100 TB (and with no
+  * equi keys at all it becomes BroadcastNestedLoopJoin). This is the
+  * bucketed-expansion plan used by the range-join optimizations in
+  * commercial Spark runtimes instead:
+  *
+  *   1. pick a bucket width `w` (auto: the observed max interval
+  *      length, one scalar agg — every interval then covers ≤ 2
+  *      buckets, so the right side replicates < 2×);
+  *   2. EXPLODE each interval into the bucket ids it covers
+  *      (`sequence(bucket(start), bucket(end))`);
+  *   3. map each point to its single bucket and EQUI-join on
+  *      `(key…, bucket)` — fine-grained keys, shuffle-hashable,
+  *      AQE-broadcastable when the expanded right is small;
+  *   4. re-check `start ≤ pt ≤ end` as a cheap post-filter.
+  *
+  * A qualifying (point, interval) pair meets in EXACTLY one bucket —
+  * the point's — so the output needs no dedup. Cost is one shuffle of
+  * |L| + (≤2)|R| rows on a key that subdivides hot groups by time.
+  *
+  * Semantics (pinned in RangeJoinSpec):
+  *   - bounds are INCLUSIVE on both ends (`start ≤ pt ≤ end`);
+  *   - inner join: points in no interval and intervals holding no
+  *     point both vanish;
+  *   - null key / null point / null bound rows never match;
+  *   - inverted intervals (`start > end`) never match;
+  *   - point/bound columns may be numeric or timestamp (timestamps
+  *     compare on their micros — exact, no double rounding).
+  *
+  * Caller-supplied widths cap their interval expansion at
+  * [[MaxBucketsPerInterval]] buckets (checked with one agg over the
+  * right side, loud failure) — a too-fine width would otherwise
+  * explode the right side silently, the one way this plan can die at
+  * scale.
+  */
+object RangeJoin {
+
+  /** Hard cap on `sequence(bucket(start), bucket(end))` length for
+    * caller-supplied widths (auto width never exceeds 2). */
+  val MaxBucketsPerInterval = 4096L
+
+  /** @param keys         equi keys present on both sides
+    * @param ptCol        left point column (numeric or timestamp)
+    * @param startCol     right interval start column
+    * @param endCol       right interval end column (inclusive)
+    * @param rightPayload right columns to attach, prefixed `prefix`
+    * @param bucketWidth  time-axis bucket width in the point column's
+    *   units (micros for timestamps); ≤ 0 → auto = max interval length
+    * @return left columns + `<prefix><payload>` columns, one output
+    *   row per qualifying (point, interval) pair */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ptCol: String, startCol: String, endCol: String,
+      rightPayload: Seq[String], prefix: String = "rj_",
+      bucketWidth: Long = -1L): DataFrame = {
+    require(rightPayload.nonEmpty, "no right payload columns requested")
+    Reserved.requireAbsent("rangeJoin", Seq("__pt", "__s", "__e", "__b"), left, right)
+    val lCols = left.columns.toSeq
+    val clash = rightPayload.map(prefix + _).filter(lCols.contains)
+    require(clash.isEmpty,
+      s"rangeJoin: output column(s) ${clash.mkString(", ")} already exist on the " +
+        "left side; pick a different prefix")
+
+    // timestamps compare on micros (long — exact); numerics cast to
+    // long must be lossless for bucketing, so keep them as-is and only
+    // require an integral/long-safe type via the cast
+    def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+
+    val l = left
+      .withColumn("__pt", asLong(left, ptCol))
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col("__pt").isNotNull)
+    val r0 = right
+      .withColumn("__s", asLong(right, startCol))
+      .withColumn("__e", asLong(right, endCol))
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col("__s").isNotNull && col("__e").isNotNull && col("__s") <= col("__e"))
+      .select(keys.map(col) ++ Seq(col("__s"), col("__e")) ++
+        rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
+
+    // width: auto = max interval length (one bounded agg → ≤2 buckets
+    // per interval); caller widths get the expansion guard instead
+    val w: Long =
+      if (bucketWidth > 0) {
+        val worst = r0.agg(max(
+          floorDiv(col("__e"), bucketWidth) - floorDiv(col("__s"), bucketWidth))).head()
+        val span = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+        require(span < MaxBucketsPerInterval,
+          s"rangeJoin: bucketWidth=$bucketWidth expands an interval into ${span + 1} " +
+            s"buckets (cap $MaxBucketsPerInterval); use a coarser width")
+        bucketWidth
+      } else {
+        val m = r0.agg(max(col("__e") - col("__s"))).head()
+        if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
+      }
+
+    val rKeyed = r0
+      .withColumn("__b", explode(sequence(floorDiv(col("__s"), w), floorDiv(col("__e"), w))))
+
+    val joinKeys = keys :+ "__b"
+    l.withColumn("__b", floorDiv(col("__pt"), w))
+      .join(rKeyed, joinKeys)
+      .where(col("__s") <= col("__pt") && col("__pt") <= col("__e"))
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"$prefix$c")): _*)
+  }
+
+  /** Interval-OVERLAP join — both sides are intervals; emit every
+    * same-key pair with `l.start ≤ r.end AND r.start ≤ l.end`
+    * (sessions × experiment windows, outage spans × deploy spans).
+    *
+    * Same bucketed-expansion plan as [[rangeJoin]], with one extra
+    * device: both sides explode into their covered buckets, so an
+    * overlapping pair now meets in EVERY bucket their spans share.
+    * Emitting the pair only from the bucket of `max(l.start, r.start)`
+    * — a bucket both sides provably cover, and the FIRST bucket of the
+    * overlap — makes the output exactly-once without a dedup shuffle.
+    *
+    * Bounds inclusive, inner semantics, null/inverted rows never match
+    * (the [[rangeJoin]] contract); auto width = the max interval length
+    * across BOTH sides, so each side replicates < 2×.
+    */
+  def rangeJoinIntervals(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      rightPayload: Seq[String], prefix: String = "rj_",
+      bucketWidth: Long = -1L): DataFrame = {
+    require(rightPayload.nonEmpty, "no right payload columns requested")
+    Reserved.requireAbsent("rangeJoinIntervals",
+      Seq("__ls", "__le", "__rs", "__re", "__b"), left, right)
+    val lCols = left.columns.toSeq
+    val clash = rightPayload.map(prefix + _).filter(lCols.contains)
+    require(clash.isEmpty,
+      s"rangeJoinIntervals: output column(s) ${clash.mkString(", ")} already exist " +
+        "on the left side; pick a different prefix")
+
+    def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+    val l0 = left
+      .withColumn("__ls", asLong(left, lStart)).withColumn("__le", asLong(left, lEnd))
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col("__ls").isNotNull && col("__le").isNotNull && col("__ls") <= col("__le"))
+    val r0 = right
+      .withColumn("__rs", asLong(right, rStart)).withColumn("__re", asLong(right, rEnd))
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col("__rs").isNotNull && col("__re").isNotNull && col("__rs") <= col("__re"))
+      .select(keys.map(col) ++ Seq(col("__rs"), col("__re")) ++
+        rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
+
+    def spanGuard(df: DataFrame, s: String, e: String, w: Long): Unit = {
+      val worst = df.agg(max(floorDiv(col(e), w) - floorDiv(col(s), w))).head()
+      val span = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(span < MaxBucketsPerInterval,
+        s"rangeJoinIntervals: bucketWidth=$w expands an interval into ${span + 1} " +
+          s"buckets (cap $MaxBucketsPerInterval); use a coarser width")
+    }
+    val w: Long =
+      if (bucketWidth > 0) {
+        spanGuard(l0, "__ls", "__le", bucketWidth)
+        spanGuard(r0, "__rs", "__re", bucketWidth)
+        bucketWidth
+      } else {
+        val m = l0.select((col("__le") - col("__ls")).as("d"))
+          .unionByName(r0.select((col("__re") - col("__rs")).as("d")))
+          .agg(max(col("d"))).head()
+        if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
+      }
+
+    val lExp = l0.withColumn("__b",
+      explode(sequence(floorDiv(col("__ls"), w), floorDiv(col("__le"), w))))
+    val rExp = r0.withColumn("__b",
+      explode(sequence(floorDiv(col("__rs"), w), floorDiv(col("__re"), w))))
+    lExp.join(rExp, keys :+ "__b")
+      .where(col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+        col("__b") === floorDiv(greatest(col("__ls"), col("__rs")), w))
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"$prefix$c")): _*)
+  }
+
+  /** Floor division on longs (toward −∞, exact — no double rounding at
+    * micro-timestamp magnitudes): `(c − pmod(c, w)) / w`. */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+}

@@ -169,4 +169,53 @@ object Sampling {
       .orderBy(col("es_key").desc, key)
       .limit(k)
   }
+
+  /** Per-stratum weighted sampling without replacement — k items PER
+    * GROUP (the language/domain/source quota cut every mixture recipe
+    * starts from): the [[weightedSampleK]] A-ES key, ranked within each
+    * stratum.
+    *
+    * A single `row_number() OVER (PARTITION BY group)` would sort a hot
+    * stratum (half the corpus is one language) in ONE task. This is the
+    * two-phase exact shape instead: rank within `(group, salt)` — the
+    * hot stratum spreads over `nSalts` parallel sorts — keep each
+    * salt's top k, then rank the ≤ `nSalts·k` survivors per group. The
+    * union of per-salt top-k supersets the per-group top-k, so phase 2
+    * is exact, and its window partitions are bounded by `nSalts·k`
+    * rows regardless of corpus size.
+    *
+    * Rows with a NULL group are dropped (a quota for an unknown stratum
+    * is undefined — and Spark and DuckDB disagree on NULL sort order,
+    * so keeping them would also break oracle parity); coalesce the
+    * group first to keep them. NULL/non-positive weights are excluded
+    * as in [[weightedSampleK]]. Output: the selected rows + `es_key` +
+    * `es_rank` (1-based rank within the group; ties broken by `key`).
+    */
+  def weightedSampleKPerGroup(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int, seed: Long = 0L, nSalts: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nSalts > 0, "nSalts must be positive")
+    Reserved.requireAbsent("weightedSampleKPerGroup",
+      Seq("__grp", "__salt", "es_key", "es_rank"), df)
+    val h = md5(concat(coalesce(key.cast("string"), lit("")),
+      lit(":"), lit(seed.toString)))
+    val u = (conv(substring(h, 1, 13), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4503599627370497L).cast("double")
+    val base = df.where(group.isNotNull && weight.isNotNull && weight > 0)
+      .withColumn("es_key", log(u) / weight.cast("double"))
+      .withColumn("__grp", group)
+      .withColumn("__salt", pmod(xxhash64(key), lit(nSalts)))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp"), col("__salt"))
+      .orderBy(col("es_key").desc, key)
+    val wGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp"))
+      .orderBy(col("es_key").desc, key)
+    base
+      .withColumn("es_rank", row_number().over(wLocal))
+      .where(col("es_rank") <= k)
+      .withColumn("es_rank", row_number().over(wGroup))
+      .where(col("es_rank") <= k)
+      .drop("__grp", "__salt")
+  }
 }

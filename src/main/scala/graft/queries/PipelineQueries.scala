@@ -234,6 +234,56 @@ object PipelineQueries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** Range (interval-containment) join: attribute each click to EVERY
+    * purchase whose 24-hour attribution window contains it — the
+    * multi-match interval shape [[graft.ops.AsofJoin]]'s latest-row
+    * semantics can't express. Bounds ride as unix-micros longs so the
+    * engine's bucketed-expansion plan and the oracle's BETWEEN compare
+    * the identical integers. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val windows = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("p_value"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + lit(86400000000L)).as("w_end"))
+    graft.ops.RangeJoin.rangeJoin(clicks, windows, keys = Seq("user_id"),
+        ptCol = "ts", startCol = "w_start", endCol = "w_end",
+        rightPayload = Seq("w_start", "p_value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").as("click_value"),
+        col("rj_w_start").as("purchase_ts_us"),
+        col("rj_p_value").as("purchase_value"))
+      .orderBy("user_id", "ts_us", "purchase_ts_us", "click_value", "purchase_value")
+  }
+
+  /** Interval-OVERLAP join: 2-hour click sessions × 12-hour purchase
+    * windows per user — both sides are intervals, so this exercises
+    * [[graft.ops.RangeJoin.rangeJoinIntervals]]' exactly-once
+    * bucket-of-max-start emission (a pair meets in every shared bucket;
+    * only the first emits). */
+  def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sessions = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("c_start"),
+        (unix_micros(col("ts")) + lit(7200000000L)).as("c_end"))
+    val windows = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("p_value"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + lit(43200000000L)).as("w_end"))
+    graft.ops.RangeJoin.rangeJoinIntervals(sessions, windows,
+        keys = Seq("user_id"), lStart = "c_start", lEnd = "c_end",
+        rStart = "w_start", rEnd = "w_end",
+        rightPayload = Seq("w_start", "p_value"))
+      .select(col("user_id"), col("c_start").as("ts_us"),
+        col("value").as("click_value"),
+        col("rj_w_start").as("purchase_ts_us"),
+        col("rj_p_value").as("purchase_value"))
+      .orderBy("user_id", "ts_us", "purchase_ts_us", "click_value", "purchase_value")
+  }
+
   /** Incremental near-dup dedup, end to end: index 80 % of the corpus
     * ([[graft.ops.Dedup.buildBandIndex]]), then run the remaining 20 %
     * as the increment — cross pairs (increment doc first) plus
@@ -342,13 +392,30 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tok"), round(col("es_key"), 6).as("es_r"))
       .orderBy(col("es_r").desc, col("doc_id"))
 
+  /** Per-stratum quota sampling: the [[qWeightedSample]] A-ES draw with
+    * a k=15 quota PER LANGUAGE — the cut a mixture recipe makes for
+    * each language/source subset. Runs the two-phase salted rank
+    * ([[graft.ops.Sampling.weightedSampleKPerGroup]]) so a hot stratum
+    * never sorts in one task; the oracle replays the single-window
+    * definition the two-phase plan is spec-pinned equal to. */
+  def qGroupSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSampleKPerGroup(
+        Tables.documents(s, dir).select(col("lang"), col("doc_id"), col("n_chars")),
+        col("lang"), col("doc_id"), col("n_chars"), k = 15, seed = 11L)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        round(col("es_key"), 6).as("es_r"), col("es_rank").cast("long").as("es_rank"))
+      .orderBy("lang", "es_rank")
+
   val all: Map[String, Q.QueryFn] = Map(
     "q_budget_fill" -> (qBudgetFill _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_group_sample" -> (qGroupSample _),
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_overlap_join" -> (qOverlapJoin _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_incremental_append" -> (qIncrementalAppend _),
     "q_prep_pipeline" -> (qPrepPipeline _),
@@ -489,6 +556,18 @@ object PipelineQueries {
         |  row_number() OVER (ORDER BY es DESC, doc_id) AS rn FROM e)
         |SELECT doc_id, n_tok, round(es, 6) AS es_r
         |FROM r WHERE rn <= 100 ORDER BY es_r DESC, doc_id""".stripMargin,
+    // the per-group quota: single-window definition — the engine's
+    // two-phase salted rank is spec-pinned identical to it
+    "q_group_sample" ->
+      """WITH e AS (SELECT lang, doc_id, n_chars,
+        |  ln((('0x' || substr(md5(cast(doc_id AS varchar) || ':11'), 1, 13))::bigint + 1)
+        |      / 4503599627370497.0)
+        |    / cast(n_chars AS double) AS es
+        | FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, n_chars, es,
+        |  row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS rn FROM e)
+        |SELECT lang, doc_id, n_chars, round(es, 6) AS es_r, rn AS es_rank
+        |FROM r WHERE rn <= 15 ORDER BY lang, es_rank""".stripMargin,
     // strict-prefix budget cut: inclusive running total ≤ budget, over
     // the total order (quality desc, doc_id) — monotone costs make
     // "cum ≤ b" ≡ the maximal rank prefix
@@ -582,6 +661,26 @@ object PipelineQueries {
     "q_asof_join" ->
       (if (sys.env.get("GRAFT_ASOF_ORACLE").contains("portable")) asofOraclePortable
        else asofOracleNative),
+    "q_range_join" ->
+      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+        | l.value AS click_value,
+        | epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(l.ts) >= epoch_us(r.ts)
+        | AND epoch_us(l.ts) <= epoch_us(r.ts) + 86400000000
+        |ORDER BY user_id, ts_us, purchase_ts_us, click_value, purchase_value""".stripMargin,
+    "q_overlap_join" ->
+      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+        | l.value AS click_value,
+        | epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(l.ts) <= epoch_us(r.ts) + 43200000000
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
+        |ORDER BY user_id, ts_us, purchase_ts_us, click_value, purchase_value""".stripMargin,
     "q_zorder_key" ->
       """WITH t AS (SELECT doc_id, doc_id % 1024 AS a, n_chars % 1024 AS b FROM documents),
         |s0 AS (SELECT doc_id, a & 4294967295 AS xa, b & 4294967295 AS xb FROM t),

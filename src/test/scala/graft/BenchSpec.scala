@@ -57,8 +57,10 @@ class BenchSpec extends AnyFunSuite {
     // ~56 B across 8 keys), "quality" → "ql" etc. (104th query,
     // ~32 B across 6 keys), and "weighted" → "wtd" etc. (107th query,
     // ~37 B — "key_transform" in the fidelity file documents all of
-    // it): worst case ~1916 after the 108th re-budget, headroom for <1 query before the pin
-    // fires again — the NEXT added query must bring its own re-budget.
+    // it), and "join" → "jn" etc. (110th, ~21 B across 8 keys): worst
+    // case ~1913 after the 110th re-budget, headroom for <1 query before
+    // the pin fires again — the NEXT added query must bring its own
+    // re-budget.
     val names = SparkEntry.queries.keys.toSeq
     val results = names.map(_ -> 0.99)
     val line = Bench.statLine(results, 99.999,

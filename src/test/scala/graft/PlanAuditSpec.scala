@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
-    "q_asof_join", "q_cms_counts", "q_dsir_select", "q_lm_fluency",
+    "q_asof_join", "q_range_join", "q_overlap_join", "q_cms_counts",
+    "q_dsir_select", "q_lm_fluency",
     "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
     "q_substring_removal", "q_train_mix", "q_mix_temperature", "q_lm_trigram",
     // q_tok_pack and q_incremental_tokenize are excluded like
@@ -32,7 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     // below and BpeSpec's incremental ≡ one-shot pin
     "q_bpe_vocab", "q_bpe_tokenize", "q_bpe_ids", "q_ffd_pack", "q_doc_chunk",
     "q_gopher", "q_c4_lines", "q_quality_pipeline", "q_para_dedup",
-    "q_weighted_sample", "q_hll_distinct", "q_bpe_fertility")
+    "q_weighted_sample", "q_hll_distinct", "q_bpe_fertility", "q_group_sample")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
@@ -213,6 +214,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), "as-of degraded to a join")
     assert(!p.contains("SinglePartition"), "as-of window lost its key partitioning")
+  }
+
+  test("q_range_join / q_overlap_join: bucketed EQUI join — no theta fallback") {
+    // the bucketed-expansion plan: the interval predicate must ride an
+    // equi join on (user_id, __b) as a post-filter, never a
+    // BroadcastNestedLoopJoin / per-key residual range scan
+    for (name <- Seq("q_range_join", "q_overlap_join")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degraded to a nested-loop/cartesian shape")
+      assert(p.contains("Join"), s"$name lost its join operator")
+      assert(p.contains("__b"), s"$name lost its bucket equi key")
+    }
   }
 
   test("packing windows within partitions only (no single-reducer shape)") {

@@ -194,4 +194,39 @@ class SamplingSpec extends SparkSpec {
       .where(col("w") === 9L).count()
     assert(heavy > 70, s"only $heavy/100 selected from the 9x-weight class")
   }
+
+  test("weightedSampleKPerGroup: two-phase salted rank ≡ single-window definition") {
+    // one hot group (g0: 3000 rows) + sparse groups, so phase 1's salt
+    // split actually carries load; null group / bad weights excluded
+    val d = ((1 to 3000).map(i => (Option("g0"), i.toLong, (i % 11 + 1).toLong)) ++
+      (1 to 200).map(i => (Option(s"g${i % 5 + 1}"), 10000L + i, (i % 3 + 1).toLong)) ++
+      Seq((Option.empty[String], 99991L, 5L), (Option("g1"), 99992L, 0L)))
+      .toDF("g", "id", "w").repartition(9)
+    val got = Sampling.weightedSampleKPerGroup(d, col("g"), col("id"), col("w"),
+        k = 12, seed = 5L)
+      .select("g", "id", "es_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // single-window reference over the same es_key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("es_key").desc, col("id"))
+    val ref = Sampling.weightedSampleKPerGroup(d, col("g"), col("id"), col("w"),
+        k = Int.MaxValue, seed = 5L, nSalts = 1) // all eligible rows, keyed
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 12)
+      .select("g", "id", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref)
+    assert(!got.exists(r => r._2 >= 99991L), "null-group/zero-weight rows leaked")
+    // quota: min(k, group size) rows per group, ranks contiguous from 1
+    val perGroup = got.groupBy(_._1).view.mapValues(_.map(_._3).toSeq.sorted).toMap
+    assert(perGroup("g0") == (1 to 12) && perGroup.forall { case (_, rs) =>
+      rs == (1 to rs.size) })
+  }
+
+  test("weightedSampleKPerGroup plan: no single-partition window collapse") {
+    val d = (1 to 100).map(i => (s"g${i % 3}", i.toLong, 1L)).toDF("g", "id", "w")
+    val p = Sampling.weightedSampleKPerGroup(d, col("g"), col("id"), col("w"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "per-group sampler collapsed to a global single-partition window")
+  }
 }
