@@ -141,6 +141,25 @@ object Soak {
       sizePartitions(n)
       e
     }
+    private var eventsTouched = false
+
+    /** The replicated events table (user_id shifted per copy, so
+      * per-key event densities — and thus per-pair join output rates —
+      * stay constant and event-time join cost can be judged against a
+      * linear bar). */
+    lazy val events: DataFrame = {
+      eventsTouched = true
+      val base = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val e = (0 until multDocs).map(i =>
+          base.withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = time("events materialize")(e.count())
+      println(s"[soak] events: $n rows (${multDocs}x by user shift)")
+      e
+    }
+
     /** Small query batch every ANN stage shares. */
     lazy val q: DataFrame =
       emb.where(col("id") < 20).select(col("id").as("qid"), col("embedding"))
@@ -152,6 +171,7 @@ object Soak {
     def releaseAll(): Unit = {
       if (docsTouched) docs.unpersist(blocking = false)
       if (embTouched) emb.unpersist(blocking = false)
+      if (eventsTouched) events.unpersist(blocking = false)
     }
   }
 
@@ -316,6 +336,16 @@ object Soak {
     time("weighted sample k=1000 (A-ES)") {
       ops.Sampling.weightedSampleK(costed, col("id"), col("n_tok"),
         k = 1000, seed = 7L).count()
+    }
+    // per-stratum quota with a DELIBERATE hot stratum (half the corpus
+    // in one group): the two-phase salted rank must keep this near the
+    // flat A-ES cost — a blowup here means the hot group sorted in one
+    // task (the single-window shape the operator exists to avoid)
+    time("per-group sample k=50 (hot stratum)") {
+      ops.Sampling.weightedSampleKPerGroup(
+        costed.withColumn("g", when(col("id") % 2 === 0, lit("hot"))
+          .otherwise(concat(lit("g"), (col("id") % 500).cast("string")))),
+        col("g"), col("id"), col("n_tok"), k = 50, seed = 7L).count()
     }
     time("hll distinct tokens per site") {
       docs.select(grp.as("site"),
@@ -541,6 +571,44 @@ object Soak {
     idx.unpersist(blocking = false)
   }
 
+  /** Event-time joins at replication scale: as-of (union-sort-carry +
+    * the bucketed skew-proof form), point-in-window range join, and
+    * interval-overlap join. The user-shift replication keeps per-key
+    * densities constant, so each stage should scale ∝ rows — a
+    * super-linear stage means a join degenerated (per-key residual
+    * scan, lost bucket pruning, unbounded interval expansion). */
+  private def timeseriesFamily(c: Ctx): Unit = {
+    import c._
+    val clicks = events.where(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    time("asof join (union-sort-carry)") {
+      ops.AsofJoin.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", Seq("value")).count()
+    }
+    time("asof join bucketed (64 buckets)") {
+      ops.AsofJoin.asofJoinBucketed(clicks, purchases,
+        Seq("user_id"), "ts", Seq("value")).count()
+    }
+    val windows = purchases.select(col("user_id"), col("value").as("p_value"),
+      unix_micros(col("ts")).as("w_start"),
+      (unix_micros(col("ts")) + lit(86400000000L)).as("w_end"))
+    time("range join (24h windows)") {
+      ops.RangeJoin.rangeJoin(clicks, windows, Seq("user_id"),
+        "ts", "w_start", "w_end", Seq("p_value")).count()
+    }
+    val sessions = clicks.select(col("user_id"), col("value"),
+      unix_micros(col("ts")).as("c_start"),
+      (unix_micros(col("ts")) + lit(7200000000L)).as("c_end"))
+    time("overlap join (2h x 12h)") {
+      ops.RangeJoin.rangeJoinIntervals(
+        sessions, windows.withColumn("w_end", col("w_start") + lit(43200000000L)),
+        Seq("user_id"), "c_start", "c_end", "w_start", "w_end",
+        Seq("p_value")).count()
+    }
+  }
+
   /** THE REGISTRY — soak families in run order. Add a family by adding
     * a row; add an operator by adding a `ctx.time(...)` line to its
     * family. Doc families first (they share the doc corpus), embedding
@@ -552,6 +620,7 @@ object Soak {
     "tokenizer" -> tokenizerFamily,
     "packing" -> packingFamily,
     "search" -> searchFamily,
+    "timeseries" -> timeseriesFamily,
     "embedding" -> embeddingFamily,
     "semdedup" -> semdedupFamily,
     "ann" -> annFamily,
