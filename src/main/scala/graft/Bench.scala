@@ -38,8 +38,11 @@ object Bench {
     * "group" → "grp" / "count" → "cnt" / "filter" → "flt" (the 111th —
     * ~17 bytes across 6 keys), and "embed" → "emb" / "centroid" → "ctr"
     * / "revenue" → "rev" / "running" → "run" / "tumbling" → "tumb"
-    * (the 112th — ~23 bytes across 6 keys). Full names stay in the
-    * fidelity file ("key_transform" documents this). */
+    * (the 112th — ~23 bytes across 6 keys), and "trailing" → "trl" /
+    * "removal" → "rm" / "paginate" → "pgn" / "upsample" → "ups" /
+    * "fluency" → "flu" / "trigram" → "tri" (the 113th/114th — ~27
+    * bytes across 6 keys). Full names stay in the fidelity file
+    * ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -66,6 +69,9 @@ object Bench {
       .replace("embed", "emb").replace("centroid", "ctr")
       .replace("revenue", "rev").replace("running", "run")
       .replace("tumbling", "tumb")
+      .replace("trailing", "trl").replace("removal", "rm")
+      .replace("paginate", "pgn").replace("upsample", "ups")
+      .replace("fluency", "flu").replace("trigram", "tri")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

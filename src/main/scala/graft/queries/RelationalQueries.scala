@@ -281,6 +281,33 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_date", "o_orderkey")
   }
 
+  /** Time-RANGE trailing window: per-user 7-day trailing event count
+    * and value sum via `rangeBetween` on event-time micros — the
+    * wall-clock frame `rowsBetween` can't express (all peers at equal
+    * ts enter the frame together; the lookback is 7 days of TIME, not
+    * N rows). The frame rides integer micros so both engines bound it
+    * with exact arithmetic. */
+  def qTrailingAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("user_id"), col("ts_us"), col("value"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(dec2(col("value"))).over(w).cast("double").as("sum_7d"))
+      .orderBy("user_id", "ts_us", "value")
+  }
+
+  /** Full grouping-set lattice via CUBE — [[qRollup]]'s hierarchy plus
+    * the cross subtotal (status alone), grouping_id bit-compatible with
+    * DuckDB's GROUPING_ID. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
+
   /** Pivot: order counts by status × year (Spark pivot ≡ conditional
     * aggregation in the oracle; fixed status values keep columns
     * deterministic). */
@@ -369,6 +396,8 @@ object RelationalQueries {
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_session_window" -> (qSessionWindow _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_trailing_agg" -> (qTrailingAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_json_extract" -> (qJsonExtract _),
     "q_promo_revenue" -> (qPromoRevenue _),
@@ -543,6 +572,19 @@ object RelationalQueries {
         | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, grouping_id(l_returnflag, l_linestatus) AS gid,
+        | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q_trailing_agg" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value,
+        | count(*) OVER w AS n_7d,
+        | cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, value""".stripMargin,
     "q_session_window" ->
       """WITH p AS (SELECT user_id, ts, value,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
