@@ -43,9 +43,10 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   *     compare on their micros — exact, no double rounding).
   *
   * Caller-supplied widths cap their interval expansion at
-  * [[MaxBucketsPerInterval]] buckets (checked with one agg over the
-  * right side, loud failure) — a too-fine width would otherwise
-  * explode the right side silently, the one way this plan can die at
+  * [[MaxBucketsPerInterval]] buckets, enforced as a per-row check
+  * INSIDE the expansion projection (executor-side `raise_error`, zero
+  * extra passes over the data) — a too-fine width would otherwise
+  * explode the join input silently, the one way this plan can die at
   * scale.
   */
 object RangeJoin {
@@ -53,6 +54,23 @@ object RangeJoin {
   /** Hard cap on `sequence(bucket(start), bucket(end))` length for
     * caller-supplied widths (auto width never exceeds 2). */
   val MaxBucketsPerInterval = 4096L
+
+  /** Covered-bucket array of `[s, e]`, guarded on the executor: an
+    * interval expanding past [[MaxBucketsPerInterval]] raises (lazily,
+    * only on an offending row) instead of silently blowing up the join
+    * input — no driver-side pre-agg, so a STREAM caller pays nothing
+    * per micro-batch. */
+  private def bucketSeq(s: Column, e: Column, w: Long): Column = {
+    val bs = floorDiv(s, w)
+    val be = floorDiv(e, w)
+    when(be - bs >= lit(MaxBucketsPerInterval),
+      raise_error(concat(
+        lit(s"rangeJoin: bucketWidth=$w expands an interval into "),
+        (be - bs + lit(1L)).cast("string"),
+        lit(s" buckets (cap $MaxBucketsPerInterval); use a coarser width")))
+        .cast("array<bigint>"))
+      .otherwise(sequence(bs, be))
+  }
 
   /** @param keys         equi keys present on both sides
     * @param ptCol        left point column (numeric or timestamp)
@@ -75,15 +93,6 @@ object RangeJoin {
       s"rangeJoin: output column(s) ${clash.mkString(", ")} already exist on the " +
         "left side; pick a different prefix")
 
-    // timestamps compare on micros (long — exact); numerics cast to
-    // long must be lossless for bucketing, so keep them as-is and only
-    // require an integral/long-safe type via the cast
-    def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c))
-      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-      case _ => col(c).cast("long")
-    }
-
     val l = left
       .withColumn("__pt", asLong(left, ptCol))
       .where(keys.map(col(_).isNotNull).reduce(_ && _) && col("__pt").isNotNull)
@@ -96,23 +105,12 @@ object RangeJoin {
         rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
 
     // width: auto = max interval length (one bounded agg → ≤2 buckets
-    // per interval); caller widths get the expansion guard instead
+    // per interval); caller widths are guarded inside bucketSeq
     val w: Long =
-      if (bucketWidth > 0) {
-        val worst = r0.agg(max(
-          floorDiv(col("__e"), bucketWidth) - floorDiv(col("__s"), bucketWidth))).head()
-        val span = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-        require(span < MaxBucketsPerInterval,
-          s"rangeJoin: bucketWidth=$bucketWidth expands an interval into ${span + 1} " +
-            s"buckets (cap $MaxBucketsPerInterval); use a coarser width")
-        bucketWidth
-      } else {
-        val m = r0.agg(max(col("__e") - col("__s"))).head()
-        if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
-      }
+      if (bucketWidth > 0) bucketWidth else autoWidth(r0, "__s", "__e")
 
     val rKeyed = r0
-      .withColumn("__b", explode(sequence(floorDiv(col("__s"), w), floorDiv(col("__e"), w))))
+      .withColumn("__b", explode(bucketSeq(col("__s"), col("__e"), w)))
 
     val joinKeys = keys :+ "__b"
     l.withColumn("__b", floorDiv(col("__pt"), w))
@@ -149,11 +147,6 @@ object RangeJoin {
       s"rangeJoinIntervals: output column(s) ${clash.mkString(", ")} already exist " +
         "on the left side; pick a different prefix")
 
-    def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c))
-      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-      case _ => col(c).cast("long")
-    }
     val l0 = left
       .withColumn("__ls", asLong(left, lStart)).withColumn("__le", asLong(left, lEnd))
       .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
@@ -165,33 +158,44 @@ object RangeJoin {
       .select(keys.map(col) ++ Seq(col("__rs"), col("__re")) ++
         rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
 
-    def spanGuard(df: DataFrame, s: String, e: String, w: Long): Unit = {
-      val worst = df.agg(max(floorDiv(col(e), w) - floorDiv(col(s), w))).head()
-      val span = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-      require(span < MaxBucketsPerInterval,
-        s"rangeJoinIntervals: bucketWidth=$w expands an interval into ${span + 1} " +
-          s"buckets (cap $MaxBucketsPerInterval); use a coarser width")
-    }
+    // width: auto = max interval length across BOTH sides (one union
+    // agg); caller widths are guarded inside bucketSeq per row
     val w: Long =
-      if (bucketWidth > 0) {
-        spanGuard(l0, "__ls", "__le", bucketWidth)
-        spanGuard(r0, "__rs", "__re", bucketWidth)
-        bucketWidth
-      } else {
+      if (bucketWidth > 0) bucketWidth
+      else {
         val m = l0.select((col("__le") - col("__ls")).as("d"))
           .unionByName(r0.select((col("__re") - col("__rs")).as("d")))
           .agg(max(col("d"))).head()
         if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
       }
 
-    val lExp = l0.withColumn("__b",
-      explode(sequence(floorDiv(col("__ls"), w), floorDiv(col("__le"), w))))
-    val rExp = r0.withColumn("__b",
-      explode(sequence(floorDiv(col("__rs"), w), floorDiv(col("__re"), w))))
+    val lExp = l0.withColumn("__b", explode(bucketSeq(col("__ls"), col("__le"), w)))
+    val rExp = r0.withColumn("__b", explode(bucketSeq(col("__rs"), col("__re"), w)))
     lExp.join(rExp, keys :+ "__b")
       .where(col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
         col("__b") === floorDiv(greatest(col("__ls"), col("__rs")), w))
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"$prefix$c")): _*)
+  }
+
+  /** The bucket width [[rangeJoin]]'s auto path would pick for this
+    * interval table: the max interval length (≥ 1). Exposed so a
+    * STREAM caller can resolve the width ONCE at setup instead of
+    * re-aggregating the static interval side every micro-batch
+    * ([[graft.streaming.EventStreams.rangeAttachStream]]). */
+  def autoWidth(intervals: DataFrame, startCol: String, endCol: String): Long = {
+    val m = intervals
+      .select((asLong(intervals, endCol) - asLong(intervals, startCol)).as("d"))
+      .where(col("d").isNotNull && col("d") >= 0)
+      .agg(max(col("d"))).head()
+    if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
+  }
+
+  /** Timestamps compare on micros (long — exact); everything else
+    * casts to long (bucketing needs integer arithmetic). */
+  private def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case TimestampType => unix_micros(col(c))
+    case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case _ => col(c).cast("long")
   }
 
   /** Floor division on longs (toward −∞, exact — no double rounding at

@@ -274,6 +274,34 @@ object EventStreams {
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 
+  /** Streaming interval attach — the stream twin of
+    * [[graft.ops.RangeJoin.rangeJoin]]: each arriving micro-batch of
+    * POINTS equi-joins (key, time-bucket) against a STATIC interval
+    * table (active experiments, calibration windows, attribution
+    * periods). The bucket width resolves ONCE at stream setup
+    * ([[graft.ops.RangeJoin.autoWidth]]) and rides every batch as a
+    * caller width, so the static side is never re-aggregated per
+    * trigger; state is the bounded interval table itself — the stream
+    * side never accumulates. Replaying the batches reproduces the
+    * batch operator exactly (EventStreamsSpec-pinned: streamed union ≡
+    * one-shot [[graft.ops.RangeJoin.rangeJoin]]). */
+  def rangeAttachStream(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptCol: String, startCol: String, endCol: String,
+      rightPayload: Seq[String], checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val w = graft.ops.RangeJoin.autoWidth(intervals, startCol, endCol)
+    points.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.RangeJoin.rangeJoin(batch, intervals, keys,
+          ptCol, startCol, endCol, rightPayload, bucketWidth = w))
+      }
+      .start()
+  }
+
   /** Streaming near-duplicate detection — dedup-on-ingest for a
     * training-data pipeline: each arriving document is MinHash-banded
     * ([[graft.expr.MinHashBands]]); per LSH bucket, keyed state holds

@@ -83,13 +83,20 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("too-fine caller width fails loudly instead of exploding") {
+    // the guard is executor-side (a per-row check inside the expansion
+    // projection — no driver pre-agg), so it surfaces at action time
     val pts = Seq((1L, 10L)).toDF("k", "pt")
     val ivs = Seq((1L, 0L, 10_000_000L, "wide")).toDF("k", "s", "e", "w")
-    val e = intercept[IllegalArgumentException] {
-      RangeJoin.rangeJoin(pts, ivs, Seq("k"), "pt", "s", "e", Seq("w"), bucketWidth = 2L)
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoin(pts, ivs, Seq("k"), "pt", "s", "e", Seq("w"),
+        bucketWidth = 2L).count()
     }
-    assert(e.getMessage.contains("buckets"))
+    assert(causeMessages(e).exists(_.contains("buckets")), causeMessages(e).mkString("; "))
   }
+
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(x => Option(x.getMessage)).toSeq
 
   test("output-name clash with the left side fails loudly") {
     val pts = Seq((1L, 10L, "x")).toDF("k", "pt", "rj_w")
@@ -157,11 +164,11 @@ class RangeJoinSpec extends SparkSpec {
       .select("rj_w").as[String].collect().toSeq
     assert(got == Seq("ok"))
     val wide = Seq((1L, 0L, 10_000_000L, "wide")).toDF("k", "s", "e", "w")
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[Exception] {
       RangeJoin.rangeJoinIntervals(l, wide, Seq("k"),
-        "ls", "le", "s", "e", Seq("w"), bucketWidth = 2L)
+        "ls", "le", "s", "e", Seq("w"), bucketWidth = 2L).count()
     }
-    assert(err.getMessage.contains("buckets"))
+    assert(causeMessages(err).exists(_.contains("buckets")))
   }
 
   test("plan equi-joins on (key, bucket) — no nested-loop fallback") {

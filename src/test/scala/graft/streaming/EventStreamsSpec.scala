@@ -291,6 +291,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("rangeAttachStream: per-batch interval attach ≡ batch rangeJoin on replay") {
+    implicit val sc = spark.sqlContext
+    // static intervals per key; two point batches, one straddling a
+    // bucket boundary and one matching nothing
+    val intervals = Seq((1L, 0L, 100L, "w1"), (1L, 90L, 200L, "w2"),
+      (2L, 50L, 60L, "w3")).toDF("k", "s", "e", "w")
+    val batch1 = Seq((1L, 95L), (1L, 150L), (2L, 55L))
+    val batch2 = Seq((1L, 300L), (2L, 49L), (1L, 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-rangestream").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    try {
+      val in = MemoryStream[(Long, Long)]
+      val q = EventStreams.rangeAttachStream(
+        in.toDF().toDF("k", "pt"), intervals, Seq("k"), "pt", "s", "e",
+        Seq("w"), s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { out =>
+        got ++= out.as[(Long, Long, String)].collect()
+      }
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      q.stop()
+      val replay = graft.ops.RangeJoin.rangeJoin(
+          (batch1 ++ batch2).toDF("k", "pt"), intervals,
+          Seq("k"), "pt", "s", "e", Seq("w"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(got.toSet == replay,
+        "streamed interval attach diverged from the batch operator on replay")
+      assert(got.exists(r => r._2 == 95L && r._3 == "w2"),
+        "boundary point lost its second window")
+    } finally deleteRecursively(dir)
+  }
+
   test("chunkStream: stateless per-row chunking ≡ batch chunkTokenWindows on replay") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
