@@ -33,6 +33,46 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding event-time windows: like [[windowedCounts]] but each event
+    * lands in `windowLen / slide` overlapping windows (the trailing-
+    * rate view a monitoring pipeline reads). State is bounded by the
+    * watermark exactly as in the tumbling form — sliding multiplies
+    * the OPEN window count per key by the overlap factor, not by
+    * stream length. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Stream-STREAM event-time interval join with bounded state: each
+    * left row pairs with right rows of the same key whose ts falls in
+    * `[left.ts − within, left.ts]` (purchase ← the clicks that preceded
+    * it, alert ← the deploys before it). Both sides carry watermarks
+    * and the join predicate is time-bounded, which is exactly what
+    * lets Spark EVICT buffered rows past `watermark + within` — the
+    * canonical state-bounding recipe for stream-stream joins; without
+    * the time bound both sides buffer forever. Right columns surface
+    * with an `r_` prefix. Semantically this is the stream-stream twin
+    * of [[graft.ops.RangeJoin.rangeJoin]] with left rows as points and
+    * right rows opening `[ts, ts + within]` windows
+    * (EventStreamsSpec-pinned equivalence). */
+  def withinJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val rPref = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c"))
+    left.withWatermark("ts", watermark)
+      .join(rPref.withWatermark("r_ts", watermark),
+        col(key) === col(s"r_$key") &&
+          col("r_ts") >= col("ts") - expr(s"INTERVAL $within") &&
+          col("r_ts") <= col("ts"))
+      .drop(s"r_$key")
+  }
+
   /** Event-time sessionization with Spark's native session windows:
     * a session closes after `gap` of inactivity per user. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",

@@ -31,6 +31,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Seq(("00:00", "click", 2L), ("01:00", "view", 1L)))
   }
 
+  test("slidingCounts: each event lands in windowLen/slide overlapping windows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev("2024-01-01 00:20:00", 1, "click", 1.0))
+    val q = slidingCounts(in.toDF(), "1 hour", "15 minutes", "2 hours")
+      .writeStream.format("memory").queryName("slc").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("slc")
+      .orderBy("window_start")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 00:20 is inside the four 1h windows starting 23:30..00:15
+    assert(rows == Seq(("23:30", 1L), ("23:45", 1L), ("00:00", 1L), ("00:15", 1L)))
+  }
+
+  test("withinJoin: stream-stream time-bounded pairs ≡ batch rangeJoin on replay") {
+    implicit val sc = spark.sqlContext
+    val purchases = Seq(
+      ev("2024-01-01 10:00:00", 1, "purchase", 50.0),
+      ev("2024-01-01 12:00:00", 1, "purchase", 70.0),
+      ev("2024-01-01 10:30:00", 2, "purchase", 10.0))
+    val clicks = Seq(
+      ev("2024-01-01 09:10:00", 1, "click", 1.0), // within 1h of 10:00
+      ev("2024-01-01 10:00:00", 1, "click", 2.0), // boundary: within (≤)
+      ev("2024-01-01 10:30:00", 1, "click", 3.0), // matches neither window
+      ev("2024-01-01 09:20:00", 2, "click", 4.0)) // too early for user 2
+    val lIn = MemoryStream[Event]; val rIn = MemoryStream[Event]
+    val q = withinJoin(lIn.toDF(), rIn.toDF(), "user_id", "1 hour", "4 hours")
+      .writeStream.format("memory").queryName("wj").outputMode("append").start()
+    lIn.addData(purchases); rIn.addData(clicks)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wj")
+      .select(col("user_id"), col("value"), col("r_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    // batch twin: purchases are points, clicks open [ts, ts+1h] windows
+    val replay = graft.ops.RangeJoin.rangeJoin(
+        purchases.toDF(), clicks.toDF()
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + 3600000000L).as("e")),
+        Seq("user_id"), "ts", "s", "e", Seq("value"))
+      .select(col("user_id"), col("value"), col("rj_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == replay, "stream-stream pairs diverged from the batch range join")
+    assert(got == Set((1L, 50.0, 1.0), (1L, 50.0, 2.0)))
+  }
+
   test("sessionized: native session windows close after the gap") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
