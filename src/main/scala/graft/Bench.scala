@@ -41,8 +41,9 @@ object Bench {
     * (the 112th — ~23 bytes across 6 keys), and "trailing" → "trl" /
     * "removal" → "rm" / "paginate" → "pgn" / "upsample" → "ups" /
     * "fluency" → "flu" / "trigram" → "tri" (the 113th/114th — ~27
-    * bytes across 6 keys). Full names stay in the fidelity file
-    * ("key_transform" documents this). */
+    * bytes across 6 keys), and "quantile" → "qnt" / "approx" → "apx"
+    * (the 115th — ~14 bytes across 3 keys). Full names stay in the
+    * fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -72,6 +73,7 @@ object Bench {
       .replace("trailing", "trl").replace("removal", "rm")
       .replace("paginate", "pgn").replace("upsample", "ups")
       .replace("fluency", "flu").replace("trigram", "tri")
+      .replace("quantile", "qnt").replace("approx", "apx")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

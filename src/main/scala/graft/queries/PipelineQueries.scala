@@ -215,6 +215,44 @@ object PipelineQueries {
           col("exact_distinct").cast("double") <= 0.05).as("within_eps"))
       .orderBy("source")
 
+  /** Quantile sketch (GK/approx_percentile) — the third sketch gate
+    * beside CMS and HLL, same device: the EXACT per-language medians
+    * are oracle-compared, and the sketch side is pinned as a boolean
+    * stating its rank guarantee (a value whose rank lies within
+    * ±εn of the target, ε = 1/accuracy = 0.01). The rank of the
+    * sketch's answer is measured against the data itself (count of
+    * rows ≤/< it), so a broken sketch fails the gate; cross-engine
+    * estimator parity is never needed. */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"))
+      .where(col("n_chars").isNotNull)
+    val ap = d.groupBy("lang").agg(
+      percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("ap50"),
+      percentile_approx(col("n_chars"), lit(0.9), lit(100)).as("ap90"),
+      round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_exact"),
+      round(expr("percentile(n_chars, 0.9D)"), 6).as("p90_exact"),
+      count(lit(1)).as("n"))
+    d.join(broadcast(ap), Seq("lang"))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n"),
+        max(col("p50_exact")).as("p50_exact"),
+        max(col("p90_exact")).as("p90_exact"),
+        sum(when(col("n_chars") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("n_chars") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("n_chars") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("n_chars") < col("ap90"), 1L).otherwise(0L)).as("lt90"))
+      // discrete ranks: the sketch can only land on an integer rank, so
+      // the ±εn window gets floor/ceil slack (at n=7, p90 the target
+      // rank 6.3±0.07 contains no integer without it)
+      .select(col("lang"), col("n"), col("p50_exact"), col("p90_exact"),
+        (col("le50") >= floor(col("n") * 0.49) &&
+          col("lt50") <= ceil(col("n") * 0.51)).as("ok50"),
+        (col("le90") >= floor(col("n") * 0.89) &&
+          col("lt90") <= ceil(col("n") * 0.91)).as("ok90"))
+      .orderBy("lang")
+  }
+
   /** As-of join: each click event picks up the user's most recent
     * purchase value at click time ([[graft.ops.AsofJoin]] — one
     * shuffle, union–sort–carry-forward). Oracle: DuckDB's NATIVE
@@ -413,6 +451,7 @@ object PipelineQueries {
     "q_zorder_key" -> (qZorderKey _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_approx_quantile" -> (qApproxQuantile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
@@ -650,6 +689,15 @@ object PipelineQueries {
         |SELECT source, count(DISTINCT doc_id) AS n_docs,
         |  count(DISTINCT tok) AS exact_distinct, true AS within_eps
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // sketch contract, quantile edition: exact medians oracle-compared,
+    // the GK rank guarantee asserted Spark-side (DuckDB emits true)
+    "q_approx_quantile" ->
+      """SELECT lang, count(*) AS n,
+        | round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
+        | round(quantile_cont(n_chars, 0.9), 6) AS p90_exact,
+        | true AS ok50, true AS ok90
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Brute-force n² Jaccard restricted to pairs touching the increment
     // (id % 10 >= 8): cross pairs emit the increment doc first,
     // batch-internal pairs (min, max) — the incrementalNearDups contract.

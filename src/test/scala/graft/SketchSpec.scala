@@ -28,6 +28,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_quantile gate: every group's GK answer holds its rank bound") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val out = queries.PipelineQueries.qApproxQuantile(spark, s"/root/testdata/sf$sf")
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getBoolean(4) && r.getBoolean(5),
+          s"sf$sf ${r.getString(0)}: approx_percentile answer outside its ±1% rank bound")
+      }
+    }
+  }
+
   test("CmsEstimate: never undercounts, exact on a collision-free sketch") {
     import spark.implicits._
     val df = (1L to 100L).flatMap(i => Seq.fill(i.toInt % 7 + 1)(i)).toDF("k")
