@@ -42,8 +42,9 @@ object Bench {
     * "removal" → "rm" / "paginate" → "pgn" / "upsample" → "ups" /
     * "fluency" → "flu" / "trigram" → "tri" (the 113th/114th — ~27
     * bytes across 6 keys), and "quantile" → "qnt" / "approx" → "apx"
-    * (the 115th — ~14 bytes across 3 keys). Full names stay in the
-    * fidelity file ("key_transform" documents this). */
+    * (the 115th — ~14 bytes across 3 keys), and "resample" → "rsmp" /
+    * "media" → "md" (the 116th — ~10 bytes across 3 keys). Full names
+    * stay in the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -74,6 +75,7 @@ object Bench {
       .replace("paginate", "pgn").replace("upsample", "ups")
       .replace("fluency", "flu").replace("trigram", "tri")
       .replace("quantile", "qnt").replace("approx", "apx")
+      .replace("resample", "rsmp").replace("media", "md")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

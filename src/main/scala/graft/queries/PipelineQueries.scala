@@ -296,6 +296,28 @@ object PipelineQueries {
       .orderBy("user_id", "ts_us", "purchase_ts_us", "click_value", "purchase_value")
   }
 
+  /** Time-series resampling: each user's purchase series downsampled
+    * onto an hourly grid with last-observation-carried-forward — the
+    * grid spans the user's own [min, max] purchase hour (built with
+    * `sequence` per user, no driver loop) and the LOCF fill is exactly
+    * one [[graft.ops.AsofJoin.asofJoin]] of grid points to events.
+    * Oracle: DuckDB's generate_series grid + native ASOF JOIN — the
+    * composition checked against an independent engine end to end. */
+  def qResample(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val grid = p.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("ts"))
+    graft.ops.AsofJoin.asofJoin(grid, p,
+        keys = Seq("user_id"), tsCol = "ts", rightPayload = Seq("value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("asof_value").as("locf_value"))
+      .orderBy("user_id", "ts_us")
+  }
+
   /** Interval-OVERLAP join: 2-hour click sessions × 12-hour purchase
     * windows per user — both sides are intervals, so this exercises
     * [[graft.ops.RangeJoin.rangeJoinIntervals]]' exactly-once
@@ -455,6 +477,7 @@ object PipelineQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
+    "q_resample" -> (qResample _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_incremental_append" -> (qIncrementalAppend _),
     "q_prep_pipeline" -> (qPrepPipeline _),
@@ -729,6 +752,17 @@ object PipelineQueries {
         | AND epoch_us(l.ts) <= epoch_us(r.ts) + 43200000000
         | AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
         |ORDER BY user_id, ts_us, purchase_ts_us, click_value, purchase_value""".stripMargin,
+    // hourly LOCF grid: generate_series + DuckDB's native ASOF JOIN
+    "q_resample" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, unnest(generate_series(
+        |        date_trunc('hour', tmin), date_trunc('hour', tmax),
+        |        INTERVAL 1 HOUR)) AS ts
+        |      FROM (SELECT user_id, min(ts) AS tmin, max(ts) AS tmax
+        |            FROM p GROUP BY user_id))
+        |SELECT g.user_id AS user_id, epoch_us(g.ts) AS ts_us, p.value AS locf_value
+        |FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts
+        |ORDER BY user_id, ts_us""".stripMargin,
     "q_zorder_key" ->
       """WITH t AS (SELECT doc_id, doc_id % 1024 AS a, n_chars % 1024 AS b FROM documents),
         |s0 AS (SELECT doc_id, a & 4294967295 AS xa, b & 4294967295 AS xb FROM t),
