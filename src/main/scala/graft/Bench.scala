@@ -43,8 +43,10 @@ object Bench {
     * "fluency" → "flu" / "trigram" → "tri" (the 113th/114th — ~27
     * bytes across 6 keys), and "quantile" → "qnt" / "approx" → "apx"
     * (the 115th — ~14 bytes across 3 keys), and "resample" → "rsmp" /
-    * "media" → "md" (the 116th — ~10 bytes across 3 keys). Full names
-    * stay in the fidelity file ("key_transform" documents this). */
+    * "media" → "md" (the 116th — ~10 bytes across 3 keys), and
+    * "jaccard" → "jac" / "minhash" → "mh" / "hybrid" → "hyb" /
+    * "extract" → "ext" (the 117th — ~16 bytes across 4 keys). Full
+    * names stay in the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -76,6 +78,8 @@ object Bench {
       .replace("fluency", "flu").replace("trigram", "tri")
       .replace("quantile", "qnt").replace("approx", "apx")
       .replace("resample", "rsmp").replace("media", "md")
+      .replace("jaccard", "jac").replace("minhash", "mh")
+      .replace("hybrid", "hyb").replace("extract", "ext")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

@@ -253,6 +253,14 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Column profiling (ANALYZE-style stats): per column of the
+    * documents table — rows, nulls, exact distinct, min/max — in ONE
+    * scan ([[graft.ops.Profile]]); the wide one-row aggregate pivots
+    * to long form with a zero-shuffle struct explode. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   /** As-of join: each click event picks up the user's most recent
     * purchase value at click time ([[graft.ops.AsofJoin]] — one
     * shuffle, union–sort–carry-forward). Oracle: DuckDB's NATIVE
@@ -474,6 +482,7 @@ object PipelineQueries {
     "q_cms_counts" -> (qCmsCounts _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_approx_quantile" -> (qApproxQuantile _),
+    "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
@@ -721,6 +730,24 @@ object PipelineQueries {
         | true AS ok50, true AS ok90
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        | cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS id_nulls,
+        | count(DISTINCT doc_id) AS id_ndv, min(doc_id)::varchar AS id_min, max(doc_id)::varchar AS id_max,
+        | cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bigint) AS lg_nulls,
+        | count(DISTINCT lang) AS lg_ndv, min(lang) AS lg_min, max(lang) AS lg_max,
+        | cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS bigint) AS sc_nulls,
+        | count(DISTINCT source) AS sc_ndv, min(source) AS sc_min, max(source) AS sc_max,
+        | cast(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS bigint) AS nc_nulls,
+        | count(DISTINCT n_chars) AS nc_ndv, min(n_chars)::varchar AS nc_min, max(n_chars)::varchar AS nc_max
+        | FROM documents)
+        |SELECT * FROM (
+        | SELECT 'doc_id' AS col_name, n AS n_rows, id_nulls AS n_nulls,
+        |   id_ndv AS n_distinct, id_min AS min_val, id_max AS max_val FROM a
+        | UNION ALL SELECT 'lang', n, lg_nulls, lg_ndv, lg_min, lg_max FROM a
+        | UNION ALL SELECT 'source', n, sc_nulls, sc_ndv, sc_min, sc_max FROM a
+        | UNION ALL SELECT 'n_chars', n, nc_nulls, nc_ndv, nc_min, nc_max FROM a)
+        |ORDER BY col_name""".stripMargin,
     // Brute-force n² Jaccard restricted to pairs touching the increment
     // (id % 10 >= 8): cross pairs emit the increment doc first,
     // batch-internal pairs (min, max) — the incrementalNearDups contract.
