@@ -45,7 +45,9 @@ object Bench {
     * (the 115th — ~14 bytes across 3 keys), and "resample" → "rsmp" /
     * "media" → "md" (the 116th — ~10 bytes across 3 keys), and
     * "jaccard" → "jac" / "minhash" → "mh" / "hybrid" → "hyb" /
-    * "extract" → "ext" (the 117th — ~16 bytes across 4 keys). Full
+    * "extract" → "ext" (the 117th — ~16 bytes across 4 keys), and
+    * "stats" → "st" / "bucket" → "bkt" / "rownum" → "rn" /
+    * "summary" → "sum" (the 118th — ~17 bytes across 5 keys). Full
     * names stay in the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
@@ -80,6 +82,8 @@ object Bench {
       .replace("resample", "rsmp").replace("media", "md")
       .replace("jaccard", "jac").replace("minhash", "mh")
       .replace("hybrid", "hyb").replace("extract", "ext")
+      .replace("stats", "st").replace("bucket", "bkt")
+      .replace("rownum", "rn").replace("summary", "sum")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

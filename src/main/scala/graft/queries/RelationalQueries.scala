@@ -298,6 +298,36 @@ object RelationalQueries {
       .orderBy("user_id", "ts_us", "value")
   }
 
+  /** Statistical aggregates from EXACT moments: per return flag, the
+    * mean/sample-stddev of quantity and its correlation with price.
+    * Spark's builtin `corr`/`stddev` stream Welford-style partial
+    * states whose float results depend on partition order — never
+    * bit-reproducible cross-engine. Here the five moments (Σx, Σy,
+    * Σx², Σy², Σxy) accumulate as EXACT decimals (2-dp money products
+    * are exact 4-dp decimals; sums of exact decimals are
+    * order-independent), convert to double once, and the closed-form
+    * combination runs in the SAME IEEE expression order in both
+    * engines — bit-identical statistics from a parallel aggregation. */
+  def qCorrStats(s: SparkSession, dir: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean_qty"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1L)))), 6).as("stddev_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Full grouping-set lattice via CUBE — [[qRollup]]'s hierarchy plus
     * the cross subtotal (status alone), grouping_id bit-compatible with
     * DuckDB's GROUPING_ID. */
@@ -398,6 +428,7 @@ object RelationalQueries {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_trailing_agg" -> (qTrailingAgg _),
+    "q_corr_stats" -> (qCorrStats _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_json_extract" -> (qJsonExtract _),
     "q_promo_revenue" -> (qPromoRevenue _),
@@ -577,6 +608,22 @@ object RelationalQueries {
         | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    // exact-moment statistics: decimal sums → ONE double conversion →
+    // the identical IEEE expression tree (parens mirror the Spark side)
+    "q_corr_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+        | cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS syy,
+        | cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round(sx / n, 6) AS mean_qty,
+        | round(sqrt(((n * sxx) - (sx * sx)) / (n * (n - 1))), 6) AS stddev_qty,
+        | round(((n * sxy) - (sx * sy)) /
+        |   sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))), 6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_trailing_agg" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, value,
         | count(*) OVER w AS n_7d,
