@@ -47,7 +47,9 @@ object Bench {
     * "jaccard" → "jac" / "minhash" → "mh" / "hybrid" → "hyb" /
     * "extract" → "ext" (the 117th — ~16 bytes across 4 keys), and
     * "stats" → "st" / "bucket" → "bkt" / "rownum" → "rn" /
-    * "summary" → "sum" (the 118th — ~17 bytes across 5 keys). Full
+    * "summary" → "sum" (the 118th — ~17 bytes across 5 keys), and
+    * "text" → "txt" / "append" → "app" / "select" → "sel" /
+    * "enrich" → "enr" (the 119th — ~12 bytes across 5 keys). Full
     * names stay in the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
@@ -84,6 +86,8 @@ object Bench {
       .replace("hybrid", "hyb").replace("extract", "ext")
       .replace("stats", "st").replace("bucket", "bkt")
       .replace("rownum", "rn").replace("summary", "sum")
+      .replace("text", "txt").replace("append", "app")
+      .replace("select", "sel").replace("enrich", "enr")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

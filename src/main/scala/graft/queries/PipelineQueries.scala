@@ -253,6 +253,31 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** HTML → text extraction over a deterministic doc_id-synthesized
+    * page (script/style/comment blocks, nested tags, all six core
+    * entities incl. the `&amp;amp;` single-pass case): Spark builds
+    * the page, [[graft.ops.TextOps.htmlToText]] extracts, and the
+    * oracle rebuilds the page AND replays the identical regex chain —
+    * the md5 breaks on any byte of divergence (the q_pii_redact
+    * synthesized-span device). */
+  def qHtmlText(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), htmlPage.as("page"))
+      .select(col("doc_id"), TextOps.htmlToText(col("page")).as("ext"))
+      .select(col("doc_id"), md5(col("ext")).as("ext_md5"),
+        length(col("ext")).cast("long").as("n_chars_ext"))
+      .orderBy("doc_id")
+
+  /** The synthesized page (Spark side; `htmlPageSql` is the oracle
+    * twin — keep the two literals in lockstep). */
+  private def htmlPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit("</title><script type=\"text/javascript\">var x = "), col("doc_id"),
+    lit(";</script><style>p { color: red; }</style></head><body><!-- c"),
+    col("doc_id"),
+    lit(" --><h1>H &amp;amp; "), col("doc_id"), lit("</h1><p>"), col("text"),
+    lit(" &lt;b&gt; &quot;q&quot; &#39;s&nbsp;&amp; done</p></body></html>"))
+
   /** Column profiling (ANALYZE-style stats): per column of the
     * documents table — rows, nulls, exact distinct, min/max — in ONE
     * scan ([[graft.ops.Profile]]); the wide one-row aggregate pivots
@@ -483,6 +508,7 @@ object PipelineQueries {
     "q_hll_distinct" -> (qHllDistinct _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_profile" -> (qProfile _),
+    "q_html_text" -> (qHtmlText _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
@@ -500,6 +526,37 @@ object PipelineQueries {
     "q_ffd_summary" -> (qFfdSummary _),
     "q_doc_chunk" -> (qDocChunk _),
   )
+
+  /** The htmlToText regex chain replayed in DuckDB — built
+    * programmatically from the SAME (pattern, replacement) list shape
+    * as the operator, so a chain edit that forgets one side breaks the
+    * gate instead of drifting silently. DuckDB standard strings don't
+    * process backslashes, so `\s+` passes through verbatim; only the
+    * single-quote replacement needs SQL doubling; every call carries
+    * 'g' (DuckDB replaces FIRST by default, Java regex replaces all). */
+  private val qHtmlTextOracle: String = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?s)<script[^>]*>.*?</script>" -> " ",
+      "(?s)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&",
+      "\\s+" -> " ")
+    val chain = steps.foldLeft("page") { case (inner, (pat, rep)) =>
+      s"regexp_replace($inner, '$pat', '$rep', 'g')"
+    }
+    s"""WITH h AS (SELECT doc_id,
+       | '<html><head><title>Doc ' || doc_id ||
+       | '</title><script type="text/javascript">var x = ' || doc_id ||
+       | ';</script><style>p { color: red; }</style></head><body><!-- c' || doc_id ||
+       | ' --><h1>H &amp;amp; ' || doc_id || '</h1><p>' || text ||
+       | ' &lt;b&gt; &quot;q&quot; &#39;s&nbsp;&amp; done</p></body></html>' AS page
+       | FROM documents),
+       |e AS (SELECT doc_id, trim($chain) AS ext FROM h)
+       |SELECT doc_id, md5(ext) AS ext_md5, cast(length(ext) AS bigint) AS n_chars_ext
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 
   // ---- DuckDB oracles ----------------------------------------------------
   // The synthetic-span SQL mirrors withSyntheticPii/qDomainFilter exactly;
@@ -730,6 +787,7 @@ object PipelineQueries {
         | true AS ok50, true AS ok90
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_html_text" -> qHtmlTextOracle,
     "q_profile" ->
       """WITH a AS (SELECT count(*) AS n,
         | cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS id_nulls,

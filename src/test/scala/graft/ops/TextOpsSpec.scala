@@ -110,4 +110,23 @@ class TextOpsSpec extends SparkSpec {
       TextOps.chunkTokenWindows(col("t"), 0, 1)
     }
   }
+
+  test("htmlToText: blocks dropped wholesale, tags stripped, entities single-pass") {
+    def ext(s: String): String =
+      Seq(Tuple1(s)).toDF("h").select(TextOps.htmlToText(col("h"))).head().getString(0)
+    // script/style CONTENT must vanish (a bare tag-strip would leak it)
+    assert(ext("<p>a</p><script>var leak = 1;</script><style>p{x}</style>b") == "a b")
+    // multi-line block under (?s)
+    assert(ext("<script>\nline1\nline2\n</script>keep") == "keep")
+    assert(ext("<!-- hidden -->shown") == "shown")
+    // nested tags with attributes
+    assert(ext("""<div class="x"><b>bold</b> text</div>""") == "bold text")
+    // all six entities; &amp;amp; decodes ONE pass to the literal &amp;
+    assert(ext("&lt;b&gt; &quot;q&quot; &#39;s&nbsp;&amp; &amp;amp; end")
+      == "<b> \"q\" 's & &amp; end")
+    // whitespace collapse + trim; NULL-total
+    assert(ext("  <p>  a\n\n b  </p>  ") == "a b")
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("h")
+      .select(TextOps.htmlToText(col("h"))).head().getString(0) == "")
+  }
 }
