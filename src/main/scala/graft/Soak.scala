@@ -357,6 +357,14 @@ object Soak {
       ops.Sampling.shuffleShard(docs.select("id"), col("id"), seed = 7L,
         nShards = 256).count()
     }
+    time("column profile (3 cols, one scan)") {
+      ops.Profile.profile(docs.select(col("id"), col("text"),
+        length(col("text")).as("n_chars")), Seq("id", "text", "n_chars")).count()
+    }
+    time("html-to-text extraction") {
+      docs.select(ops.TextOps.htmlToText(concat(lit("<html><body><p>"),
+        col("text"), lit("</p><script>x</script></body></html>")))).count()
+    }
   }
 
   /** BPE: one corpus scan to word freqs (vocab-bounded), driver merge

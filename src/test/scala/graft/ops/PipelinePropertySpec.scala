@@ -79,4 +79,45 @@ class PipelinePropertySpec extends SparkSpec {
     val shuffled = keys(rnd.shuffle(rows).toDF("id", "text", "s").repartition(13))
     assert(base == shuffled && base.nonEmpty)
   }
+
+  test("rangeJoin / rangeJoinIntervals ≡ brute force over random trials") {
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      // random keys, spans straddling zero, random width incl. auto;
+      // interval lengths mix zero-length points and long spans
+      val nKeys = 1 + rnd.nextInt(6)
+      val pts = Seq.fill(150 + rnd.nextInt(200))(
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(3000).toLong - 1500L))
+      val ivs = Seq.fill(80 + rnd.nextInt(120)) {
+        val s = rnd.nextInt(3000).toLong - 1500L
+        (rnd.nextInt(nKeys).toLong, s,
+          s + (if (rnd.nextBoolean()) 0L else rnd.nextInt(400).toLong), rnd.nextInt())
+      }
+      val width = Seq(-1L, 1L + rnd.nextInt(50), 10000L)(rnd.nextInt(3))
+      val l = pts.toDF("k", "pt").repartition(1 + rnd.nextInt(8))
+      val r = ivs.toDF("k", "s", "e", "id").repartition(1 + rnd.nextInt(5))
+
+      val refContain = (for ((pk, pt) <- pts; (ik, s, e, id) <- ivs
+        if pk == ik && s <= pt && pt <= e) yield (pk, pt, id))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val gotContain = RangeJoin.rangeJoin(l, r, Seq("k"), "pt", "s", "e",
+          Seq("id"), bucketWidth = width)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      // multiplicity-exact (duplicate inputs must multiply, never dedup)
+      assert(gotContain == refContain, s"trial $trial width $width (containment)")
+
+      val lIv = pts.map { case (k, p) => (k, p, p + rnd.nextInt(200).toLong) }
+      val refOverlap = (for ((lk, ls, le) <- lIv; (ik, s, e, id) <- ivs
+        if lk == ik && ls <= e && s <= le) yield (lk, ls, id))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val gotOverlap = RangeJoin.rangeJoinIntervals(
+          lIv.toDF("k", "ls", "le").repartition(1 + rnd.nextInt(8)), r,
+          Seq("k"), "ls", "le", "s", "e", Seq("id"), bucketWidth = width)
+        .select(col("k"), col("ls"), col("rj_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(gotOverlap == refOverlap, s"trial $trial width $width (overlap)")
+    }
+  }
 }
