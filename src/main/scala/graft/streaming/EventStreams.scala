@@ -342,6 +342,30 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming profile maintenance — the stream twin of
+    * [[graft.ops.Profile.appendStats]]: each micro-batch folds its
+    * mergeable statistics (counts, typed min/max, HLL distinct
+    * sketches) into the persisted profile; a monitor reads the
+    * up-to-date table profile any time with
+    * [[graft.ops.Profile.readProfile]] without ever re-scanning the
+    * ingested data. The dir grows one wide row per trigger; compact
+    * with [[graft.ops.IndexMaintenance.compactDir]] — but with
+    * `dedupeRows = false`: profile rows are additive COUNTERS whose
+    * multiplicity is load-bearing, unlike the fingerprint-set indexes.
+    * (Counters also mean a replayed batch double-counts — rely on the
+    * checkpoint to never re-run a committed batchId, the standard
+    * foreachBatch contract.) */
+  def profileStream(rows: DataFrame, cols: Seq[String], statsPath: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Profile.appendStats(batch, statsPath, cols)
+      }
+      .start()
+
   /** Streaming near-duplicate detection — dedup-on-ingest for a
     * training-data pipeline: each arriving document is MinHash-banded
     * ([[graft.expr.MinHashBands]]); per LSH bucket, keyed state holds

@@ -29,6 +29,33 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("appendStats: two increments merge to the one-shot profile exactly") {
+    val a = Seq((Option(1L), Option("x")), (Option(5L), Option.empty[String]),
+      (Option(2L), Option("y")))
+    val b = Seq((Option(9L), Option("x")), (Option.empty[Long], Option("z")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-profinc").toString
+    try {
+      Profile.appendStats(a.toDF("id", "tag"), s"$dir/inc", Seq("id", "tag"))
+      Profile.appendStats(b.toDF("id", "tag"), s"$dir/inc", Seq("id", "tag"))
+      Profile.appendStats((a ++ b).toDF("id", "tag"), s"$dir/one", Seq("id", "tag"))
+      def rows(p: String) = Profile.readProfile(spark, p)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSeq
+      val inc = rows(s"$dir/inc")
+      // fold-in ≡ one-shot: counts/min/max exact AND the HLL estimate
+      // IDENTICAL (union of sketches ≡ sketch of the union)
+      assert(inc == rows(s"$dir/one"))
+      // and the mergeable stats agree with the exact one-pass profile
+      val exact = Profile.profile((a ++ b).toDF("id", "tag"), Seq("id", "tag"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSeq
+      assert(inc.map(r => (r._1, r._2, r._3, r._5, r._6)) ==
+        exact.map(r => (r._1, r._2, r._3, r._5, r._6)))
+      // tiny cardinalities: the HLL estimate is exact here
+      assert(inc.map(r => (r._1, r._4)) == exact.map(r => (r._1, r._4)))
+    } finally deleteDir(dir)
+  }
+
   test("profile plan: one scan feeds every metric (no per-column passes)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-profile").toString
     try {
@@ -38,13 +65,14 @@ class ProfileSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       val scans = "Scan parquet".r.findAllIn(plan).size
       assert(scans == 1, s"profile reads the table $scans times, want 1")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir)
-      val walk = java.nio.file.Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteDir(dir)
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
   }
 }

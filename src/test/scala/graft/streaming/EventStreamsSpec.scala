@@ -338,6 +338,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("profileStream: per-trigger stat fold-in ≡ one-shot profile of the replayed stream") {
+    implicit val sc = spark.sqlContext
+    val batch1 = Seq((Option(1L), Option("x")), (Option(7L), Option.empty[String]))
+    val batch2 = Seq((Option(3L), Option("x")), (Option.empty[Long], Option("y")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-profstream").toString
+    try {
+      val in = MemoryStream[(Option[Long], Option[String])]
+      val q = EventStreams.profileStream(
+        in.toDF().toDF("id", "tag"), Seq("id", "tag"),
+        s"$dir/stats", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      q.stop()
+      def rows(p: String) = graft.ops.Profile.readProfile(spark, p)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSeq
+      graft.ops.Profile.appendStats((batch1 ++ batch2).toDF("id", "tag"),
+        s"$dir/one", Seq("id", "tag"))
+      assert(rows(s"$dir/stats") == rows(s"$dir/one"),
+        "streamed profile diverged from the one-shot build on replay")
+    } finally deleteRecursively(dir)
+  }
+
   test("rangeAttachStream: per-batch interval attach ≡ batch rangeJoin on replay") {
     implicit val sc = spark.sqlContext
     // static intervals per key; two point batches, one straddling a
