@@ -49,7 +49,10 @@ object Bench {
     * "stats" → "st" / "bucket" → "bkt" / "rownum" → "rn" /
     * "summary" → "sum" (the 118th — ~17 bytes across 5 keys), and
     * "text" → "txt" / "append" → "app" / "select" → "sel" /
-    * "enrich" → "enr" (the 119th — ~12 bytes across 5 keys). Full
+    * "enrich" → "enr" (the 119th — ~12 bytes across 5 keys), and
+    * "range" → "rng" / "funcs" → "fn" / "parts" → "pts" /
+    * "multi" → "mlt" / "promo" → "pr" / "keep_" → "kp_" /
+    * "corpus" → "corp" (the 120th — ~22 bytes across 8 keys). Full
     * names stay in the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
@@ -88,6 +91,10 @@ object Bench {
       .replace("rownum", "rn").replace("summary", "sum")
       .replace("text", "txt").replace("append", "app")
       .replace("select", "sel").replace("enrich", "enr")
+      .replace("range", "rng").replace("funcs", "fn")
+      .replace("parts", "pts").replace("multi", "mlt")
+      .replace("promo", "pr").replace("keep_", "kp_")
+      .replace("corpus", "corp")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

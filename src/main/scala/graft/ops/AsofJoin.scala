@@ -30,10 +30,19 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** @param rightPayload right columns to attach (prefixed `asof_`)
+    * @param forward false (default): match the LATEST right row with
+    *   `right.ts ≤ left.ts` — the classic backward as-of. true: match
+    *   the EARLIEST right row with `right.ts ≥ left.ts` (the event's
+    *   NEXT reading — label attribution, next-purchase lookups). Same
+    *   one-shuffle union–sort–carry plan: the sort just runs ts
+    *   descending, so the carry brings the nearest FUTURE payload; at
+    *   equal ts the right row still sorts before the left (ties match
+    *   inclusively in both directions).
     * @return all left columns + `asof_<payload>` columns (null where
-    *   no right row precedes the left row) */
+    *   no right row precedes/follows the left row) */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+      tsCol: String, rightPayload: Seq[String], prefix: String = "asof_",
+      forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     require(rightPayload.nonEmpty, "no right payload columns requested")
     Reserved.requireAbsent("asofJoin", Seq("__side", "__p", "__m"), left, right)
@@ -55,8 +64,9 @@ object AsofJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__side"), col("__p")): _*)
 
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.select(lCols.map(col) ++ Seq(col("__side"), col("__p")): _*)
       .unionByName(rAligned)

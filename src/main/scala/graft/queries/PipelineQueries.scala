@@ -305,6 +305,25 @@ object PipelineQueries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** Forward as-of join: each click picks up the user's NEXT purchase
+    * value at-or-after click time ([[graft.ops.AsofJoin]] with
+    * `forward = true` — same one-shuffle union–sort–carry plan, sorted
+    * descending). Oracle: DuckDB's native `ASOF LEFT JOIN … l.ts <=
+    * r.ts`, an independent engine's own forward implementation. */
+  def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.AsofJoin.asofJoin(clicks, purchases,
+        keys = Seq("user_id"), tsCol = "ts", rightPayload = Seq("value"),
+        forward = true)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").as("click_value"), col("asof_value").as("next_purchase"))
+      .orderBy("user_id", "ts_us")
+  }
+
   /** Range (interval-containment) join: attribute each click to EVERY
     * purchase whose 24-hour attribution window contains it — the
     * multi-match interval shape [[graft.ops.AsofJoin]]'s latest-row
@@ -510,6 +529,7 @@ object PipelineQueries {
     "q_profile" -> (qProfile _),
     "q_html_text" -> (qHtmlText _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_fwd" -> (qAsofFwd _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
     "q_resample" -> (qResample _),
@@ -817,6 +837,13 @@ object PipelineQueries {
     "q_asof_join" ->
       (if (sys.env.get("GRAFT_ASOF_ORACLE").contains("portable")) asofOraclePortable
        else asofOracleNative),
+    "q_asof_fwd" ->
+      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+        | l.value AS click_value, r.value AS next_purchase
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY user_id, ts_us""".stripMargin,
     "q_range_join" ->
       """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
         | l.value AS click_value,

@@ -30,6 +30,48 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.getDouble(2) == 7.0 && r.getString(3) == "x")
   }
 
+  test("forward: earliest right row at or after each left ts, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 9L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, 100.0), (1L, 18L, 200.0), (2L, 20L, 300.0))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v"),
+        forward = true)
+      .orderBy("k", "ts")
+      .select("k", "ts", "tag", "asof_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", 200.0), // next is 18
+      (1L, 20L, "b", null),  // nothing after 20
+      (2L, 15L, "c", 300.0), // future row now matches
+      (3L, 9L, "d", null)))
+    // tie at equal ts matches inclusively (≥ semantics)
+    val tie = AsofJoin.asofJoin(
+      Seq((1L, 18L)).toDF("k", "ts"), right, Seq("k"), "ts", Seq("v"),
+      forward = true).head()
+    assert(tie.getDouble(2) == 200.0)
+  }
+
+  test("forward ≡ brute-force earliest-following-row, random data") {
+    val rnd = new scala.util.Random(17)
+    val right = (1L to 20L).flatMap(k =>
+      rnd.shuffle((1L to 300L).toList).take(25).map(ts => (k, ts, rnd.nextDouble())))
+    val left = Seq.fill(400)((rnd.nextInt(25).toLong + 1, rnd.nextInt(320).toLong, rnd.nextInt()))
+    val ref = left.map { case (k, ts, tag) =>
+      val m = right.filter(r => r._1 == k && r._2 >= ts)
+      (k, ts, tag) -> (if (m.isEmpty) None else Some(m.minBy(_._2)._3))
+    }.toMap
+    val got = AsofJoin.asofJoin(
+        left.toDF("k", "ts", "tag").repartition(7),
+        right.toDF("k", "ts", "v").repartition(5),
+        Seq("k"), "ts", Seq("v"), forward = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.length == left.length)
+    got.foreach { case (key, v) => assert(v == ref(key), s"mismatch at $key") }
+  }
+
   test("null keys/ts on the right never match; left rows survive") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((Option.empty[Long], Option(5L), 1.0),
