@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
-    "q_asof_join", "q_range_join", "q_overlap_join", "q_cms_counts",
+    "q_asof_join", "q_asof_fwd", "q_range_join", "q_overlap_join", "q_cms_counts",
     "q_dsir_select", "q_lm_fluency",
     "q_url_dedup", "q_boilerplate", "q_ppl_bucket", "q_epoch_shard",
     "q_substring_removal", "q_train_mix", "q_mix_temperature", "q_lm_trigram",
@@ -210,12 +210,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_asof_join: no join operator, no single-partition window") {
-    // the union-sort-carry-forward plan: a regression to a range join
-    // or a global-order window would both show here
-    val p = plan("q_asof_join")
-    assert(!p.contains("Join"), "as-of degraded to a join")
-    assert(!p.contains("SinglePartition"), "as-of window lost its key partitioning")
+  test("q_asof_join / q_asof_fwd: no join operator, no single-partition window") {
+    // the union-sort-carry plan (both directions): a regression to a
+    // range join or a global-order window would both show here
+    for (name <- Seq("q_asof_join", "q_asof_fwd")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name degraded to a join")
+      assert(!p.contains("SinglePartition"), s"$name window lost its key partitioning")
+    }
   }
 
   test("q_range_join / q_overlap_join: bucketed EQUI join — no theta fallback") {
