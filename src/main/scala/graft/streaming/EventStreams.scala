@@ -63,6 +63,10 @@ object EventStreams {
     * (EventStreamsSpec-pinned equivalence). */
   def withinJoin(left: DataFrame, right: DataFrame, key: String,
       within: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val clash = right.columns.map("r_" + _).filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"withinJoin: left side already has prefixed output column(s) " +
+        s"${clash.mkString(", ")}; rename them before joining")
     val rPref = right.columns.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, s"r_$c"))
     left.withWatermark("ts", watermark)

@@ -76,6 +76,12 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(got == replay, "stream-stream pairs diverged from the batch range join")
     assert(got == Set((1L, 50.0, 1.0), (1L, 50.0, 2.0)))
+    // a left column that collides with the prefixed right output fails loudly
+    val e = intercept[IllegalArgumentException] {
+      withinJoin(lIn.toDF().withColumn("r_value", col("value")),
+        rIn.toDF(), "user_id")
+    }
+    assert(e.getMessage.contains("r_value"))
   }
 
   test("sessionized: native session windows close after the gap") {
