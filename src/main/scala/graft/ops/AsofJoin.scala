@@ -64,7 +64,11 @@ object AsofJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__side"), col("__p")): _*)
 
-    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
+    // desc defaults to NULLS LAST, which would park null-ts left rows
+    // AFTER every right row and match them to the minimum-ts payload —
+    // breaking the "null ts never matches" contract the backward path
+    // gets for free from asc's NULLS FIRST
+    val tsOrder = if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -85,6 +85,7 @@ object RangeJoin {
       ptCol: String, startCol: String, endCol: String,
       rightPayload: Seq[String], prefix: String = "rj_",
       bucketWidth: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "range join requires at least one key column")
     require(rightPayload.nonEmpty, "no right payload columns requested")
     Reserved.requireAbsent("rangeJoin", Seq("__pt", "__s", "__e", "__b"), left, right)
     val lCols = left.columns.toSeq
@@ -138,6 +139,7 @@ object RangeJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       rightPayload: Seq[String], prefix: String = "rj_",
       bucketWidth: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "range join requires at least one key column")
     require(rightPayload.nonEmpty, "no right payload columns requested")
     Reserved.requireAbsent("rangeJoinIntervals",
       Seq("__ls", "__le", "__rs", "__re", "__b"), left, right)
@@ -159,15 +161,13 @@ object RangeJoin {
         rightPayload.map(c => col(c).as(s"$prefix$c")): _*)
 
     // width: auto = max interval length across BOTH sides (one union
-    // agg); caller widths are guarded inside bucketSeq per row
+    // agg — the same definition as autoWidth, via the shared helper);
+    // caller widths are guarded inside bucketSeq per row
     val w: Long =
       if (bucketWidth > 0) bucketWidth
-      else {
-        val m = l0.select((col("__le") - col("__ls")).as("d"))
-          .unionByName(r0.select((col("__re") - col("__rs")).as("d")))
-          .agg(max(col("d"))).head()
-        if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
-      }
+      else maxLenWidth(
+        l0.select((col("__le") - col("__ls")).as("d"))
+          .unionByName(r0.select((col("__re") - col("__rs")).as("d"))))
 
     val lExp = l0.withColumn("__b", explode(bucketSeq(col("__ls"), col("__le"), w)))
     val rExp = r0.withColumn("__b", explode(bucketSeq(col("__rs"), col("__re"), w)))
@@ -182,11 +182,18 @@ object RangeJoin {
     * STREAM caller can resolve the width ONCE at setup instead of
     * re-aggregating the static interval side every micro-batch
     * ([[graft.streaming.EventStreams.rangeAttachStream]]). */
-  def autoWidth(intervals: DataFrame, startCol: String, endCol: String): Long = {
-    val m = intervals
+  def autoWidth(intervals: DataFrame, startCol: String, endCol: String): Long =
+    maxLenWidth(intervals
       .select((asLong(intervals, endCol) - asLong(intervals, startCol)).as("d"))
-      .where(col("d").isNotNull && col("d") >= 0)
-      .agg(max(col("d"))).head()
+      .where(col("d").isNotNull && col("d") >= 0))
+
+  /** The single definition of "the width the auto path picks": the max
+    * of a `d` lengths column, floored at 1 (shared by [[autoWidth]] and
+    * [[rangeJoinIntervals]] so the two can never drift —
+    * [[graft.streaming.EventStreams.rangeAttachStream]] depends on the
+    * equivalence). */
+  private def maxLenWidth(lengths: DataFrame): Long = {
+    val m = lengths.agg(max(col("d"))).head()
     if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
   }
 

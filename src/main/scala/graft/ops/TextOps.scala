@@ -145,32 +145,6 @@ object TextOps {
     * Spark would make a NULL row emit one NULL chunk while a SQL
     * replay emits zero rows: totality, not a dropped or poisoned
     * row). */
-  /** HTML → text extraction (the crawl's first text stage): drop
-    * script/style blocks wholesale (their CONTENT is code, not text —
-    * a bare tag-strip would leak it), strip remaining tags, decode the
-    * six core entities, collapse whitespace. All regexes sit in the
-    * RE2-portable subset (non-greedy `.*?` under `(?s)`, char classes)
-    * so the DuckDB oracle replays the chain byte-for-byte — one
-    * codegen'd projection, no shuffle, NULL-total via coalesce.
-    *
-    * `&amp;` decodes LAST (the single-pass convention): `&amp;lt;`
-    * means the author WROTE `&lt;` and must surface as that text, not
-    * double-decode into `<`. */
-  def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(coalesce(html, lit("")),
-      "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      // entity spellings contain no regex metacharacters, so the same
-      // literal pattern text runs under Java regex AND DuckDB's RE2
-      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
-
   def chunkTokenWindows(text: Column, window: Int, stride: Int): Column = {
     require(window > 0, "window must be positive")
     require(stride > 0 && stride <= window,
@@ -181,5 +155,34 @@ object TextOps {
       .otherwise((n - window + (stride - 1)).divide(stride).cast("int") + 1)
     transform(sequence(lit(0), nChunks - 1),
       k => array_join(slice(toks, k * stride + 1, lit(window)), " "))
+  }
+
+  /** HTML → text extraction (the crawl's first text stage): drop
+    * script/style blocks wholesale (their CONTENT is code, not text —
+    * a bare tag-strip would leak it), strip remaining tags, decode the
+    * six core entities, collapse whitespace. All regexes sit in the
+    * RE2-portable subset (non-greedy `.*?` under `(?is)`, char
+    * classes) so the DuckDB oracle replays the chain byte-for-byte —
+    * one codegen'd projection, no shuffle, NULL-total via coalesce.
+    * Block patterns run case-INSENSITIVE (`(?i)`): real crawl HTML
+    * writes `<SCRIPT>`/`<Script>` freely, and a case-sensitive drop
+    * would leak that JavaScript as text.
+    *
+    * `&amp;` decodes LAST (the single-pass convention): `&amp;lt;`
+    * means the author WROTE `&lt;` and must surface as that text, not
+    * double-decode into `<`. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(coalesce(html, lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      // entity spellings contain no regex metacharacters, so the same
+      // literal pattern text runs under Java regex AND DuckDB's RE2
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
 }

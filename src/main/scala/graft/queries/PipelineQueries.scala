@@ -224,9 +224,11 @@ object PipelineQueries {
     * rows ≤/< it), so a broken sketch fails the gate; cross-engine
     * estimator parity is never needed. */
   def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    // lang non-null on BOTH sides: the oracle's GROUP BY would keep a
+    // NULL-lang group that the broadcast equi-join below silently drops
     val d = Tables.documents(s, dir)
       .select(col("lang"), col("n_chars"))
-      .where(col("n_chars").isNotNull)
+      .where(col("lang").isNotNull && col("n_chars").isNotNull)
     val ap = d.groupBy("lang").agg(
       percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("ap50"),
       percentile_approx(col("n_chars"), lit(0.9), lit(100)).as("ap90"),
@@ -556,8 +558,8 @@ object PipelineQueries {
     * 'g' (DuckDB replaces FIRST by default, Java regex replaces all). */
   private val qHtmlTextOracle: String = {
     val steps: Seq[(String, String)] = Seq(
-      "(?s)<script[^>]*>.*?</script>" -> " ",
-      "(?s)<style[^>]*>.*?</style>" -> " ",
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
       "(?s)<!--.*?-->" -> " ",
       "<[^>]+>" -> " ",
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -805,7 +807,7 @@ object PipelineQueries {
         | round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
         | round(quantile_cont(n_chars, 0.9), 6) AS p90_exact,
         | true AS ok50, true AS ok90
-        |FROM documents WHERE n_chars IS NOT NULL
+        |FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_html_text" -> qHtmlTextOracle,
     "q_profile" ->

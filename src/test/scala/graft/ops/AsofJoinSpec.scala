@@ -51,6 +51,12 @@ class AsofJoinSpec extends SparkSpec {
       Seq((1L, 18L)).toDF("k", "ts"), right, Seq("k"), "ts", Seq("v"),
       forward = true).head()
     assert(tie.getDouble(2) == 200.0)
+    // null-ts left rows stay unmatched in the FORWARD direction too
+    // (desc_nulls_first — plain desc would hand them the min-ts payload)
+    val nullTs = AsofJoin.asofJoin(
+      Seq((Option(1L), Option.empty[Long])).toDF("k", "ts"), right,
+      Seq("k"), "ts", Seq("v"), forward = true).head()
+    assert(nullTs.isNullAt(2))
   }
 
   test("forward ≡ brute-force earliest-following-row, random data") {

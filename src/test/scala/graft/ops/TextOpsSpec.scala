@@ -118,6 +118,8 @@ class TextOpsSpec extends SparkSpec {
     assert(ext("<p>a</p><script>var leak = 1;</script><style>p{x}</style>b") == "a b")
     // multi-line block under (?s)
     assert(ext("<script>\nline1\nline2\n</script>keep") == "keep")
+    // case-insensitive block drop: real HTML writes <SCRIPT> freely
+    assert(ext("<SCRIPT>var leak=1;</SCRIPT><STYLE>p{y}</Style>ok") == "ok")
     assert(ext("<!-- hidden -->shown") == "shown")
     // nested tags with attributes
     assert(ext("""<div class="x"><b>bold</b> text</div>""") == "bold text")
