@@ -52,8 +52,11 @@ object Bench {
     * "enrich" → "enr" (the 119th — ~12 bytes across 5 keys), and
     * "range" → "rng" / "funcs" → "fn" / "parts" → "pts" /
     * "multi" → "mlt" / "promo" → "pr" / "keep_" → "kp_" /
-    * "corpus" → "corp" (the 120th — ~22 bytes across 8 keys). Full
-    * names stay in the fidelity file ("key_transform" documents this). */
+    * "corpus" → "corp" (the 120th — ~22 bytes across 8 keys), and
+    * "page" → "pg" / "dates" → "dts" / "terms" → "trm" /
+    * "score" → "sc" / "shard" → "shd" / "split" → "spl" (the 121st —
+    * ~13 bytes across 7 keys). Full names stay in the fidelity file
+    * ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -95,6 +98,9 @@ object Bench {
       .replace("parts", "pts").replace("multi", "mlt")
       .replace("promo", "pr").replace("keep_", "kp_")
       .replace("corpus", "corp")
+      .replace("page", "pg").replace("dates", "dts")
+      .replace("terms", "trm").replace("score", "sc")
+      .replace("shard", "shd").replace("split", "spl")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

@@ -119,6 +119,25 @@ object Ivf {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Pre-FILTERED ANN — the "filtered search" production shape: rank
+    * only corpus vectors whose id appears in `allowed` (a metadata
+    * predicate's id set, computed by a cheap metadata scan). The
+    * semi-join lands BEFORE scoring, so per-query cost ∝ the FILTERED
+    * candidates of the probed cells — a post-filter of an unfiltered
+    * top-k would instead return fewer than k rows whenever the filter
+    * is selective. With `nprobe = nlist` the result provably equals
+    * brute force over the filtered corpus (the gate's
+    * exact-by-construction config). Selective filters thin each probed
+    * cell, so recall at fixed nprobe drops exactly like classic IVF —
+    * raise nprobe with filter selectivity (the vector-db rule of
+    * thumb). `allowed` may contain duplicate or unknown ids: left_semi
+    * neither multiplies nor requires matches. */
+  def topKFiltered(corpus: DataFrame, queries: DataFrame, model: Model,
+      allowed: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    topKFromCells(
+      assign(corpus, model).join(allowed.select("id"), Seq("id"), "left_semi"),
+      queries, model, k, nprobe)
+
   /** A loaded on-disk index: quantizer + cell-assigned corpus. */
   final case class Index(model: Model, cells: DataFrame)
 

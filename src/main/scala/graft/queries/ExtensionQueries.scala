@@ -200,6 +200,26 @@ object ExtensionQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Metadata-filtered ANN ([[graft.ops.Ivf.topKFiltered]]): top-k
+    * among vectors whose `label` passes the predicate — the filter's
+    * id set semi-joins into the candidates BEFORE scoring (a
+    * post-filter would under-fill k). Full probe makes the gate
+    * provably brute force over the filtered corpus; query set
+    * 30 ≤ id < 40, distinct from the other ANN gates. */
+  def qAnnFilter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+    val q = e.where(col("id") >= 30 && col("id") < 40)
+      .select(col("id").as("qid"), col("embedding"))
+    val allowed = e.where(col("label").isin(1, 2, 3)).select("id")
+    val corpus = e.select("id", "embedding")
+    val model = graft.ops.Ivf.fit(corpus, nlist = 16, iters = 3)
+    graft.ops.Ivf.topKFiltered(corpus, q, model, allowed, k = 5, nprobe = 16)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Product-quantization ANN, end to end (fit → encode → ADC
     * shortlist → exact re-rank). The gate's shortlist (k×400 ≥ corpus
     * at gate scale) covers every vector, making the re-ranked output
@@ -519,6 +539,7 @@ object ExtensionQueries {
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_filter" -> (qAnnFilter _),
     "q_pq_topk" -> (qPqTopk _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
@@ -910,6 +931,20 @@ object ExtensionQueries {
         |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
         |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
         | FROM e q JOIN e c ON q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // filtered ANN: candidates restricted by label BEFORE ranking
+    "q_ann_filter" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 30 AND q.vec_id < 40
+        |  AND c.vec_id <> q.vec_id AND c.label IN (1, 2, 3)),
         |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
         |r AS (SELECT qid, id, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)

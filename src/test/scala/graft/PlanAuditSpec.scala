@@ -18,7 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_incident_pipeline", "q_risk_pipeline", "q_join_graph", "q_list_page",
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
     "q_embed_cosine", "q_embed_cosine_lsh", "q_ann_topk", "q_ann_lsh",
-    "q_ann_ivf", "q_pq_topk", "q_media_features",
+    "q_ann_ivf", "q_ann_filter", "q_pq_topk", "q_media_features",
     "q_contamination", "q_corpus_pipeline", "q_skew_agg", "q_tfidf",
     "q_pii_redact", "q_domain_filter", "q_repetition", "q_seq_pack",
     "q_stratified_sample", "q_mix_upsample", "q_zorder_key",
@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ngram_jaccard", "q_embed_cosine", "q_ann_topk",
     // full-probe/covering-shortlist ANN gates rank vs a broadcast
     // query set after non-equi self-exclusion
-    "q_ann_ivf", "q_pq_topk",
+    "q_ann_ivf", "q_ann_filter", "q_pq_topk",
     // shingle-containment join is a non-equi range intersect
     "q_contamination",
     // CC/verify stages join candidate pairs on id inequality

@@ -68,6 +68,32 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("topKFiltered: full probe ≡ brute force over the FILTERED corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+    val corpus = e.select("id", "embedding")
+    val q = e.where(col("id") < 10).select(col("id").as("qid"), col("embedding"))
+    val model = Ivf.fit(corpus, nlist = 8, iters = 3)
+    val allowed = e.where(col("label").isin(1, 2, 3)).select("id")
+
+    val brute = Similarity.bruteForceTopK(
+        corpus.join(allowed, Seq("id"), "left_semi"), q, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Ivf.topKFiltered(corpus, q, model, allowed, k = 5, nprobe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == brute)
+    // results obey the filter (pre-filter, not post-filter: k rows survive)
+    val labels = e.select(col("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filtered.forall { case (_, id) => Set(1, 2, 3)(labels(id)) })
+    // duplicate ids in `allowed` must not multiply candidates
+    val dup = Ivf.topKFiltered(corpus, q, model, allowed.union(allowed),
+        k = 5, nprobe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dup == brute)
+  }
+
   test("save/load round trip: persisted index answers identically") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
