@@ -55,7 +55,9 @@ object Bench {
     * "corpus" → "corp" (the 120th — ~22 bytes across 8 keys), and
     * "page" → "pg" / "dates" → "dts" / "terms" → "trm" /
     * "score" → "sc" / "shard" → "shd" / "split" → "spl" (the 121st —
-    * ~13 bytes across 7 keys). Full names stay in the fidelity file
+    * ~13 bytes across 7 keys), and "fill" → "fl" / "domain" → "dom" /
+    * "topk" → "tk" / "null" → "nl" / "case" → "cs" (the 122nd — ~17
+    * bytes across 8 keys). Full names stay in the fidelity file
     * ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
@@ -101,6 +103,9 @@ object Bench {
       .replace("page", "pg").replace("dates", "dts")
       .replace("terms", "trm").replace("score", "sc")
       .replace("shard", "shd").replace("split", "spl")
+      .replace("fill", "fl").replace("domain", "dom")
+      .replace("topk", "tk").replace("null", "nl")
+      .replace("case", "cs")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

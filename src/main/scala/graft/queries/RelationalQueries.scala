@@ -298,6 +298,23 @@ object RelationalQueries {
       .orderBy("user_id", "ts_us", "value")
   }
 
+  /** Set operations (INTERSECT / EXCEPT — the last relational verbs
+    * beside the semi/anti JOIN forms): orders carrying a high-discount
+    * line vs orders carrying a high-tax line, each membership class
+    * tagged. Both operators use SQL's DISTINCT set semantics (Spark
+    * lowers them to left-semi/left-anti over aggregated keys); all
+    * three classes are non-empty at every SF, so no branch ships
+    * untested. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.where(col("l_discount") > 0.08).select("l_orderkey")
+    val b = li.where(col("l_tax") > 0.05).select("l_orderkey")
+    a.intersect(b).withColumn("set_op", lit("both"))
+      .unionByName(a.except(b).withColumn("set_op", lit("disc_only")))
+      .unionByName(b.except(a).withColumn("set_op", lit("tax_only")))
+      .orderBy("set_op", "l_orderkey")
+  }
+
   /** Statistical aggregates from EXACT moments: per return flag, the
     * mean/sample-stddev of quantity and its correlation with price.
     * Spark's builtin `corr`/`stddev` stream Welford-style partial
@@ -429,6 +446,7 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_trailing_agg" -> (qTrailingAgg _),
     "q_corr_stats" -> (qCorrStats _),
+    "q_set_ops" -> (qSetOps _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_json_extract" -> (qJsonExtract _),
     "q_promo_revenue" -> (qPromoRevenue _),
@@ -608,6 +626,17 @@ object RelationalQueries {
         | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q_set_ops" ->
+      """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08),
+        |b AS (SELECT l_orderkey FROM lineitem WHERE l_tax > 0.05)
+        |SELECT l_orderkey, set_op FROM (
+        | SELECT l_orderkey, 'both' AS set_op
+        |   FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        | UNION ALL SELECT l_orderkey, 'disc_only'
+        |   FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        | UNION ALL SELECT l_orderkey, 'tax_only'
+        |   FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |ORDER BY set_op, l_orderkey""".stripMargin,
     // exact-moment statistics: decimal sums → ONE double conversion →
     // the identical IEEE expression tree (parens mirror the Spark side)
     "q_corr_stats" ->
