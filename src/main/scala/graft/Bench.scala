@@ -57,8 +57,10 @@ object Bench {
     * "score" → "sc" / "shard" → "shd" / "split" → "spl" (the 121st —
     * ~13 bytes across 7 keys), and "fill" → "fl" / "domain" → "dom" /
     * "topk" → "tk" / "null" → "nl" / "case" → "cs" (the 122nd — ~17
-    * bytes across 8 keys). Full names stay in the fidelity file
-    * ("key_transform" documents this). */
+    * bytes across 8 keys), and "union" → "un" / "exact" → "ex" /
+    * "asof" → "ao" / "skew" → "sk" / "anti" → "ant" / "prep" → "pp"
+    * (the 123rd — ~17 bytes across 8 keys). Full names stay in the
+    * fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -105,7 +107,10 @@ object Bench {
       .replace("shard", "shd").replace("split", "spl")
       .replace("fill", "fl").replace("domain", "dom")
       .replace("topk", "tk").replace("null", "nl")
-      .replace("case", "cs")
+      .replace("case", "cs").replace("union", "un")
+      .replace("exact", "ex").replace("asof", "ao")
+      .replace("skew", "sk").replace("anti", "ant")
+      .replace("prep", "pp")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

@@ -298,6 +298,27 @@ object RelationalQueries {
       .orderBy("user_id", "ts_us", "value")
   }
 
+  /** Window navigation functions — lag/lead (adjacent-event deltas)
+    * and first/last value per user — the remaining window verbs beside
+    * rank/running/range frames. The window order is TOTAL
+    * ((ts_us, value)) so every navigated neighbour is deterministic on
+    * both engines. */
+  def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("value"))
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("user_id"), col("ts_us"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_value"),
+        last(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("last_value"))
+      .orderBy("user_id", "ts_us", "value")
+  }
+
   /** Set operations (INTERSECT / EXCEPT — the last relational verbs
     * beside the semi/anti JOIN forms): orders carrying a high-discount
     * line vs orders carrying a high-tax line, each membership class
@@ -447,6 +468,7 @@ object RelationalQueries {
     "q_trailing_agg" -> (qTrailingAgg _),
     "q_corr_stats" -> (qCorrStats _),
     "q_set_ops" -> (qSetOps _),
+    "q_window_nav" -> (qWindowNav _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_json_extract" -> (qJsonExtract _),
     "q_promo_revenue" -> (qPromoRevenue _),
@@ -626,6 +648,17 @@ object RelationalQueries {
         | count(*) AS n, cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q_window_nav" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
+        | last_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
+        |ORDER BY user_id, ts_us, value""".stripMargin,
     "q_set_ops" ->
       """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08),
         |b AS (SELECT l_orderkey FROM lineitem WHERE l_tax > 0.05)
