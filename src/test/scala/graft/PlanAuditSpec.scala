@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_gopher", "q_c4_lines", "q_quality_pipeline", "q_para_dedup",
     "q_weighted_sample", "q_hll_distinct", "q_bpe_fertility", "q_group_sample",
     "q_trailing_agg", "q_cube", "q_approx_quantile", "q_resample", "q_profile",
-    "q_corr_stats", "q_html_text", "q_set_ops")
+    "q_corr_stats", "q_html_text", "q_set_ops", "q_window_nav")
 
   // declared bounded brute-force baselines: non-equi joins against a
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
