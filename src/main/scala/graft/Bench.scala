@@ -59,8 +59,12 @@ object Bench {
     * "topk" → "tk" / "null" → "nl" / "case" → "cs" (the 122nd — ~17
     * bytes across 8 keys), and "union" → "un" / "exact" → "ex" /
     * "asof" → "ao" / "skew" → "sk" / "anti" → "ant" / "prep" → "pp"
-    * (the 123rd — ~17 bytes across 8 keys). Full names stay in the
-    * fidelity file ("key_transform" documents this). */
+    * (the 123rd — ~17 bytes across 8 keys), and mid-string
+    * "incremental" → "incr" plus DROP ALL UNDERSCORES as the final
+    * step (the 124th — the underscore purge frees ~110 bytes in one
+    * move, headroom for ~6 more queries instead of a rule per query;
+    * collision-freedom stays BenchSpec-pinned). Full names stay in
+    * the fidelity file ("key_transform" documents this). */
   private[graft] def lineKey(k: String): String = {
     val s0 = k.stripPrefix("q_")
     val s1 =
@@ -111,6 +115,8 @@ object Bench {
       .replace("exact", "ex").replace("asof", "ao")
       .replace("skew", "sk").replace("anti", "ant")
       .replace("prep", "pp")
+      .replace("incremental", "incr")
+      .replace("_", "")
   }
 
   /** The single machine-parseable stdout line for the driver. Field

@@ -35,9 +35,15 @@ object IndexMaintenance {
     *   where row multiplicity carries information (additive stats).
     * @param targetFiles output file count (1 is right until the index
     *   outgrows a single task's comfortable write — then pick
-    *   ~bytes/128 MB). */
+    *   ~bytes/128 MB).
+    * @param partitionCols keep this hive-partition layout through the
+    *   rewrite (e.g. the IVF `cell` key) — rows shuffle BY the
+    *   partition columns so each task writes whole partitions: one
+    *   file per partition value, the layout a partition-pruned probe
+    *   wants; `targetFiles` is ignored on this path. */
   def compactDir(spark: SparkSession, dir: String,
-      dedupeRows: Boolean = false, targetFiles: Int = 1): Unit = {
+      dedupeRows: Boolean = false, targetFiles: Int = 1,
+      partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     require(targetFiles > 0, "targetFiles must be positive")
     val live = new Path(dir)
@@ -47,8 +53,12 @@ object IndexMaintenance {
     fs.delete(new Path(staged), true)
     val df0 = spark.read.parquet(dir)
     val df = if (dedupeRows) df0.distinct() else df0
-    df.repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val shaped =
+      if (partitionCols.isEmpty) df.repartition(targetFiles)
+      else df.repartition(partitionCols.map(col): _*)
+    val w0 = shaped.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) w0 else w0.partitionBy(partitionCols: _*))
+      .parquet(staged)
     val old = new Path(s"$dir/../${live.getName}__old")
     fs.delete(old, true)
     require(fs.rename(live, old), s"compaction: cannot stage out live $dir")

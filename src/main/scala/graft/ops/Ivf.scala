@@ -155,12 +155,60 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
-  def load(spark: SparkSession, path: String): Index = {
-    val centroids = spark.read.parquet(s"$path/centroids").collect()
+  def load(spark: SparkSession, path: String): Index =
+    Index(loadModel(spark, path), spark.read.parquet(s"$path/cells"))
+
+  /** Just the quantizer (KB-scale) — what [[appendIndex]] needs; no
+    * point touching the cells data to fold a batch in. */
+  def loadModel(spark: SparkSession, path: String): Model =
+    Model(spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
-    Index(Model(centroids), spark.read.parquet(s"$path/cells"))
-  }
+      .sortBy(_._1))
+
+  /** Fold a batch of NEW vectors into a persisted index — the Append
+    * lifecycle every other index family already has (band/chunk/
+    * line-stats/subword/BM25): assign the batch under the FROZEN
+    * quantizer and append into the cell partitions. Because the
+    * centroids don't move, existing assignments stay valid and
+    * `saved index ∪ appended batch ≡ one-shot save of the union under
+    * the same model` holds EXACTLY — the q_ann_incremental oracle and
+    * IvfSpec pin it. New vectors only ever land in parquet partitions
+    * keyed by their own cell, so an append touches nothing existing
+    * and concurrent probes stay correct mid-append (they see the old
+    * or the new file set, both complete indexes of their respective
+    * corpus states).
+    *
+    * Contracts: batches must be id-disjoint from the stored corpus
+    * (re-appending an id duplicates it in every probe result — the
+    * index-family contract); and the quantizer FREEZES at build time,
+    * so a drifting corpus slowly unbalances cells — recall at fixed
+    * nprobe degrades like classic IVF under distribution shift.
+    * Monitor with [[cellStats]] and REBUILD (fit + save) when the
+    * max/mean cell ratio leaves the build-time envelope (~4× is the
+    * usual vector-db rule of thumb). Appends also accumulate one file
+    * per (batch × cell) — [[compactIndex]] restores one file per cell. */
+  def appendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    assign(batch, loadModel(spark, path))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+
+  /** Per-cell row counts of a persisted index — the rebuild monitor
+    * for [[appendIndex]]'s drift contract (cheap: a count per cell
+    * partition, no vector math). */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+
+  /** Collapse each cell partition back to ONE file after a run of
+    * appends (same staged-rename swap as the other index families;
+    * `dedupeRows` also drops exact duplicate (id, vec, cell) rows an
+    * at-least-once retry may have double-appended — membership
+    * semantics, a pure shrink). Results-identical before/after:
+    * probes read the same row set. */
+  def compactIndex(spark: SparkSession, path: String,
+      dedupeRows: Boolean = false): Unit =
+    IndexMaintenance.compactDir(spark, s"$path/cells",
+      dedupeRows = dedupeRows, partitionCols = Seq("cell"))
 
   /** Top-k over a persisted index. */
   def topKIndexed(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame =

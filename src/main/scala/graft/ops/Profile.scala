@@ -62,8 +62,18 @@ object Profile {
     * TYPED min/max columns — a long-form string layout would merge
     * numeric mins lexicographically ("10" < "9"). Batches must
     * partition the table (the index-family contract): re-appending
-    * rows double-counts n/nulls. */
-  def appendStats(df: DataFrame, path: String, cols: Seq[String]): Unit = {
+    * rows double-counts n/nulls.
+    *
+    * `batchId` makes a RETRIED append idempotent: counter rows are
+    * additive, so an at-least-once caller (foreachBatch replays the
+    * in-flight batch after a crash between this write and its
+    * checkpoint commit) would otherwise double-count n_rows/n_nulls
+    * permanently. Stamped rows dedup by batch_id in [[readProfile]] —
+    * safe because a replay recomputes the SAME stats from the same
+    * batch data. Unstamped (`None`, the one-shot batch API) rows are
+    * never deduped against each other. */
+  def appendStats(df: DataFrame, path: String, cols: Seq[String],
+      batchId: Option[Long] = None): Unit = {
     require(cols.nonEmpty, "no columns to profile")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"appendStats: no such column(s): ${missing.mkString(", ")}")
@@ -75,6 +85,8 @@ object Profile {
             max(col(c)).as(s"${c}__max"),
             hll_sketch_agg(col(c).cast("string")).as(s"${c}__hll"))
         }: _*)
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
 
@@ -84,7 +96,18 @@ object Profile {
     * column set derives from the stored schema, so readers need no
     * out-of-band column list. */
   def readProfile(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
+    // mergeSchema: profiles written before the batch_id stamp mix with
+    // stamped rows in one dir; the files are one-row-tiny so the
+    // footer-merge cost is nil
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(path)
+    // replay shield: batchId-stamped rows (streaming appends) dedup by
+    // batch_id — a replayed foreachBatch wrote an identical second row;
+    // unstamped rows (batch API, batch_id null) all count
+    val raw =
+      if (raw0.columns.contains("batch_id"))
+        raw0.where(col("batch_id").isNotNull).dropDuplicates("batch_id")
+          .unionByName(raw0.where(col("batch_id").isNull))
+      else raw0
     val cols = raw.columns.filter(_.endsWith("__nulls"))
       .map(_.stripSuffix("__nulls")).toSeq.sorted
     require(cols.nonEmpty, s"no profile stats at $path")

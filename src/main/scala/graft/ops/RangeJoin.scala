@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, TimestampNTZType, TimestampType}
 
 /** Range (interval-containment) join — the second classic operator
   * Spark's join zoo lacks beside [[AsofJoin]]: for each left POINT row
@@ -63,10 +63,15 @@ object RangeJoin {
   private def bucketSeq(s: Column, e: Column, w: Long): Column = {
     val bs = floorDiv(s, w)
     val be = floorDiv(e, w)
-    when(be - bs >= lit(MaxBucketsPerInterval),
+    // width check in decimal(38,0): `be - bs` in long arithmetic can
+    // overflow (bs very negative, be very large → wraps negative and
+    // bypasses the guard, leaving sequence()'s opaque length error as
+    // the only diagnostic)
+    val span = be.cast("decimal(38,0)") - bs.cast("decimal(38,0)")
+    when(span >= lit(MaxBucketsPerInterval),
       raise_error(concat(
         lit(s"rangeJoin: bucketWidth=$w expands an interval into "),
-        (be - bs + lit(1L)).cast("string"),
+        (span + lit(1L)).cast("string"),
         lit(s" buckets (cap $MaxBucketsPerInterval); use a coarser width")))
         .cast("array<bigint>"))
       .otherwise(sequence(bs, be))
@@ -197,16 +202,32 @@ object RangeJoin {
     if (m.isNullAt(0)) 1L else math.max(m.getLong(0), 1L)
   }
 
-  /** Timestamps compare on micros (long — exact); everything else
-    * casts to long (bucketing needs integer arithmetic). */
+  /** Timestamps compare on micros (long — exact); integral types cast
+    * to long. Fractional point/bound columns are REJECTED up front: a
+    * silent `cast("long")` truncates toward zero (10.7 vs [10.8, 11.2]
+    * would become 10 in [10, 11] — a wrong match), so callers must
+    * scale fractional axes to integers (e.g. millis, micros, cents)
+    * before joining. */
   private def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
     case TimestampType => unix_micros(col(c))
     case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case t: DecimalType if t.scale > 0 =>
+      throw new IllegalArgumentException(
+        s"rangeJoin: column '$c' is $t — fractional point/bound columns would be " +
+          "truncated toward zero and mis-match; scale to an integral unit first")
+    case FloatType | DoubleType =>
+      throw new IllegalArgumentException(
+        s"rangeJoin: column '$c' is ${df.schema(c).dataType} — fractional point/bound " +
+          "columns would be truncated toward zero and mis-match; scale to an " +
+          "integral unit (millis/micros/cents) first")
     case _ => col(c).cast("long")
   }
 
-  /** Floor division on longs (toward −∞, exact — no double rounding at
-    * micro-timestamp magnitudes): `(c − pmod(c, w)) / w`. */
+  /** Floor division on longs (toward −∞): `(c − pmod(c, w)) div w`.
+    * `div` is SQL integral division — exact over the FULL long range.
+    * Spark's `/` on longs is double division, exact only below 2^53;
+    * nanosecond-epoch magnitudes (~1.7e18) would silently mis-bucket
+    * under it and qualifying pairs would vanish from the join. */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 }

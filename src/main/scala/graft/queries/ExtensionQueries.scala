@@ -220,6 +220,34 @@ object ExtensionQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Incremental ANN index lifecycle ([[graft.ops.Ivf.appendIndex]]):
+    * build + save on 80 % of the corpus (`id % 5 != 0`), fold the
+    * remaining 20 % in with the FROZEN quantizer, compact each cell
+    * partition back to one file, then probe the loaded index. Full
+    * probe (nprobe = nlist) makes the output provably the brute-force
+    * top-k over the FULL corpus — so a green oracle proves the
+    * append's cell partitions union with the build's into a complete,
+    * duplicate-free index AND that compaction is results-identical.
+    * Query set 40 ≤ id < 50, distinct from the other ANN gates. */
+  def qAnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") >= 40 && col("id") < 50)
+      .select(col("id").as("qid"), col("embedding"))
+    Q.withTempIndex("graft-ivf-inc") { idx =>
+      val base = e.where(col("id") % 5 =!= 0)
+      val model = graft.ops.Ivf.fit(base, nlist = 16, iters = 3)
+      graft.ops.Ivf.save(s, model, base, idx)
+      graft.ops.Ivf.appendIndex(s, e.where(col("id") % 5 === 0), idx)
+      graft.ops.Ivf.compactIndex(s, idx)
+      graft.ops.Ivf.topKIndexed(graft.ops.Ivf.load(s, idx), q, k = 5, nprobe = 16)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+        .localCheckpoint(true)
+    }
+  }
+
   /** Product-quantization ANN, end to end (fit → encode → ADC
     * shortlist → exact re-rank). The gate's shortlist (k×400 ≥ corpus
     * at gate scale) covers every vector, making the re-ranked output
@@ -540,6 +568,7 @@ object ExtensionQueries {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_filter" -> (qAnnFilter _),
+    "q_ann_incremental" -> (qAnnIncremental _),
     "q_pq_topk" -> (qPqTopk _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
@@ -945,6 +974,21 @@ object ExtensionQueries {
         |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
         | FROM e q JOIN e c ON q.vec_id >= 30 AND q.vec_id < 40
         |  AND c.vec_id <> q.vec_id AND c.label IN (1, 2, 3)),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // 80 % build + 20 % frozen-quantizer Append + compaction, probed
+    // full-probe ⇒ exactly the brute-force top-k over the FULL corpus
+    // (qids 40–49): green proves index ∪ batch ≡ one-shot
+    "q_ann_incremental" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 40 AND q.vec_id < 50 AND c.vec_id <> q.vec_id),
         |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
         |r AS (SELECT qid, id, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)

@@ -356,17 +356,21 @@ object EventStreams {
     * with [[graft.ops.IndexMaintenance.compactDir]] — but with
     * `dedupeRows = false`: profile rows are additive COUNTERS whose
     * multiplicity is load-bearing, unlike the fingerprint-set indexes.
-    * (Counters also mean a replayed batch double-counts — rely on the
-    * checkpoint to never re-run a committed batchId, the standard
-    * foreachBatch contract.) */
+    * Counters also mean a REPLAYED batch would double-count — and
+    * foreachBatch is at-least-once (a crash after the append lands but
+    * before the checkpoint commits replays the batch), so each row is
+    * stamped with its batchId and
+    * [[graft.ops.Profile.readProfile]] dedups stamped rows by
+    * batch_id: the replay rewrites an identical row that merges to
+    * nothing. Pinned by ProfileSpec's simulated-replay case. */
   def profileStream(rows: DataFrame, cols: Seq[String], statsPath: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     rows.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Profile.appendStats(batch, statsPath, cols)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Profile.appendStats(batch, statsPath, cols, Some(batchId))
       }
       .start()
 

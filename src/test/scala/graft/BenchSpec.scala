@@ -82,11 +82,12 @@ class BenchSpec extends AnyFunSuite {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
     assert(node.get("queries").has("x") && !node.get("queries").has("q_x"))
-    assert(node.get("queries").has("q1_agg"), "non-prefixed names pass through")
-    assert(node.get("queries").has("i_dd") &&
+    assert(node.get("queries").has("q1agg"),
+      "non-prefixed names pass through (modulo the underscore purge)")
+    assert(node.get("queries").has("idd") &&
       !node.get("queries").has("incremental_dedup"))
-    assert(node.get("queries").has("rain_pl"), "_pipeline compresses to _pl")
-    assert(node.get("queries").has("i_ss"), "both i_ and ss rules compose")
+    assert(node.get("queries").has("rainpl"), "_pipeline compresses to _pl")
+    assert(node.get("queries").has("iss"), "both i_ and ss rules compose")
   }
 
   test("stat line is valid JSON with the driver-contract fields") {
@@ -98,7 +99,7 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("metric").asText == "total")
     assert(node.get("unit").asText == "sec")
     assert(node.get("value").asDouble == 12.37)
-    assert(node.get("queries").get("q1_agg").asDouble == 0.37)
+    assert(node.get("queries").get("q1agg").asDouble == 0.37)
     assert(node.get("queries").get("x").asDouble == 12.0)
     assert(node.get("errors").get("q_bad").asText.contains("quoted"))
     assert(node.get("errors").size == 1)

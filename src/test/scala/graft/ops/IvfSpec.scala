@@ -119,4 +119,60 @@ class IvfSpec extends SparkSpec {
     val loaded = key(Ivf.topKIndexed(index, q, k = 5, nprobe = 3))
     assert(loaded == direct)
   }
+
+  test("appendIndex: fold-in ≡ one-shot save under the same model; compaction results-identical") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = Ivf.fit(base, nlist = 8, iters = 3)
+    val incPath = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    val onePath = java.nio.file.Files.createTempDirectory("ivf-one").toString
+
+    Ivf.save(spark, model, base, incPath)
+    Ivf.appendIndex(spark, batch, incPath)
+    Ivf.save(spark, model, e, onePath)
+
+    // cell-assignment equality: the frozen quantizer gives the batch
+    // the SAME cells a one-shot build would (set equality of rows)
+    def cellSet(p: String) = spark.read.parquet(s"$p/cells")
+      .select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSet(incPath) == cellSet(onePath),
+      "append under the frozen quantizer must reproduce the one-shot cell layout")
+
+    // probe equality at reduced nprobe (the approximate path, not just
+    // the exact full-probe config)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = key(Ivf.topKIndexed(Ivf.load(spark, onePath), q, k = 5, nprobe = 3))
+    assert(key(Ivf.topKIndexed(Ivf.load(spark, incPath), q, k = 5, nprobe = 3)) == oneShot)
+
+    // cellStats sees the whole union
+    val n = Ivf.cellStats(spark, incPath).agg(sum("n_vectors")).head().getLong(0)
+    assert(n == e.count())
+
+    // compaction: one file per cell dir, results identical, no debris
+    Ivf.compactIndex(spark, incPath)
+    val cellDirs = new java.io.File(s"$incPath/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files after compaction")
+    }
+    assert(!new java.io.File(incPath).listFiles()
+      .exists(f => f.getName.contains("__compacting") || f.getName.contains("__old")))
+    assert(key(Ivf.topKIndexed(Ivf.load(spark, incPath), q, k = 5, nprobe = 3)) == oneShot)
+    assert(cellSet(incPath) == cellSet(onePath))
+
+    // dedupeRows: a double-appended batch (at-least-once retry) collapses
+    Ivf.appendIndex(spark, batch, incPath)
+    Ivf.compactIndex(spark, incPath, dedupeRows = true)
+    assert(cellSet(incPath) == cellSet(onePath))
+    assert(key(Ivf.topKIndexed(Ivf.load(spark, incPath), q, k = 5, nprobe = 3)) == oneShot)
+  }
 }

@@ -98,6 +98,49 @@ class RangeJoinSpec extends SparkSpec {
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
       .flatMap(x => Option(x.getMessage)).toSeq
 
+  test("fractional point/bound columns rejected (silent truncation would mis-match)") {
+    // 10.7 in [10.8, 11.2]? NO — but cast("long") truncation would say
+    // 10 in [10, 11] = yes; the operator must refuse instead
+    val pts = Seq((1L, 10.7)).toDF("k", "pt")
+    val ivs = Seq((1L, 10.8, 11.2, "w")).toDF("k", "s", "e", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(pts, ivs, Seq("k"), "pt", "s", "e", Seq("w"))
+    }
+    assert(e1.getMessage.contains("fractional"))
+    val ivsDec = Seq((1L, BigDecimal("10.80"), BigDecimal("11.20"), "w"))
+      .toDF("k", "s", "e", "w")
+    val ptsOk = Seq((1L, 10L)).toDF("k", "pt")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(ptsOk, ivsDec, Seq("k"), "pt", "s", "e", Seq("w"))
+    }
+    assert(e2.getMessage.contains("truncated"))
+    // scale-0 decimal is integral — allowed
+    val ivsDec0 = Seq((1L, 5L, 15L, "w")).toDF("k", "s", "e", "w")
+      .select(col("k"), col("s").cast("decimal(20,0)").as("s"),
+        col("e").cast("decimal(20,0)").as("e"), col("w"))
+    assert(RangeJoin.rangeJoin(ptsOk, ivsDec0, Seq("k"), "pt", "s", "e", Seq("w"))
+      .count() == 1L)
+  }
+
+  test("bucketing exact beyond 2^53: nanosecond-epoch magnitudes don't mis-bucket") {
+    // double division is exact only below 2^53 ≈ 9.0e15; these are ~1.7e18
+    val base = 1700000000000000000L
+    val pts = Seq((1L, base + 123L), (1L, base + 999999L)).toDF("k", "pt")
+    val ivs = Seq((1L, base, base + 500L, "w1"), (1L, base + 900000L, base + 1000000L, "w2"))
+      .toDF("k", "s", "e", "w")
+    // a fine caller width forces many high-magnitude bucket ids where
+    // double rounding would land point and interval in different buckets
+    val got = RangeJoin.rangeJoin(pts, ivs, Seq("k"), "pt", "s", "e", Seq("w"),
+        bucketWidth = 1000L)
+      .select("pt", "rj_w").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((base + 123L, "w1"), (base + 999999L, "w2")))
+    // and the negative extreme: floor (not truncate-toward-zero) semantics
+    val nPts = Seq((1L, -base)).toDF("k", "pt")
+    val nIvs = Seq((1L, -base - 10L, -base + 10L, "n")).toDF("k", "s", "e", "w")
+    assert(RangeJoin.rangeJoin(nPts, nIvs, Seq("k"), "pt", "s", "e", Seq("w"),
+      bucketWidth = 7L).count() == 1L)
+  }
+
   test("output-name clash with the left side fails loudly") {
     val pts = Seq((1L, 10L, "x")).toDF("k", "pt", "rj_w")
     val ivs = Seq((1L, 0L, 20L, "y")).toDF("k", "s", "e", "w")
