@@ -98,34 +98,55 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     val bytes = fs.getContentSummary(live).getLength
     val staged = new org.apache.hadoop.fs.Path(s"${path(table)}__compacting")
     fs.delete(staged, true)
-    val df = read(table)
+    val df0 = read(table)
+    // z-dims must be numeric for bucketizing; DATE/TIMESTAMP serving
+    // filters (the (district_id, date) layout q_list_page/q_graph_day
+    // want) z-order through a derived numeric view — days / micros
+    // since epoch, monotone in the original so file min/max stats on
+    // the REAL column skip exactly as if it were numeric
+    val zvNames = zorderBy.indices.map(i => s"__zv$i")
+    val df =
+      if (zorderBy.isEmpty) df0
+      else {
+        require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
+        require(zorderBy.forall(df0.columns.contains), s"z-order columns missing from $table")
+        graft.ops.Reserved.requireAbsent("compact", Seq("__salt", "__z") ++ zvNames, df0)
+        import org.apache.spark.sql.functions.{datediff, to_date, unix_micros}
+        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+        zorderBy.zip(zvNames).foldLeft(df0) { case (d, (c, n)) =>
+          d.withColumn(n, df0.schema(c).dataType match {
+            case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+            case TimestampType => unix_micros(col(c))
+            case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+            case _ => col(c)
+          })
+        }
+      }
     val zkey: Option[org.apache.spark.sql.Column] =
       if (zorderBy.isEmpty) None
       else {
-        require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
-        require(zorderBy.forall(df.columns.contains), s"z-order columns missing from $table")
-        graft.ops.Reserved.requireAbsent("compact", Seq("__salt", "__z"), df)
+        val zc = zvNames
         val bk: Option[Seq[org.apache.spark.sql.Column]] =
           if (quantile)
             // all-null dim / empty table → same plain-compaction fallback
             // as the linear path below
-            try Some(graft.ops.ZOrder.bucketizeByQuantilesMulti(df, zorderBy, 12))
+            try Some(graft.ops.ZOrder.bucketizeByQuantilesMulti(df, zc, 12))
             catch { case _: IllegalArgumentException => None }
           else {
             val bits = if (zorderBy.size == 3) 21 else 20
             val bounds = df.agg(
-              org.apache.spark.sql.functions.min(col(zorderBy.head)).cast("double"),
-              org.apache.spark.sql.functions.max(col(zorderBy.head)).cast("double"),
-              org.apache.spark.sql.functions.min(col(zorderBy(1))).cast("double"),
-              org.apache.spark.sql.functions.max(col(zorderBy(1))).cast("double"),
-              org.apache.spark.sql.functions.min(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"),
-              org.apache.spark.sql.functions.max(col(zorderBy.lift(2).getOrElse(zorderBy.head))).cast("double"))
+              org.apache.spark.sql.functions.min(col(zc.head)).cast("double"),
+              org.apache.spark.sql.functions.max(col(zc.head)).cast("double"),
+              org.apache.spark.sql.functions.min(col(zc(1))).cast("double"),
+              org.apache.spark.sql.functions.max(col(zc(1))).cast("double"),
+              org.apache.spark.sql.functions.min(col(zc.lift(2).getOrElse(zc.head))).cast("double"),
+              org.apache.spark.sql.functions.max(col(zc.lift(2).getOrElse(zc.head))).cast("double"))
               .head()
             // empty table / all-null dim: no meaningful z-layout exists;
             // fall back to a plain compaction instead of an NPE
-            if (zorderBy.indices.exists(i =>
+            if (zc.indices.exists(i =>
                 bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))) None
-            else Some(zorderBy.zipWithIndex.map { case (c, i) =>
+            else Some(zc.zipWithIndex.map { case (c, i) =>
               graft.ops.ZOrder.bucketize(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
             })
           }
@@ -139,25 +160,35 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
         val dirs = math.max(1, fs.listStatus(live)
           .count(s => s.isDirectory && s.getPath.getName.contains("=")))
         val perDir = math.max(1, math.ceil(bytes.toDouble / dirs / targetBytes).toInt)
-        val salted = df.withColumn("__salt",
-            pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perDir.toLong)))
-          .repartition((cols.map(col) :+ col("__salt")): _*)
-        zkey.fold(salted.drop("__salt").write.partitionBy(cols: _*)) { z =>
-          // z-sort within each writer task: rows are already grouped by
-          // (dir, salt), so each output file covers a tight z-range of
-          // its own partition dir
-          salted.withColumn("__z", z)
-            .sortWithinPartitions((cols.map(col) :+ col("__z")): _*)
-            .drop("__salt", "__z")
-            .write.partitionBy(cols: _*)
+        zkey match {
+          case None =>
+            val salted = df.withColumn("__salt",
+                pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perDir.toLong)))
+              .repartition((cols.map(col) :+ col("__salt")): _*)
+            salted.drop(("__salt" +: zvNames): _*).write.partitionBy(cols: _*)
+          case Some(z) =>
+            // RANGE-partition on (dir cols, z), not hash-salt: each
+            // writer task then owns one contiguous z-slice of one dir,
+            // so every output FILE covers a tight z-range — that's
+            // what lets a parquet footer min/max check skip whole
+            // files. (A hash salt would spread each dir's rows
+            // uniformly over its files: z-sorted inside, but every
+            // file spanning the full z-domain — zero cross-file
+            // skipping, the layout this rewrite exists to produce.)
+            df.withColumn("__z", z)
+              .repartitionByRange(math.max(1, dirs * perDir),
+                (cols.map(col) :+ col("__z")): _*)
+              .sortWithinPartitions((cols.map(col) :+ col("__z")): _*)
+              .drop((Seq("__z") ++ zvNames): _*)
+              .write.partitionBy(cols: _*)
         }
       case None =>
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        zkey.fold(df.repartition(nFiles).write) { z =>
+        zkey.fold(df.drop(zvNames: _*).repartition(nFiles).write) { z =>
           df.withColumn("__z", z)
             .repartitionByRange(nFiles, col("__z"))
             .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop(("__z" +: zvNames): _*)
             .write
         }
     }

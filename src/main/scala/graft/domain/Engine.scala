@@ -221,6 +221,26 @@ final class Engine(spark: SparkSession, wh: Warehouse,
     out.count()
   }
 
+  /** Warehouse OPTIMIZE pass — the maintenance twin of the reference's
+    * b-tree indexes on (date, district) (`models.py:91-99`): each
+    * dated fact table's year partitions rewrite z-ordered on
+    * (district_id, date), so the serving filters q_list_page /
+    * q_graph_day push ([[ListQueries.FactFilters]] district equality +
+    * date range) skip whole files on parquet min/max stats instead of
+    * decoding every row of the year. The undated risk facts cluster on
+    * (province_id, district_id) — their serving filters. Run from the
+    * single-writer control plane on upload-batch cadence; readers in
+    * flight keep their opened files (the staged-rename swap). The
+    * file-skip effect on a REAL served query is pinned in
+    * WarehouseSpec's numOutputRows case. */
+  def optimizeWarehouse(targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    if (wh.exists(RainT)) wh.compact(RainT, targetBytes, zorderBy = Seq("district_id", "date"))
+    if (wh.exists(IncidentT))
+      wh.compact(IncidentT, targetBytes, zorderBy = Seq("district_id", "disaster_date"))
+    if (wh.exists(RiskT))
+      wh.compact(RiskT, targetBytes, zorderBy = Seq("province_id", "district_id"))
+  }
+
   // ---- serving ----
 
   private def rain = wh.readOrEmpty(RainT, Schemas.rainPoints)

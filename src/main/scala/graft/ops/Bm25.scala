@@ -123,23 +123,68 @@ object Bm25 {
     *
     * Batches must be doc-disjoint (the same contract as the other
     * incremental indexes): re-appending a doc_id would double its
-    * postings and its meta contribution. */
+    * postings and its meta contribution.
+    *
+    * `batchId` makes a streaming RETRY safe (foreachBatch is
+    * at-least-once up to the checkpoint commit — [[graft.streaming
+    * .EventStreams.bm25IndexStream]] passes its batchId through): an
+    * unstamped replay would re-append the whole batch, doubling tf/df
+    * and the meta totals — silently wrong scores, not a crash. Stamped
+    * appends record batch_id in both meta and postings rows and the
+    * append becomes a RESUME: meta row for this id already present +
+    * postings present → fully landed, skip; meta present + postings
+    * absent → the documented meta-first torn state, finish the
+    * postings write only; neither → full append. Every crash point
+    * therefore replays to the exact no-crash index
+    * (EventStreamsSpec's kill-between-writes cases pin it). The two
+    * existence probes read only on the recovery path's first batch —
+    * zero cost steady-state is preserved by checking meta (a
+    * rows-per-append driver read) before ever listing postings. */
   def appendIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
-      textCol: String = "text", nBuckets: Int = 64): Unit = {
+      textCol: String = "text", nBuckets: Int = 64,
+      batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    val metaPath = s"$path/meta"
+    val postPath = s"$path/postings"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // resume detection (stamped appends only)
+    val (metaLanded, postingsLanded) = batchId match {
+      case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(metaPath)) =>
+        val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
+        val m = meta.columns.contains("batch_id") &&
+          !meta.where(col("batch_id") === b).isEmpty
+        // meta writes first, so postings can only exist if meta does;
+        // the dir itself may not exist yet on the torn-state resume
+        val p = m && fs.exists(new org.apache.hadoop.fs.Path(postPath)) && {
+          val post = spark.read.option("mergeSchema", "true").parquet(postPath)
+          post.columns.contains("batch_id") &&
+            !post.where(col("batch_id") === b).isEmpty
+        }
+        (m, p)
+      case _ => (false, false)
+    }
+    if (metaLanded && postingsLanded) return
+
     val base = postingsOf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = base.groupBy("doc_id").agg(min("dl").as("dl"))
-      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
-    import spark.implicits._
-    Seq((totals.getLong(0), totals.getLong(1), nBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets")
-      .write.mode(SaveMode.Append).parquet(s"$path/meta")
+    val bid = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
+    if (!metaLanded) {
+      val totals = base.groupBy("doc_id").agg(min("dl").as("dl"))
+        .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+      Seq((totals.getLong(0), totals.getLong(1), nBuckets))
+        .toDF("n_docs", "sum_dl", "n_buckets")
+        .withColumn("batch_id", bid)
+        .write.mode(SaveMode.Append).parquet(metaPath)
+    }
     base
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .withColumn("batch_id", bid)
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
-      .partitionBy("bucket").parquet(s"$path/postings")
+      .partitionBy("bucket").parquet(postPath)
     base.unpersist(blocking = false)
   }
 
@@ -199,16 +244,27 @@ object Bm25 {
     * with new postings (or vice versa) sums and scores identically.
     * Swap order per directory is live→__old, staged→live, drop __old
     * (`Warehouse.compact`): every intermediate state keeps the data
-    * adjacent, never deleted-before-replaced. */
+    * adjacent, never deleted-before-replaced.
+    *
+    * Batch-stamped rows keep their batch_id through the rewrite
+    * (meta collapses to one row PER batch_id rather than one row
+    * total — the stamp is what lets a replayed [[appendIndex]] detect
+    * its batch already landed, so compaction must not erase it;
+    * unstamped legacy rows still collapse into the single null-id
+    * row). Either way meta ends as ONE FILE, which is what the
+    * small-file cliff cares about. */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     require(fs.exists(new Path(s"$path/postings")) && fs.exists(new Path(s"$path/meta")),
       s"no index at $path")
-    val metaRows = spark.read.parquet(s"$path/meta")
-      .select("n_docs", "sum_dl", "n_buckets").collect()
-    val nBucketsAll = metaRows.map(_.getInt(2)).distinct
+    val metaDf0 = spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+    val metaDf =
+      if (metaDf0.columns.contains("batch_id")) metaDf0
+      else metaDf0.withColumn("batch_id", lit(null).cast("long"))
+    val nBucketsAll = metaDf.select("n_buckets").distinct()
+      .collect().map(_.getInt(0))
     require(nBucketsAll.length == 1,
       s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
 
@@ -218,13 +274,16 @@ object Bm25 {
     fs.delete(stagedPost, true); fs.delete(stagedMeta, true)
     // one hash exchange on the bucket key → each bucket's rows land in
     // exactly one writer task → exactly one file per bucket directory
-    spark.read.parquet(s"$path/postings")
+    // (mergeSchema keeps the batch_id column alive across pre-stamp files)
+    spark.read.option("mergeSchema", "true").parquet(s"$path/postings")
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(stagedPost.toString)
-    import spark.implicits._
-    Seq((metaRows.map(_.getLong(0)).sum, metaRows.map(_.getLong(1)).sum, nBucketsAll.head))
-      .toDF("n_docs", "sum_dl", "n_buckets")
+    metaDf
+      .groupBy("batch_id")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
+        min("n_buckets").as("n_buckets"))
+      .select("n_docs", "sum_dl", "n_buckets", "batch_id")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(stagedMeta.toString)
 

@@ -107,11 +107,26 @@ object Dedup {
     * loss, not duplication). Duplicate fingerprints in the index from
     * a retry are harmless: the strip is an anti-join on md5.
     *
-    * The index is a flat parquet dir of 16-byte md5s — one file per
-    * append; periodic compaction is a pure re-layout (any rewrite of
-    * the same rows), the [[Bm25.compactIndex]] argument. */
+    * `batchId` closes the REMAINING crash window the ordering alone
+    * can't: a crash after BOTH writes land but before the streaming
+    * checkpoint commits still replays the batch (foreachBatch is
+    * at-least-once all the way to the commit), and an unstamped replay
+    * would anti-join against its own just-appended fingerprints and
+    * self-strip — emitting empty rows to the sink, the data-loss mode
+    * the ordering was built to prevent. Stamped appends record
+    * (fingerprint, batch_id) and the anti-join EXCLUDES rows of the
+    * replaying batch's own id, so every crash point replays to the
+    * bit-identical output (IncrementalDedupSpec simulates all three).
+    * Fingerprints re-appended by a replay carry the same batch_id —
+    * exact duplicates, collapsed by `compactDir(dedupeRows = true)`.
+    *
+    * The index is a flat parquet dir of 16-byte md5s (+ batch_id) —
+    * one file per append; periodic compaction is a pure re-layout
+    * (any rewrite of the same rows), the [[Bm25.compactIndex]]
+    * argument. */
   def paragraphDedupIncrement(newLines: DataFrame, indexPath: String,
-      idCol: String, posCol: String, paraCol: String): DataFrame = {
+      idCol: String, posCol: String, paraCol: String,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = newLines.sparkSession
     Reserved.requireAbsent("paragraphDedupIncrement", Seq("__pmd5"), newLines)
     val keyed = newLines.withColumn("__pmd5", md5(col(paraCol)))
@@ -120,15 +135,25 @@ object Dedup {
     val idxDir = new org.apache.hadoop.fs.Path(s"$indexPath/pmd5")
     val haveIndex = idxDir.getFileSystem(conf).exists(idxDir)
     val fresh =
-      if (haveIndex)
-        keyed.join(spark.read.parquet(idxDir.toString), Seq("__pmd5"), "left_anti")
-      else keyed
+      if (haveIndex) {
+        // mergeSchema: dirs written before the batch_id stamp mix with
+        // stamped files; legacy rows read batch_id null = "seen forever"
+        val idx = spark.read.option("mergeSchema", "true").parquet(idxDir.toString)
+        val seen = batchId match {
+          case Some(b) if idx.columns.contains("batch_id") =>
+            idx.where(col("batch_id").isNull || col("batch_id") =!= b)
+          case _ => idx
+        }
+        keyed.join(seen.select("__pmd5"), Seq("__pmd5"), "left_anti")
+      } else keyed
     // within-batch keep-first on the fresh paragraphs (the batch core),
     // but totality over the FULL batch: a doc whose every paragraph was
     // seen before still gets its (empty) output row
     val rebuilt = paragraphDedupCore(fresh, keyed, idCol, posCol, paraCol)
       .localCheckpoint(true) // output BEFORE the append — see scaladoc
     fresh.select("__pmd5").distinct()
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .write.mode(SaveMode.Append).parquet(idxDir.toString)
     keyed.unpersist(blocking = false)
     rebuilt

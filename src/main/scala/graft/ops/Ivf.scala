@@ -138,6 +138,42 @@ object Ivf {
       assign(corpus, model).join(allowed.select("id"), Seq("id"), "left_semi"),
       queries, model, k, nprobe)
 
+  /** The nprobe [[topKFilteredAdaptive]] resolves: scale the base by
+    * 1/selectivity, floored at the base and capped at nlist. The
+    * vector-db rule of thumb made arithmetic: a filter keeping
+    * fraction `s` of each cell thins the candidate pool 1/s×, so
+    * probing 1/s× more cells restores the EXPECTED unfiltered
+    * candidate count (and with it recall — IvfSpec pins three
+    * selectivity tiers). A degenerate selectivity (0 — nothing
+    * qualifies, the result is empty anyway) keeps the base. */
+  def adaptiveNprobe(nprobe: Int, nlist: Int, selectivity: Double): Int =
+    if (!(selectivity > 0.0) || selectivity >= 1.0) nprobe
+    else math.min(nlist, math.max(nprobe, math.ceil(nprobe / selectivity).toInt))
+
+  /** [[topKFiltered]] with the nprobe raised to match the filter's
+    * selectivity instead of left fixed — the production default for
+    * filtered search, mirroring [[IvfPq.topKAuto]]'s measured-routing
+    * pattern. Selectivity is measured, not guessed: two id-only counts
+    * (`|allowed ∩ corpus| / |corpus|` via a semi-join — column-pruned
+    * scans, no vector I/O; `allowed` may hold duplicate or unknown
+    * ids, the semi-join neither multiplies nor requires matches). At
+    * full selectivity this is exactly [[topKFiltered]] at the base
+    * nprobe; as the filter sharpens, probes widen up to a full scan of
+    * the nlist cells — which is the right degeneration: a 1 %-selective
+    * filter leaves so few candidates per cell that probing everything
+    * still costs ~nprobe× the unfiltered query. */
+  def topKFilteredAdaptive(corpus: DataFrame, queries: DataFrame, model: Model,
+      allowed: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val total = corpus.count()
+    val kept =
+      if (total == 0) 0L
+      else corpus.select("id").join(allowed.select("id"), Seq("id"), "left_semi").count()
+    val eff =
+      if (total == 0) nprobe
+      else adaptiveNprobe(nprobe, model.nlist, selectivity = kept.toDouble / total)
+    topKFiltered(corpus, queries, model, allowed, k, eff)
+  }
+
   /** A loaded on-disk index: quantizer + cell-assigned corpus. */
   final case class Index(model: Model, cells: DataFrame)
 

@@ -255,9 +255,13 @@ object EventStreams {
     * grows trigger by trigger and any later [[graft.ops.Bm25
     * .topKIndexed]] sees exactly the docs ingested so far. Append-only
     * by construction (postings/doclen/meta all append; no
-    * read-modify-write), so a retried batch is the only duplication
-    * hazard — the same doc-disjointness contract as the batch form.
-    * Equivalence to one batch build is EventStreamsSpec-pinned.
+    * read-modify-write). The batchId passes into the append, which
+    * turns a RETRIED batch (foreachBatch's at-least-once delivery)
+    * into a resume instead of a duplication: a fully-landed replay is
+    * skipped, a torn meta-only state finishes just its postings —
+    * every crash point converges to the no-crash index
+    * (Bm25Spec's crash-replay cases pin it). Equivalence to one
+    * batch build is EventStreamsSpec-pinned.
     *
     * Every append adds one file per touched bucket, so at trigger
     * cadence the index hits the small-file cliff in days —
@@ -274,7 +278,8 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Bm25.appendIndex(batch, indexPath, idCol, textCol, nBuckets)
+        graft.ops.Bm25.appendIndex(batch, indexPath, idCol, textCol, nBuckets,
+          Some(batchId))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           graft.ops.Bm25.compactIndex(batch.sparkSession, indexPath)
       }
@@ -308,7 +313,7 @@ object EventStreams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.ops.Dedup.paragraphDedupIncrement(
-          batch, indexPath, idCol, posCol, paraCol))
+          batch, indexPath, idCol, posCol, paraCol, Some(batchId)))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           graft.ops.IndexMaintenance.compactDir(batch.sparkSession,
             s"$indexPath/pmd5", dedupeRows = true)

@@ -115,6 +115,80 @@ class WarehouseSpec extends SparkSpec {
       .head().getLong(0) == before)
   }
 
+  test("optimizeWarehouse: the served (district, date-range) filter decodes a fraction of the facts") {
+    // the q_list_page/q_graph_day push: district equality + date range
+    // (ListQueries.FactFilters → main.py:252-263). Before the z-order
+    // pass the year partitions are append-ordered (date-clustered,
+    // district spanning every file) so a district filter skips nothing;
+    // after optimizeWarehouse the (district_id, date) z-layout lets
+    // parquet min/max stats skip whole row groups for the SAME query.
+    val root = java.nio.file.Files.createTempDirectory("graft-whopt").toString
+    val wh = new Warehouse(spark, root)
+    val eng = new graft.domain.Engine(spark, wh)
+    val nD = 64; val nDays = 256
+    // append in DATE order (the upload cadence): every file holds all districts
+    val facts = spark.range(nD.toLong * nDays).select(
+      col("id").as("pk_id"), lit(1L).as("upload_id"),
+      date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+        (col("id") / nD).cast("int")).as("date"),
+      lit(2023).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % nD).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    wh.write("rain_points", facts.repartitionByRange(16, col("date"))
+      .sortWithinPartitions("date"))
+
+    def decodedRows(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    // the district-equality serving filter: the date-ordered append
+    // layout spreads every district over every file, so before the
+    // optimize it can skip NOTHING — the exact gap models.py's
+    // (district) index fills for the reference
+    val pred = col("district_id") === 7
+    val predRange = pred &&
+      col("date").between(lit("2023-02-01").cast("date"), lit("2023-03-01").cast("date"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val beforeRows = wh.read("rain_points").where(predRange)
+        .select("pk_id", "date", "district_id").collect().map(_.getLong(0)).toSet
+      val n = nD.toLong * nDays
+      val beforeDecoded = decodedRows(
+        wh.read("rain_points").where(pred).select("pk_id", "date", "district_id"))
+      assert(beforeDecoded >= n * 9 / 10,
+        s"premise broken: append layout should decode ~everything, got $beforeDecoded of $n")
+
+      // z-order splits skip power ~√F per dim — give the layout enough
+      // files that a single-district slice is a clear win
+      eng.optimizeWarehouse(targetBytes = 2L * 1024)
+      val files = new java.io.File(s"$root/rain_points/year=2023").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files >= 32, s"premise broken: want ≥32 z-files for skip granularity, got $files")
+
+      val afterQ = wh.read("rain_points").where(pred)
+        .select("pk_id", "date", "district_id")
+      val afterDecoded = decodedRows(afterQ)
+      assert(afterDecoded <= beforeDecoded / 3,
+        s"z-ordered serving read decoded $afterDecoded rows vs $beforeDecoded " +
+          "before optimize — file skipping not proven on the served filter")
+      // and the full serving answer is unchanged, range filter included
+      assert(wh.read("rain_points").where(predRange)
+        .select("pk_id").collect().map(_.getLong(0)).toSet == beforeRows,
+        "optimize changed the served answer")
+      val page = eng.listRain(
+        graft.domain.ListQueries.FactFilters(districtId = Some(7),
+          dateStart = Some("2023-02-01"), dateEnd = Some("2023-03-01")),
+        graft.domain.ListQueries.PageRequest(page = 1, pageSize = 50))
+      assert(page.total == beforeRows.size)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("compact(zorderBy, quantile=true): zipf-skewed dim keeps the partner dim tight") {
     // linear bucketing maps a zipf column almost entirely to bucket 0,
     // so the z-key degenerates to a 1-d sort on the OTHER dim's buckets

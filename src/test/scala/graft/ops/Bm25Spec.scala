@@ -170,6 +170,62 @@ class Bm25Spec extends SparkSpec {
       .toMap
   }
 
+  test("crash replay: stamped appends converge at every crash point") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25crash").toString
+    val terms = Seq("spark", "join", "scan", "vector")
+    def scores() = Bm25.topKIndexed(spark, idx, terms, k = 10)
+      .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    try {
+      val b0 = corpus.where($"doc_id" <= 2)
+      val b1 = corpus.where($"doc_id" > 2)
+      Bm25.appendIndex(b0, idx, nBuckets = 8, batchId = Some(0L))
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      val ref = scores()
+      val metaCount = spark.read.parquet(s"$idx/meta").count()
+      assert(metaCount == 2L)
+
+      // crash point: both writes landed, checkpoint didn't commit —
+      // the harness replays batch 1; the stamped append must SKIP
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      assert(scores() == ref, "full replay duplicated postings (scores drifted)")
+      assert(spark.read.parquet(s"$idx/meta").count() == 2L,
+        "full replay duplicated the meta row")
+
+      // crash point: meta landed, postings write died (the documented
+      // meta-first torn state). Simulate by stripping batch 1's
+      // postings rows, then replay — the append must finish ONLY the
+      // postings, not double the meta.
+      val keep = spark.read.parquet(s"$idx/postings")
+        .where($"batch_id".isNull || $"batch_id" =!= 1L)
+        .localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/postings"), true)
+      keep.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$idx/postings")
+      assert(scores() != ref, "fixture: torn state should be missing batch 1")
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      assert(scores() == ref, "torn-state resume did not restore the index")
+      assert(spark.read.parquet(s"$idx/meta").count() == 2L,
+        "torn-state resume re-appended the meta row")
+
+      // and compaction preserves the stamps: a replay AFTER compaction
+      // is still detected as landed
+      Bm25.compactIndex(spark, idx)
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      assert(scores() == ref, "post-compaction replay duplicated the batch")
+      assert(spark.read.parquet(s"$idx/meta").count() == 2L,
+        "compaction must keep one meta row per batch_id")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("NULL text contributes no postings; inconsistent bucket counts fail fast") {
     val withNull = corpus.union(Seq((9L, null: String)).toDF("doc_id", "text"))
     val st = Bm25.buildStats(withNull)

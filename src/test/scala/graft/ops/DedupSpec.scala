@@ -75,6 +75,63 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("paragraphDedupIncrement crash replay: stamped batches never self-strip; index converges") {
+    val lines = Seq(
+      (1L, 0, "A"), (1L, 1, "B"),
+      (2L, 0, "A"), (2L, 1, "C"),
+      (3L, 0, "A"), (3L, 1, "B"),
+      (4L, 0, "B"), (4L, 1, "D"), (4L, 2, "D"),
+    ).toDF("id", "pos", "para")
+    val idx = java.nio.file.Files.createTempDirectory("paracrash").toString
+    def outOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_paras", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+    try {
+      val b0 = lines.where($"id" <= 2)
+      val b1 = lines.where($"id" > 2)
+      outOf(Dedup.paragraphDedupIncrement(b0, idx, "id", "pos", "para", Some(0L)))
+      val first = outOf(
+        Dedup.paragraphDedupIncrement(b1, idx, "id", "pos", "para", Some(1L)))
+      assert(first.contains((4L, 3L, 1L, "D")), "fixture: D must survive batch 1")
+
+      // crash point: output AND append landed, checkpoint didn't
+      // commit — foreachBatch replays batch 1. The stamp excludes the
+      // batch's own fingerprints from "seen", so the replay re-emits
+      // the IDENTICAL rows instead of self-stripping everything.
+      val replay = outOf(
+        Dedup.paragraphDedupIncrement(b1, idx, "id", "pos", "para", Some(1L)))
+      assert(replay == first,
+        "stamped replay diverged — the self-strip data-loss mode is back")
+
+      // counterfactual, pinned so the WHY survives refactors: an
+      // UNSTAMPED replay of the same rows anti-joins against its own
+      // fingerprints and strips every paragraph
+      val unstamped = outOf(
+        Dedup.paragraphDedupIncrement(b1, idx, "id", "pos", "para", None))
+      assert(unstamped.forall { case (_, _, kept, text) => kept == 0L && text.isEmpty },
+        "unstamped replay should self-strip (if this fails the fixture is wrong)")
+
+      // the replay's re-appended fingerprints are exact duplicates —
+      // dedupe compaction converges the index to the no-crash set
+      IndexMaintenance.compactDir(spark, s"$idx/pmd5", dedupeRows = true)
+      val prints = spark.read.parquet(s"$idx/pmd5")
+      assert(prints.select("__pmd5").distinct().count() == 4L) // A B C D
+      assert(prints.count() == 4L, "dedupe compaction left replay duplicates")
+
+      // and a later stamped batch still strips history correctly
+      val b2 = Seq((9L, 0, "D"), (9L, 1, "E")).toDF("id", "pos", "para")
+      val out2 = outOf(
+        Dedup.paragraphDedupIncrement(b2, idx, "id", "pos", "para", Some(2L)))
+      assert(out2 == Set((9L, 2L, 1L, "E")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("shingles: distinct word 3-grams; short docs → empty") {
     val sh = docs.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap

@@ -94,6 +94,38 @@ class IvfSpec extends SparkSpec {
     assert(dup == brute)
   }
 
+  test("topKFilteredAdaptive: nprobe scales with measured selectivity; recall holds at 3 tiers") {
+    // the scaling function itself, pinned exactly
+    assert(Ivf.adaptiveNprobe(4, 16, 1.0) == 4, "full selectivity keeps the base")
+    assert(Ivf.adaptiveNprobe(4, 16, 0.5) == 8)
+    assert(Ivf.adaptiveNprobe(4, 16, 0.25) == 16)
+    assert(Ivf.adaptiveNprobe(4, 16, 0.05) == 16, "caps at nlist")
+    assert(Ivf.adaptiveNprobe(4, 16, 0.0) == 4, "degenerate: empty filter keeps the base")
+
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 10).select(col("id").as("qid"), col("embedding"))
+    val model = Ivf.fit(e, nlist = 8, iters = 3)
+
+    // three tiers: ~100 %, ~30 %, ~10 % of the corpus pass the filter
+    for (m <- Seq(1, 3, 10)) {
+      val allowed = e.where(col("id") % m === 0).select("id")
+      val brute = Similarity.bruteForceTopK(
+          e.join(allowed, Seq("id"), "left_semi"), q, k = 5)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Ivf.topKFilteredAdaptive(e, q, model, allowed, k = 5, nprobe = 3)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute intersect got).size.toDouble / brute.size
+      // selectivity ≤ 3/8 drives the effective nprobe to nlist = full
+      // probe = exact; the 100 % tier runs the base nprobe and only
+      // needs decent recall
+      if (m >= 3) assert(got == brute,
+        s"tier 1/$m: adaptive probe should be exact (full probe), recall $recall")
+      else assert(recall >= 0.3, s"tier 1/$m recall $recall")
+    }
+  }
+
   test("save/load round trip: persisted index answers identically") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

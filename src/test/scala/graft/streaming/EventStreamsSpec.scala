@@ -289,7 +289,12 @@ class EventStreamsSpec extends SparkSpec {
           Seq("spark", "join", "scan"), k = 10)
         .as[(Long, Long, Double)].collect().toSet
       assert(got2 == replay)
-      assert(spark.read.parquet(s"$dir/idx2/meta").count() == 1L)
+      // stamped meta keeps one row PER batch_id through compaction
+      // (the replay-detection stamp must survive) — but ONE file
+      assert(spark.read.parquet(s"$dir/idx2/meta").count() == 2L)
+      assert(new java.io.File(s"$dir/idx2/meta").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1,
+        "meta not collapsed to one file")
       val multiFile = new java.io.File(s"$dir/idx2/postings").listFiles()
         .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
         .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
