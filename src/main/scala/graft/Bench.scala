@@ -214,21 +214,41 @@ object Bench {
     // r5/r6; it is recorded under "errors" instead and fails the eye
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val retried = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     SparkEntry.queries.foreach { case (name, fn) =>
       if (isolate) spark.catalog.clearCache()
       val n = if (multiJob(name)) 5 else reps
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var i = 0
-      while (i < n && !errors.contains(name)) {
+      def runOnce(): Unit = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           errors(name) = ErrText.firstLine(e).take(120)
         }
-        i += 1
       }
+      while (i < n && !errors.contains(name)) { runOnce(); i += 1 }
+      // LOAD-AWARE OUTLIER RETRY (the r12 lesson: the driver bench ran
+      // at load1m 1.8 and one 17×-inflated rep dragged q_budget_fill's
+      // published median to 3.72 s vs a clean 1.5 s). A rep blown up by
+      // ambient load — not by the query — shows as max ≫ median; when
+      // the spread screams load (max > 3× median), buy up to 2 extra
+      // reps so the median re-centers on steady state. Cost is paid
+      // only on noisy rows; an honest slow query (uniform reps) never
+      // triggers it.
+      def med(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+      var extra = 0
+      while (extra < 2 && !errors.contains(name) && times.size >= 3 &&
+          times.max > 3 * med(times.toSeq)) {
+        runOnce(); extra += 1
+      }
+      if (extra > 0) retried(name) = extra
       if (!errors.contains(name)) allTimes(name) = times.toSeq.sorted
     }
+    // end-of-run load: degradation is judged on the WORST of start/end
+    // (r12's driver run started quiet and got loaded mid-sweep)
+    val loadEnd = osBean.getSystemLoadAverage
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
     // published per-query statistic — MEDIAN everywhere (the r8 flip,
     // after a round of A/B overlap: r8 recorded both totals, 74.3 min
@@ -252,7 +272,7 @@ object Bench {
     // the line now carries the flag so a noisy total is never read as a
     // regression (threshold ~half the cores would be too lax; 1.5 is
     // the r8 judge's suggested "this number is load, not signal" bar)
-    val degraded = load1m > 1.5
+    val degraded = math.max(load1m, loadEnd) > 1.5
 
     // ---- output, two channels ----
     // 1. FULL-FIDELITY file: every rep of every query, 3 decimals, all
@@ -275,7 +295,8 @@ object Bench {
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
   "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos",
-  "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "degraded": $degraded,
+  "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
+  "outlier_retries": {${retried.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",
   "queries": {

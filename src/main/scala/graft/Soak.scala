@@ -168,10 +168,31 @@ object Soak {
       * (timing, not semantics; the replicated corpus has no lang col). */
     val target20 = col("id") % 5 === 0
 
+    private var liTouched = false
+
+    /** The replicated lineitem table (order-key shift per copy — the
+      * set-op membership classes and per-flag moment groups keep their
+      * per-key shapes, so those stages can be judged against a linear
+      * bar). */
+    lazy val lineitem: DataFrame = {
+      liTouched = true
+      val base = Tables.lineitem(spark, sfDir).select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val e = (0 until multDocs).map(i =>
+          base.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = time("lineitem materialize")(e.count())
+      println(s"[soak] lineitem: $n rows (${multDocs}x by orderkey shift)")
+      e
+    }
+
     def releaseAll(): Unit = {
       if (docsTouched) docs.unpersist(blocking = false)
       if (embTouched) emb.unpersist(blocking = false)
       if (eventsTouched) events.unpersist(blocking = false)
+      if (liTouched) lineitem.unpersist(blocking = false)
     }
   }
 
@@ -541,7 +562,41 @@ object Soak {
     println(s"[soak] ivf cells: ${sizes.getLong(2)} non-empty, " +
       s"sizes ${sizes.getLong(0)}..${sizes.getLong(1)}")
     time("ivf topk nprobe=8")(ops.Ivf.topKFromCells(cells, q, model, k = 10, nprobe = 8).count())
+    // filtered search: fixed nprobe vs the selectivity-adaptive entry
+    // (the adaptive one pays two id-only counts + a wider probe)
+    val allowed = emb.where(pmod(col("id"), lit(4)) === 0).select("id")
+    time("ivf topk filtered 25% (fixed nprobe)") {
+      ops.Ivf.topKFromCells(cells.join(allowed, Seq("id"), "left_semi"),
+        q, model, k = 10, nprobe = 8).count()
+    }
+    time("ivf topk filtered 25% ADAPTIVE") {
+      ops.Ivf.topKFilteredAdaptive(emb, q, model, allowed, k = 10, nprobe = 8).count()
+    }
     cells.unpersist(blocking = false)
+
+    // persisted-index lifecycle with the Append fold-in (save 80% →
+    // appendIndex 20% → compact → probe): query cost must be flat in
+    // append count and the fold-in must not re-read the stored corpus
+    val idxDir = java.nio.file.Files.createTempDirectory("soak-ivf").toString
+    try {
+      val base80 = emb.where(pmod(col("id"), lit(5)) =!= 0)
+      val inc20 = emb.where(pmod(col("id"), lit(5)) === 0)
+      time("ivf save (80%)")(ops.Ivf.save(spark, model, base80, idxDir))
+      time("ivf appendIndex (20%)")(ops.Ivf.appendIndex(spark, inc20, idxDir))
+      time("ivf topKIndexed post-append") {
+        ops.Ivf.topKIndexed(ops.Ivf.load(spark, idxDir), q, k = 10, nprobe = 8).count()
+      }
+      time("ivf compactIndex")(ops.Ivf.compactIndex(spark, idxDir))
+      time("ivf topKIndexed post-compact") {
+        ops.Ivf.topKIndexed(ops.Ivf.load(spark, idxDir), q, k = 10, nprobe = 8).count()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
     val pqModel = time("pq fit m=8 k=64")(ops.Pq.fit(emb, m = 8, k = 64, iters = 3))
     val codes = ops.Pq.encode(emb, pqModel)
@@ -617,6 +672,54 @@ object Soak {
     }
   }
 
+  /** The r12 relational newcomers at replication scale: window
+    * navigation, the hourly-LOCF resample (grid explode + as-of),
+    * INTERSECT/EXCEPT set ops, and the exact-moment corr/stddev.
+    * Key-shift replication keeps per-user window sizes and per-flag
+    * group shapes constant, so each stage should scale ∝ rows —
+    * super-linear means a window lost its partitioning or a set op
+    * degenerated. */
+  private def relationalFamily(c: Ctx): Unit = {
+    import c._
+    time("window nav (lag/lead/first/last)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("value"))
+      events.select(col("user_id"), col("ts"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("first_value"))
+        .count()
+    }
+    time("resample (hourly LOCF grid + as-of)") {
+      val p = events.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val grid = p.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"),
+            org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))).as("ts"))
+      ops.AsofJoin.asofJoin(grid, p,
+        keys = Seq("user_id"), tsCol = "ts", rightPayload = Seq("value")).count()
+    }
+    time("set ops (INTERSECT + EXCEPT, 3 classes)") {
+      val a = lineitem.where(col("l_discount") > 0.08).select("l_orderkey")
+      val b = lineitem.where(col("l_tax") > 0.05).select("l_orderkey")
+      a.intersect(b).count() + a.except(b).count() + b.except(a).count()
+    }
+    time("corr/stddev (exact decimal moments)") {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      lineitem.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .count()
+    }
+  }
+
   /** THE REGISTRY — soak families in run order. Add a family by adding
     * a row; add an operator by adding a `ctx.time(...)` line to its
     * family. Doc families first (they share the doc corpus), embedding
@@ -629,6 +732,7 @@ object Soak {
     "packing" -> packingFamily,
     "search" -> searchFamily,
     "timeseries" -> timeseriesFamily,
+    "relational" -> relationalFamily,
     "embedding" -> embeddingFamily,
     "semdedup" -> semdedupFamily,
     "ann" -> annFamily,

@@ -59,7 +59,13 @@ def vals_equal(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
+    def record(name, **kw):
+        row = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        row.update(kw)
+        results[name] = row
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -78,24 +84,30 @@ def main(sf_dir, out_dir):
             gcols, grows = got_rel.columns, got_rel.fetchall()
         except Exception as e:
             print(f"✗ {name:24s} ENGINE OUTPUT MISSING/UNREADABLE: {e}")
+            record(name, err=f"output unreadable: {e}")
             continue
         if gcols == ["__graft_failed"]:
             # Verify's one-column marker: the query body threw
             print(f"✗ {name:24s} ENGINE QUERY FAILED (see _failed.json)")
+            record(name, err="engine query failed")
             continue
         if name not in oracles:
             print(f"  {name:24s} rows-only: {len(grows)} rows")
+            record(name, spark_rows=len(grows), err="no oracle (rows-only)")
             continue
         try:
             exp_rel = con.sql(oracles[name])
             ecols, erows = exp_rel.columns, exp_rel.fetchall()
         except Exception as e:
             print(f"✗ {name:24s} ORACLE SQL ERROR: {e}")
+            record(name, err=f"oracle sql error: {e}")
             continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
         if gc != ec:
             print(f"✗ {name:24s} SCHEMA got={gc} exp={ec}")
+            record(name, spark_rows=len(gr), oracle_rows=len(er),
+                   err=f"schema got={gc} exp={ec}")
             continue
         # type strictness: oracle types must be portable AND equal the
         # engine's parquet types column-for-column
@@ -105,15 +117,19 @@ def main(sf_dir, out_dir):
         if bad_portable:
             print(f"✗ {name:24s} ORACLE NON-PORTABLE TYPES: "
                   + ", ".join(f"{c}:{etypes[c]}" for c in bad_portable))
+            record(name, err="oracle non-portable types")
             continue
         bad_types = sorted(c for c in etypes if gtypes.get(c) != etypes[c])
         if bad_types:
             print(f"✗ {name:24s} TYPES "
                   + ", ".join(f"{c} got={gtypes.get(c)} exp={etypes[c]}"
                               for c in bad_types))
+            record(name, err="type mismatch")
             continue
         if len(gr) != len(er):
             print(f"✗ {name:24s} ROWS got={len(gr)} exp={len(er)}")
+            record(name, schema_match=True, spark_rows=len(gr), oracle_rows=len(er),
+                   err="row count mismatch")
             continue
         exact = gr == er
         ok = exact or all(
@@ -122,13 +138,20 @@ def main(sf_dir, out_dir):
         if ok:
             n_pass += 1
             n_exact += int(exact)
+            record(name, rows_match=True, schema_match=True, hash_match=exact,
+                   spark_rows=len(gr), oracle_rows=len(er))
             print(f"✓ {name:24s} {len(gr)} rows" + ("" if exact else "  (tolerance only!)"))
         else:
             bad = next((rg, re) for rg, re in zip(gr, er)
                        if not all(vals_equal(a, b) for a, b in zip(rg, re)))
             print(f"✗ {name:24s} VALUES e.g. got={bad[0]} exp={bad[1]}")
+            record(name, rows_match=True, schema_match=True, spark_rows=len(gr),
+                   oracle_rows=len(er), err=f"values differ e.g. got={bad[0]} exp={bad[1]}")
     print(f"-- {n_pass} pass ({n_exact} exact) / {len(names)} queries")
+    if json_out:
+        json.dump(dict(sorted(results.items())), open(json_out, "w"), indent=2, default=str)
+        print(f"-- wrote {json_out}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
