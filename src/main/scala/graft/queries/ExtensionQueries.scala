@@ -248,6 +248,28 @@ object ExtensionQueries {
     }
   }
 
+  /** Selectivity-adaptive filtered ANN ([[graft.ops.Ivf
+    * .topKFilteredAdaptive]]): the filter keeps 20 % of the corpus
+    * (`id % 5 = 0`), so the measured selectivity drives the effective
+    * nprobe to ceil(4/0.2) = 20, capped at nlist = 16 — a FULL probe,
+    * provably brute force over the filtered corpus — while the whole
+    * adaptive machinery (the two id-only selectivity counts, the
+    * scaling rule, the pre-scoring semi-join) executes for real. The
+    * partial-probe recall behavior is IvfSpec-pinned at three tiers.
+    * Query set 50 ≤ id < 60, distinct from the other ANN gates. */
+  def qAnnAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") >= 50 && col("id") < 60)
+      .select(col("id").as("qid"), col("embedding"))
+    val allowed = e.where(col("id") % 5 === 0).select("id")
+    val model = graft.ops.Ivf.fit(e, nlist = 16, iters = 3)
+    graft.ops.Ivf.topKFilteredAdaptive(e, q, model, allowed, k = 5, nprobe = 4)
+      .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Product-quantization ANN, end to end (fit → encode → ADC
     * shortlist → exact re-rank). The gate's shortlist (k×400 ≥ corpus
     * at gate scale) covers every vector, making the re-ranked output
@@ -569,6 +591,7 @@ object ExtensionQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_filter" -> (qAnnFilter _),
     "q_ann_incremental" -> (qAnnIncremental _),
+    "q_ann_adaptive" -> (qAnnAdaptive _),
     "q_pq_topk" -> (qPqTopk _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
@@ -974,6 +997,22 @@ object ExtensionQueries {
         |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
         | FROM e q JOIN e c ON q.vec_id >= 30 AND q.vec_id < 40
         |  AND c.vec_id <> q.vec_id AND c.label IN (1, 2, 3)),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // 20 %-selective filter drives the measured-selectivity nprobe to
+    // the nlist cap ⇒ full probe ⇒ exactly brute force over the
+    // FILTERED corpus (qids 50–59)
+    "q_ann_adaptive" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 50 AND q.vec_id < 60
+        |  AND c.vec_id <> q.vec_id AND c.vec_id % 5 = 0),
         |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
         |r AS (SELECT qid, id, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)

@@ -320,6 +320,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming semantic dedup — the stream twin of
+    * [[graft.ops.SemDedup.semDedup]], completing the dedup matrix
+    * (paragraph / boilerplate / near-dup / semantic all have stream
+    * forms now): each arriving micro-batch of (id, embedding) rows
+    * assigns to the FROZEN `centroids`, prunes τ-close rows against
+    * every earlier batch AND lower-id batch mates
+    * ([[graft.ops.SemDedup.semDedupIncrement]]), and folds its vectors
+    * into the persisted cluster-keyed index. For id-ascending arrival
+    * the union of emissions equals the one-shot batch operator
+    * (EventStreamsSpec-pinned). Output-first/append-second + the
+    * batchId stamp give the full crash-replay safety of the paragraph
+    * stream. `sink` receives the batch's SURVIVORS. `compactEvery = n`
+    * dedupe-compacts the vector index every n-th batch. */
+  def semDedupStream(vectors: DataFrame, centroids: DataFrame,
+      threshold: Double, indexPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0)(
+      sink: DataFrame => Unit): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ops.SemDedup.semDedupIncrement(
+          batch, centroids, threshold, indexPath, Some(batchId)))
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ops.IndexMaintenance.compactDir(batch.sparkSession,
+            s"$indexPath/vectors", dedupeRows = true)
+      }
+      .start()
+
   final case class BandedDoc(band_key: Long, id: Long, sh: Array[Long])
   final case class NearDupHit(id: Long, dup_of: Long, jaccard: Double)
 

@@ -303,6 +303,67 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("semDedupStream: per-trigger frozen-centroid prune ≡ batch semDedup on replay; crash replay re-emits") {
+    implicit val sc = spark.sqlContext
+    // two tight clusters; ids ascend with arrival (the equivalence
+    // precondition). 1≈2≈5 (cluster 0) and 3≈6 (cluster 1) are τ-close;
+    // 4 is cluster-1 but below τ to everything
+    val centroids = Seq((0L, Seq(10.0, 0.0)), (1L, Seq(0.0, 10.0)))
+      .toDF("cid", "embedding")
+    val batch1 = Seq((1L, Seq(10.0, 0.1)), (2L, Seq(10.0, 0.11)), (3L, Seq(0.1, 10.0)))
+    val batch2 = Seq((4L, Seq(3.0, 10.0)), (5L, Seq(10.0, 0.09)), (6L, Seq(0.1, 10.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = EventStreams.semDedupStream(
+        in.toDF().toDF("id", "embedding"), centroids, threshold = 0.99,
+        s"$dir/idx", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)) { out =>
+        got ++= out.select("id").as[Long].collect()
+      }
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      q.stop()
+      val batchOp = graft.ops.SemDedup.semDedup(
+          (batch1 ++ batch2).toDF("id", "embedding"), centroids, threshold = 0.99)
+        .select("id").as[Long].collect().toSet
+      assert(got.toSet == batchOp,
+        "streamed semantic dedup diverged from the batch operator on replay")
+      assert(got.toSet == Set(1L, 3L, 4L), "fixture: keep-first within clusters")
+
+      // crash replay: re-running batch 2's increment with its own
+      // batchId must re-emit the identical survivors (not strip them
+      // against its own just-appended vectors) — batchIds from the
+      // stream above were 0 and 1
+      val replayOut = graft.ops.SemDedup.semDedupIncrement(
+          batch2.toDF("id", "embedding"), centroids, 0.99, s"$dir/idx", Some(1L))
+        .select("id").as[Long].collect().toSet
+      assert(replayOut == Set(4L), "stamped replay must re-emit batch 2's survivors")
+
+      // compacting variant: same emissions, vector index collapses to
+      // one file with the union of all (non-replayed) rows
+      val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val in2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = EventStreams.semDedupStream(
+        in2.toDF().toDF("id", "embedding"), centroids, threshold = 0.99,
+        s"$dir/idx2", s"$dir/ckpt2",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        compactEvery = 1) { out =>
+        got2 ++= out.select("id").as[Long].collect()
+      }
+      in2.addData(batch1); q2.processAllAvailable()
+      in2.addData(batch2); q2.processAllAvailable()
+      q2.stop()
+      assert(got2.toSet == batchOp, "in-stream compaction changed results")
+      val nFiles = new java.io.File(s"$dir/idx2/vectors").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles == 1, s"vector index holds $nFiles files after compaction")
+      assert(spark.read.parquet(s"$dir/idx2/vectors").count() == 6L,
+        "index must hold EVERY seen vector (the batch rule's witness set)")
+    } finally deleteRecursively(dir)
+  }
+
   test("paraDedupStream: per-trigger keep-first vs the index ≡ batch paragraphDedup on replay") {
     implicit val sc = spark.sqlContext
     // (id, pos, para): batch 2 repeats batch-1 paragraphs (A, B) and
