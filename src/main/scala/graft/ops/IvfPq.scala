@@ -76,6 +76,32 @@ object IvfPq {
 
   final case class Index(model: Model, cells: DataFrame)
 
+  /** Fold a batch of NEW vectors into a persisted index — the
+    * [[Ivf.appendIndex]] lifecycle for the compressed form: encode the
+    * batch under the FROZEN quantizers (coarse centroids AND PQ
+    * codebooks both read back from `path`, KB-scale) and append into
+    * the cell partitions. Frozen quantizers make
+    * `index ∪ batch ≡ one-shot index of the union under the same
+    * model` EXACT (IvfPqSpec pins it). Same contracts as the IVF
+    * form: id-disjoint batches; codebook drift under distribution
+    * shift degrades ADC ranking quality gradually — monitor cell
+    * balance and rebuild (fit + save) when it leaves the build-time
+    * envelope. [[compactIndexed]] restores one file per cell after a
+    * run of appends. */
+  def appendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val idx = load(spark, path)
+    index(batch, idx.model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** One file per cell partition after appends — the staged-rename
+    * re-layout ([[IndexMaintenance.compactDir]]); results-identical,
+    * `dedupeRows` collapses at-least-once retry duplicates. */
+  def compactIndexed(spark: SparkSession, path: String,
+      dedupeRows: Boolean = false): Unit =
+    IndexMaintenance.compactDir(spark, s"$path/cells",
+      dedupeRows = dedupeRows, partitionCols = Seq("cell"))
+
   def load(spark: SparkSession, path: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)

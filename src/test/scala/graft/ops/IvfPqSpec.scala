@@ -119,4 +119,43 @@ class IvfPqSpec extends SparkSpec {
     val viaDisk = key(IvfPq.topK(loaded.cells, e, q, loaded.model, k = 5, nprobe = 3))
     assert(direct == viaDisk)
   }
+
+  test("appendIndex: frozen-quantizer fold-in ≡ one-shot index; compaction results-identical") {
+    val e = corpus
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = IvfPq.fit(base, nlist = 8, m = 4, k = 8, iters = 2)
+    val incPath = java.nio.file.Files.createTempDirectory("ivfpq-inc").toString
+    val onePath = java.nio.file.Files.createTempDirectory("ivfpq-one").toString
+    IvfPq.save(spark, model, base, incPath)
+    IvfPq.appendIndex(spark, batch, incPath)
+    IvfPq.save(spark, model, e, onePath)
+
+    // codes equality: frozen coarse + PQ quantizers give the batch the
+    // same (cell, codes) a one-shot index would
+    def codeSet(p: String) = spark.read.parquet(s"$p/cells")
+      .select(col("id"), col("cell"), col("codes").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(codeSet(incPath) == codeSet(onePath),
+      "append under frozen quantizers must reproduce the one-shot code layout")
+
+    def key(p: String) = {
+      val idx = IvfPq.load(spark, p)
+      IvfPq.topK(idx.cells, e, q, idx.model, k = 5, nprobe = 3)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val oneShot = key(onePath)
+    assert(key(incPath) == oneShot)
+
+    IvfPq.compactIndexed(spark, incPath)
+    new java.io.File(s"$incPath/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} not compacted to one file")
+      }
+    assert(key(incPath) == oneShot)
+    assert(codeSet(incPath) == codeSet(onePath))
+  }
 }
