@@ -205,6 +205,8 @@ object Bench {
       "q_incremental_append", "q_incremental_dedup",
       "q_incremental_substring", "q_incremental_boilerplate",
       "q_ann_ivf", "q_pq_topk",
+      // builds + appends + compacts a temp on-disk index per rep
+      "q_ann_incremental",
       // assignWindows runs eager prefix-sum jobs + a checkpoint per rep
       "q_tok_pack",
       // whole subword-table lifecycle (build+write, load, checkpoint)

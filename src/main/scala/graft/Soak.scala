@@ -548,6 +548,31 @@ object Soak {
     }
     println(s"[soak] semdedup kept: $semKept")
     semAsg.unpersist(blocking = false)
+
+    // streaming twin's increment at scale: two halves through the
+    // persisted seen-vector index ≡ dedup-on-ingest cost shape (the
+    // second batch pays its |batch| × |cluster| candidate join vs the
+    // full first half — the production steady state)
+    val semIdx = java.nio.file.Files.createTempDirectory("soak-semdd").toString
+    try {
+      val h1 = emb.where(pmod(col("id"), lit(2)) === 0)
+      val h2 = emb.where(pmod(col("id"), lit(2)) === 1)
+      time("semdedup increment batch 1") {
+        ops.SemDedup.semDedupIncrement(h1, semCents, 0.4, semIdx, Some(0L)).count()
+      }
+      time("semdedup increment batch 2 (vs persisted half)") {
+        ops.SemDedup.semDedupIncrement(h2, semCents, 0.4, semIdx, Some(1L)).count()
+      }
+      time("semdedup index compact (dedupe)") {
+        ops.IndexMaintenance.compactDir(spark, s"$semIdx/vectors", dedupeRows = true)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(semIdx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   private def annFamily(c: Ctx): Unit = {
@@ -605,6 +630,28 @@ object Soak {
     time("pq adc topk")(ops.Pq.topK(codes, q, pqModel, k = 10).count())
     time("pq topk reranked")(ops.Pq.topKReranked(emb, q, pqModel, k = 10).count())
     codes.unpersist(blocking = false)
+
+    // IVF-PQ persisted lifecycle with the frozen-quantizer Append
+    val pqIdxDir = java.nio.file.Files.createTempDirectory("soak-ivfpq").toString
+    try {
+      val ivfpqM = ops.IvfPq.fit(emb.where(pmod(col("id"), lit(5)) =!= 0),
+        nlist = 64, m = 8, k = 64, iters = 3)
+      time("ivfpq save (80%)")(ops.IvfPq.save(spark, ivfpqM,
+        emb.where(pmod(col("id"), lit(5)) =!= 0), pqIdxDir))
+      time("ivfpq appendIndex (20%)")(ops.IvfPq.appendIndex(spark,
+        emb.where(pmod(col("id"), lit(5)) === 0), pqIdxDir))
+      time("ivfpq compactIndexed")(ops.IvfPq.compactIndexed(spark, pqIdxDir))
+      time("ivfpq topKIndexed post-append+compact") {
+        val loaded = ops.IvfPq.load(spark, pqIdxDir)
+        ops.IvfPq.topK(loaded.cells, emb, q, loaded.model, k = 10, nprobe = 8).count()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(pqIdxDir))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
     val ivfpq = time("ivfpq fit nlist=64")(ops.IvfPq.fit(emb, nlist = 64, m = 8, k = 64, iters = 3))
     val idx = ops.IvfPq.index(emb, ivfpq)
