@@ -51,7 +51,12 @@ object IndexMaintenance {
     require(fs.exists(live), s"no index directory at $dir")
     val staged = new Path(s"$dir/../${live.getName}__compacting").toString
     fs.delete(new Path(staged), true)
-    val df0 = spark.read.parquet(dir)
+    // mergeSchema: index dirs evolve (batch_id stamps arrived after
+    // some dirs were first written); a first-footer read would DROP
+    // the stamp column from every stamped row, erasing the replay
+    // detection the stamps exist for. Compaction reads all data
+    // anyway — the footer-merge cost is noise.
+    val df0 = spark.read.option("mergeSchema", "true").parquet(dir)
     val df = if (dedupeRows) df0.distinct() else df0
     val shaped =
       if (partitionCols.isEmpty) df.repartition(targetFiles)

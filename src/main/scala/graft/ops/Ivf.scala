@@ -188,6 +188,9 @@ object Ivf {
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     assign(corpus, model)
+      // null stamp: keeps one cells schema across the save → append
+      // lifecycle ([[appendIndex]] stamps real batch ids)
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -222,10 +225,46 @@ object Ivf {
     * Monitor with [[cellStats]] and REBUILD (fit + save) when the
     * max/mean cell ratio leaves the build-time envelope (~4× is the
     * usual vector-db rule of thumb). Appends also accumulate one file
-    * per (batch × cell) — [[compactIndex]] restores one file per cell. */
-  def appendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    * per (batch × cell) — [[compactIndex]] restores one file per cell.
+    *
+    * `batchId` makes a streaming RETRY safe (the [[Bm25.appendIndex]]
+    * protocol, for [[graft.streaming.EventStreams.annIndexStream]]):
+    * an unstamped replay would re-append the whole batch and top-k
+    * results would carry DUPLICATE candidate rows until a dedupe
+    * compaction. Stamped appends write an `appendlog/` row FIRST
+    * (one tiny row per batch — the cheap existence probe), then the
+    * stamped cell rows; a replay becomes a resume: log + cells
+    * present → skip; log without cells (the torn state) → finish just
+    * the cells. Log-first ordering means a torn append can only look
+    * like "logged but unwritten" — re-finishable — never silently
+    * missing vectors. */
+  def appendIndex(spark: SparkSession, batch: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val logPath = s"$path/appendlog"
+    val cellsPath = s"$path/cells"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (logLanded, cellsLanded) = batchId match {
+      case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logPath)) =>
+        val l = !spark.read.parquet(logPath).where(col("batch_id") === b).isEmpty
+        val c = l && {
+          val cells = spark.read.option("mergeSchema", "true").parquet(cellsPath)
+          cells.columns.contains("batch_id") &&
+            !cells.where(col("batch_id") === b).isEmpty
+        }
+        (l, c)
+      case _ => (false, false)
+    }
+    if (logLanded && cellsLanded) return
+    val bid = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
+    if (batchId.isDefined && !logLanded)
+      Seq(batchId.get).toDF("batch_id")
+        .write.mode("append").parquet(logPath)
     assign(batch, loadModel(spark, path))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .withColumn("batch_id", bid)
+      .write.mode("append").partitionBy("cell").parquet(cellsPath)
+  }
 
   /** Per-cell row counts of a persisted index — the rebuild monitor
     * for [[appendIndex]]'s drift contract (cheap: a count per cell

@@ -320,6 +320,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ANN index maintenance — the stream twin of
+    * [[graft.ops.Ivf.appendIndex]], completing the index-maintainer
+    * matrix (band/chunk/line-stats/subword/BM25/profile/paragraph/
+    * semantic/ANN all stream now): each micro-batch of (id, embedding)
+    * rows assigns under the FROZEN persisted quantizer and folds into
+    * the cell partitions, so any later
+    * [[graft.ops.Ivf.topKIndexed]] probe sees exactly the vectors
+    * ingested so far. The batchId passes through, making a retried
+    * batch a RESUME (appendlog-first protocol — a replay can never
+    * duplicate candidates in probe results); `compactEvery = n`
+    * restores one file per cell every n-th batch. Drift contract is
+    * the batch operator's: the quantizer froze at build time, monitor
+    * [[graft.ops.Ivf.cellStats]] and rebuild when cells unbalance. */
+  def annIndexStream(vectors: DataFrame, indexPath: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Ivf.appendIndex(batch.sparkSession, batch, indexPath,
+          Some(batchId))
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ops.Ivf.compactIndex(batch.sparkSession, indexPath)
+      }
+      .start()
+
   /** Streaming semantic dedup — the stream twin of
     * [[graft.ops.SemDedup.semDedup]], completing the dedup matrix
     * (paragraph / boilerplate / near-dup / semantic all have stream

@@ -207,4 +207,52 @@ class IvfSpec extends SparkSpec {
     assert(cellSet(incPath) == cellSet(onePath))
     assert(key(Ivf.topKIndexed(Ivf.load(spark, incPath), q, k = 5, nprobe = 3)) == oneShot)
   }
+
+  test("appendIndex crash replay: stamped appends converge at every crash point") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = Ivf.fit(base, nlist = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    Ivf.save(spark, model, base, path)
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    def rows() = spark.read.parquet(s"$path/cells").count()
+    def key() = Ivf.topKIndexed(Ivf.load(spark, path), q, k = 5, nprobe = 8)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (refRows, refKey) = (rows(), key())
+
+    // crash point: both writes landed, checkpoint didn't commit —
+    // the replay must SKIP (an unstamped replay would duplicate every
+    // vector and probes would emit duplicate candidates)
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(rows() == refRows, "full replay duplicated cell rows")
+    assert(key() == refKey)
+
+    // crash point: appendlog landed, cells write died (log-first torn
+    // state). Simulate by stripping batch 0's cell rows; the replay
+    // must finish JUST the cells and not double the log.
+    val keep = spark.read.parquet(s"$path/cells")
+      .where(col("batch_id").isNull).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+    keep.write.partitionBy("cell").parquet(s"$path/cells")
+    assert(rows() < refRows, "fixture: torn state should be missing batch 0")
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(rows() == refRows, "torn-state resume did not restore the cells")
+    assert(key() == refKey)
+    assert(spark.read.parquet(s"$path/appendlog").count() == 1L,
+      "torn-state resume re-appended the log row")
+
+    // compaction preserves both the stamps and the log: a replay
+    // AFTER compaction is still detected as landed
+    Ivf.compactIndex(spark, path)
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(rows() == refRows, "post-compaction replay duplicated the batch")
+    assert(key() == refKey)
+  }
 }

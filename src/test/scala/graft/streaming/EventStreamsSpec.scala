@@ -303,6 +303,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("annIndexStream: per-trigger fold-in ≡ one-shot index; in-stream compaction neutral") {
+    implicit val sc = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val rows = e.select(col("id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    try {
+      // frozen quantizer trained up front (the production shape: build
+      // once, stream appends forever)
+      val model = graft.ops.Ivf.fit(e, nlist = 8, iters = 3)
+      def seed(p: String): Unit = {
+        // an EMPTY saved index the stream folds into: centroids only +
+        // an empty cells dir seeded from zero rows
+        graft.ops.Ivf.save(spark, model, e.limit(0), p)
+      }
+      def key(p: String) = graft.ops.Ivf
+        .topKIndexed(graft.ops.Ivf.load(spark, p), q, k = 5, nprobe = 3)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      seed(s"$dir/one"); graft.ops.Ivf.appendIndex(spark, e, s"$dir/one")
+      val oneShot = key(s"$dir/one")
+
+      seed(s"$dir/idx")
+      val in = MemoryStream[(Long, Seq[Double])]
+      val sq = EventStreams.annIndexStream(
+        in.toDF().toDF("id", "embedding"), s"$dir/idx", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      in.addData(b1); sq.processAllAvailable()
+      in.addData(b2); sq.processAllAvailable()
+      sq.stop()
+      assert(key(s"$dir/idx") == oneShot,
+        "streamed fold-in diverged from the one-shot index")
+
+      // compactEvery = 1: same probes, one file per cell dir
+      seed(s"$dir/idx2")
+      val in2 = MemoryStream[(Long, Seq[Double])]
+      val sq2 = EventStreams.annIndexStream(
+        in2.toDF().toDF("id", "embedding"), s"$dir/idx2", s"$dir/ckpt2",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        compactEvery = 1)
+      in2.addData(b1); sq2.processAllAvailable()
+      in2.addData(b2); sq2.processAllAvailable()
+      sq2.stop()
+      assert(key(s"$dir/idx2") == oneShot, "in-stream compaction changed probes")
+      new java.io.File(s"$dir/idx2/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).foreach { d =>
+          assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+            s"${d.getName} holds >1 file after in-stream compaction")
+        }
+    } finally deleteRecursively(dir)
+  }
+
   test("semDedupStream: per-trigger frozen-centroid prune ≡ batch semDedup on replay; crash replay re-emits") {
     implicit val sc = spark.sqlContext
     // two tight clusters; ids ascend with arrival (the equivalence
