@@ -285,7 +285,22 @@ object Ivf {
     IndexMaintenance.compactDir(spark, s"$path/cells",
       dedupeRows = dedupeRows, partitionCols = Seq("cell"))
 
-  /** Top-k over a persisted index. */
-  def topKIndexed(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
-    topKFromCells(index.cells, queries, index.model, k, nprobe)
+  /** Top-k over a persisted index, with PARTITION PRUNING: the probed
+    * cell set resolves driver-side first (one tiny job over the query
+    * batch — which is bounded by contract, it rides the probe join as
+    * a broadcast) and lands on the cell-partitioned scan as a static
+    * IN filter. Without it the probe plan joins against ALL cell
+    * partitions and only the shuffle discards the rest — at 100 TB
+    * that is the difference between reading nprobe×|queries| cells
+    * and reading the whole index (IvfSpec pins `PartitionFilters` on
+    * the probe scan). [[Bm25.topKIndexed]] plays the same move with
+    * its term buckets. */
+  def topKIndexed(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val probed = queries
+      .select(explode(graft.expr.CentroidExprs.nearestCells(
+        asDouble(col("embedding")), matrixOf(index.model.centroids), nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    topKFromCells(index.cells.where(col("cell").isin(probed: _*)),
+      queries, index.model, k, nprobe)
+  }
 }

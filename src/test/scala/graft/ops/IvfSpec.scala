@@ -150,6 +150,14 @@ class IvfSpec extends SparkSpec {
     val direct = key(Ivf.topK(e, q, model, k = 5, nprobe = 3))
     val loaded = key(Ivf.topKIndexed(index, q, k = 5, nprobe = 3))
     assert(loaded == direct)
+
+    // the persisted probe PRUNES cell partitions: the probed cell set
+    // lands on the scan as PartitionFilters, so per-query I/O is
+    // nprobe×|queries| cells, not the whole index
+    val probePlan = Ivf.topKIndexed(index, q, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [cell"),
+      s"probe scan reads every cell partition — pruning filter missing:\n$probePlan")
   }
 
   test("appendIndex: fold-in ≡ one-shot save under the same model; compaction results-identical") {
