@@ -767,6 +767,52 @@ object Soak {
     }
   }
 
+  /** The serving-layout OPTIMIZE pass at scale: build a synthetic
+    * year of date-ordered fact appends (multDocs × 100 k rows), run
+    * [[graft.domain.Engine.optimizeWarehouse]]'s (district, date)
+    * z-rewrite, and time a district-sliced serving read before/after.
+    * The rewrite is one shuffle + write ∝ table size; the read gain is
+    * the file-skip ratio WarehouseSpec pins functionally. */
+  private def warehouseFamily(c: Ctx): Unit = {
+    import c._
+    val root = java.nio.file.Files.createTempDirectory("soak-wh").toString
+    try {
+      val wh = new Warehouse(spark, root)
+      val eng = new graft.domain.Engine(spark, wh)
+      val n = 100000L * sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+      val facts = spark.range(n).select(
+        col("id").as("pk_id"), lit(1L).as("upload_id"),
+        date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+          pmod(col("id") / 512, lit(365L)).cast("int")).as("date"),
+        lit(2023).as("year"),
+        pmod(col("id"), lit(8L)).cast("int").as("province_id"),
+        pmod(col("id"), lit(512L)).cast("int").as("district_id"),
+        pmod(col("id"), lit(100L)).cast("double").as("rain_mm_wmean"),
+        lit(2.0).as("rainfall_mm"))
+      time(s"warehouse write $n date-ordered rows") {
+        wh.write("rain_points", facts.repartitionByRange(64, col("date"))
+          .sortWithinPartitions("date"))
+      }
+      def served(): Long = wh.read("rain_points")
+        .where(col("district_id") === 7 &&
+          col("date").between(lit("2023-02-01").cast("date"),
+            lit("2023-03-01").cast("date")))
+        .count()
+      val before = time("served district+month read (pre-optimize)")(served())
+      time("optimizeWarehouse (district, date) z-rewrite") {
+        eng.optimizeWarehouse(targetBytes = 4L * 1024 * 1024)
+      }
+      val after = time("served district+month read (post-optimize)")(served())
+      require(before == after, s"optimize changed the answer: $before vs $after")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   /** THE REGISTRY — soak families in run order. Add a family by adding
     * a row; add an operator by adding a `ctx.time(...)` line to its
     * family. Doc families first (they share the doc corpus), embedding
@@ -780,6 +826,7 @@ object Soak {
     "search" -> searchFamily,
     "timeseries" -> timeseriesFamily,
     "relational" -> relationalFamily,
+    "warehouse" -> warehouseFamily,
     "embedding" -> embeddingFamily,
     "semdedup" -> semdedupFamily,
     "ann" -> annFamily,
