@@ -248,6 +248,26 @@ object ExtensionQueries {
     }
   }
 
+  /** Margin-based bitext mining ([[graft.ops.Bitext]], Artetxe &
+    * Schwenk 2019): even vec_ids as the source corpus, odd as the
+    * target; brute-force candidates (the bounded verification tier —
+    * production swaps in ANN top-k both directions), k = 4
+    * neighbourhood margin, mutual-best pairs at margin ≥ 1. The
+    * neighbourhood means ride exact decimal sums so the margin is the
+    * same IEEE expression in both engines. */
+  def qBitextMine(s: SparkSession, dir: String): DataFrame = {
+    // bounded brute tier: ≤ 2000 vectors per run keeps the n² cross
+    // (and its DuckDB replay) gate-sized at every SF
+    val e = Tables.embeddings(s, dir)
+      .where(col("vec_id") < 2000)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val pairs = graft.ops.Bitext.bruteCandidates(
+      e.where(col("id") % 2 === 0), e.where(col("id") % 2 === 1))
+    graft.ops.Bitext.mine(pairs, k = 4, threshold = 1.0)
+      .select(col("sid"), col("tid"), round(col("margin"), 6).as("margin"))
+      .orderBy("sid", "tid")
+  }
+
   /** Selectivity-adaptive filtered ANN ([[graft.ops.Ivf
     * .topKFilteredAdaptive]]): the filter keeps 20 % of the corpus
     * (`id % 5 = 0`), so the measured selectivity drives the effective
@@ -592,6 +612,7 @@ object ExtensionQueries {
     "q_ann_filter" -> (qAnnFilter _),
     "q_ann_incremental" -> (qAnnIncremental _),
     "q_ann_adaptive" -> (qAnnAdaptive _),
+    "q_bitext_mine" -> (qBitextMine _),
     "q_pq_topk" -> (qPqTopk _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_features" -> (qMediaFeatures _),
@@ -1002,6 +1023,35 @@ object ExtensionQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
         |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // margin replay: brute cosines → per-side top-4 ranks → exact-
+    // decimal neighbourhood means → the identical IEEE margin →
+    // mutual best ≥ 1
+    "q_bitext_mine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+        |  FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |  list_sum(list_transform(list_zip(s.v, t.v), z -> z[1] * z[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(t.v, x -> x * x))) AS den
+        | FROM e s JOIN e t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+        |c AS (SELECT sid, tid, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT sid, tid, cosine,
+        |  row_number() OVER (PARTITION BY sid ORDER BY cosine DESC, tid) AS rs,
+        |  row_number() OVER (PARTITION BY tid ORDER BY cosine DESC, sid) AS rt FROM c),
+        |aks AS (SELECT sid, cast(sum(cast(cosine AS decimal(28,12))) AS double) / count(*) AS aks
+        | FROM r WHERE rs <= 4 GROUP BY sid),
+        |akt AS (SELECT tid, cast(sum(cast(cosine AS decimal(28,12))) AS double) / count(*) AS akt
+        | FROM r WHERE rt <= 4 GROUP BY tid),
+        |m AS (SELECT r.sid AS sid, r.tid AS tid,
+        |  r.cosine / ((aks.aks + akt.akt) / 2.0) AS margin
+        | FROM r JOIN aks ON r.sid = aks.sid JOIN akt ON r.tid = akt.tid
+        | WHERE r.rs <= 4 OR r.rt <= 4),
+        |b AS (SELECT sid, tid, margin,
+        |  row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS bs,
+        |  row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS bt FROM m)
+        |SELECT sid, tid, round(margin, 6) AS margin FROM b
+        |WHERE bs = 1 AND bt = 1 AND margin >= 1.0
+        |ORDER BY sid, tid""".stripMargin,
     // 20 %-selective filter drives the measured-selectivity nprobe to
     // the nlist cap ⇒ full probe ⇒ exactly brute force over the
     // FILTERED corpus (qids 50–59)

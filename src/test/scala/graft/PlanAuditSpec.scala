@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSpec {
   // KB-scale broadcast side — BroadcastNestedLoopJoin is their shape
   private val declaredBnl = Set(
     "q_ngram_jaccard", "q_embed_cosine", "q_ann_topk",
+    // bitext mining's gate tier is the declared bounded brute cross
+    // (production candidates come from ANN top-k both directions)
+    "q_bitext_mine",
     // full-probe/covering-shortlist ANN gates rank vs a broadcast
     // query set after non-equi self-exclusion
     "q_ann_ivf", "q_ann_filter", "q_pq_topk",
