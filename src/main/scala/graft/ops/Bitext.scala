@@ -87,6 +87,32 @@ object Bitext {
       .select(col("sid"), col("tid"), col("__margin").as("margin"))
   }
 
+  /** Production candidate tier: each side's LSH top-k against the
+    * other, UNIONED — both directions, because the margin needs both
+    * sides' own neighbourhood lists and mutual-best needs every pair
+    * visible from whichever side ranked it. With covering buckets
+    * (`nBits = 0`) and `k ≥ |corpus|` this provably reproduces
+    * [[bruteCandidates]]-fed mining bit-for-bit (BitextSpec pins it —
+    * the HybridRetrievalSpec device); production reduces bits/k and
+    * pays the usual LSH recall trade. Swap in [[Ivf.topK]] both ways
+    * for the cell-partitioned variant — [[mine]] only sees
+    * (sid, tid, cosine).
+    *
+    * CONTRACT: the two corpora's id spaces must be DISJOINT (re-key
+    * one side if needed) — the underlying within-corpus ANN excludes
+    * `id == qid` as a self-match, which here would silently drop the
+    * cross-corpus pair that happens to share a number. */
+  def annCandidates(src: DataFrame, tgt: DataFrame, k: Int,
+      nBits: Int = -1, nTables: Int = 8): DataFrame = {
+    val st = Similarity.lshTopK(
+        tgt, src.select(col("id").as("qid"), col("embedding")), k, nBits, nTables)
+      .select(col("qid").as("sid"), col("id").as("tid"), col("cosine"))
+    val ts = Similarity.lshTopK(
+        src, tgt.select(col("id").as("qid"), col("embedding")), k, nBits, nTables)
+      .select(col("id").as("sid"), col("qid").as("tid"), col("cosine"))
+    st.unionByName(ts).distinct()
+  }
+
   /** Brute-force candidate pairs between two embedded corpora —
     * the gate-scale / verification tier ([[Similarity.bruteForceTopK]]
     * is query-batch-shaped; mining wants the full bounded cross).
