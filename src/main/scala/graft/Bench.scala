@@ -274,7 +274,13 @@ object Bench {
     // the line now carries the flag so a noisy total is never read as a
     // regression (threshold ~half the cores would be too lax; 1.5 is
     // the r8 judge's suggested "this number is load, not signal" bar)
-    val degraded = math.max(load1m, loadEnd) > 1.5
+    // START load only: by the end of a multi-minute sweep the 1-min
+    // average mostly measures the bench's OWN local[8] threads (~3+
+    // on this box every run) — gating on it would tag every honest
+    // run degraded. Mid-run EXTERNAL noise is what the per-query
+    // outlier retry handles; load1m_end stays in the fidelity file as
+    // context, not as a gate.
+    val degraded = load1m > 1.5
 
     // ---- output, two channels ----
     // 1. FULL-FIDELITY file: every rep of every query, 3 decimals, all
