@@ -150,20 +150,26 @@ object Bm25 {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-    // resume detection (stamped appends only)
+    // resume detection (stamped appends only). The probes are pure
+    // optimization: a dir left unreadable by a crash mid-first-write
+    // (exists, only _temporary debris, no committed footer) degrades
+    // to "not landed" and takes the plain append path instead of
+    // killing the recovery with a schema-inference error.
     val (metaLanded, postingsLanded) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(metaPath)) =>
-        val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
-        val m = meta.columns.contains("batch_id") &&
-          !meta.where(col("batch_id") === b).isEmpty
-        // meta writes first, so postings can only exist if meta does;
-        // the dir itself may not exist yet on the torn-state resume
-        val p = m && fs.exists(new org.apache.hadoop.fs.Path(postPath)) && {
-          val post = spark.read.option("mergeSchema", "true").parquet(postPath)
-          post.columns.contains("batch_id") &&
-            !post.where(col("batch_id") === b).isEmpty
-        }
-        (m, p)
+        try {
+          val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
+          val m = meta.columns.contains("batch_id") &&
+            !meta.where(col("batch_id") === b).isEmpty
+          // meta writes first, so postings can only exist if meta does;
+          // the dir itself may not exist yet on the torn-state resume
+          val p = m && fs.exists(new org.apache.hadoop.fs.Path(postPath)) && {
+            val post = spark.read.option("mergeSchema", "true").parquet(postPath)
+            post.columns.contains("batch_id") &&
+              !post.where(col("batch_id") === b).isEmpty
+          }
+          (m, p)
+        } catch { case _: Exception => (false, false) }
       case _ => (false, false)
     }
     if (metaLanded && postingsLanded) return

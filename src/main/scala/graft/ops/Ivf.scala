@@ -245,15 +245,23 @@ object Ivf {
     val cellsPath = s"$path/cells"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // The resume probes are pure OPTIMIZATION — a dir left unreadable
+    // by a crash mid-first-write (exists, but only _temporary debris,
+    // no committed footer) must degrade to "not landed" and take the
+    // plain append path, not kill the recovery with a schema-inference
+    // error. (Semantic index reads elsewhere must NOT do this — an
+    // unreadable anti-join source is corruption, not a resume state.)
     val (logLanded, cellsLanded) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logPath)) =>
-        val l = !spark.read.parquet(logPath).where(col("batch_id") === b).isEmpty
-        val c = l && {
-          val cells = spark.read.option("mergeSchema", "true").parquet(cellsPath)
-          cells.columns.contains("batch_id") &&
-            !cells.where(col("batch_id") === b).isEmpty
-        }
-        (l, c)
+        try {
+          val l = !spark.read.parquet(logPath).where(col("batch_id") === b).isEmpty
+          val c = l && {
+            val cells = spark.read.option("mergeSchema", "true").parquet(cellsPath)
+            cells.columns.contains("batch_id") &&
+              !cells.where(col("batch_id") === b).isEmpty
+          }
+          (l, c)
+        } catch { case _: Exception => (false, false) }
       case _ => (false, false)
     }
     if (logLanded && cellsLanded) return
