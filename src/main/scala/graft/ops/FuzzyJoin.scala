@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** String-similarity SELF-join under an edit-distance bound — the
+  * entity-resolution primitive (supplier/customer/name matching, alias
+  * clustering) the short-string end of the dedup family needs: the
+  * document operators ([[Dedup]]) key on shingle sets, which are
+  * meaningless at name length.
+  *
+  * Naively this is an n² `levenshtein(a, b) ≤ d` theta join. The scale
+  * plan is q-gram PREFIX FILTERING (Chaudhuri et al. 2006; ED-Join,
+  * Xiao et al. 2008):
+  *
+  *   1. q-grams of the (q−1)-padded string; one edit operation
+  *      destroys at most q distinct grams, so ed(s, t) ≤ d ⇒
+  *      |G(s) \ G(t)| ≤ d·q (and symmetrically);
+  *   2. order the gram universe by GLOBAL RARITY (one df aggregate —
+  *      rarest first, ties on the gram string: a total order both
+  *      strings share); each string's SIGNATURE is its first
+  *      d·q + 1 distinct grams in that order. Prefix-filter theorem:
+  *      if the two signatures are disjoint, then (taking x = the
+  *      (d·q+1)-th gram of the side whose signature ends EARLIER in
+  *      the order) that side's whole signature precedes the other
+  *      side's surviving grams, so its d·q + 1 signature grams are
+  *      all missing from the other set — more than d·q losses,
+  *      contradiction. Any pair within distance d therefore shares
+  *      ≥ 1 signature gram, and candidates come from an equi-join on
+  *      signature grams alone. Hot (shared-prefix) grams never
+  *      generate pairs: rarity ordering pushes them out of every
+  *      signature;
+  *   3. cheap length prune (`|len(s) − len(t)| ≤ d` — d edits change
+  *      length by at most d), dedup the pairs, verify
+  *      `levenshtein ≤ d` (the codegen builtin) per candidate.
+  *
+  * One shuffle keys grams to their df, one keys signature grams to
+  * candidate pairs, one dedups pairs; the verify is per-row. Nothing
+  * is n² in the long-string population.
+  *
+  * SHORT strings are the one theorem gap: when BOTH sides have ≤ d·q
+  * grams (padded gram count = len + q − 1 ≤ d·q, i.e. len ≤
+  * q·(d−1) + 1 — three chars at q=2, d=2), a within-distance pair can
+  * share no gram at all, so the short class joins ALL-PAIRS among
+  * itself (length-banded) — definitionally bounded to tiny strings, a
+  * rounding error at name scale. A short×long pair is still caught by
+  * the LONG side's signature: if none of its d·q + 1 signature grams
+  * were in the short set they would all be losses (> d·q), and the
+  * short side's signature is its whole gram set, so the shared gram is
+  * in both signatures. FuzzyJoinSpec pins both regimes against brute
+  * force.
+  *
+  * Contract: null strings drop; ids unique; output is exact — the
+  * filter chain is COMPLETE (no false dismissals) and the verify
+  * removes every false candidate.
+  */
+object FuzzyJoin {
+
+  /** Distinct q-grams of the (q−1)-padded string (U+0001 padding —
+    * outside any real alphabet, so boundary grams never collide with
+    * interior ones). */
+  private def gramsOf(s: Column, q: Int): Column = {
+    val pad = "\u0001" * (q - 1)
+    val padded = concat(lit(pad), s, lit(pad))
+    array_distinct(transform(
+      sequence(lit(1), length(padded) - lit(q - 1)),
+      i => padded.substr(i, lit(q))))
+  }
+
+  /** Edit-distance self-join.
+    *
+    * @param rows    (`id` long, `str` string) — ids unique
+    * @param maxDist inclusive edit-distance bound d
+    * @param q       gram width (2 is the name-matching default)
+    * @return (`id1`, `id2`, `dist`) with id1 < id2, dist ≤ maxDist,
+    *   exact and duplicate-free */
+  def selfJoin(rows: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
+    require(q >= 1, "fuzzyJoin: q must be ≥ 1")
+    Reserved.requireAbsent("fuzzyJoin",
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
+    val sigLen = maxDist * q + 1
+
+    val base = rows.where(col("str").isNotNull)
+      .select(col("id"), col("str"), length(col("str")).as("__len"),
+        gramsOf(col("str"), q).as("__gs"))
+      .withColumn("__short", size(col("__gs")) <= maxDist * q)
+
+    // global gram rarity (df = strings containing the gram), the
+    // shared total order behind every signature
+    val gram = base.select(col("id"), col("__len"), explode(col("__gs")).as("__g"))
+    val dfT = gram.groupBy("__g").agg(count(lit(1)).as("__df"))
+
+    // signature = first d·q + 1 grams in (df, gram) order, per string.
+    // WindowGroupLimit prunes the rank below the exchange; per-string
+    // gram counts are bounded by string length, so the sort is local
+    // and tiny.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("__g"))
+    val sig = gram.join(dfT, "__g")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= sigLen)
+      .select(col("__g"), col("id"), col("__len"))
+
+    // candidates: signature-gram equi-join + length band, deduped
+    val l = sig.select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
+    val r = sig.select(col("__g"), col("id").as("id2"), col("__len").as("l2"))
+    val longCands = l.join(r, "__g")
+      .where(col("id1") < col("id2") &&
+        abs(col("l1") - col("l2")) <= maxDist)
+      .select("id1", "id2").distinct()
+
+    // short×short all-pairs (length-banded): the theorem gap
+    val shorts = base.where(col("__short")).select(col("id"), col("__len"))
+    val shortCands = shorts.select(col("id").as("id1"), col("__len").as("l1"))
+      .join(shorts.select(col("id").as("id2"), col("__len").as("l2")),
+        col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
+      .select("id1", "id2")
+
+    // verify on the deduped union — exact from here on
+    val strs = base.select(col("id"), col("str"))
+    longCands.unionByName(shortCands).distinct()
+      .join(strs.select(col("id").as("id1"), col("str").as("str1")), "id1")
+      .join(strs.select(col("id").as("id2"), col("str").as("str2")), "id2")
+      .withColumn("dist", levenshtein(col("str1"), col("str2")))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+  }
+}

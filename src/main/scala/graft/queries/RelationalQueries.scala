@@ -326,6 +326,22 @@ object RelationalQueries {
     * lowers them to left-semi/left-anti over aggregated keys); all
     * three classes are non-empty at every SF, so no branch ships
     * untested. */
+  /** Edit-distance self-join on supplier names
+    * ([[graft.ops.FuzzyJoin]]): the entity-resolution primitive —
+    * every name pair within one edit, via rarity-ordered q-gram
+    * signature candidates + levenshtein verify. The shared
+    * "Supplier#0000000" prefix is the adversarial fixture: its grams
+    * have df = |table| and must appear in no signature, so candidates
+    * come only from the discriminating digit-tail grams. Oracle is the
+    * brute n² levenshtein — green proves the filter chain COMPLETE
+    * (no false dismissal), not just sound. */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.selfJoin(
+        Tables.supplier(s, dir)
+          .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("str")),
+        maxDist = 1)
+      .orderBy("id1", "id2")
+
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val a = li.where(col("l_discount") > 0.08).select("l_orderkey")
@@ -468,6 +484,7 @@ object RelationalQueries {
     "q_trailing_agg" -> (qTrailingAgg _),
     "q_corr_stats" -> (qCorrStats _),
     "q_set_ops" -> (qSetOps _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_window_nav" -> (qWindowNav _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_json_extract" -> (qJsonExtract _),
@@ -659,6 +676,14 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
         |ORDER BY user_id, ts_us, value""".stripMargin,
+    // brute n² levenshtein — the completeness oracle for the q-gram
+    // signature filter chain
+    "q_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        | levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
     "q_set_ops" ->
       """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08),
         |b AS (SELECT l_orderkey FROM lineitem WHERE l_tax > 0.05)

@@ -29,6 +29,11 @@ class PlanAuditSpec extends SparkSpec {
     // bitext mining's gate tier is the declared bounded brute cross
     // (production candidates come from ANN top-k both directions)
     "q_bitext_mine",
+    // fuzzy join's SHORT-string class (len ≤ q(d−1)+1, the prefix-
+    // filter theorem gap) joins all-pairs by design — a definitionally
+    // bounded tiny class; the long-string population stays on the
+    // gram equi-join
+    "q_fuzzy_join",
     // full-probe/covering-shortlist ANN gates rank vs a broadcast
     // query set after non-equi self-exclusion
     "q_ann_ivf", "q_ann_filter", "q_pq_topk",

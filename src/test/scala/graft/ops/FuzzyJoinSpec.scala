@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (i1, s1) <- rows; (i2, s2) <- rows if i1 < i2
+      dd = lev(s1, s2) if dd <= d
+    } yield (i1, i2, dd.toLong)).toSet
+  }
+
+  private def got(rows: Seq[(Long, String)], d: Int, q: Int = 2) =
+    FuzzyJoin.selfJoin(rows.toDF("id", "str"), maxDist = d, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("hand case: near-identical names match, far ones don't, dist exact") {
+    val rows = Seq(
+      (1L, "Supplier#000000001"), (2L, "Supplier#000000002"),
+      (3L, "Supplier#000000011"), (4L, "Frobnicator Inc"))
+    val g = got(rows, d = 2)
+    assert(g == brute(rows, 2))
+    assert(g.contains((1L, 2L, 1L)) && g.contains((1L, 3L, 1L)))
+    assert(!g.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("randomized ≡ brute force, mixed lengths incl. the short-string regime") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    // heavy-duplication corpus: short strings (the all-pairs class),
+    // mid-length names with point mutations, and some long tails
+    val rows = (0 until 120).map { i =>
+      val len = rnd.nextInt(10) // 0..9 — lots of len ≤ 3 shorts
+      i.toLong -> (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (d <- Seq(0, 1, 2)) {
+      assert(got(rows, d) == brute(rows, d), s"diverged from brute force at d=$d")
+    }
+  }
+
+  test("null strings drop; empty strings pair with short neighbours; q=3 agrees") {
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "xyzzy"))
+    assert(got(rows, 1, q = 3) == brute(rows, 1))
+    val withNull = Seq((1L, "abc"), (2L, null: String), (3L, "abd"))
+    val g = FuzzyJoin.selfJoin(withNull.toDF("id", "str"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == Set((1L, 3L)))
+    // empty vs 1-char: ed = 1
+    assert(got(Seq((1L, ""), (2L, "a")), 1).contains((1L, 2L, 1L)))
+  }
+
+  test("the signature join never degenerates: no CartesianProduct, hot shared prefixes excluded") {
+    // 500 strings sharing a 12-char hot prefix — the prefix grams have
+    // df=500 and must appear in NO signature; the plan must stay an
+    // equi-join on the gram key
+    val rows = (0 until 500).map(i => i.toLong -> f"CommonPrefix$i%05d")
+    val df = FuzzyJoin.selfJoin(rows.toDF("id", "str"), maxDist = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "fuzzy join degenerated to a cartesian")
+    assert(got(rows, 2) == brute(rows, 2))
+  }
+}
