@@ -525,6 +525,20 @@ object Soak {
       ops.Similarity.cosineCandidatesBucketed(emb).count()
     }
     println(s"[soak] cosine candidates: $nCosCands, verified pairs: ${cosPairs.count()}")
+
+    // bitext mining through the production ANN tier (LSH top-k both
+    // directions, AUTO bucket sizing — r13 lesson: hand-forcing
+    // nBits=4 here gave 16 buckets for a 10 k-query × 10 k-corpus
+    // join = 25 M candidate cosines per direction, a 755 s cliff; the
+    // auto path sizes buckets to the corpus and stays minutes-free)
+    val srcE = emb.where(pmod(col("id"), lit(2)) === 0)
+    val tgtE = emb.where(pmod(col("id"), lit(2)) === 1)
+    val mined = time("bitext mine (LSH-tier candidates, k=8)") {
+      ops.Bitext.mine(
+        ops.Bitext.annCandidates(srcE, tgtE, k = 8),
+        k = 8, threshold = 1.0).count()
+    }
+    println(s"[soak] bitext mined pairs: $mined")
   }
 
   /** SemDeDup at production-ish k: assignment is ONE codegen pass whose
@@ -765,6 +779,16 @@ object Soak {
           sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
         .count()
     }
+    // fuzzy join on a LOW-ENTROPY hot-prefix corpus — the adversarial
+    // shape for prefix filtering (every name shares 9 chars; even the
+    // "rare" digit grams repeat in ~1 % of strings, so candidate volume
+    // is the Σ|gram-group|² the signature order is there to bound)
+    val fuzz = time("fuzzy join (20k hot-prefix names, d=1)") {
+      val names = spark.range(20000)
+        .select(col("id"), format_string("Supplier#%09d", col("id")).as("str"))
+      ops.FuzzyJoin.selfJoin(names, maxDist = 1).count()
+    }
+    println(s"[soak] fuzzy pairs: $fuzz")
   }
 
   /** The serving-layout OPTIMIZE pass at scale: build a synthetic
