@@ -342,6 +342,18 @@ object RelationalQueries {
         maxDist = 1)
       .orderBy("id1", "id2")
 
+  /** Conversion funnel view → click → purchase within 7 days of the
+    * user's first view ([[graft.ops.Funnel]] min-chain semantics —
+    * each stage's time is the earliest qualifying event strictly after
+    * the previous stage). One user-keyed aggregate per step, no
+    * per-user event lists. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(Tables.events(s, dir),
+        userCol = "user_id", tsCol = "ts", typeCol = "event_type",
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 7L * 86400L * 1000000L)
+      .orderBy("user_id")
+
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val a = li.where(col("l_discount") > 0.08).select("l_orderkey")
@@ -485,6 +497,7 @@ object RelationalQueries {
     "q_corr_stats" -> (qCorrStats _),
     "q_set_ops" -> (qSetOps _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_funnel" -> (qFunnel _),
     "q_window_nav" -> (qWindowNav _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_json_extract" -> (qJsonExtract _),
@@ -676,6 +689,23 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
         |ORDER BY user_id, ts_us, value""".stripMargin,
+    // min-chain replay: per stage, the earliest qualifying event
+    // strictly after the previous stage, within 7 days of t1
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2_us FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1_us
+        |         AND e.us <= s1.t1_us + 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3_us
+        |       FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2_us
+        |         AND e.us <= s1.t1_us + 604800000000 GROUP BY 1)
+        |SELECT s1.user_id AS user_id,
+        |  cast(1 + (t2_us IS NOT NULL)::int + (t3_us IS NOT NULL)::int AS bigint) AS depth,
+        |  t1_us, t2_us, t3_us
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // brute n² levenshtein — the completeness oracle for the q-gram
     // signature filter chain
     "q_fuzzy_join" ->
