@@ -167,6 +167,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // ambient load sampled at ENTRY, before the SparkSession and the
+    // warmup query put 8 threads of SELF-work into the 1-minute
+    // average (a post-warmup-only reading tagged a 55.7 s run on an
+    // idle box degraded at "load 2.46")
+    val loadEntry = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -274,13 +280,15 @@ object Bench {
     // the line now carries the flag so a noisy total is never read as a
     // regression (threshold ~half the cores would be too lax; 1.5 is
     // the r8 judge's suggested "this number is load, not signal" bar)
-    // START load only: by the end of a multi-minute sweep the 1-min
-    // average mostly measures the bench's OWN local[8] threads (~3+
-    // on this box every run) — gating on it would tag every honest
-    // run degraded. Mid-run EXTERNAL noise is what the per-query
-    // outlier retry handles; load1m_end stays in the fidelity file as
-    // context, not as a gate.
-    val degraded = load1m > 1.5
+    // Gate on the LESS self-polluted of the two start-side readings:
+    // the entry sample predates the SparkSession + warmup (but may
+    // carry residue of whatever launched sbt), the post-warmup sample
+    // includes our own boot work. Both overstate ambient, never
+    // understate it, so min() is still conservative. End-of-run load
+    // is pure self-measurement (~3+ from local[8] every run) and only
+    // ever recorded, never gated on; mid-run EXTERNAL noise is the
+    // per-query outlier retry's job.
+    val degraded = math.min(loadEntry, load1m) > 1.5
 
     // ---- output, two channels ----
     // 1. FULL-FIDELITY file: every rep of every query, 3 decimals, all
@@ -303,7 +311,7 @@ object Bench {
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
   "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos",
-  "warmup_s": ${f(warmupS)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
+  "warmup_s": ${f(warmupS)}, "load1m_entry": ${f(loadEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
   "outlier_retries": {${retried.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",
