@@ -130,16 +130,28 @@ object Bm25 {
     * .EventStreams.bm25IndexStream]] passes its batchId through): an
     * unstamped replay would re-append the whole batch, doubling tf/df
     * and the meta totals — silently wrong scores, not a crash. Stamped
-    * appends record batch_id in both meta and postings rows and the
-    * append becomes a RESUME: meta row for this id already present +
-    * postings present → fully landed, skip; meta present + postings
-    * absent → the documented meta-first torn state, finish the
-    * postings write only; neither → full append. Every crash point
-    * therefore replays to the exact no-crash index
-    * (EventStreamsSpec's kill-between-writes cases pin it). The two
-    * existence probes read only on the recovery path's first batch —
-    * zero cost steady-state is preserved by checking meta (a
-    * rows-per-append driver read) before ever listing postings. */
+    * appends record batch_id in both meta and postings rows, the meta
+    * row carries the batch's EXPECTED posting count (`n_postings`),
+    * and the append becomes a RESUME keyed on that count, not mere
+    * existence: meta row present + postings count for this batch
+    * EQUALS n_postings → fully landed, skip; count 0 → the documented
+    * meta-first torn state, finish the postings write only; count ≠
+    * expected (a crash inside the postings parquet job commit — the
+    * whole job with FileOutputCommitter v2, where task files become
+    * visible incrementally — left a PARTIALLY committed batch) → strip
+    * the partial batch's rows ([[IndexMaintenance
+    * .rewriteExcludingKeys]], same staged swap as compaction) and
+    * rewrite the postings in full. An existence-keyed skip would read
+    * the partial state as "landed" and permanently lose postings.
+    * Every crash point therefore replays to the exact no-crash index
+    * (EventStreamsSpec's kill-between-writes cases + Bm25Spec's
+    * partial-commit case pin it). Steady-state cost per stamped
+    * append: the meta probe — a Spark read + driver filter over a dir
+    * that grows one tiny row-file per batch, so it grows with batch
+    * count until [[compactIndex]] collapses meta to one file (run
+    * compaction on a cadence for the postings' small-file cliff and
+    * the probe stays O(1) too); the postings landed-count scan runs
+    * only on the replay path, where the meta row was found. */
   def appendIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
       textCol: String = "text", nBuckets: Int = 64,
       batchId: Option[Long] = None): Unit = {
@@ -155,24 +167,49 @@ object Bm25 {
     // (exists, only _temporary debris, no committed footer) degrades
     // to "not landed" and takes the plain append path instead of
     // killing the recovery with a schema-inference error.
-    val (metaLanded, postingsLanded) = batchId match {
+    // (metaLanded, expected posting count if the meta row carries one,
+    // posting rows of this batch already visible)
+    val (metaLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(metaPath)) =>
         try {
           val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
-          val m = meta.columns.contains("batch_id") &&
-            !meta.where(col("batch_id") === b).isEmpty
+          val metaRow =
+            if (meta.columns.contains("batch_id"))
+              meta.where(col("batch_id") === b).collect().headOption
+            else None
+          // meta rows written before the n_postings field are legacy —
+          // their batches resume on existence alone (the old, weaker
+          // contract; nothing better is recoverable for them)
+          val exp =
+            if (metaRow.isDefined && meta.columns.contains("n_postings"))
+              Option(metaRow.get.getAs[Any]("n_postings")).map(_.asInstanceOf[Long])
+            else None
           // meta writes first, so postings can only exist if meta does;
           // the dir itself may not exist yet on the torn-state resume
-          val p = m && fs.exists(new org.apache.hadoop.fs.Path(postPath)) && {
-            val post = spark.read.option("mergeSchema", "true").parquet(postPath)
-            post.columns.contains("batch_id") &&
-              !post.where(col("batch_id") === b).isEmpty
-          }
-          (m, p)
-        } catch { case _: Exception => (false, false) }
-      case _ => (false, false)
+          val n =
+            if (metaRow.isEmpty || !fs.exists(new org.apache.hadoop.fs.Path(postPath))) 0L
+            else {
+              val post = spark.read.option("mergeSchema", "true").parquet(postPath)
+              if (!post.columns.contains("batch_id")) 0L
+              else post.where(col("batch_id") === b).count()
+            }
+          (metaRow.isDefined, exp, n)
+        } catch { case _: Exception => (false, None, 0L) }
+      case _ => (false, None, 0L)
     }
+    val postingsLanded = metaLanded && (expected match {
+      case Some(n) => landed == n
+      case None => landed > 0 // legacy meta row: existence-keyed resume
+    })
     if (metaLanded && postingsLanded) return
+    // partial postings job commit: strip the batch's landed rows before
+    // rewriting — appending on top would duplicate them (double tf).
+    // Deliberately OUTSIDE the degrade-to-not-landed probe: a failed
+    // strip must abort the append, not be swallowed.
+    if (metaLanded && landed > 0)
+      IndexMaintenance.rewriteExcludingKeys(spark, postPath,
+        Seq(batchId.get).toDF("batch_id"), "batch_id",
+        partitionCols = Seq("bucket"))
 
     val base = postingsOf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -180,8 +217,8 @@ object Bm25 {
     if (!metaLanded) {
       val totals = base.groupBy("doc_id").agg(min("dl").as("dl"))
         .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
-      Seq((totals.getLong(0), totals.getLong(1), nBuckets))
-        .toDF("n_docs", "sum_dl", "n_buckets")
+      Seq((totals.getLong(0), totals.getLong(1), nBuckets, base.count()))
+        .toDF("n_docs", "sum_dl", "n_buckets", "n_postings")
         .withColumn("batch_id", bid)
         .write.mode(SaveMode.Append).parquet(metaPath)
     }
@@ -265,7 +302,10 @@ object Bm25 {
     val fs = new Path(path).getFileSystem(conf)
     require(fs.exists(new Path(s"$path/postings")) && fs.exists(new Path(s"$path/meta")),
       s"no index at $path")
-    val metaDf0 = spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+    val metaDf1 = spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+    val metaDf0 =
+      if (metaDf1.columns.contains("n_postings")) metaDf1
+      else metaDf1.withColumn("n_postings", lit(null).cast("long"))
     val metaDf =
       if (metaDf0.columns.contains("batch_id")) metaDf0
       else metaDf0.withColumn("batch_id", lit(null).cast("long"))
@@ -287,9 +327,12 @@ object Bm25 {
       .partitionBy("bucket").parquet(stagedPost.toString)
     metaDf
       .groupBy("batch_id")
+      // n_postings survives the collapse (one meta row per batch_id,
+      // so the sum is that row's own value — or null for legacy rows,
+      // which keeps their existence-keyed resume semantics)
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
-        min("n_buckets").as("n_buckets"))
-      .select("n_docs", "sum_dl", "n_buckets", "batch_id")
+        min("n_buckets").as("n_buckets"), sum("n_postings").as("n_postings"))
+      .select("n_docs", "sum_dl", "n_buckets", "n_postings", "batch_id")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(stagedMeta.toString)
 

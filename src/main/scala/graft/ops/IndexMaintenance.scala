@@ -44,8 +44,37 @@ object IndexMaintenance {
   def compactDir(spark: SparkSession, dir: String,
       dedupeRows: Boolean = false, targetFiles: Int = 1,
       partitionCols: Seq[String] = Nil): Unit = {
-    import org.apache.hadoop.fs.Path
     require(targetFiles > 0, "targetFiles must be positive")
+    rewriteDir(spark, dir, targetFiles, partitionCols) { df0 =>
+      if (dedupeRows) df0.distinct() else df0
+    }
+  }
+
+  /** Rewrite one index directory EXCLUDING the rows whose `keyCol`
+    * value appears in `keys` — the shared row-strip behind
+    * DELETE/takedown propagation (the removeDocs family) and behind
+    * clearing a partially-committed batch before a crash-replay
+    * re-appends it (`keys` = the one batch_id). Anti-join semantics:
+    * duplicate keys are harmless and rows with a NULL key never match
+    * (legacy unstamped rows survive a batch_id strip untouched). Only
+    * correct for ROW-SET-semantics directories, like [[compactDir]];
+    * the rewrite doubles as a compaction (same layout rules). */
+  def rewriteExcludingKeys(spark: SparkSession, dir: String,
+      keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      targetFiles: Int = 1, partitionCols: Seq[String] = Nil): Unit =
+    rewriteDir(spark, dir, targetFiles, partitionCols) { df0 =>
+      require(df0.columns.contains(keyCol),
+        s"rewriteExcludingKeys: $dir has no column $keyCol")
+      df0.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
+    }
+
+  /** The shared read → transform → staged-rename swap (live→__old,
+    * staged→live, drop __old — every intermediate state keeps the data
+    * adjacent, never deleted-before-replaced). */
+  private def rewriteDir(spark: SparkSession, dir: String,
+      targetFiles: Int, partitionCols: Seq[String])(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(live), s"no index directory at $dir")
@@ -54,10 +83,9 @@ object IndexMaintenance {
     // mergeSchema: index dirs evolve (batch_id stamps arrived after
     // some dirs were first written); a first-footer read would DROP
     // the stamp column from every stamped row, erasing the replay
-    // detection the stamps exist for. Compaction reads all data
+    // detection the stamps exist for. The rewrite reads all data
     // anyway — the footer-merge cost is noise.
-    val df0 = spark.read.option("mergeSchema", "true").parquet(dir)
-    val df = if (dedupeRows) df0.distinct() else df0
+    val df = transform(spark.read.option("mergeSchema", "true").parquet(dir))
     val shaped =
       if (partitionCols.isEmpty) df.repartition(targetFiles)
       else df.repartition(partitionCols.map(col): _*)

@@ -232,12 +232,24 @@ object Ivf {
     * an unstamped replay would re-append the whole batch and top-k
     * results would carry DUPLICATE candidate rows until a dedupe
     * compaction. Stamped appends write an `appendlog/` row FIRST
-    * (one tiny row per batch — the cheap existence probe), then the
-    * stamped cell rows; a replay becomes a resume: log + cells
-    * present → skip; log without cells (the torn state) → finish just
-    * the cells. Log-first ordering means a torn append can only look
-    * like "logged but unwritten" — re-finishable — never silently
-    * missing vectors. */
+    * (one tiny row per batch — the cheap existence probe, carrying the
+    * batch's EXPECTED row count), then the stamped cell rows; a replay
+    * becomes a resume keyed on the COUNT, not mere existence: log
+    * present + cells row count for the batch EQUALS the logged count →
+    * fully landed, skip; count 0 → the torn log-only state, finish
+    * just the cells; count ≠ expected (a crash inside the parquet job
+    * commit — the whole job with FileOutputCommitter v2, where task
+    * files become visible incrementally — left a PARTIALLY committed
+    * batch) → strip the partial batch's rows
+    * ([[IndexMaintenance.rewriteExcludingKeys]], same staged swap as
+    * compaction) and re-append in full. An existence-keyed skip would
+    * read the partial state as "landed" and permanently lose the
+    * missing vectors. Log-first ordering means a torn append can only
+    * look like "logged but incomplete" — re-finishable — never
+    * silently missing vectors. Steady-state cost per stamped append:
+    * the tiny log read + one count of the INCOMING batch (the log's
+    * expected-rows field); the landed-count scan of `cells/` runs only
+    * on the replay path. */
   def appendIndex(spark: SparkSession, batch: DataFrame, path: String,
       batchId: Option[Long] = None): Unit = {
     import spark.implicits._
@@ -251,23 +263,48 @@ object Ivf {
     // plain append path, not kill the recovery with a schema-inference
     // error. (Semantic index reads elsewhere must NOT do this — an
     // unreadable anti-join source is corruption, not a resume state.)
-    val (logLanded, cellsLanded) = batchId match {
+    // (logLanded, expected row count if the log carries one, rows of
+    // this batch already visible in cells/)
+    val (logLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logPath)) =>
         try {
-          val l = !spark.read.parquet(logPath).where(col("batch_id") === b).isEmpty
-          val c = l && {
-            val cells = spark.read.option("mergeSchema", "true").parquet(cellsPath)
-            cells.columns.contains("batch_id") &&
-              !cells.where(col("batch_id") === b).isEmpty
-          }
-          (l, c)
-        } catch { case _: Exception => (false, false) }
-      case _ => (false, false)
+          // mergeSchema: logs written before the n_rows field are
+          // legacy — their batches resume on existence alone (the old,
+          // weaker contract; nothing better is recoverable for them)
+          val log0 = spark.read.option("mergeSchema", "true").parquet(logPath)
+          val logRow = log0.where(col("batch_id") === b).collect().headOption
+          val exp =
+            if (logRow.isDefined && log0.columns.contains("n_rows"))
+              Option(logRow.get.getAs[Any]("n_rows")).map(_.asInstanceOf[Long])
+            else None
+          val n =
+            if (logRow.isEmpty) 0L
+            else {
+              val cells = spark.read.option("mergeSchema", "true").parquet(cellsPath)
+              if (!cells.columns.contains("batch_id")) 0L
+              else cells.where(col("batch_id") === b).count()
+            }
+          (logRow.isDefined, exp, n)
+        } catch { case _: Exception => (false, None, 0L) }
+      case _ => (false, None, 0L)
     }
-    if (logLanded && cellsLanded) return
+    val landedComplete = logLanded && (expected match {
+      case Some(n) => landed == n
+      case None => landed > 0 // legacy log row: existence-keyed resume
+    })
+    if (logLanded && landedComplete) return
+    // partial job commit (crash inside the parquet job commit left only
+    // SOME of the batch's task files visible): strip the partial rows
+    // before re-appending — appending on top would duplicate them.
+    // Deliberately OUTSIDE the degrade-to-not-landed probe: a failed
+    // strip must abort the append, not be swallowed.
+    if (logLanded && landed > 0)
+      IndexMaintenance.rewriteExcludingKeys(spark, cellsPath,
+        Seq(batchId.get).toDF("batch_id"), "batch_id",
+        partitionCols = Seq("cell"))
     val bid = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     if (batchId.isDefined && !logLanded)
-      Seq(batchId.get).toDF("batch_id")
+      Seq((batchId.get, batch.count())).toDF("batch_id", "n_rows")
         .write.mode("append").parquet(logPath)
     assign(batch, loadModel(spark, path))
       .withColumn("batch_id", bid)

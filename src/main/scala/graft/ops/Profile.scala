@@ -71,7 +71,19 @@ object Profile {
     * permanently. Stamped rows dedup by batch_id in [[readProfile]] —
     * safe because a replay recomputes the SAME stats from the same
     * batch data. Unstamped (`None`, the one-shot batch API) rows are
-    * never deduped against each other. */
+    * never deduped against each other.
+    *
+    * CONTRACT (single stream, single checkpoint per stats path): the
+    * batch_id dedup assumes every stamped row at `path` comes from ONE
+    * streaming query with ONE checkpoint lineage, where equal
+    * batch_ids imply identical batches. Two different streams writing
+    * the same stats path, or one stream RESTARTED WITH A FRESH
+    * CHECKPOINT (batch ids restart at 0), produce distinct batches
+    * with equal batch_id that [[readProfile]] would silently collapse
+    * as replays — undercounting n_rows/nulls. Give each stream (and
+    * each checkpoint lineage) its own stats path; profiles merge
+    * downstream by summing the [[readProfile]] outputs if one view is
+    * needed. */
   def appendStats(df: DataFrame, path: String, cols: Seq[String],
       batchId: Option[Long] = None): Unit = {
     require(cols.nonEmpty, "no columns to profile")

@@ -226,6 +226,61 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("partial-commit recovery: a half-landed postings batch is stripped and rewritten, not skipped") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25partial").toString
+    val terms = Seq("spark", "join", "scan", "vector")
+    def scores() = Bm25.topKIndexed(spark, idx, terms, k = 10)
+      .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    def batchPostings() = spark.read.parquet(s"$idx/postings")
+      .where($"batch_id" === 1L).count()
+    try {
+      val b0 = corpus.where($"doc_id" <= 2)
+      val b1 = corpus.where($"doc_id" > 2)
+      Bm25.appendIndex(b0, idx, nBuckets = 8, batchId = Some(0L))
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      val ref = scores()
+      val refBatch = batchPostings()
+      assert(refBatch > 1, "fixture: batch 1 needs >1 posting to split")
+
+      // crash point: the postings JOB commit died half-way (the
+      // FileOutputCommitter-v2 window) — only SOME of batch 1's
+      // posting rows are visible, and the meta row (written first) is
+      // fully landed. The old existence-keyed probe read 'some rows
+      // present' as 'landed' and SKIPPED — permanently losing the
+      // missing postings while meta still counted the whole batch.
+      val keep = spark.read.parquet(s"$idx/postings")
+        .where($"batch_id".isNull || $"batch_id" =!= 1L ||
+          pmod($"doc_id" + length($"term"), lit(2)) === 0)
+        .localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/postings"), true)
+      keep.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$idx/postings")
+      val partial = batchPostings()
+      assert(partial > 0 && partial < refBatch,
+        "fixture: the partial state should hold SOME but not all of batch 1")
+
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      assert(batchPostings() == refBatch,
+        "partial-commit replay did not restore the batch's postings")
+      assert(scores() == ref, "partial-commit recovery drifted the scores")
+      assert(spark.read.parquet(s"$idx/meta").count() == 2L,
+        "partial-commit replay re-appended the meta row")
+      // and the recovered index is again idempotent under replay
+      Bm25.appendIndex(b1, idx, nBuckets = 8, batchId = Some(1L))
+      assert(scores() == ref)
+      assert(batchPostings() == refBatch)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("NULL text contributes no postings; inconsistent bucket counts fail fast") {
     val withNull = corpus.union(Seq((9L, null: String)).toDF("doc_id", "text"))
     val st = Bm25.buildStats(withNull)

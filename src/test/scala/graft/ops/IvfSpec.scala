@@ -263,4 +263,53 @@ class IvfSpec extends SparkSpec {
     assert(rows() == refRows, "post-compaction replay duplicated the batch")
     assert(key() == refKey)
   }
+
+  test("appendIndex partial-commit recovery: a half-landed batch is stripped and rewritten, not skipped") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = Ivf.fit(base, nlist = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf-partial").toString
+    Ivf.save(spark, model, base, path)
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    def rows() = spark.read.parquet(s"$path/cells").count()
+    def batchRows() = spark.read.parquet(s"$path/cells")
+      .where(col("batch_id") === 0L).count()
+    def key() = Ivf.topKIndexed(Ivf.load(spark, path), q, k = 5, nprobe = 8)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (refRows, refBatchRows, refKey) = (rows(), batchRows(), key())
+
+    // crash point: the cells parquet JOB commit died half-way (the
+    // FileOutputCommitter-v2 window where task files become visible
+    // incrementally) — simulate by keeping only half of batch 0's
+    // rows. The appendlog row IS present, so the old existence-keyed
+    // probe would have SKIPPED the replay and permanently lost the
+    // other half — the data-loss window this test pins shut.
+    val keep = spark.read.parquet(s"$path/cells")
+      .where(col("batch_id").isNull || pmod(col("id"), lit(2)) === 0)
+      .localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+    keep.write.partitionBy("cell").parquet(s"$path/cells")
+    val partial = batchRows()
+    assert(partial > 0 && partial < refBatchRows,
+      "fixture: the partial state should hold SOME but not all of batch 0")
+
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(batchRows() == refBatchRows,
+      "partial-commit replay did not restore the full batch")
+    assert(rows() == refRows,
+      "partial-commit replay duplicated the already-landed half")
+    assert(key() == refKey)
+    assert(spark.read.parquet(s"$path/appendlog").count() == 1L,
+      "partial-commit replay re-appended the log row")
+    // and the recovered index is again idempotent under replay
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(rows() == refRows)
+  }
 }
