@@ -269,6 +269,80 @@ object Bm25 {
       .limit(k)
   }
 
+  /** DELETE/takedown propagation — remove documents from the persisted
+    * index WITHOUT a rebuild: the inverse lifecycle verb to
+    * [[appendIndex]]. A curation pipeline at 100 TB gets
+    * takedown/right-to-erasure requests; before this, the only answer
+    * was re-tokenizing the whole corpus.
+    *
+    * Two steps, exactness by construction:
+    *   1. the removed docs' contribution to the global stats is
+    *      recomputed from their LIVE postings (per-doc dl = the min-dl
+    *      denormalized into every posting row; docs with no postings
+    *      never counted in meta either — [[buildStats]] derives totals
+    *      from postings — so postings-derived deltas are exact), and a
+    *      NEGATIVE meta row is appended. Meta sums on read, so the
+    *      summed stats equal a one-shot build over the survivors
+    *      EXACTLY — integer arithmetic, no drift;
+    *   2. the postings strip by anti-join
+    *      ([[IndexMaintenance.rewriteExcludingKeys]] — the staged
+    *      -rename swap, doubling as a compaction of the postings).
+    *      df is never stored, so it re-derives correctly from the
+    *      pruned postings at query time with no third step.
+    * `q_index_delete` proves the equivalence against a DuckDB oracle
+    * over the survivors (the q_incremental_append device inverted).
+    *
+    * Delta-BEFORE-strip is load-bearing: the delta must be computed
+    * while the postings are still live (after a strip there is nothing
+    * left to measure). `removeId` makes a RETRY safe: the delta row is
+    * stamped, and a re-run that finds its remove_id already in meta
+    * skips straight to the (idempotent) strip — so every crash point
+    * re-runs to the exact no-crash index. An UNSTAMPED removal that
+    * crashes between the two steps must NOT be blindly re-run (the
+    * delta would double-decrement); pass removeId anywhere a retry is
+    * possible. Unknown ids are no-ops (anti-join semantics); removing
+    * docs of a STREAMING batch whose checkpoint hasn't committed is
+    * out of contract (the batch's replay would resurrect them).
+    *
+    * Torn visibility between the steps (delta landed, strip not yet):
+    * scores are briefly perturbed (N too low) but the strip completes
+    * on the re-run; the removed docs stop being RETURNABLE only once
+    * the strip lands — the strip, not the delta, is the takedown. */
+  def removeDocs(spark: SparkSession, path: String, ids: DataFrame,
+      removeId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val metaPath = s"$path/meta"
+    val postPath = s"$path/postings"
+    val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
+    val deltaLanded = removeId.exists(r =>
+      meta.columns.contains("remove_id") &&
+        !meta.where(col("remove_id") === r).isEmpty)
+    val postings = spark.read.option("mergeSchema", "true").parquet(postPath)
+    val hits = postings
+      .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPost = hits.count()
+      if (!deltaLanded) {
+        if (nPost == 0 && removeId.isEmpty) return // nothing to remove
+        val nBucketsAll = meta.select("n_buckets").distinct().collect().map(_.getInt(0))
+        require(nBucketsAll.length == 1,
+          s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
+        val totals = hits.groupBy("doc_id").agg(min("dl").as("dl"))
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
+        Seq((-totals.getLong(0), -totals.getLong(1), nBucketsAll.head, -nPost))
+          .toDF("n_docs", "sum_dl", "n_buckets", "n_postings")
+          .withColumn("batch_id", lit(null).cast("long"))
+          .withColumn("remove_id",
+            removeId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+          .write.mode(SaveMode.Append).parquet(metaPath)
+      }
+      if (nPost > 0)
+        IndexMaintenance.rewriteExcludingKeys(spark, postPath,
+          ids.select(col("doc_id")), "doc_id", partitionCols = Seq("bucket"))
+    } finally hits.unpersist(blocking = false)
+  }
+
   /** Compact the persisted index in place: collapse each bucket
     * directory to ONE parquet file and `meta/` to one summed row.
     * [[appendIndex]] writes one file per bucket per append — at
@@ -302,7 +376,10 @@ object Bm25 {
     val fs = new Path(path).getFileSystem(conf)
     require(fs.exists(new Path(s"$path/postings")) && fs.exists(new Path(s"$path/meta")),
       s"no index at $path")
-    val metaDf1 = spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+    val metaDf2 = spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+    val metaDf1 =
+      if (metaDf2.columns.contains("remove_id")) metaDf2
+      else metaDf2.withColumn("remove_id", lit(null).cast("long"))
     val metaDf0 =
       if (metaDf1.columns.contains("n_postings")) metaDf1
       else metaDf1.withColumn("n_postings", lit(null).cast("long"))
@@ -326,13 +403,16 @@ object Bm25 {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(stagedPost.toString)
     metaDf
-      .groupBy("batch_id")
-      // n_postings survives the collapse (one meta row per batch_id,
-      // so the sum is that row's own value — or null for legacy rows,
-      // which keeps their existence-keyed resume semantics)
+      // one row per (batch_id, remove_id): append-replay detection AND
+      // removal-replay detection must both survive the re-layout.
+      // n_postings survives the collapse (one meta row per stamp, so
+      // the sum is that row's own value — or null for legacy rows,
+      // which keeps their existence-keyed resume semantics); unstamped
+      // (null, null) rows collapse into one summed row as before.
+      .groupBy("batch_id", "remove_id")
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"),
         min("n_buckets").as("n_buckets"), sum("n_postings").as("n_postings"))
-      .select("n_docs", "sum_dl", "n_buckets", "n_postings", "batch_id")
+      .select("n_docs", "sum_dl", "n_buckets", "n_postings", "batch_id", "remove_id")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(stagedMeta.toString)
 

@@ -178,6 +178,33 @@ object Boilerplate {
     thresholdSet(freq, grps, grpCol, maxDocFrac, minGrpDocs)
   }
 
+  /** DELETE/takedown propagation — remove documents' contributions
+    * from the persisted line statistics without a recount (the inverse
+    * lifecycle verb to the [[buildLineStats]] Append): the counts are
+    * MERGEABLE, so the removal appends NEGATIVE delta rows — the same
+    * additive-identity argument that makes fold-in exact makes the
+    * decrement exact, and the summed stats equal a one-shot recount
+    * over the survivors bit-for-bit (BoilerplateSpec pins it).
+    *
+    * `removedLines` must be EXACTLY the removed docs' line rows as
+    * previously counted (the caller keeps the corpus; the index stores
+    * only counts — there is nothing to recompute the contribution
+    * from). Same one-shot contract as the Append fold-in, inverted:
+    * remove each doc's lines exactly once — a blind re-run
+    * double-decrements, so wrap retries in your own ledger. Groups
+    * whose doc count hits zero threshold out naturally at read
+    * ([[boilerplateSetFromStats]] keeps `minGrpDocs ≥ 2`-doc groups
+    * only, and a 0/0 frequency row sums to zero docs). */
+  def removeLineStats(removedLines: DataFrame, idCol: String,
+      grpCol: String, lineCol: String, path: String): Unit = {
+    lineDocFreq(removedLines, idCol, grpCol, lineCol)
+      .withColumn("n_docs", -col("n_docs"))
+      .write.mode(SaveMode.Append).option("compression", "zstd").parquet(s"$path/freq")
+    removedLines.select(col(grpCol), col(idCol)).distinct()
+      .groupBy(grpCol).agg((-count(lit(1))).as("n_docs_grp"))
+      .write.mode(SaveMode.Append).option("compression", "zstd").parquet(s"$path/grps")
+  }
+
   /** Strip a NEW batch against the persisted stats: the index corpus's
     * chrome strips the batch, and a line frequent only WITHIN the batch
     * is kept (no index evidence yet — fold the batch in afterwards via

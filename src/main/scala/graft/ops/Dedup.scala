@@ -517,6 +517,28 @@ object Dedup {
     } finally newSh.unpersist(blocking = false)
   }
 
+  /** DELETE/takedown propagation — remove documents from a persisted
+    * band index without a rebuild (the inverse lifecycle verb to the
+    * [[buildBandIndex]] Append): anti-join strips of `buckets/` (the
+    * candidate side — removing these rows is what stops the ids
+    * matching future increments) and then `shingles/` (the verify
+    * side — its dangling rows are semantically inert once no bucket
+    * row references the id, so this order leaves every intermediate
+    * state correct). Both via [[IndexMaintenance.rewriteExcludingKeys]]
+    * (staged-rename swap; the buckets rewrite preserves the
+    * range-laid-out (band, bkey) sort [[buildBandIndex]] establishes).
+    * Membership/candidate-set semantics make the removal naturally
+    * idempotent and exact: the stripped index is row-identical to one
+    * built over the survivors under the same (n, k, bands) config
+    * (DedupSpec pins probe-result equality). Unknown ids are no-ops. */
+  def removeFromBandIndex(spark: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    IndexMaintenance.rewriteExcludingKeys(spark, s"$path/buckets",
+      ids.select(col("id")), "id", rangeSortCols = Seq("band", "bkey"))
+    IndexMaintenance.rewriteExcludingKeys(spark, s"$path/shingles",
+      ids.select(col("id")), "id")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * via 16-bit chunk banding (any chunk equal → candidate; complete
     * for maxDist ≤ 3 by pigeonhole). `sim` picks the simhash variant

@@ -56,13 +56,18 @@ object IndexMaintenance {
     * clearing a partially-committed batch before a crash-replay
     * re-appends it (`keys` = the one batch_id). Anti-join semantics:
     * duplicate keys are harmless and rows with a NULL key never match
-    * (legacy unstamped rows survive a batch_id strip untouched). Only
-    * correct for ROW-SET-semantics directories, like [[compactDir]];
-    * the rewrite doubles as a compaction (same layout rules). */
+    * (legacy unstamped rows survive a batch_id strip untouched).
+    * Naturally IDEMPOTENT — re-running the same exclusion is a pure
+    * re-layout. Only correct for ROW-SET-semantics directories, like
+    * [[compactDir]]; the rewrite doubles as a compaction (same layout
+    * rules). `rangeSortCols` preserves a range-laid-out, sorted flat
+    * dir (the band-index `buckets/` shape) instead of the
+    * `targetFiles` collapse. */
   def rewriteExcludingKeys(spark: SparkSession, dir: String,
       keys: org.apache.spark.sql.DataFrame, keyCol: String,
-      targetFiles: Int = 1, partitionCols: Seq[String] = Nil): Unit =
-    rewriteDir(spark, dir, targetFiles, partitionCols) { df0 =>
+      targetFiles: Int = 1, partitionCols: Seq[String] = Nil,
+      rangeSortCols: Seq[String] = Nil): Unit =
+    rewriteDir(spark, dir, targetFiles, partitionCols, rangeSortCols) { df0 =>
       require(df0.columns.contains(keyCol),
         s"rewriteExcludingKeys: $dir has no column $keyCol")
       df0.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
@@ -72,7 +77,8 @@ object IndexMaintenance {
     * staged→live, drop __old — every intermediate state keeps the data
     * adjacent, never deleted-before-replaced). */
   private def rewriteDir(spark: SparkSession, dir: String,
-      targetFiles: Int, partitionCols: Seq[String])(
+      targetFiles: Int, partitionCols: Seq[String],
+      rangeSortCols: Seq[String] = Nil)(
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
@@ -87,7 +93,10 @@ object IndexMaintenance {
     // anyway — the footer-merge cost is noise.
     val df = transform(spark.read.option("mergeSchema", "true").parquet(dir))
     val shaped =
-      if (partitionCols.isEmpty) df.repartition(targetFiles)
+      if (rangeSortCols.nonEmpty)
+        df.repartitionByRange(rangeSortCols.map(col): _*)
+          .sortWithinPartitions(rangeSortCols.map(col): _*)
+      else if (partitionCols.isEmpty) df.repartition(targetFiles)
       else df.repartition(partitionCols.map(col): _*)
     val w0 = shaped.write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) w0 else w0.partitionBy(partitionCols: _*))

@@ -311,6 +311,26 @@ object Ivf {
       .write.mode("append").partitionBy("cell").parquet(cellsPath)
   }
 
+  /** DELETE/takedown propagation — remove vectors from a persisted
+    * index without a rebuild (the inverse lifecycle verb to
+    * [[appendIndex]]): an anti-join strip of `cells/`
+    * ([[IndexMaintenance.rewriteExcludingKeys]] — staged-rename swap,
+    * cell layout preserved, doubling as a compaction). The quantizer
+    * stores no corpus statistics, so the strip is the WHOLE removal:
+    * the result is bit-identical to a one-shot [[save]] of the
+    * survivors under the same frozen model (IvfSpec pins it).
+    * Naturally idempotent — re-running the same removal is a pure
+    * re-layout — so no removal log is needed (the [[Bm25.removeDocs]]
+    * stamp exists only for its meta decrement, which IVF doesn't
+    * have). Unknown ids are no-ops. Removing ids of a STREAMING batch
+    * whose checkpoint hasn't committed is out of contract (the
+    * batch's replay would see its landed count dropped below the
+    * appendlog's expectation, strip the remainder, and re-append the
+    * full batch — resurrecting the removed vectors). */
+  def removeVectors(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    IndexMaintenance.rewriteExcludingKeys(spark, s"$path/cells",
+      ids.select(col("id")), "id", partitionCols = Seq("cell"))
+
   /** Per-cell row counts of a persisted index — the rebuild monitor
     * for [[appendIndex]]'s drift contract (cheap: a count per cell
     * partition, no vector math). */

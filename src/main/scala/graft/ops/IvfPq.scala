@@ -94,6 +94,17 @@ object IvfPq {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** DELETE/takedown propagation — [[Ivf.removeVectors]] for the
+    * compressed form: strip the ids' code rows from `cells/` (staged
+    * swap, cell layout preserved). Both quantizers store no corpus
+    * statistics, so the strip alone makes the index bit-identical to
+    * a one-shot [[save]] of the survivors under the same frozen model
+    * (IvfPqSpec pins it). Idempotent; unknown ids are no-ops. */
+  def removeVectors(spark: SparkSession, path: String,
+      ids: org.apache.spark.sql.DataFrame): Unit =
+    IndexMaintenance.rewriteExcludingKeys(spark, s"$path/cells",
+      ids.select(col("id")), "id", partitionCols = Seq("cell"))
+
   /** One file per cell partition after appends — the staged-rename
     * re-layout ([[IndexMaintenance.compactDir]]); results-identical,
     * `dedupeRows` collapses at-least-once retry duplicates. */

@@ -67,6 +67,25 @@ object SearchQueries {
     }
   }
 
+  /** The DELETE/takedown lifecycle verb, oracle-gated: build the
+    * persisted index over the FULL corpus, [[graft.ops.Bm25
+    * .removeDocs]] every third doc, query — the oracle scores a
+    * one-shot build over the SURVIVORS (the q_incremental_append
+    * device inverted). Green proves the negative meta delta + postings
+    * strip leave stats and scores bit-identical to never having
+    * indexed the removed docs: N/avgdl from the summed meta, df from
+    * the pruned postings. */
+  def qIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Q.withTempIndex("graft-bm25del") { idx =>
+      Bm25.appendIndex(docs, idx)
+      Bm25.removeDocs(s, idx,
+        docs.where(col("doc_id") % 3 === 1).select(col("doc_id")),
+        removeId = Some(0L))
+      ranked(Bm25.topKIndexed(s, idx, Terms, K)).localCheckpoint(true)
+    }
+  }
+
   def qGopher(s: SparkSession, dir: String): DataFrame = {
     val rules = Quality.gopherRules(col("text"))
     Tables.documents(s, dir)
@@ -204,6 +223,7 @@ object SearchQueries {
   val all: Map[String, Q.QueryFn] = Map(
     "q_bm25" -> (qBm25 _),
     "q_bm25_index" -> (qBm25Index _),
+    "q_index_delete" -> (qIndexDelete _),
     "q_gopher" -> (qGopher _),
     "q_c4_lines" -> (qC4Lines _),
     "q_hybrid_rrf" -> (qHybridRrf _),
@@ -237,6 +257,10 @@ object SearchQueries {
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_bm25_index" -> bm25Sql,
+    // the survivors' corpus: identical scoring SQL over the post-
+    // takedown document set — green means removeDocs ≡ never indexed
+    "q_index_delete" -> bm25Sql.replace("FROM documents,",
+      "FROM (SELECT * FROM documents WHERE doc_id % 3 <> 1) AS documents,"),
     "q_hybrid_rrf" ->
       """WITH tok AS (SELECT doc_id, t.term AS term
         |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)),

@@ -281,6 +281,60 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("removeDocs: takedown ≡ one-shot build over the survivors; stamped retry idempotent") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25rm").toString
+    val surv = java.nio.file.Files.createTempDirectory("bm25surv").toString
+    val terms = Seq("spark", "join", "scan", "vector")
+    def scores(p: String) = Bm25.topKIndexed(spark, p, terms, k = 10)
+      .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    def metaTotals(p: String) = {
+      val r = spark.read.option("mergeSchema", "true").parquet(s"$p/meta")
+        .agg(sum("n_docs"), sum("sum_dl")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    try {
+      // removed set: docs 1 and 4 (+ an unknown id, which must no-op)
+      val removed = Seq(1L, 4L, 999L).toDF("doc_id")
+      Bm25.appendIndex(corpus, idx, nBuckets = 8)
+      Bm25.removeDocs(spark, idx, removed, removeId = Some(7L))
+      Bm25.appendIndex(corpus.where($"doc_id" =!= 1L && $"doc_id" =!= 4L),
+        surv, nBuckets = 8)
+      val want = scores(surv)
+      assert(scores(idx) == want,
+        "takedown index must score bit-identically to a build over the survivors")
+      assert(metaTotals(idx) == metaTotals(surv),
+        "summed meta deltas must equal the survivors' exact totals")
+      assert(!scores(idx).exists(s => s._1 == 1L || s._1 == 4L))
+      // no postings of the removed docs survive anywhere
+      assert(spark.read.option("mergeSchema", "true").parquet(s"$idx/postings")
+        .where($"doc_id".isin(1L, 4L)).isEmpty)
+
+      // stamped retry (crash-replay of the whole removal): idempotent
+      Bm25.removeDocs(spark, idx, removed, removeId = Some(7L))
+      assert(scores(idx) == want, "stamped retry double-decremented")
+      // compaction preserves the remove stamp — retry after re-layout
+      Bm25.compactIndex(spark, idx)
+      Bm25.removeDocs(spark, idx, removed, removeId = Some(7L))
+      assert(scores(idx) == want, "post-compaction retry double-decremented")
+      // an unstamped removal of already-gone ids is also a no-op
+      Bm25.removeDocs(spark, idx, removed)
+      assert(scores(idx) == want)
+      // and the index keeps living: a later append folds in normally
+      val more = Seq((10L, "spark vector scan again")).toDF("doc_id", "text")
+      Bm25.appendIndex(more, idx, nBuckets = 8)
+      Bm25.appendIndex(more, surv, nBuckets = 8)
+      assert(scores(idx) == scores(surv),
+        "post-takedown append must keep tracking the survivors' index")
+    } finally Seq(idx, surv).foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("NULL text contributes no postings; inconsistent bucket counts fail fast") {
     val withNull = corpus.union(Seq((9L, null: String)).toDF("doc_id", "text"))
     val st = Bm25.buildStats(withNull)

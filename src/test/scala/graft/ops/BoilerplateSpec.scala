@@ -99,6 +99,45 @@ class BoilerplateSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("removeLineStats: negative deltas ≡ one-shot recount over the survivors") {
+    // two groups; group g has a header in all docs, group h is small.
+    // Removing docs 5..10 flips HDR below the g-threshold AND drops h
+    // under minGrpDocs — both must match a survivor recount exactly.
+    val all = ((1L to 10L).flatMap(i => Seq(
+      (i, "g", 0, "HDR"), (i, "g", 1, s"body $i"))) ++
+      Seq((11L, "h", 0, "HH"), (12L, "h", 0, "HH"))).toDF("doc_id", "grp", "idx", "line")
+    val removed = all.where(col("doc_id") >= 5L)
+    val survivors = all.where(col("doc_id") < 5L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-blrm").toString
+    val dec = s"$dir/dec"; val one = s"$dir/one"
+    try {
+      Boilerplate.buildLineStats(all, "doc_id", "grp", "line", dec)
+      Boilerplate.removeLineStats(removed, "doc_id", "grp", "line", dec)
+      Boilerplate.buildLineStats(survivors, "doc_id", "grp", "line", one)
+      def set(p: String, frac: Double) = Boilerplate
+        .boilerplateSetFromStats(spark, p, "grp", frac)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // at every threshold the decremented stats answer like the recount
+      for (frac <- Seq(0.3, 0.6, 0.9)) {
+        assert(set(dec, frac) == set(one, frac), s"divergence at maxDocFrac=$frac")
+      }
+      // HDR still passes 0.6 among 4 survivors (4/4); group h is gone
+      assert(set(dec, 0.6).exists(_._1 == "g"))
+      assert(!set(dec, 0.6).exists(_._1 == "h"))
+      // summed raw counts equal the recount's raw counts bit-for-bit
+      def freq(p: String) = spark.read.parquet(s"$p/freq")
+        .groupBy("grp", "line_md5").agg(sum("n_docs").as("n"))
+        .where(col("n") =!= 0L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(freq(dec) == freq(one))
+      // a fully-removed group's rows sum to zero, never negative
+      val mins = spark.read.parquet(s"$dec/grps")
+        .groupBy("grp").agg(sum("n_docs_grp").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(mins("h") == 0L && mins("g") == 4L)
+    } finally deleteRecursively(dir)
+  }
+
   test("materialize=true evaluates a derived input exactly once (not 4x)") {
     val acc = spark.sparkContext.longAccumulator("line-evals")
     val counting = udf { (s: String) => { acc.add(1L); s } }.asNondeterministic()

@@ -115,6 +115,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.contains((401L, 301L)) && got.contains((401L, 3L)))
   }
 
+  test("removeFromBandIndex: takedown ≡ index built over the survivors; removed ids stop matching") {
+    val rmDir = java.nio.file.Files.createTempDirectory("nddrm").toString
+    val survDir = java.nio.file.Files.createTempDirectory("nddsurv").toString
+    val corpus = ((1L to 40L).map(doc(_)) ++
+      Seq((101L, doc(7)._2), (102L, doc(9)._2 + " juliet"))).toDF("id", "text")
+    val removedIds = Seq(7L, 102L, 9999L) // 9999 unknown → no-op
+    val survivors = corpus.where(!col("id").isin(removedIds: _*))
+    Dedup.buildBandIndex(corpus, rmDir, n = 3, k = 48, bands = 16)
+    Dedup.removeFromBandIndex(spark, rmDir, removedIds.toDF("id"))
+    Dedup.buildBandIndex(survivors, survDir, n = 3, k = 48, bands = 16)
+
+    // row-identical index state (buckets and shingles both)
+    def buckets(p: String) = spark.read.parquet(s"$p/buckets")
+      .select("band", "bkey", "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def shingleIds(p: String) = spark.read.parquet(s"$p/shingles")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(buckets(rmDir) == buckets(survDir))
+    assert(shingleIds(rmDir) == shingleIds(survDir))
+
+    // probe equivalence: an increment duplicating a REMOVED doc matches
+    // only the surviving copies (doc 7 removed, its dup 101 survives)
+    val incr = Seq((201L, doc(7)._2)).toDF("id", "text")
+    def probe(p: String) = Dedup.incrementalNearDups(incr, p,
+        threshold = 0.8, n = 3, k = 48, bands = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = probe(rmDir)
+    assert(got == probe(survDir))
+    assert(got.contains((201L, 101L)) && !got.exists(_._2 == 7L),
+      "removed doc must stop matching; its surviving near-dup must still match")
+    // idempotent re-run
+    Dedup.removeFromBandIndex(spark, rmDir, removedIds.toDF("id"))
+    assert(buckets(rmDir) == buckets(survDir))
+  }
+
   test("gate parity: 60% build + 20% Append probes identically to the one-shot 80% index") {
     // the q_incremental_append contract on real testdata — both gate
     // queries share one DuckDB oracle, so they must agree bit-for-bit

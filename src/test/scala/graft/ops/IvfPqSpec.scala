@@ -120,6 +120,33 @@ class IvfPqSpec extends SparkSpec {
     assert(direct == viaDisk)
   }
 
+  test("removeVectors: takedown ≡ one-shot save of the survivors under the same frozen model") {
+    val e = corpus
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val surv = e.where(col("id") % 7 =!= 0)
+    val model = IvfPq.fit(e, nlist = 8, m = 4, k = 8, iters = 2)
+    val rmPath = java.nio.file.Files.createTempDirectory("ivfpq-rm").toString
+    val survPath = java.nio.file.Files.createTempDirectory("ivfpq-surv").toString
+    IvfPq.save(spark, model, e, rmPath)
+    IvfPq.removeVectors(spark, rmPath, e.where(col("id") % 7 === 0).select("id"))
+    IvfPq.save(spark, model, surv, survPath)
+    def codeSet(p: String) = spark.read.parquet(s"$p/cells")
+      .select(col("id"), col("cell"), col("codes").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(codeSet(rmPath) == codeSet(survPath),
+      "stripped code rows must equal the survivors' one-shot layout")
+    def key(p: String) = {
+      val idx = IvfPq.load(spark, p)
+      IvfPq.topK(idx.cells, surv, q, idx.model, k = 5, nprobe = 3)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(key(rmPath) == key(survPath))
+    // idempotent re-run
+    IvfPq.removeVectors(spark, rmPath, e.where(col("id") % 7 === 0).select("id"))
+    assert(codeSet(rmPath) == codeSet(survPath))
+  }
+
   test("appendIndex: frozen-quantizer fold-in ≡ one-shot index; compaction results-identical") {
     val e = corpus
     val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))

@@ -264,6 +264,41 @@ class IvfSpec extends SparkSpec {
     assert(key() == refKey)
   }
 
+  test("removeVectors: takedown ≡ one-shot save of the survivors under the same model") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val model = Ivf.fit(e, nlist = 8, iters = 3)
+    val rmPath = java.nio.file.Files.createTempDirectory("ivf-rm").toString
+    val survPath = java.nio.file.Files.createTempDirectory("ivf-surv").toString
+    val removed = e.where(col("id") % 7 === 0).select("id")
+    Ivf.save(spark, model, e, rmPath)
+    Ivf.removeVectors(spark, rmPath, removed)
+    Ivf.save(spark, model, e.where(col("id") % 7 =!= 0), survPath)
+    def cellSet(p: String) = spark.read.parquet(s"$p/cells")
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSet(rmPath) == cellSet(survPath),
+      "stripped cells must equal the survivors' one-shot layout")
+    def key(p: String) = Ivf.topKIndexed(Ivf.load(spark, p), q, k = 5, nprobe = 8)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = key(survPath)
+    assert(key(rmPath) == want)
+    // fixture strength: the removal actually changed probe results
+    // (some removed id ranked in the full index's top-k)
+    val fullKey = Ivf.topK(e, q, model, k = 5, nprobe = 8)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fullKey.exists(_._2 % 7 == 0) && fullKey != want,
+      "fixture: removed ids should have been probe-relevant")
+    // idempotent: re-running the same removal is a pure re-layout
+    Ivf.removeVectors(spark, rmPath, removed)
+    assert(cellSet(rmPath) == cellSet(survPath))
+    assert(key(rmPath) == want)
+  }
+
   test("appendIndex partial-commit recovery: a half-landed batch is stripped and rewritten, not skipped") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
