@@ -3,11 +3,13 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** String-similarity SELF-join under an edit-distance bound — the
-  * entity-resolution primitive (supplier/customer/name matching, alias
-  * clustering) the short-string end of the dedup family needs: the
-  * document operators ([[Dedup]]) key on shingle sets, which are
-  * meaningless at name length.
+/** String-similarity joins under an edit-distance bound — the
+  * entity-resolution primitives (supplier/customer/name matching,
+  * alias clustering, dirty-strings-vs-canonical-catalog lookup) the
+  * short-string end of the dedup family needs: the document operators
+  * ([[Dedup]]) key on shingle sets, which are meaningless at name
+  * length. [[selfJoin]] matches a table against itself; [[join]] is
+  * the two-table form.
   *
   * Naively this is an n² `levenshtein(a, b) ≤ d` theta join. The scale
   * plan is q-gram PREFIX FILTERING (Chaudhuri et al. 2006; ED-Join,
@@ -67,6 +69,43 @@ object FuzzyJoin {
       i => padded.substr(i, lit(q))))
   }
 
+  /** (id, str, __len, __gs grams, __short flag) — the shared front of
+    * both join shapes. */
+  private def baseOf(rows: DataFrame, maxDist: Int, q: Int): DataFrame =
+    rows.where(col("str").isNotNull)
+      .select(col("id"), col("str"), length(col("str")).as("__len"),
+        gramsOf(col("str"), q).as("__gs"))
+      .withColumn("__short", size(col("__gs")) <= maxDist * q)
+
+  /** (id, __len, __g) exploded gram rows of a base frame. */
+  private def gramRows(base: DataFrame): DataFrame =
+    base.select(col("id"), col("__len"), explode(col("__gs")).as("__g"))
+
+  /** Signature rows (__g, id, __len) = each string's first d·q + 1
+    * grams under the SHARED (df, gram) total order `dfT` carries.
+    * WindowGroupLimit prunes the rank below the exchange; per-string
+    * gram counts are bounded by string length, so the sort is local
+    * and tiny. */
+  private def sigOf(gram: DataFrame, dfT: DataFrame, sigLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("__g"))
+    gram.join(dfT, "__g")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= sigLen)
+      .select(col("__g"), col("id"), col("__len"))
+  }
+
+  /** Levenshtein verify of deduped candidate pairs — exact from here
+    * on; `strs1`/`strs2` carry (id, str) for each side. */
+  private def verified(cands: DataFrame, strs1: DataFrame, strs2: DataFrame,
+      maxDist: Int): DataFrame =
+    cands.distinct()
+      .join(strs1.select(col("id").as("id1"), col("str").as("str1")), "id1")
+      .join(strs2.select(col("id").as("id2"), col("str").as("str2")), "id2")
+      .withColumn("dist", levenshtein(col("str1"), col("str2")))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+
   /** Edit-distance self-join.
     *
     * @param rows    (`id` long, `str` string) — ids unique
@@ -81,26 +120,13 @@ object FuzzyJoin {
       Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
     val sigLen = maxDist * q + 1
 
-    val base = rows.where(col("str").isNotNull)
-      .select(col("id"), col("str"), length(col("str")).as("__len"),
-        gramsOf(col("str"), q).as("__gs"))
-      .withColumn("__short", size(col("__gs")) <= maxDist * q)
+    val base = baseOf(rows, maxDist, q)
 
     // global gram rarity (df = strings containing the gram), the
     // shared total order behind every signature
-    val gram = base.select(col("id"), col("__len"), explode(col("__gs")).as("__g"))
+    val gram = gramRows(base)
     val dfT = gram.groupBy("__g").agg(count(lit(1)).as("__df"))
-
-    // signature = first d·q + 1 grams in (df, gram) order, per string.
-    // WindowGroupLimit prunes the rank below the exchange; per-string
-    // gram counts are bounded by string length, so the sort is local
-    // and tiny.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("__df"), col("__g"))
-    val sig = gram.join(dfT, "__g")
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= sigLen)
-      .select(col("__g"), col("id"), col("__len"))
+    val sig = sigOf(gram, dfT, sigLen)
 
     // candidates: signature-gram equi-join + length band, deduped
     val l = sig.select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
@@ -117,13 +143,74 @@ object FuzzyJoin {
         col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
       .select("id1", "id2")
 
-    // verify on the deduped union — exact from here on
     val strs = base.select(col("id"), col("str"))
-    longCands.unionByName(shortCands).distinct()
-      .join(strs.select(col("id").as("id1"), col("str").as("str1")), "id1")
-      .join(strs.select(col("id").as("id2"), col("str").as("str2")), "id2")
-      .withColumn("dist", levenshtein(col("str1"), col("str2")))
-      .where(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+    verified(longCands.unionByName(shortCands), strs, strs, maxDist)
+  }
+
+  /** Edit-distance TWO-TABLE join — entity resolution's commonest
+    * shape: dirty strings against a canonical catalog (the scale
+    * generalization of an exact-match dict lookup, which silently
+    * drops misspelled keys). Same machinery as [[selfJoin]] with the
+    * one load-bearing difference: the rarity order behind the
+    * signatures is computed over the UNION of both sides' gram bags —
+    * the prefix-filter theorem needs both signatures drawn from ONE
+    * shared total order (per-side orders could rank the same gram
+    * differently and the disjointness argument collapses). Candidates
+    * are then left-signature ⋈ right-signature on the gram key, so a
+    * gram hot on either side stays out of every signature on both.
+    *
+    * The short-class handling follows the same theorem-gap analysis:
+    * short×short (both ≤ d·q grams) joins all-pairs length-banded;
+    * short×long needs nothing special — the short side's signature is
+    * its ENTIRE gram set (≤ d·q < d·q + 1), and within distance d the
+    * long side's signature must intersect it (d·q + 1 disjoint
+    * signature grams would all be losses > d·q).
+    *
+    * Contract: ids unique WITHIN each side (the two id spaces are
+    * independent — equal values on both sides are fine, output pairs
+    * are side-tagged by position); null strings drop; output exact
+    * and duplicate-free.
+    *
+    * @param left    (`id`, `str`) — the probe/dirty side
+    * @param right   (`id`, `str`) — the catalog side
+    * @param maxDist inclusive edit-distance bound d
+    * @param q       gram width
+    * @return (`id1` from left, `id2` from right, `dist`) with
+    *   dist ≤ maxDist */
+  def join(left: DataFrame, right: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
+    require(q >= 1, "fuzzyJoin: q must be ≥ 1")
+    Reserved.requireAbsent("fuzzyJoin.join",
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), left)
+    Reserved.requireAbsent("fuzzyJoin.join",
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), right)
+    val sigLen = maxDist * q + 1
+
+    val bl = baseOf(left, maxDist, q)
+    val br = baseOf(right, maxDist, q)
+    val gl = gramRows(bl)
+    val gr = gramRows(br)
+    // the ONE shared rarity order: df over both sides' gram bags
+    val dfT = gl.select("__g").unionAll(gr.select("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    val sigL = sigOf(gl, dfT, sigLen)
+      .select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
+    val sigR = sigOf(gr, dfT, sigLen)
+      .select(col("__g"), col("id").as("id2"), col("__len").as("l2"))
+
+    val longCands = sigL.join(sigR, "__g")
+      .where(abs(col("l1") - col("l2")) <= maxDist)
+      .select("id1", "id2").distinct()
+
+    val shortCands = bl.where(col("__short"))
+      .select(col("id").as("id1"), col("__len").as("l1"))
+      .join(br.where(col("__short"))
+          .select(col("id").as("id2"), col("__len").as("l2")),
+        abs(col("l1") - col("l2")) <= maxDist)
+      .select("id1", "id2")
+
+    verified(longCands.unionByName(shortCands),
+      bl.select(col("id"), col("str")), br.select(col("id"), col("str")),
+      maxDist)
   }
 }

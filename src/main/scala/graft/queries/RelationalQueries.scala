@@ -342,6 +342,27 @@ object RelationalQueries {
         maxDist = 1)
       .orderBy("id1", "id2")
 
+  /** TWO-TABLE fuzzy lookup ([[graft.ops.FuzzyJoin.join]]): dirty
+    * strings resolved against a canonical catalog — the scale
+    * generalization of an exact-match dict lookup, which silently
+    * drops misspelled keys. The dirty side is derived
+    * DETERMINISTICALLY in both engines (the qC4Lines device):
+    * "Supplier#" → "Supplr#" costs exactly 2 edits, so maxDist = 3
+    * admits catalog names whose digit tail is within 1 edit —
+    * per-probe match sets are non-trivial (same digit tail + every
+    * single-digit substitution) and both the shared-prefix hot grams
+    * AND the cross-side rarity order get exercised. Oracle = brute
+    * |dirty|×|catalog| levenshtein — green proves the union-ordered
+    * signature chain COMPLETE across tables. */
+  def qFuzzyLookup(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("str"))
+    val dirty = sup.select(col("id"),
+      regexp_replace(col("str"), "Supplier#", "Supplr#").as("str"))
+    graft.ops.FuzzyJoin.join(dirty, sup, maxDist = 3)
+      .orderBy("id1", "id2")
+  }
+
   /** Conversion funnel view → click → purchase within 7 days of the
     * user's first view ([[graft.ops.Funnel]] min-chain semantics —
     * each stage's time is the earliest qualifying event strictly after
@@ -497,6 +518,7 @@ object RelationalQueries {
     "q_corr_stats" -> (qCorrStats _),
     "q_set_ops" -> (qSetOps _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_fuzzy_lookup" -> (qFuzzyLookup _),
     "q_funnel" -> (qFunnel _),
     "q_window_nav" -> (qWindowNav _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -706,6 +728,16 @@ object RelationalQueries {
         |  t1_us, t2_us, t3_us
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // brute |dirty|×|catalog| levenshtein — the two-table completeness
+    // oracle (the dirty side derived by the same deterministic rewrite)
+    "q_fuzzy_lookup" ->
+      """WITH dirty AS (SELECT s_suppkey AS id1,
+        |  replace(s_name, 'Supplier#', 'Supplr#') AS n1 FROM supplier),
+        |canon AS (SELECT s_suppkey AS id2, s_name AS n2 FROM supplier)
+        |SELECT id1, id2, levenshtein(n1, n2) AS dist
+        |FROM dirty, canon
+        |WHERE levenshtein(n1, n2) <= 3
+        |ORDER BY id1, id2""".stripMargin,
     // brute n² levenshtein — the completeness oracle for the q-gram
     // signature filter chain
     "q_fuzzy_join" ->

@@ -6,21 +6,33 @@ import org.apache.spark.sql.functions._
 class FuzzyJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def brute(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] = {
-    def lev(a: String, b: String): Int = {
-      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0
-      }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
-          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      m(a.length)(b.length)
+  private def lev(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
     }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
+  private def brute(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] =
     (for {
       (i1, s1) <- rows; (i2, s2) <- rows if i1 < i2
       dd = lev(s1, s2) if dd <= d
     } yield (i1, i2, dd.toLong)).toSet
-  }
+
+  private def bruteJoin(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Long)] =
+    (for {
+      (i1, s1) <- l; (i2, s2) <- r
+      dd = lev(s1, s2) if dd <= d
+    } yield (i1, i2, dd.toLong)).toSet
+
+  private def gotJoin(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int, q: Int = 2) =
+    FuzzyJoin.join(l.toDF("id", "str"), r.toDF("id", "str"), maxDist = d, q = q)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
 
   private def got(rows: Seq[(Long, String)], d: Int, q: Int = 2) =
     FuzzyJoin.selfJoin(rows.toDF("id", "str"), maxDist = d, q = q)
@@ -59,6 +71,42 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(g == Set((1L, 3L)))
     // empty vs 1-char: ed = 1
     assert(got(Seq((1L, ""), (2L, "a")), 1).contains((1L, 2L, 1L)))
+  }
+
+  test("two-table join: dirty vs canonical hand case; identical id values on both sides stay independent") {
+    val canon = Seq((1L, "Supplier#000000001"), (2L, "Supplier#000000002"),
+      (3L, "Frobnicator Inc"))
+    // dirty probes REUSE id values 1..3 — the two id spaces must not
+    // interfere (no self-match suppression across sides)
+    val dirty = Seq((1L, "Supplr#000000001"), (2L, "Suplier#000000002"),
+      (3L, "Completely Different"))
+    val g = gotJoin(dirty, canon, d = 3)
+    assert(g == bruteJoin(dirty, canon, 3))
+    assert(g.contains((1L, 1L, 2L)) && g.contains((2L, 2L, 1L)))
+    assert(!g.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("two-table join ≡ brute force, randomized, incl. short×short and short×long regimes") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    def mk(n: Int) = (0 until n).map { i =>
+      val len = rnd.nextInt(10)
+      i.toLong -> (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val l = mk(80); val r = mk(70)
+    for (d <- Seq(0, 1, 2)) {
+      assert(gotJoin(l, r, d) == bruteJoin(l, r, d), s"diverged from brute force at d=$d")
+    }
+    // q = 3 agrees too (different signature width, same completeness)
+    assert(gotJoin(l.take(30), r.take(30), 1, q = 3) ==
+      bruteJoin(l.take(30), r.take(30), 1))
+  }
+
+  test("two-table join: nulls drop per side; asymmetric sides; unmatched probe yields nothing") {
+    val l = Seq((1L, "abc"), (2L, null: String), (3L, "zzzzzzzz"))
+    val r = Seq((10L, "abd"), (11L, null: String))
+    val g = gotJoin(l, r, d = 1)
+    assert(g == Set((1L, 10L, 1L)))
   }
 
   test("the signature join never degenerates: no CartesianProduct, hot shared prefixes excluded") {
