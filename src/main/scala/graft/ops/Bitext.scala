@@ -94,9 +94,9 @@ object Bitext {
     * (`nBits = 0`) and `k ≥ |corpus|` this provably reproduces
     * [[bruteCandidates]]-fed mining bit-for-bit (BitextSpec pins it —
     * the HybridRetrievalSpec device); production reduces bits/k and
-    * pays the usual LSH recall trade. Swap in [[Ivf.topK]] both ways
-    * for the cell-partitioned variant — [[mine]] only sees
-    * (sid, tid, cosine).
+    * pays the usual LSH recall trade. [[ivfCandidates]] is the
+    * cell-partitioned variant ([[Ivf.topK]] both ways) — [[mine]]
+    * only sees (sid, tid, cosine).
     *
     * CONTRACT: the two corpora's id spaces must be DISJOINT (re-key
     * one side if needed) — the underlying within-corpus ANN excludes
@@ -109,6 +109,30 @@ object Bitext {
       .select(col("qid").as("sid"), col("id").as("tid"), col("cosine"))
     val ts = Similarity.lshTopK(
         src, tgt.select(col("id").as("qid"), col("embedding")), k, nBits, nTables)
+      .select(col("id").as("sid"), col("qid").as("tid"), col("cosine"))
+    st.unionByName(ts).distinct()
+  }
+
+  /** The CELL-PARTITIONED candidate tier: each side's IVF top-k
+    * against the other, unioned — [[annCandidates]] with [[Ivf.topK]]
+    * swapped in as the retrieval arm. Each side probes the OTHER
+    * side's quantizer (a query mines targets from the target index
+    * and vice versa); at production scale pass models loaded from the
+    * two sides' persisted indexes ([[Ivf.loadModel]]) and the probes
+    * ride their cell partitions. With `nprobe = model.nlist` and
+    * `k ≥ |corpus|` this provably reproduces [[bruteCandidates]]-fed
+    * mining bit-for-bit (BitextSpec pins it — the covering-LSH
+    * device); production reduces nprobe/k and pays the usual IVF
+    * recall trade. Same contract as [[annCandidates]]: DISJOINT id
+    * spaces (the within-corpus ANN drops `id == qid` as a
+    * self-match). */
+  def ivfCandidates(src: DataFrame, tgt: DataFrame, k: Int,
+      srcModel: Ivf.Model, tgtModel: Ivf.Model, nprobe: Int = 4): DataFrame = {
+    val st = Ivf.topK(tgt,
+        src.select(col("id").as("qid"), col("embedding")), tgtModel, k, nprobe)
+      .select(col("qid").as("sid"), col("id").as("tid"), col("cosine"))
+    val ts = Ivf.topK(src,
+        tgt.select(col("id").as("qid"), col("embedding")), srcModel, k, nprobe)
       .select(col("id").as("sid"), col("qid").as("tid"), col("cosine"))
     st.unionByName(ts).distinct()
   }

@@ -339,6 +339,70 @@ object Ivf {
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cell")
 
+  /** The drift contract made EXECUTABLE: if the max/mean cell ratio
+    * (mean over ALL nlist cells — empty cells count, they are the
+    * symptom) exceeds `maxRatio`, refit the quantizer on the CURRENT
+    * stored corpus and atomically replace the index; otherwise do
+    * nothing. Returns whether a rebuild happened. `~4× is the usual
+    * vector-db rule of thumb` ([[appendIndex]]) is now one call on a
+    * maintenance cadence instead of a monitor plus a hand-run fit+save.
+    *
+    * The rebuild stages a COMPLETE new index (fresh centroids + cells
+    * re-assigned under them) in a sibling directory and swaps the
+    * WHOLE index dir (live→__old, staged→live, drop __old) — unlike
+    * compaction's per-subdir swaps, centroids and cells are only
+    * correct TOGETHER, so interleaved per-dir swaps could expose a
+    * mixed lineage; the whole-dir swap's worst crash state is a loudly
+    * MISSING path (data intact in `__old`/`__rebuilding`), never a
+    * silently wrong probe. Refit determinism: [[fit]]'s hash-ordered
+    * seeding makes rebuild ≡ a fresh fit+save over the same rows
+    * (IvfSpec pins probe equality).
+    *
+    * Single-writer maintenance verb: quiesce probes AND streaming
+    * appenders for the swap. The appendlog does NOT carry over — a
+    * rebuild folds every landed vector into the new lineage, so an
+    * old batch stamp would make an in-flight replay re-append vectors
+    * the rebuild already contains. Restart streams from a fresh
+    * checkpoint after a rebuild. */
+  def rebuildIfDrifted(spark: SparkSession, path: String,
+      maxRatio: Double = 4.0, iters: Int = 5): Boolean = {
+    require(maxRatio >= 1.0, "rebuildIfDrifted: maxRatio must be ≥ 1")
+    val model = loadModel(spark, path)
+    val counts = cellStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    if (total == 0L) return false // empty index: nothing to balance
+    val mean = total.toDouble / model.nlist
+    if (counts.values.max <= maxRatio * mean) return false
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$path/cells")
+      .select(col("id"), col("vec").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fresh = fit(corpus, nlist = model.nlist, iters = iters)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val staged = new org.apache.hadoop.fs.Path(path + "__rebuilding")
+      fs.delete(staged, true)
+      fresh.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$staged/centroids")
+      assign(corpus, fresh)
+        .withColumn("batch_id", lit(null).cast("long"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$staged/cells")
+      val live = new org.apache.hadoop.fs.Path(path)
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"rebuild: cannot stage out live index at $path")
+      if (!fs.rename(staged, live)) {
+        require(fs.rename(old, live), s"rebuild: index lost at $path — data in $old")
+        throw new IllegalStateException(s"rebuild swap failed for $path; live restored")
+      }
+      fs.delete(old, true)
+    } finally corpus.unpersist(blocking = false)
+    true
+  }
+
   /** Collapse each cell partition back to ONE file after a run of
     * appends (same staged-rename swap as the other index families;
     * `dedupeRows` also drops exact duplicate (id, vec, cell) rows an

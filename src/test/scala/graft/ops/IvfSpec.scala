@@ -264,6 +264,59 @@ class IvfSpec extends SparkSpec {
     assert(key() == refKey)
   }
 
+  test("rebuildIfDrifted: drifted index refits ≡ fresh fit+save; balanced index is a no-op") {
+    // 4 tight blobs, 10 vectors each — fit lands one cell per blob
+    def blob(cx: Double, cy: Double, cz: Double, ids: Range) =
+      ids.map(i => (i.toLong, Array((cx + 0.001 * i).toFloat, cy.toFloat, cz.toFloat)))
+    val init = (blob(10, 0, 0, 0 until 10) ++ blob(0, 10, 0, 10 until 20) ++
+      blob(0, 0, 10, 20 until 30) ++ blob(7, 7, 0, 30 until 40))
+      .toDF("id", "embedding")
+    val model = Ivf.fit(init, nlist = 4, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf-drift").toString + "/idx"
+    Ivf.save(spark, model, init, path)
+
+    // balanced: no-op, layout untouched
+    def layout() = spark.read.parquet(s"$path/cells")
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = layout()
+    assert(!Ivf.rebuildIfDrifted(spark, path, maxRatio = 2.0, iters = 3))
+    assert(layout() == before, "a balanced no-op must not rewrite the index")
+
+    // drift: pile 40 new vectors onto blob 1's region — its cell goes
+    // to ~50 of 80 rows (mean 20, ratio 2.5 > 2)
+    val pile = blob(10, 0, 0, 100 until 140).toDF("id", "embedding")
+    Ivf.appendIndex(spark, pile, path)
+    assert(Ivf.rebuildIfDrifted(spark, path, maxRatio = 2.0, iters = 3),
+      "skewed index must trigger the rebuild")
+
+    // rebuild ≡ a fresh deterministic fit+save over the same rows
+    val full = init.unionByName(pile)
+    val refPath = java.nio.file.Files.createTempDirectory("ivf-ref").toString + "/idx"
+    Ivf.save(spark, Ivf.fit(full, nlist = 4, iters = 3), full, refPath)
+    def key(p: String) = {
+      val q = full.where(col("id").isin(0L, 15L, 25L, 105L))
+        .select(col("id").as("qid"), col("embedding"))
+      Ivf.topKIndexed(Ivf.load(spark, p), q, k = 5, nprobe = 4)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(key(path) == key(refPath),
+      "rebuilt index must probe identically to a fresh fit+save")
+    def cellOf(p: String) = spark.read.parquet(s"$p/cells")
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellOf(path) == cellOf(refPath),
+      "rebuilt assignment must equal the fresh fit's")
+    // the refit is OPTIMAL for the data, which is genuinely skewed
+    // (the piled blob holds 50 of 80 rows → ratio 2.5 even under a
+    // fresh quantizer) — so the same 2.0 threshold would re-trigger
+    // forever. Pin instead that the refit result is STABLE at a
+    // threshold admitting the data's true shape: no further rebuild,
+    // layout untouched.
+    val rebuilt = cellOf(path)
+    assert(!Ivf.rebuildIfDrifted(spark, path, maxRatio = 3.0, iters = 3))
+    assert(cellOf(path) == rebuilt)
+  }
+
   test("removeVectors: takedown ≡ one-shot save of the survivors under the same model") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
