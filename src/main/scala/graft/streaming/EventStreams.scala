@@ -589,6 +589,81 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(times: Seq[Long]) // t1..t_depth, micros
+  final case class FunnelRow(user_id: Long, depth: Long, times: Seq[Long])
+
+  /** Streaming conversion funnel — the incremental twin of
+    * [[graft.ops.Funnel.funnel]] (min-chain semantics: t1 = the user's
+    * earliest step-1 event; t_k = the earliest step-k event strictly
+    * after t_(k−1) within `windowUs` of t1). State is O(steps) per
+    * user — just the chain times — folded forward: greedy-earliest is
+    * exactly what an ascending scan computes, so for per-user
+    * event-time-ascending arrival ACROSS micro-batches the latest
+    * emitted row per user ≡ the batch funnel over the replayed events
+    * (EventStreamsSpec pins it; intra-batch disorder is repaired by a
+    * per-batch sort, the [[asofStream]] stance). An out-of-order
+    * step-1 event that precedes a consumed t1 cannot retro-anchor the
+    * chain — replay in event-time order for exact parity and treat the
+    * batch funnel as the reconciliation path, the [[nearDupHits]]
+    * stance.
+    *
+    * Update mode: a row (user, depth, t1..t_depth) re-emits whenever
+    * the user's chain advances; the sink's latest row per user is the
+    * live funnel table.
+    *
+    * The WATERMARK bounds state (the one unbounded-state risk: one
+    * state row per user ever seen): once the watermark passes
+    * t1 + windowUs the chain can never advance again — every
+    * qualifying event must be ≤ t1 + windowUs and later events are
+    * late beyond the watermark — so the state times out and drops.
+    * After eviction a NEW step-1 event from that user starts a FRESH
+    * chain (emitted at depth 1); the batch funnel, which anchors on
+    * the global earliest t1, would not — the documented divergence of
+    * the bounded-state trade, pinned explicitly in the spec. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+      windowUs: Long, watermark: String = "1 hour"): Dataset[FunnelRow] = {
+    require(steps.nonEmpty, "funnelStream: at least one step")
+    require(windowUs > 0, "funnelStream: window must be positive")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, batch, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed t1 + window: the chain is final and its
+            // rows were already emitted — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty)
+            val before = times.length
+            batch.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
+              val us = tsMicros(e.ts)
+              val depth = times.length
+              if (depth == 0) {
+                if (e.event_type == steps.head) times = Vector(us)
+              } else if (depth < steps.length && e.event_type == steps(depth) &&
+                  us > times.last && us <= times.head + windowUs) {
+                times = times :+ us
+              }
+            }
+            if (times.nonEmpty) {
+              state.update(FunnelState(times))
+              // event-time timeout is in MILLIS and must not precede
+              // the current watermark (Spark rejects it) — clamp up
+              val deadlineMs = Math.floorDiv(times.head + windowUs, 1000L) + 1L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            if (times.length > before)
+              Iterator.single(FunnelRow(uid, times.length.toLong, times))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Exact Jaccard of two sorted distinct long arrays (the executor-
     * side twin of [[graft.expr.JaccardSorted]]'s merge loop). */
   private def jaccardSortedArrays(a: Array[Long], b: Array[Long]): Double = {

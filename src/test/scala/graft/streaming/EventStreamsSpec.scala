@@ -620,6 +620,64 @@ class EventStreamsSpec extends SparkSpec {
     assert(b == got.filter(_._1 == 0).map(t => (t._2, t._3, t._4)))
   }
 
+  test("funnelStream: replayed batches ≡ batch funnel; watermark evicts dead chains") {
+    implicit val sc = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val winUs = 30L * 60L * 1000000L // 30 minutes
+    val in = MemoryStream[Event]
+    val q = funnelStream(in.toDS(), steps, winUs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fnl").outputMode("update").start()
+    // batch 1 deliberately out of order WITHIN the batch (intra-batch
+    // sort repairs it); batches in event-time order ACROSS batches —
+    // the documented replay contract
+    val batch1 = Seq(
+      ev("2024-01-01 00:05:00", 1, "click", 0), // arrives before its view
+      ev("2024-01-01 00:00:00", 1, "view", 0),
+      ev("2024-01-01 00:02:00", 2, "view", 0),
+      ev("2024-01-01 00:01:00", 3, "click", 0)) // click before any view: no chain
+    val batch2 = Seq(
+      ev("2024-01-01 00:10:00", 1, "purchase", 0), // completes user 1
+      ev("2024-01-01 00:40:00", 2, "click", 0),    // outside user 2's window (t1+30m = 00:32)
+      ev("2024-01-01 00:20:00", 3, "view", 0))     // user 3 finally anchors
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable()
+
+    def latest() = spark.table("fnl").as[FunnelRow].collect()
+      .groupBy(_.user_id).map { case (u, rows) =>
+        val r = rows.maxBy(_.depth)
+        (u, r.depth, r.times.toList)
+      }.toSet
+    val batchTruth = graft.ops.Funnel.funnel(
+        (batch1 ++ batch2).toDF(), "user_id", "ts", "event_type", steps, winUs)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          (2 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+            .flatten.toList)
+      }.toSet
+    assert(latest() == batchTruth)
+    // the planted depth classes all materialized
+    assert(latest().map(t => t._1 -> t._2).toMap == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+
+    // ---- watermark eviction: the state bound, pinned observably ----
+    // advance the watermark far past every chain's t1 + window…
+    in.addData(ev("2024-01-01 02:00:00", 99, "view", 0))
+    q.processAllAvailable()
+    // …then a data-less-for-user-1 batch lets the timeout fire and drop
+    // the finished chain's state
+    in.addData(ev("2024-01-01 02:10:00", 99, "click", 0))
+    q.processAllAvailable()
+    // a NEW view from user 1 now starts a FRESH chain (depth 1, new
+    // t1) — observable proof the old state was evicted; the batch
+    // funnel over ALL events would still anchor on the original t1
+    // (the documented bounded-state divergence)
+    in.addData(ev("2024-01-01 02:30:00", 1, "view", 0))
+    q.processAllAvailable(); q.stop()
+    val u1rows = spark.table("fnl").as[FunnelRow].collect().filter(_.user_id == 1L)
+    assert(u1rows.exists(r => r.depth == 1L &&
+      r.times == Seq(ts("2024-01-01 02:30:00").getTime * 1000L)),
+      s"evicted user must restart a fresh chain; got ${u1rows.toSeq}")
+  }
+
   test("asofStream: carry across micro-batches ≡ batch AsofJoin on replayed batches") {
     implicit val sc = spark.sqlContext
     def se(key: Long, s: String, right: Boolean, v: Double) =
