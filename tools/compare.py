@@ -17,8 +17,54 @@ also (a) compare DuckDB-level column types between the engine parquet
 and the oracle result, and (b) assert every oracle output column lands
 in the portable type set; either mismatch is a red row.
 """
-import sys, os, json, math, re
+import sys, os, json, math, re, hashlib, pickle
 import duckdb
+
+# ---- oracle-result cache -------------------------------------------------
+# The sf0.1 sweep is dominated by the n² dedup oracles (q_minhash_lsh
+# alone is most of a ~35-minute run). Oracle results are pure functions
+# of (oracle SQL, table bytes), so they cache: key = sha256 of the SQL
+# plus a fingerprint (size + mtime) of every table parquet in the sf
+# dir. Any table regeneration or SQL edit misses; unchanged queries
+# replay in milliseconds, making the sf0.1 sweep a per-round habit
+# instead of a once-per-round cost. Disable with GRAFT_ORACLE_CACHE=0;
+# relocate with GRAFT_ORACLE_CACHE_DIR (default ~/.cache/graft-oracle —
+# outside the repo, never committed).
+CACHE_ENABLED = os.environ.get("GRAFT_ORACLE_CACHE", "1") != "0"
+CACHE_DIR = os.environ.get("GRAFT_ORACLE_CACHE_DIR",
+                           os.path.expanduser("~/.cache/graft-oracle"))
+
+
+def table_fingerprint(sf_dir):
+    parts = [os.path.realpath(sf_dir)]
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def oracle_result(con, sql, fp):
+    """(columns, rows, type-strings) of the oracle SQL — cached.
+    Returns (data, from_cache)."""
+    key = hashlib.sha256(f"{fp}\n{sql}".encode()).hexdigest()
+    path = os.path.join(CACHE_DIR, key + ".pkl")
+    if CACHE_ENABLED and os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f), True
+        except Exception:
+            pass  # torn/stale cache file: recompute and overwrite
+    rel = con.sql(sql)
+    data = (rel.columns, rel.fetchall(), [str(t) for t in rel.types])
+    if CACHE_ENABLED:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(data, f)
+        os.replace(tmp, path)  # atomic: concurrent runs see whole files
+    return data, False
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -74,7 +120,8 @@ def main(sf_dir, out_dir, json_out=None):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    n_pass = n_exact = 0
+    n_pass = n_exact = n_cached = 0
+    fp = table_fingerprint(sf_dir)
     for name in names:
         # the got-side read itself can fail (a mid-job write failure can
         # leave only _temporary under the dir) — that must be a red row
@@ -96,8 +143,9 @@ def main(sf_dir, out_dir, json_out=None):
             record(name, spark_rows=len(grows), err="no oracle (rows-only)")
             continue
         try:
-            exp_rel = con.sql(oracles[name])
-            ecols, erows = exp_rel.columns, exp_rel.fetchall()
+            (ecols, erows, etype_strs), from_cache = \
+                oracle_result(con, oracles[name], fp)
+            n_cached += int(from_cache)
         except Exception as e:
             print(f"✗ {name:24s} ORACLE SQL ERROR: {e}")
             record(name, err=f"oracle sql error: {e}")
@@ -112,7 +160,7 @@ def main(sf_dir, out_dir, json_out=None):
         # type strictness: oracle types must be portable AND equal the
         # engine's parquet types column-for-column
         gtypes = {c: norm_type(t) for c, t in zip(gcols, got_rel.types)}
-        etypes = {c: norm_type(t) for c, t in zip(ecols, exp_rel.types)}
+        etypes = {c: norm_type(t) for c, t in zip(ecols, etype_strs)}
         bad_portable = sorted(c for c, t in etypes.items() if t not in PORTABLE)
         if bad_portable:
             print(f"✗ {name:24s} ORACLE NON-PORTABLE TYPES: "
@@ -147,7 +195,8 @@ def main(sf_dir, out_dir, json_out=None):
             print(f"✗ {name:24s} VALUES e.g. got={bad[0]} exp={bad[1]}")
             record(name, rows_match=True, schema_match=True, spark_rows=len(gr),
                    oracle_rows=len(er), err=f"values differ e.g. got={bad[0]} exp={bad[1]}")
-    print(f"-- {n_pass} pass ({n_exact} exact) / {len(names)} queries")
+    print(f"-- {n_pass} pass ({n_exact} exact) / {len(names)} queries"
+          + (f"  [{n_cached} oracle results from cache]" if n_cached else ""))
     if json_out:
         json.dump(dict(sorted(results.items())), open(json_out, "w"), indent=2, default=str)
         print(f"-- wrote {json_out}")
