@@ -36,7 +36,7 @@ object Soak {
     * (lazy — a families subset only pays for the tables it touches),
     * and the measurement helpers every stage uses. */
   final class Ctx(val spark: SparkSession, sfDir: String,
-      multDocs: Int, multEmb: Int, docDecor: Boolean,
+      multDocs: Int, val multEmb: Int, docDecor: Boolean,
       partsEnv: Option[String], cpus: Int) {
 
     def time[T](label: String)(f: => T): T = {
@@ -782,13 +782,20 @@ object Soak {
     // fuzzy join on a LOW-ENTROPY hot-prefix corpus — the adversarial
     // shape for prefix filtering (every name shares 9 chars; even the
     // "rare" digit grams repeat in ~1 % of strings, so candidate volume
-    // is the Σ|gram-group|² the signature order is there to bound)
-    val fuzz = time("fuzzy join (20k hot-prefix names, d=1)") {
-      val names = spark.range(20000)
-        .select(col("id"), format_string("Supplier#%09d", col("id")).as("str"))
+    // is the Σ|gram-group|² the signature order is there to bound).
+    // Scales with the embedding multiplier (10× → 20 k names, the r13
+    // record; 30× → 60 k); candidates counted separately so the
+    // candidate-vs-verified ratio is in the record, not inferred.
+    val nNames = 2000 * multEmb
+    val names = spark.range(nNames)
+      .select(col("id"), format_string("Supplier#%09d", col("id")).as("str"))
+    val fuzzCands = time(s"fuzzy candidates only (${nNames / 1000}k hot-prefix names, d=1)") {
+      ops.FuzzyJoin.selfCandidates(names, maxDist = 1).count()
+    }
+    val fuzz = time(s"fuzzy join (${nNames / 1000}k hot-prefix names, d=1)") {
       ops.FuzzyJoin.selfJoin(names, maxDist = 1).count()
     }
-    println(s"[soak] fuzzy pairs: $fuzz")
+    println(s"[soak] fuzzy candidates: $fuzzCands, verified pairs: $fuzz")
   }
 
   /** The serving-layout OPTIMIZE pass at scale: build a synthetic

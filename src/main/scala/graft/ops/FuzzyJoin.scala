@@ -118,10 +118,27 @@ object FuzzyJoin {
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin",
       Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
-    val sigLen = maxDist * q + 1
-
     val base = baseOf(rows, maxDist, q)
+    verified(selfCandidatesFromBase(base, maxDist, q),
+      base.select(col("id"), col("str")), base.select(col("id"), col("str")),
+      maxDist)
+  }
 
+  /** The DEDUPED candidate pairs [[selfJoin]] verifies — exposed for
+    * cost accounting: the filter chain's honest cost is the candidate
+    * volume (Σ|gram-group|² over signature grams on low-entropy
+    * corpora), and capacity planning wants candidates-vs-verified
+    * ratios without paying the levenshtein pass. */
+  def selfCandidates(rows: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
+    require(q >= 1, "fuzzyJoin: q must be ≥ 1")
+    Reserved.requireAbsent("fuzzyJoin",
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
+    selfCandidatesFromBase(baseOf(rows, maxDist, q), maxDist, q)
+  }
+
+  private def selfCandidatesFromBase(base: DataFrame, maxDist: Int, q: Int): DataFrame = {
+    val sigLen = maxDist * q + 1
     // global gram rarity (df = strings containing the gram), the
     // shared total order behind every signature
     val gram = gramRows(base)
@@ -143,8 +160,7 @@ object FuzzyJoin {
         col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
       .select("id1", "id2")
 
-    val strs = base.select(col("id"), col("str"))
-    verified(longCands.unionByName(shortCands), strs, strs, maxDist)
+    longCands.unionByName(shortCands).distinct()
   }
 
   /** Edit-distance TWO-TABLE join — entity resolution's commonest
