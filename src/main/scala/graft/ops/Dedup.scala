@@ -715,6 +715,30 @@ object Dedup {
     }
   }
 
+  /** DELETE/takedown propagation for the chunk index — the
+    * [[Boilerplate.removeLineStats]] shape: the stored (hash, n_docs)
+    * counts are distinct-doc counts over DISJOINT doc sets, so they
+    * are additive and a removal appends NEGATED count rows recomputed
+    * from the removed docs' TEXT (the index stores only counts — the
+    * caller supplies the docs, exactly as previously indexed). Readers
+    * sum per hash, so the decremented index profiles identically to a
+    * one-shot build over the survivors (DedupSpec pins it; hashes
+    * whose count reaches zero fall out of every ≥ minDocs threshold).
+    * Same one-shot contract as the Append fold-in, inverted: remove
+    * each doc exactly once — a blind re-run double-decrements. */
+  def removeFromChunkIndex(removedDocs: DataFrame, path: String,
+      width: Int = 30, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = removedDocs.sparkSession
+    requireIndexWidth(spark, path, width, "remove from")
+    chunkStream(removedDocs, width, idCol, textCol)
+      .groupBy("__h").agg((-countDistinct(col(idCol))).as("n_docs"))
+      .repartitionByRange(col("__h"))
+      .sortWithinPartitions("__h")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .parquet(s"$path/chunks")
+  }
+
   private def requireIndexWidth(spark: SparkSession, path: String,
       width: Int, verb: String): Unit = {
     val stored = spark.read.parquet(s"$path/meta").select("width").head().getInt(0)

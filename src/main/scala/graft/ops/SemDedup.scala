@@ -187,4 +187,24 @@ object SemDedup {
     assigned.unpersist(blocking = false)
     out
   }
+
+  /** DELETE/takedown propagation for the seen-vector index — the
+    * inverse lifecycle verb to [[semDedupIncrement]]'s append: strip
+    * the ids' rows from `vectors/` ([[IndexMaintenance
+    * .rewriteExcludingKeys]] — staged swap, doubling as a re-layout
+    * compaction; replay-duplicated rows still need the usual
+    * `compactDir(dedupeRows = true)` cadence). A removed vector stops
+    * pruning future batches: the
+    * stripped index is row-identical to one accumulated over the
+    * surviving batches only (SemDedupSpec pins increment equality),
+    * which is the right takedown semantics — an erased document's
+    * embedding must not keep suppressing near-duplicates it can no
+    * longer be compared against. Naturally idempotent; unknown ids
+    * are no-ops. Removing ids of a batch whose streaming checkpoint
+    * hasn't committed is out of contract (its replay would re-append
+    * them — the index-family rule). */
+  def removeSeen(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, ids: DataFrame): Unit =
+    IndexMaintenance.rewriteExcludingKeys(spark, s"$indexPath/vectors",
+      ids.select(col("id")), "id")
 }

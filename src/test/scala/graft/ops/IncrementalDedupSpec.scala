@@ -115,6 +115,42 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.contains((401L, 301L)) && got.contains((401L, 3L)))
   }
 
+  test("removeFromChunkIndex: negated counts ≡ index over the survivors; width guard holds") {
+    val rmDir = java.nio.file.Files.createTempDirectory("chdrm").toString
+    val survDir = java.nio.file.Files.createTempDirectory("chdsurv").toString
+    val boiler = "x" * 30
+    // chunks cut at fixed 30-char boundaries, so every block is
+    // exactly 30 wide: chunk 1 (boiler) shared by ALL docs, chunk 2
+    // shared by docs 1..6 only, chunk 3 unique per doc
+    val corpus = (1L to 20L).map { i =>
+      val second = if (i <= 6) "Y" * 30 else f"tail$i%026d"
+      (i, boiler + second + f"pad$i%027d")
+    }.toDF("doc_id", "text")
+    val removed = corpus.where(col("doc_id") >= 5L)
+    val survivors = corpus.where(col("doc_id") < 5L)
+    Dedup.buildChunkIndex(corpus, rmDir)
+    Dedup.removeFromChunkIndex(removed, rmDir)
+    Dedup.buildChunkIndex(survivors, survDir)
+    // summed counts equal the survivors' recount (zero rows excluded)
+    def counts(p: String) = spark.read.parquet(s"$p/chunks")
+      .groupBy("__h").agg(sum("n_docs").as("n")).where(col("n") =!= 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(counts(rmDir) == counts(survDir))
+    // probe equivalence: a batch re-using the shared chunks profiles
+    // identically against the decremented and the survivor index
+    val batch = Seq(
+      (101L, boiler + ("Y" * 30)),
+      (102L, ("q" * 33) + " no corpus chunk")).toDF("doc_id", "text")
+    def probe(p: String) = Dedup.substringDupProfileIncrement(batch, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(rmDir) == probe(survDir))
+    // width guard: removing at the wrong width must fail fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeFromChunkIndex(removed, rmDir, width = 40)
+    }
+    assert(e.getMessage.contains("remove from"))
+  }
+
   test("removeFromBandIndex: takedown ≡ index built over the survivors; removed ids stop matching") {
     val rmDir = java.nio.file.Files.createTempDirectory("nddrm").toString
     val survDir = java.nio.file.Files.createTempDirectory("nddsurv").toString
