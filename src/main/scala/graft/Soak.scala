@@ -796,6 +796,14 @@ object Soak {
       ops.FuzzyJoin.selfJoin(names, maxDist = 1).count()
     }
     println(s"[soak] fuzzy candidates: $fuzzCands, verified pairs: $fuzz")
+    // two-table form: dirty probes vs the canonical catalog (union-df
+    // signature order) — the q_fuzzy_lookup shape at soak scale
+    val lkp = time(s"fuzzy lookup (${nNames / 1000}k dirty × ${nNames / 1000}k catalog, d=1)") {
+      val dirty = names.select(col("id"),
+        regexp_replace(col("str"), "Supplier#", "Suppler#").as("str"))
+      ops.FuzzyJoin.join(dirty, names, maxDist = 1).count()
+    }
+    println(s"[soak] fuzzy lookup matches: $lkp")
   }
 
   /** The serving-layout OPTIMIZE pass at scale: build a synthetic

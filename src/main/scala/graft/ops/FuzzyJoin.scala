@@ -33,12 +33,17 @@ import org.apache.spark.sql.functions._
   *      generate pairs: rarity ordering pushes them out of every
   *      signature;
   *   3. cheap length prune (`|len(s) − len(t)| ≤ d` — d edits change
-  *      length by at most d), dedup the pairs, verify
-  *      `levenshtein ≤ d` (the codegen builtin) per candidate.
+  *      length by at most d), verify `levenshtein ≤ d` (the codegen
+  *      builtin) per candidate, dedup the MATCHES.
   *
-  * One shuffle keys grams to their df, one keys signature grams to
-  * candidate pairs, one dedups pairs; the verify is per-row. Nothing
-  * is n² in the long-string population.
+  * One shuffle keys grams to their df, one spreads signatures by gram
+  * for the candidate join, one dedups the (tiny) verified match set;
+  * the explosion itself — candidates × (string attach + levenshtein)
+  * — is shuffle-free map work, which is the load-bearing ordering:
+  * deduping candidates BEFORE the verify would push the full
+  * Σ|gram-group|² blow-up through an exchange (a multi-GB external
+  * sort on low-entropy corpora) to save ≤ (d·q + 1)× of sub-µs per-row
+  * verify. Nothing is n² in the long-string population.
   *
   * SHORT strings are the one theorem gap: when BOTH sides have ≤ d·q
   * grams (padded gram count = len + q − 1 ≤ d·q, i.e. len ≤
@@ -95,16 +100,29 @@ object FuzzyJoin {
       .select(col("__g"), col("id"), col("__len"))
   }
 
-  /** Levenshtein verify of deduped candidate pairs — exact from here
-    * on; `strs1`/`strs2` carry (id, str) for each side. */
+  /** Levenshtein verify of candidate pairs — exact from here on;
+    * `strs1`/`strs2` carry (id, str) for each side.
+    *
+    * Candidates arrive UNDEDUPED (a pair repeats once per shared
+    * signature gram, ≤ d·q + 1×) and the dedup happens AFTER the
+    * verify, on the matches. Found by the 30× soak: pre-verify
+    * `distinct()` shuffles the full candidate explosion (171 M rows ×
+    * 16 B at 60 k low-entropy names — an external-sort spill storm),
+    * while the verify itself is shuffle-free (two broadcast string
+    * attaches + a codegen levenshtein, sub-µs per pair) and the match
+    * set is tiny. Verifying duplicates costs ≤ (d·q + 1)× cheap map
+    * work; deduping first costs a multi-GB sort. At 100 TB the same
+    * argument holds per partition — the explosion must never hit an
+    * exchange. */
   private def verified(cands: DataFrame, strs1: DataFrame, strs2: DataFrame,
       maxDist: Int): DataFrame =
-    cands.distinct()
+    cands
       .join(strs1.select(col("id").as("id1"), col("str").as("str1")), "id1")
       .join(strs2.select(col("id").as("id2"), col("str").as("str2")), "id2")
       .withColumn("dist", levenshtein(col("str1"), col("str2")))
       .where(col("dist") <= maxDist)
       .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+      .distinct()
 
   /** Edit-distance self-join.
     *
@@ -124,18 +142,39 @@ object FuzzyJoin {
       maxDist)
   }
 
-  /** The DEDUPED candidate pairs [[selfJoin]] verifies — exposed for
-    * cost accounting: the filter chain's honest cost is the candidate
-    * volume (Σ|gram-group|² over signature grams on low-entropy
-    * corpora), and capacity planning wants candidates-vs-verified
-    * ratios without paying the levenshtein pass. */
+  /** The DEDUPED candidate-pair set [[selfJoin]]'s filter chain admits
+    * — exposed for cost accounting: the chain's honest cost is the
+    * candidate volume (Σ|gram-group|² over signature grams on
+    * low-entropy corpora), and capacity planning wants
+    * candidates-vs-verified ratios without paying the levenshtein
+    * pass. NOTE the distinct here is the diagnostic's own cost —
+    * [[selfJoin]] itself never dedups the explosion (see
+    * [[verified]]), so this can cost MORE than the join it measures. */
   def selfCandidates(rows: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin",
       Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
-    selfCandidatesFromBase(baseOf(rows, maxDist, q), maxDist, q)
+    selfCandidatesFromBase(baseOf(rows, maxDist, q), maxDist, q).distinct()
   }
+
+  /** The explicit-N gram-key spread in front of the candidate join.
+    *
+    * LOAD-BEARING AT SCALE (found by the 30× soak): the signature
+    * frame is tiny (≤ d·q + 1 rows per string), so AQE coalesces its
+    * exchange to ONE partition — and the candidate equi-join EXPLODES
+    * map-side on top of whatever layout its probe side has, putting
+    * the Σ|gram-group|² blow-up (hundreds of millions of pairs on a
+    * low-entropy corpus) plus the levenshtein verify into a single
+    * task. The input being small is exactly why AQE shrinks it; the
+    * OUTPUT is what needs the parallelism. An explicit numPartitions
+    * repartition is exempt from AQE coalescing, and keying it on the
+    * gram keeps each group's pairs task-local. 8 cores, 60 k
+    * hot-prefix names, d=1: 141 s single-task → parallel across the
+    * session's shuffle partitions. */
+  private def spreadByGram(sig: DataFrame): DataFrame =
+    sig.repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
+      col("__g"))
 
   private def selfCandidatesFromBase(base: DataFrame, maxDist: Int, q: Int): DataFrame = {
     val sigLen = maxDist * q + 1
@@ -143,15 +182,17 @@ object FuzzyJoin {
     // shared total order behind every signature
     val gram = gramRows(base)
     val dfT = gram.groupBy("__g").agg(count(lit(1)).as("__df"))
-    val sig = sigOf(gram, dfT, sigLen)
+    val sig = spreadByGram(sigOf(gram, dfT, sigLen))
 
-    // candidates: signature-gram equi-join + length band, deduped
+    // candidates: signature-gram equi-join + length band — UNDEDUPED
+    // (a pair repeats once per shared signature gram; dedup happens
+    // after the cheap verify, see [[verified]])
     val l = sig.select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
     val r = sig.select(col("__g"), col("id").as("id2"), col("__len").as("l2"))
     val longCands = l.join(r, "__g")
       .where(col("id1") < col("id2") &&
         abs(col("l1") - col("l2")) <= maxDist)
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
 
     // short×short all-pairs (length-banded): the theorem gap
     val shorts = base.where(col("__short")).select(col("id"), col("__len"))
@@ -160,7 +201,7 @@ object FuzzyJoin {
         col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
       .select("id1", "id2")
 
-    longCands.unionByName(shortCands).distinct()
+    longCands.unionByName(shortCands)
   }
 
   /** Edit-distance TWO-TABLE join — entity resolution's commonest
@@ -209,14 +250,19 @@ object FuzzyJoin {
     // the ONE shared rarity order: df over both sides' gram bags
     val dfT = gl.select("__g").unionAll(gr.select("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__df"))
-    val sigL = sigOf(gl, dfT, sigLen)
+    // BOTH sides spread: the optimizer broadcasts whichever side it
+    // estimates smaller, and the streamed side's layout is what the
+    // explosion inherits — an unspread streamed side would collapse
+    // the whole blow-up into AQE's one coalesced partition
+    val sigL = spreadByGram(sigOf(gl, dfT, sigLen))
       .select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
-    val sigR = sigOf(gr, dfT, sigLen)
+    val sigR = spreadByGram(sigOf(gr, dfT, sigLen))
       .select(col("__g"), col("id").as("id2"), col("__len").as("l2"))
 
+    // undeduped, like the self-join form — dedup lands after the verify
     val longCands = sigL.join(sigR, "__g")
       .where(abs(col("l1") - col("l2")) <= maxDist)
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
 
     val shortCands = bl.where(col("__short"))
       .select(col("id").as("id1"), col("__len").as("l1"))

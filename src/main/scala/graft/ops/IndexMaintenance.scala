@@ -73,6 +73,67 @@ object IndexMaintenance {
       df0.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
     }
 
+  /** The shared RESUME PROBE of a log-first stamped append (the
+    * [[Ivf.appendIndex]] protocol, reused by [[IvfPq.appendIndex]]):
+    * given a tiny `logDir` of (batch_id, n_rows) intent rows written
+    * BEFORE the data and a `dataDir` of batch_id-stamped rows, decide
+    * how a (possibly replayed) stamped append should proceed — and
+    * repair a PARTIALLY committed batch on the way.
+    *
+    * Returns (logLanded, fullyLanded):
+    *   - (true, true)  → the batch landed completely; skip everything.
+    *   - (true, false) → the log landed but the data is absent or was
+    *     partial; any partial rows have been STRIPPED (staged swap) —
+    *     write the data only, not the log.
+    *   - (false, false) → nothing landed (or the probe degraded on an
+    *     unreadable dir): full append.
+    *
+    * Completeness is keyed on the logged EXPECTED row count, not mere
+    * existence — a crash inside the data parquet job commit (all of it
+    * under FileOutputCommitter v2) leaves SOME task files visible, and
+    * an existence-keyed skip would permanently lose the rest. Legacy
+    * log rows without n_rows resume on existence (nothing better is
+    * recoverable for them). The probe itself degrades to "not landed"
+    * on unreadable dirs (torn _temporary debris must not kill a
+    * recovery), but the strip runs OUTSIDE that degrade — a failed
+    * strip must abort the append, not be swallowed. */
+  def resumeStampedAppend(spark: SparkSession, logDir: String,
+      dataDir: String, batchId: Option[Long],
+      partitionCols: Seq[String]): (Boolean, Boolean) = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (logLanded, expected, landed) = batchId match {
+      case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logDir)) =>
+        try {
+          val log0 = spark.read.option("mergeSchema", "true").parquet(logDir)
+          val logRow = log0.where(col("batch_id") === b).collect().headOption
+          val exp =
+            if (logRow.isDefined && log0.columns.contains("n_rows"))
+              Option(logRow.get.getAs[Any]("n_rows")).map(_.asInstanceOf[Long])
+            else None
+          val n =
+            if (logRow.isEmpty) 0L
+            else {
+              val data = spark.read.option("mergeSchema", "true").parquet(dataDir)
+              if (!data.columns.contains("batch_id")) 0L
+              else data.where(col("batch_id") === b).count()
+            }
+          (logRow.isDefined, exp, n)
+        } catch { case _: Exception => (false, None, 0L) }
+      case _ => (false, None, 0L)
+    }
+    val fullyLanded = logLanded && (expected match {
+      case Some(n) => landed == n
+      case None => landed > 0 // legacy log row: existence-keyed resume
+    })
+    if (logLanded && !fullyLanded && landed > 0)
+      rewriteExcludingKeys(spark, dataDir,
+        Seq(batchId.get).toDF("batch_id"), "batch_id",
+        partitionCols = partitionCols)
+    (logLanded, fullyLanded)
+  }
+
   /** The shared read → transform → staged-rename swap (live→__old,
     * staged→live, drop __old — every intermediate state keeps the data
     * adjacent, never deleted-before-replaced). */

@@ -255,53 +255,11 @@ object Ivf {
     import spark.implicits._
     val logPath = s"$path/appendlog"
     val cellsPath = s"$path/cells"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // The resume probes are pure OPTIMIZATION — a dir left unreadable
-    // by a crash mid-first-write (exists, but only _temporary debris,
-    // no committed footer) must degrade to "not landed" and take the
-    // plain append path, not kill the recovery with a schema-inference
-    // error. (Semantic index reads elsewhere must NOT do this — an
-    // unreadable anti-join source is corruption, not a resume state.)
-    // (logLanded, expected row count if the log carries one, rows of
-    // this batch already visible in cells/)
-    val (logLanded, expected, landed) = batchId match {
-      case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logPath)) =>
-        try {
-          // mergeSchema: logs written before the n_rows field are
-          // legacy — their batches resume on existence alone (the old,
-          // weaker contract; nothing better is recoverable for them)
-          val log0 = spark.read.option("mergeSchema", "true").parquet(logPath)
-          val logRow = log0.where(col("batch_id") === b).collect().headOption
-          val exp =
-            if (logRow.isDefined && log0.columns.contains("n_rows"))
-              Option(logRow.get.getAs[Any]("n_rows")).map(_.asInstanceOf[Long])
-            else None
-          val n =
-            if (logRow.isEmpty) 0L
-            else {
-              val cells = spark.read.option("mergeSchema", "true").parquet(cellsPath)
-              if (!cells.columns.contains("batch_id")) 0L
-              else cells.where(col("batch_id") === b).count()
-            }
-          (logRow.isDefined, exp, n)
-        } catch { case _: Exception => (false, None, 0L) }
-      case _ => (false, None, 0L)
-    }
-    val landedComplete = logLanded && (expected match {
-      case Some(n) => landed == n
-      case None => landed > 0 // legacy log row: existence-keyed resume
-    })
-    if (logLanded && landedComplete) return
-    // partial job commit (crash inside the parquet job commit left only
-    // SOME of the batch's task files visible): strip the partial rows
-    // before re-appending — appending on top would duplicate them.
-    // Deliberately OUTSIDE the degrade-to-not-landed probe: a failed
-    // strip must abort the append, not be swallowed.
-    if (logLanded && landed > 0)
-      IndexMaintenance.rewriteExcludingKeys(spark, cellsPath,
-        Seq(batchId.get).toDF("batch_id"), "batch_id",
-        partitionCols = Seq("cell"))
+    // the shared probe strips a partially-committed batch on the way
+    // (see [[IndexMaintenance.resumeStampedAppend]] for the protocol)
+    val (logLanded, fullyLanded) = IndexMaintenance.resumeStampedAppend(
+      spark, logPath, cellsPath, batchId, partitionCols = Seq("cell"))
+    if (fullyLanded) return
     val bid = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     if (batchId.isDefined && !logLanded)
       Seq((batchId.get, batch.count())).toDF("batch_id", "n_rows")

@@ -71,6 +71,9 @@ object IvfPq {
     Seq(model.residual).toDF("residual")
       .write.mode("overwrite").parquet(s"$path/meta")
     index(corpus, model)
+      // null stamp: keeps one cells schema across the save → append
+      // lifecycle (the Ivf.save stance; appendIndex stamps real ids)
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -87,11 +90,32 @@ object IvfPq {
     * shift degrades ADC ranking quality gradually — monitor cell
     * balance and rebuild (fit + save) when it leaves the build-time
     * envelope. [[compactIndexed]] restores one file per cell after a
-    * run of appends. */
-  def appendIndex(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    * run of appends.
+    *
+    * `batchId` gives the compressed form the SAME crash-replay resume
+    * as its sibling ([[IndexMaintenance.resumeStampedAppend]] — the
+    * appendlog-first protocol keyed on the batch's expected row count,
+    * so a partially-committed batch is stripped and rewritten, never
+    * existence-skipped into data loss). Unstamped appends stay the
+    * plain at-least-once path. Legacy indexes saved before the stamp
+    * gain a `batch_id` column on first stamped append (probes ignore
+    * it; compaction's mergeSchema keeps it). */
+  def appendIndex(spark: SparkSession, batch: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val logPath = s"$path/appendlog"
+    val cellsPath = s"$path/cells"
+    val (logLanded, fullyLanded) = IndexMaintenance.resumeStampedAppend(
+      spark, logPath, cellsPath, batchId, partitionCols = Seq("cell"))
+    if (fullyLanded) return
+    if (batchId.isDefined && !logLanded)
+      Seq((batchId.get, batch.count())).toDF("batch_id", "n_rows")
+        .write.mode("append").parquet(logPath)
     val idx = load(spark, path)
     index(batch, idx.model)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode("append").partitionBy("cell").parquet(cellsPath)
   }
 
   /** DELETE/takedown propagation — [[Ivf.removeVectors]] for the

@@ -120,6 +120,59 @@ class IvfPqSpec extends SparkSpec {
     assert(direct == viaDisk)
   }
 
+  test("stamped appendIndex: replay skips, torn state resumes, partial commit strips and rewrites") {
+    val e = corpus
+    val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = IvfPq.fit(base, nlist = 8, m = 4, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-crash").toString
+    IvfPq.save(spark, model, base, path)
+    IvfPq.appendIndex(spark, batch, path, Some(0L))
+    def rows() = spark.read.option("mergeSchema", "true").parquet(s"$path/cells").count()
+    def batchRows() = spark.read.option("mergeSchema", "true").parquet(s"$path/cells")
+      .where(col("batch_id") === 0L).count()
+    def key() = {
+      val idx = IvfPq.load(spark, path)
+      IvfPq.topK(idx.cells, e, q, idx.model, k = 5, nprobe = 3)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val (refRows, refBatchRows, refKey) = (rows(), batchRows(), key())
+
+    // full replay (crash after both writes, before the checkpoint
+    // commit): must SKIP — an unstamped replay would duplicate codes
+    IvfPq.appendIndex(spark, batch, path, Some(0L))
+    assert(rows() == refRows, "full replay duplicated code rows")
+    assert(key() == refKey)
+
+    // partial job commit: keep only half of batch 0's rows; the
+    // appendlog row IS present, so an existence-keyed probe would skip
+    // and permanently lose the other half
+    val keep = spark.read.option("mergeSchema", "true").parquet(s"$path/cells")
+      .where(col("batch_id").isNull || pmod(col("id"), lit(2)) === 0)
+      .localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+    keep.write.partitionBy("cell").parquet(s"$path/cells")
+    val partial = batchRows()
+    assert(partial > 0 && partial < refBatchRows,
+      "fixture: the partial state should hold SOME but not all of batch 0")
+    IvfPq.appendIndex(spark, batch, path, Some(0L))
+    assert(batchRows() == refBatchRows, "partial-commit replay did not restore the batch")
+    assert(rows() == refRows, "partial-commit replay duplicated the landed half")
+    assert(key() == refKey)
+    assert(spark.read.parquet(s"$path/appendlog").count() == 1L,
+      "replay re-appended the log row")
+
+    // compaction preserves stamps and log: replay after is still landed
+    IvfPq.compactIndexed(spark, path)
+    IvfPq.appendIndex(spark, batch, path, Some(0L))
+    assert(rows() == refRows, "post-compaction replay duplicated the batch")
+    assert(key() == refKey)
+  }
+
   test("removeVectors: takedown ≡ one-shot save of the survivors under the same frozen model") {
     val e = corpus
     val q = e.where(col("id") < 5).select(col("id").as("qid"), col("embedding"))
