@@ -248,6 +248,30 @@ object ExtensionQueries {
     }
   }
 
+  /** The ANN takedown verb, oracle-gated (the q_index_delete device
+    * on the vector side): index the FULL corpus, [[graft.ops.Ivf
+    * .removeVectors]] every seventh vector, probe at nprobe = nlist —
+    * a full probe is provably brute force over whatever the index
+    * holds, so the oracle (brute cosine over the survivors) is exact,
+    * and green proves the strip left the index bit-identical to never
+    * having indexed the removed vectors. */
+  def qAnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") >= 40 && col("id") < 50)
+      .select(col("id").as("qid"), col("embedding"))
+    Q.withTempIndex("graft-ivf-del") { idx =>
+      val model = graft.ops.Ivf.fit(e, nlist = 16, iters = 3)
+      graft.ops.Ivf.save(s, model, e, idx)
+      graft.ops.Ivf.removeVectors(s, idx, e.where(col("id") % 7 === 0).select("id"))
+      graft.ops.Ivf.topKIndexed(graft.ops.Ivf.load(s, idx), q, k = 5, nprobe = 16)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+        .localCheckpoint(true)
+    }
+  }
+
   /** Margin-based bitext mining ([[graft.ops.Bitext]], Artetxe &
     * Schwenk 2019): even vec_ids as the source corpus, odd as the
     * target; brute-force candidates (the bounded verification tier —
@@ -611,6 +635,7 @@ object ExtensionQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_filter" -> (qAnnFilter _),
     "q_ann_incremental" -> (qAnnIncremental _),
+    "q_ann_delete" -> (qAnnDelete _),
     "q_ann_adaptive" -> (qAnnAdaptive _),
     "q_bitext_mine" -> (qBitextMine _),
     "q_pq_topk" -> (qPqTopk _),
@@ -1071,6 +1096,21 @@ object ExtensionQueries {
     // 80 % build + 20 % frozen-quantizer Append + compaction, probed
     // full-probe ⇒ exactly the brute-force top-k over the FULL corpus
     // (qids 40–49): green proves index ∪ batch ≡ one-shot
+    // brute cosine over the SURVIVORS — full probe makes the engine
+    // side provably brute force over the stripped index
+    "q_ann_delete" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 40 AND q.vec_id < 50
+        |   AND c.vec_id <> q.vec_id AND c.vec_id % 7 <> 0),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "q_ann_incremental" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
