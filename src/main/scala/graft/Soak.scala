@@ -498,6 +498,16 @@ object Soak {
       time("bm25 topKIndexed post-compact") {
         ops.Bm25.topKIndexed(spark, idx, terms, k = 20).count()
       }
+      // takedown at scale: live-postings delta measure + negative meta
+      // row + full postings rewrite (the staged swap)
+      time("bm25 removeDocs (10%)") {
+        ops.Bm25.removeDocs(spark, idx,
+          docs.where(col("id") % 10 === 3).select(col("id").as("doc_id")),
+          removeId = Some(0L))
+      }
+      time("bm25 topKIndexed post-remove") {
+        ops.Bm25.topKIndexed(spark, idx, terms, k = 20).count()
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
@@ -627,6 +637,15 @@ object Soak {
       }
       time("ivf compactIndex")(ops.Ivf.compactIndex(spark, idxDir))
       time("ivf topKIndexed post-compact") {
+        ops.Ivf.topKIndexed(ops.Ivf.load(spark, idxDir), q, k = 10, nprobe = 8).count()
+      }
+      // takedown at scale: a removal is one full cells rewrite (the
+      // staged swap doubles as compaction) — the honest lifecycle cost
+      time("ivf removeVectors (10%)") {
+        ops.Ivf.removeVectors(spark, idxDir,
+          emb.where(pmod(col("id"), lit(10)) === 3).select("id"))
+      }
+      time("ivf topKIndexed post-remove") {
         ops.Ivf.topKIndexed(ops.Ivf.load(spark, idxDir), q, k = 10, nprobe = 8).count()
       }
     } finally {
