@@ -331,9 +331,20 @@ $errRows
     val fidelityPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fidelityPath), fullJson)
     catch { case e: Throwable => println(s"[bench] fidelity write failed: ${e.getMessage}") }
-    println(statLine(results.toSeq, load1m,
+    val line = statLine(results.toSeq, load1m,
       sfDir.split('/').lastOption.getOrElse(sfDir),
-      errors.toSeq, degraded, total))
+      errors.toSeq, degraded, total)
+    // 3. the SAME stat line to a clean file: on stdout it rides inside
+    //    sbt's log stream glued to an "[info]" prefix, which has left
+    //    the driver's BENCH_rN.json "parsed" field null for two rounds
+    //    — a file sidesteps log framing entirely (judge ask r14 #5).
+    val statPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "target/bench_stat.json")
+    try {
+      val p = java.nio.file.Paths.get(statPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable => println(s"[bench] stat write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

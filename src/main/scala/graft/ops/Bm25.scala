@@ -162,39 +162,35 @@ object Bm25 {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-    // resume detection (stamped appends only). The probes are pure
-    // optimization: a dir left unreadable by a crash mid-first-write
-    // (exists, only _temporary debris, no committed footer) degrades
-    // to "not landed" and takes the plain append path instead of
-    // killing the recovery with a schema-inference error.
-    // (metaLanded, expected posting count if the meta row carries one,
-    // posting rows of this batch already visible)
+    // resume detection (stamped appends only), on the shared probe
+    // helpers ([[IndexMaintenance]]). Degrades are NARROW: an
+    // unreadable META dir (torn first write, only _temporary debris)
+    // resumes as a plain append — the intent row never landed, so
+    // re-logging is correct; but once the meta row IS found, a missing
+    // or unreadable postings dir is the documented meta-first torn
+    // state and resumes with landed 0 and metaLanded STILL TRUE (the
+    // old whole-probe try/catch turned that state into a duplicate
+    // meta row per replay). A missing postings dir first runs the
+    // torn-swap check (restore-or-abort — a crash between the staged
+    // swap's renames leaves the whole index in __old, and degrading to
+    // "not landed" would re-create it with only this batch). The
+    // expectation is the SUM of the batch's meta n_postings rows, so a
+    // takedown's negative decrement rows (see [[removeDocs]]) fold in
+    // and a replayed post-takedown batch reads as fully landed.
     val (metaLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(metaPath)) =>
-        try {
-          val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
-          val metaRow =
-            if (meta.columns.contains("batch_id"))
-              meta.where(col("batch_id") === b).collect().headOption
-            else None
-          // meta rows written before the n_postings field are legacy —
-          // their batches resume on existence alone (the old, weaker
-          // contract; nothing better is recoverable for them)
-          val exp =
-            if (metaRow.isDefined && meta.columns.contains("n_postings"))
-              Option(metaRow.get.getAs[Any]("n_postings")).map(_.asInstanceOf[Long])
-            else None
-          // meta writes first, so postings can only exist if meta does;
-          // the dir itself may not exist yet on the torn-state resume
-          val n =
-            if (metaRow.isEmpty || !fs.exists(new org.apache.hadoop.fs.Path(postPath))) 0L
-            else {
-              val post = spark.read.option("mergeSchema", "true").parquet(postPath)
-              if (!post.columns.contains("batch_id")) 0L
-              else post.where(col("batch_id") === b).count()
-            }
-          (metaRow.isDefined, exp, n)
-        } catch { case _: Exception => (false, None, 0L) }
+        val metaState =
+          try {
+            val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
+            if (!meta.columns.contains("batch_id")) None
+            else IndexMaintenance.loggedExpectation(meta, b, "n_postings")
+          } catch { case _: Exception => None }
+        metaState match {
+          case None => (false, None, 0L)
+          case Some(exp) =>
+            IndexMaintenance.restoreTornSwap(fs, postPath) // outside any degrade
+            (true, exp, IndexMaintenance.landedCount(spark, fs, postPath, b))
+        }
       case _ => (false, None, 0L)
     }
     val postingsLanded = metaLanded && (expected match {
@@ -330,11 +326,30 @@ object Bm25 {
           s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
         val totals = hits.groupBy("doc_id").agg(min("dl").as("dl"))
           .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
-        Seq((-totals.getLong(0), -totals.getLong(1), nBucketsAll.head, -nPost))
-          .toDF("n_docs", "sum_dl", "n_buckets", "n_postings")
-          .withColumn("batch_id", lit(null).cast("long"))
-          .withColumn("remove_id",
-            removeId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+        val rid = removeId.map(lit(_)).getOrElse(lit(null)).cast("long")
+        val globalDelta =
+          Seq((-totals.getLong(0), -totals.getLong(1), nBucketsAll.head, -nPost))
+            .toDF("n_docs", "sum_dl", "n_buckets", "n_postings")
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("remove_id", rid)
+        // per-batch decrement rows (zero global contribution): a later
+        // REPLAY of a stamped batch sums its meta n_postings rows, so
+        // after a takedown it must sum to the post-strip posting count
+        // and read as fully landed — without these, the count-keyed
+        // resume misreads the takedown as a partial commit, strips the
+        // remainder and re-appends the full batch: resurrected docs
+        // plus a still-applied negative delta (wrong N/sum_dl). Written
+        // in the SAME meta append as the global delta so the remove_id
+        // stamp covers both.
+        val batchDec =
+          if (!hits.columns.contains("batch_id")) globalDelta.limit(0)
+          else hits.where(col("batch_id").isNotNull)
+            .groupBy("batch_id")
+            .agg((-count(lit(1))).as("n_postings"))
+            .select(lit(0L).as("n_docs"), lit(0L).as("sum_dl"),
+              lit(nBucketsAll.head).as("n_buckets"), col("n_postings"),
+              col("batch_id"), rid.as("remove_id"))
+        globalDelta.unionByName(batchDec)
           .write.mode(SaveMode.Append).parquet(metaPath)
       }
       if (nPost > 0)

@@ -73,6 +73,78 @@ object IndexMaintenance {
       df0.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
     }
 
+  /** If `dir` is MISSING because a staged-rename swap crashed between
+    * its two renames (live→__old done, staged→live not), the complete
+    * pre-rewrite data sits in the `__old` sibling — restore it. The
+    * alternative (treating the index as "not created yet", which is
+    * what a bare existence probe does) silently re-creates the dir
+    * with only the current batch: loss of the whole prior index
+    * through the recovery path itself. So when the dir is missing but
+    * a swap sibling proves an index existed, this either restores or
+    * FAILS LOUDLY — it never lets the caller degrade to "empty".
+    *
+    * No-op when `dir` exists (a dangling `__old` beside a live dir is
+    * the harmless crash-after-swap-before-delete state; the next
+    * rewrite clears it) or when neither sibling exists (the dir
+    * genuinely was never created). After a restore the caller re-reads
+    * a fully-consistent pre-rewrite dir; if the interrupted rewrite
+    * was a partial-batch strip, the re-probe detects the partial batch
+    * again and re-strips — the loop converges. */
+  private[ops] def restoreTornSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    if (fs.exists(live)) return
+    val old = new Path(s"$dir/../${live.getName}__old")
+    val staged = new Path(s"$dir/../${live.getName}__compacting")
+    if (fs.exists(old))
+      require(fs.rename(old, live),
+        s"torn swap at $dir: live dir missing and cannot restore $old — " +
+          "restore it manually before appending")
+    else if (fs.exists(staged))
+      throw new IllegalStateException(
+        s"torn rewrite at $dir: live dir missing, no __old to restore, but " +
+          s"staged $staged exists — refusing to treat the index as empty; " +
+          "inspect (the staged dir holds the interrupted rewrite's output)")
+  }
+
+  /** Rows of `dataDir` stamped with this batch id — 0 when the dir is
+    * missing, carries no batch_id column, or holds only torn
+    * first-write debris (dir exists, no committed footer: nothing of
+    * any batch is visible there, so 0 is the truth, not a degrade). */
+  private[ops] def landedCount(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dataDir: String, b: Long): Long =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir))) 0L
+    else try {
+      val data = spark.read.option("mergeSchema", "true").parquet(dataDir)
+      if (!data.columns.contains("batch_id")) 0L
+      else data.where(col("batch_id") === b).count()
+    } catch { case _: Exception => 0L }
+
+  /** The batch's EXPECTED landed count from its log rows, summed —
+    * `None` = no row for this batch; `Some(None)` = a legacy row
+    * without n_rows (existence-keyed resume is all that's recoverable);
+    * `Some(Some(n))` = the summed expectation. SUM, not headOption: a
+    * takedown ([[removeKeysWithLogDecrement]]) appends NEGATIVE
+    * decrement rows per affected batch, so one batch may own several
+    * log rows whose sum is the post-takedown truth — reading an
+    * arbitrary single row would misread a takedown as a partial
+    * commit and "repair" it by resurrecting removed rows. */
+  private[ops] def loggedExpectation(log0: org.apache.spark.sql.DataFrame,
+      b: Long, countCol: String = "n_rows"): Option[Option[Long]] = {
+    val rows = log0.where(col("batch_id") === b)
+    if (!log0.columns.contains(countCol)) {
+      if (rows.isEmpty) None else Some(None)
+    } else {
+      val agg = rows.agg(count(lit(1)).as("c"),
+        coalesce(sum(when(col(countCol).isNull, 1L).otherwise(0L)), lit(0L)).as("legacy"),
+        coalesce(sum(col(countCol)), lit(0L)).as("s")).head()
+      if (agg.getLong(0) == 0L) None
+      else if (agg.getLong(1) > 0L) Some(None)
+      else Some(Some(agg.getLong(2)))
+    }
+  }
+
   /** The shared RESUME PROBE of a log-first stamped append (the
     * [[Ivf.appendIndex]] protocol, reused by [[IvfPq.appendIndex]]):
     * given a tiny `logDir` of (batch_id, n_rows) intent rows written
@@ -86,17 +158,28 @@ object IndexMaintenance {
     *     partial; any partial rows have been STRIPPED (staged swap) —
     *     write the data only, not the log.
     *   - (false, false) → nothing landed (or the probe degraded on an
-    *     unreadable dir): full append.
+    *     unreadable LOG dir): full append.
     *
-    * Completeness is keyed on the logged EXPECTED row count, not mere
-    * existence — a crash inside the data parquet job commit (all of it
-    * under FileOutputCommitter v2) leaves SOME task files visible, and
-    * an existence-keyed skip would permanently lose the rest. Legacy
-    * log rows without n_rows resume on existence (nothing better is
-    * recoverable for them). The probe itself degrades to "not landed"
-    * on unreadable dirs (torn _temporary debris must not kill a
-    * recovery), but the strip runs OUTSIDE that degrade — a failed
-    * strip must abort the append, not be swallowed. */
+    * Completeness is keyed on the logged EXPECTED row count — SUMMED
+    * across the batch's log rows, so takedown decrement rows
+    * ([[removeKeysWithLogDecrement]]) fold in — not mere existence: a
+    * crash inside the data parquet job commit (all of it under
+    * FileOutputCommitter v2) leaves SOME task files visible, and an
+    * existence-keyed skip would permanently lose the rest. Legacy log
+    * rows without n_rows resume on existence (nothing better is
+    * recoverable for them).
+    *
+    * Degrades are NARROW, each to the least-destructive reading:
+    * an unreadable log dir (torn first write) → plain append (the
+    * intent row never landed, re-logging is correct); a MISSING data
+    * dir with the log row present → first [[restoreTornSwap]] (a swap
+    * sibling means the data exists and must be restored or the append
+    * aborted — never silently re-created), else the normal log-first
+    * torn state: landed 0 with logLanded STILL TRUE, so the resume
+    * writes the data only and the log keeps one row per batch; a data
+    * dir with only torn write debris → landed 0, same path. The strip
+    * and the restore run OUTSIDE every degrade — a failed repair must
+    * abort the append, not be swallowed into a duplicating one. */
   def resumeStampedAppend(spark: SparkSession, logDir: String,
       dataDir: String, batchId: Option[Long],
       partitionCols: Seq[String]): (Boolean, Boolean) = {
@@ -105,22 +188,16 @@ object IndexMaintenance {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val (logLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logDir)) =>
-        try {
-          val log0 = spark.read.option("mergeSchema", "true").parquet(logDir)
-          val logRow = log0.where(col("batch_id") === b).collect().headOption
-          val exp =
-            if (logRow.isDefined && log0.columns.contains("n_rows"))
-              Option(logRow.get.getAs[Any]("n_rows")).map(_.asInstanceOf[Long])
-            else None
-          val n =
-            if (logRow.isEmpty) 0L
-            else {
-              val data = spark.read.option("mergeSchema", "true").parquet(dataDir)
-              if (!data.columns.contains("batch_id")) 0L
-              else data.where(col("batch_id") === b).count()
-            }
-          (logRow.isDefined, exp, n)
-        } catch { case _: Exception => (false, None, 0L) }
+        val logState =
+          try loggedExpectation(
+            spark.read.option("mergeSchema", "true").parquet(logDir), b)
+          catch { case _: Exception => None }
+        logState match {
+          case None => (false, None, 0L)
+          case Some(exp) =>
+            restoreTornSwap(fs, dataDir) // outside any degrade: throws > re-creates
+            (true, exp, landedCount(spark, fs, dataDir, b))
+        }
       case _ => (false, None, 0L)
     }
     val fullyLanded = logLanded && (expected match {
@@ -132,6 +209,54 @@ object IndexMaintenance {
         Seq(batchId.get).toDF("batch_id"), "batch_id",
         partitionCols = partitionCols)
     (logLanded, fullyLanded)
+  }
+
+  /** DELETE/takedown strip of `dataDir` rows whose `keyCol` is in
+    * `ids`, KEEPING THE APPEND LOG CONSISTENT: before the strip, one
+    * NEGATIVE decrement row per affected stamped batch is appended to
+    * `logDir` (batch_id, n_rows = −removed), so a later replay of that
+    * batch sums the log to the post-takedown expectation and reads the
+    * stripped state as FULLY LANDED — instead of misreading the
+    * takedown as a partial commit, "repairing" it, and resurrecting
+    * the removed rows ([[resumeStampedAppend]] sums per batch for
+    * exactly this). Decrement-BEFORE-strip is load-bearing: the
+    * affected batches are measured from the LIVE rows (after the strip
+    * there is nothing left to attribute).
+    *
+    * `removeId` makes a RETRY safe (the [[Bm25.removeDocs]] stance):
+    * decrement rows are stamped, and a re-run that finds its remove_id
+    * already in the log skips straight to the (idempotent) strip. An
+    * UNSTAMPED removal that crashes between the two steps must NOT be
+    * blindly re-run — the decrement would double; pass removeId
+    * anywhere a retry is possible. Rows with a NULL batch_id (the
+    * initial [[Ivf.save]] build) need no decrement — no log row ever
+    * expects them. A missing/unstamped log dir degrades to the bare
+    * strip (nothing to keep consistent). */
+  def removeKeysWithLogDecrement(spark: SparkSession, logDir: String,
+      dataDir: String, ids: org.apache.spark.sql.DataFrame, keyCol: String,
+      partitionCols: Seq[String], removeId: Option[Long] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    restoreTornSwap(fs, dataDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logDir))) {
+      val log0 = spark.read.option("mergeSchema", "true").parquet(logDir)
+      val decLanded = removeId.exists(r =>
+        log0.columns.contains("remove_id") &&
+          !log0.where(col("remove_id") === r).isEmpty)
+      val data = spark.read.option("mergeSchema", "true").parquet(dataDir)
+      if (!decLanded && data.columns.contains("batch_id")) {
+        val dec = data
+          .join(ids.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .where(col("batch_id").isNotNull)
+          .groupBy("batch_id")
+          .agg((-count(lit(1))).as("n_rows"))
+          .withColumn("remove_id",
+            removeId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+        dec.write.mode(SaveMode.Append).parquet(logDir)
+      }
+    }
+    rewriteExcludingKeys(spark, dataDir, ids.select(col(keyCol)), keyCol,
+      partitionCols = partitionCols)
   }
 
   /** The shared read → transform → staged-rename swap (live→__old,

@@ -277,17 +277,27 @@ object Ivf {
     * stores no corpus statistics, so the strip is the WHOLE removal:
     * the result is bit-identical to a one-shot [[save]] of the
     * survivors under the same frozen model (IvfSpec pins it).
-    * Naturally idempotent — re-running the same removal is a pure
-    * re-layout — so no removal log is needed (the [[Bm25.removeDocs]]
-    * stamp exists only for its meta decrement, which IVF doesn't
-    * have). Unknown ids are no-ops. Removing ids of a STREAMING batch
-    * whose checkpoint hasn't committed is out of contract (the
-    * batch's replay would see its landed count dropped below the
-    * appendlog's expectation, strip the remainder, and re-append the
-    * full batch — resurrecting the removed vectors). */
-  def removeVectors(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    IndexMaintenance.rewriteExcludingKeys(spark, s"$path/cells",
-      ids.select(col("id")), "id", partitionCols = Seq("cell"))
+    * Unknown ids are no-ops.
+    *
+    * The strip also keeps the APPENDLOG consistent
+    * ([[IndexMaintenance.removeKeysWithLogDecrement]]): a negative
+    * decrement row per affected stamped batch is appended BEFORE the
+    * strip, so a later replay of that batch sums the log to the
+    * post-takedown expectation and skips — instead of misreading the
+    * takedown as a partial commit and "repairing" it by re-appending
+    * the full batch, which would resurrect the removed vectors. Pass
+    * `removeId` anywhere a RETRY of the removal itself is possible
+    * (it stamps the decrement so a re-run skips straight to the
+    * idempotent strip; an unstamped removal that crashes between
+    * decrement and strip must not be blindly re-run — the decrement
+    * would double). Removing ids of a streaming batch whose
+    * checkpoint hasn't committed remains out of contract (its replay
+    * races the decrement). */
+  def removeVectors(spark: SparkSession, path: String, ids: DataFrame,
+      removeId: Option[Long] = None): Unit =
+    IndexMaintenance.removeKeysWithLogDecrement(spark, s"$path/appendlog",
+      s"$path/cells", ids.select(col("id")), "id",
+      partitionCols = Seq("cell"), removeId = removeId)
 
   /** Per-cell row counts of a persisted index — the rebuild monitor
     * for [[appendIndex]]'s drift contract (cheap: a count per cell

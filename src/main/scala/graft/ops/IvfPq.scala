@@ -123,11 +123,16 @@ object IvfPq {
     * swap, cell layout preserved). Both quantizers store no corpus
     * statistics, so the strip alone makes the index bit-identical to
     * a one-shot [[save]] of the survivors under the same frozen model
-    * (IvfPqSpec pins it). Idempotent; unknown ids are no-ops. */
+    * (IvfPqSpec pins it). Unknown ids are no-ops. Appendlog decrement
+    * + `removeId` retry stamp exactly as in [[Ivf.removeVectors]] —
+    * a replayed stamped batch must read the takedown as fully landed,
+    * never as a partial commit to repair. */
   def removeVectors(spark: SparkSession, path: String,
-      ids: org.apache.spark.sql.DataFrame): Unit =
-    IndexMaintenance.rewriteExcludingKeys(spark, s"$path/cells",
-      ids.select(col("id")), "id", partitionCols = Seq("cell"))
+      ids: org.apache.spark.sql.DataFrame,
+      removeId: Option[Long] = None): Unit =
+    IndexMaintenance.removeKeysWithLogDecrement(spark, s"$path/appendlog",
+      s"$path/cells", ids.select(col("id")), "id",
+      partitionCols = Seq("cell"), removeId = removeId)
 
   /** One file per cell partition after appends — the staged-rename
     * re-layout ([[IndexMaintenance.compactDir]]); results-identical,

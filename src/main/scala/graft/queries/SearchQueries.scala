@@ -258,9 +258,19 @@ object SearchQueries {
     "q_bm25" -> bm25Sql,
     "q_bm25_index" -> bm25Sql,
     // the survivors' corpus: identical scoring SQL over the post-
-    // takedown document set — green means removeDocs ≡ never indexed
-    "q_index_delete" -> bm25Sql.replace("FROM documents,",
-      "FROM (SELECT * FROM documents WHERE doc_id % 3 <> 1) AS documents,"),
+    // takedown document set — green means removeDocs ≡ never indexed.
+    // The require pins that the splice actually happened: a future
+    // rewording of bm25Sql (alias, line break before the comma) would
+    // otherwise silently yield an oracle over the FULL corpus and the
+    // takedown gate would stop testing what it claims.
+    "q_index_delete" -> {
+      val spliced = bm25Sql.replace("FROM documents,",
+        "FROM (SELECT * FROM documents WHERE doc_id % 3 <> 1) AS documents,")
+      require(spliced != bm25Sql,
+        "q_index_delete oracle: survivors splice did not match bm25Sql — " +
+          "its FROM clause was reworded; update the replace target")
+      spliced
+    },
     "q_hybrid_rrf" ->
       """WITH tok AS (SELECT doc_id, t.term AS term
         |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)),

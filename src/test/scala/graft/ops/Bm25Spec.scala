@@ -335,6 +335,39 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("removeDocs of a stamped batch + that batch's replay: takedown survives (per-batch meta decrement)") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-rm-replay").toString
+    val terms = Seq("spark", "join", "scan", "vector")
+    def scores() = Bm25.topKIndexed(spark, idx, terms, k = 10)
+      .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val batch0 = corpus.where($"doc_id" <= 2L)
+    Bm25.appendIndex(batch0, idx, nBuckets = 8, batchId = Some(0L))
+    Bm25.appendIndex(corpus.where($"doc_id" >= 3L), idx, nBuckets = 8,
+      batchId = Some(1L))
+    Bm25.removeDocs(spark, idx, Seq(1L).toDF("doc_id"), removeId = Some(3L))
+    val want = scores()
+    assert(!want.exists(_._1 == 1L))
+
+    // replay of the long-committed batch 0 (a backfill re-run, a
+    // restarted stream re-delivering from an old offset): the
+    // per-batch decrement row makes the count-keyed resume sum batch
+    // 0's meta rows to the POST-takedown posting count — fully landed,
+    // skip. Without it (the r14 state) the resume read the takedown as
+    // a partial commit, stripped batch 0's remainder and re-appended
+    // the whole batch: doc 1 resurrected while the negative global
+    // delta still applied (wrong N and sum_dl on every later score).
+    Bm25.appendIndex(batch0, idx, nBuckets = 8, batchId = Some(0L))
+    assert(scores() == want, "a replayed batch resurrected a taken-down doc")
+    assert(spark.read.option("mergeSchema", "true").parquet(s"$idx/postings")
+      .where($"doc_id" === 1L).isEmpty)
+    // and the decrement survives compaction (meta collapses per
+    // (batch_id, remove_id), so the batch's sum is unchanged)
+    Bm25.compactIndex(spark, idx)
+    Bm25.appendIndex(batch0, idx, nBuckets = 8, batchId = Some(0L))
+    assert(scores() == want, "post-compaction replay resurrected a taken-down doc")
+  }
+
   test("NULL text contributes no postings; inconsistent bucket counts fail fast") {
     val withNull = corpus.union(Seq((9L, null: String)).toDF("doc_id", "text"))
     val st = Bm25.buildStats(withNull)

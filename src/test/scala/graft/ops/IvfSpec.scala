@@ -400,4 +400,89 @@ class IvfSpec extends SparkSpec {
     Ivf.appendIndex(spark, batch, path, Some(0L))
     assert(rows() == refRows)
   }
+
+  test("removeVectors of a stamped batch + that batch's replay: takedown survives (appendlog decrement)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = Ivf.fit(base, nlist = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf-rm-replay").toString
+    Ivf.save(spark, model, base, path)
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    // takedown hits PART of the stamped batch (and none of the base)
+    val removed = e.where(col("id") % 10 === 0).select("id")
+    val removedIds = removed.collect().map(_.getLong(0)).toSet
+    assert(removedIds.nonEmpty)
+    Ivf.removeVectors(spark, path, removed, removeId = Some(7L))
+    def liveIds() = spark.read.parquet(s"$path/cells")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val survivors = liveIds()
+    assert(removedIds.forall(!survivors.contains(_)))
+
+    // the data-resurrection hazard this pins shut: the batch's
+    // count-keyed resume sums the appendlog — with the decrement row
+    // the post-takedown count reads as FULLY LANDED and the replay
+    // skips; without it (the r14 state) the replay would read the
+    // takedown as a partial commit, strip the rest of batch 0 and
+    // re-append the whole batch, resurrecting every removed vector.
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(liveIds() == survivors,
+      "a replayed batch resurrected taken-down vectors")
+
+    // retrying the SAME stamped removal: decrement must not double
+    // (and the replay must still read fully-landed afterwards)
+    Ivf.removeVectors(spark, path, removed, removeId = Some(7L))
+    val log = spark.read.option("mergeSchema", "true").parquet(s"$path/appendlog")
+    assert(log.where(col("remove_id") === 7L).count() == 1L,
+      "stamped removal retry appended a second decrement row")
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(liveIds() == survivors)
+  }
+
+  test("torn staged swap (cells renamed to __old) is restored on resume, never re-created from one batch") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = e.where(col("id") % 5 =!= 0)
+    val batch = e.where(col("id") % 5 === 0)
+    val model = Ivf.fit(base, nlist = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivf-torn-swap").toString
+    Ivf.save(spark, model, base, path)
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    def ids() = spark.read.parquet(s"$path/cells")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val refIds = ids()
+
+    // crash between rewriteDir's two renames (a strip/compaction in
+    // flight): live cells renamed to __old, staged never swapped in.
+    // Before the restore guard, the resume probe degraded this to
+    // "nothing landed" and the replay re-created cells/ holding ONLY
+    // batch 0 — silent loss of the whole prior index through the
+    // recovery path itself.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(p(s"$path/cells"), p(s"$path/cells__old")))
+    fs.mkdirs(p(s"$path/cells__compacting"))
+    Ivf.appendIndex(spark, batch, path, Some(0L))
+    assert(ids() == refIds,
+      "torn-swap resume lost the prior index (expected a restore from __old)")
+    assert(!fs.exists(p(s"$path/cells__old")),
+      "restore should have renamed __old back to live")
+
+    // the un-restorable torn state — live missing, no __old, staged
+    // present — must fail LOUDLY, not degrade to an empty re-create
+    assert(fs.rename(p(s"$path/cells"), p(s"$path/cells__compacting2")))
+    fs.delete(p(s"$path/cells__compacting"), true)
+    assert(fs.rename(p(s"$path/cells__compacting2"), p(s"$path/cells__compacting")))
+    intercept[IllegalStateException] {
+      Ivf.appendIndex(spark, batch, path, Some(0L))
+    }
+    // and removeVectors refuses the same state instead of stripping air
+    intercept[Exception] {
+      Ivf.removeVectors(spark, path, e.where(col("id") === 0L).select("id"))
+    }
+  }
 }

@@ -47,8 +47,12 @@ def table_fingerprint(sf_dir):
 
 def oracle_result(con, sql, fp):
     """(columns, rows, type-strings) of the oracle SQL — cached.
-    Returns (data, from_cache)."""
-    key = hashlib.sha256(f"{fp}\n{sql}".encode()).hexdigest()
+    Returns (data, from_cache). The duckdb version is part of the key:
+    an engine upgrade can change result types (or, worse, fix/introduce
+    the exact type-widening drift the type-strict gate watches for), and
+    replaying a stale cache across the upgrade would mask it."""
+    key = hashlib.sha256(
+        f"duckdb={duckdb.__version__}\n{fp}\n{sql}".encode()).hexdigest()
     path = os.path.join(CACHE_DIR, key + ".pkl")
     if CACHE_ENABLED and os.path.exists(path):
         try:
