@@ -217,6 +217,8 @@ object Bench {
       "q_ann_ivf", "q_pq_topk",
       // builds + appends + compacts a temp on-disk index per rep
       "q_ann_incremental",
+      // fits + saves + strips a temp compressed index per rep
+      "q_annpq_delete",
       // assignWindows runs eager prefix-sum jobs + a checkpoint per rep
       "q_tok_pack",
       // whole subword-table lifecycle (build+write, load, checkpoint)

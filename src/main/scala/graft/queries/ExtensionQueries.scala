@@ -272,6 +272,40 @@ object ExtensionQueries {
     }
   }
 
+  /** The IVF-PQ takedown verb, oracle-gated — [[qAnnDelete]]'s device
+    * for the COMPRESSED index family, with RESIDUAL encoding (the
+    * classic IVF-PQ asymmetric form, the one whose codes depend on the
+    * cell assignment): save the full corpus, [[graft.ops.IvfPq
+    * .removeVectors]] every ninth vector, probe with nprobe = nlist
+    * and a corpus-covering shortlist (k×400 ≥ 2000 at every gate SF) +
+    * exact re-rank — provably the brute-force cosine top-k over
+    * whatever the cells hold. Removed ids can never re-enter through
+    * the re-rank corpus: the shortlist is drawn from the stripped
+    * cells, and the corpus is joined only FOR shortlist rows. Green
+    * proves the strip left the compressed index answering as if the
+    * removed vectors were never encoded. Query set 60 ≤ id < 70,
+    * distinct from the other ANN gates. */
+  def qAnnPqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.where(col("id") >= 60 && col("id") < 70)
+      .select(col("id").as("qid"), col("embedding"))
+    Q.withTempIndex("graft-ivfpq-del") { idx =>
+      val model = graft.ops.IvfPq.fit(e, nlist = 16, m = 8, k = 16,
+        iters = 3, residual = true)
+      graft.ops.IvfPq.save(s, model, e, idx)
+      graft.ops.IvfPq.removeVectors(s, idx,
+        e.where(col("id") % 9 === 0).select("id"))
+      val index = graft.ops.IvfPq.load(s, idx)
+      graft.ops.IvfPq.topK(index.cells, e, q, index.model, k = 5,
+        nprobe = 16, shortlist = 400)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+        .localCheckpoint(true)
+    }
+  }
+
   /** Margin-based bitext mining ([[graft.ops.Bitext]], Artetxe &
     * Schwenk 2019): even vec_ids as the source corpus, odd as the
     * target; brute-force candidates (the bounded verification tier —
@@ -636,6 +670,7 @@ object ExtensionQueries {
     "q_ann_filter" -> (qAnnFilter _),
     "q_ann_incremental" -> (qAnnIncremental _),
     "q_ann_delete" -> (qAnnDelete _),
+    "q_annpq_delete" -> (qAnnPqDelete _),
     "q_ann_adaptive" -> (qAnnAdaptive _),
     "q_bitext_mine" -> (qBitextMine _),
     "q_pq_topk" -> (qPqTopk _),
@@ -1106,6 +1141,21 @@ object ExtensionQueries {
         |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
         | FROM e q JOIN e c ON q.vec_id >= 40 AND q.vec_id < 50
         |   AND c.vec_id <> q.vec_id AND c.vec_id % 7 <> 0),
+        |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
+        |r AS (SELECT qid, id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // compressed-index takedown: corpus-covering shortlist + exact
+    // re-rank over the stripped cells ⇒ brute cosine over survivors
+    "q_annpq_delete" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_sum(list_transform(list_zip(c.v, q.v), t -> t[1] * t[2])) AS dotp,
+        |  sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |  sqrt(list_sum(list_transform(q.v, x -> x * x))) AS den
+        | FROM e q JOIN e c ON q.vec_id >= 60 AND q.vec_id < 70
+        |   AND c.vec_id <> q.vec_id AND c.vec_id % 9 <> 0),
         |s AS (SELECT qid, id, CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END AS cosine FROM p),
         |r AS (SELECT qid, id, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank FROM s)
