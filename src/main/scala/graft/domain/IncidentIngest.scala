@@ -47,13 +47,20 @@ object IncidentIngest {
     *
     * @param file     rows with (Disaster Date, Province, District) — strings
     * @param existing current incident_statistics_points table (may be empty)
+    * @param fuzzyResolve max edit distance for name resolution: 0 (the
+    *   default) is the reference's exact dict lookup — misspelled
+    *   province/district names silently drop (utils.py:505-519); d > 0
+    *   first corrects non-matching names to their nearest dim name
+    *   within d edits ([[FuzzyResolve.correct]] — exact matches are
+    *   never touched, so well-spelled rows are byte-identical)
     */
   def ingest(
       spark: SparkSession,
       file: DataFrame,
       provinces: DataFrame,
       districts: DataFrame,
-      existing: DataFrame): DataFrame = {
+      existing: DataFrame,
+      fuzzyResolve: Int = 0): DataFrame = {
 
     // J5 (dict-lookup ≡ broadcast left join on trimmed names; the
     // reference's dict keeps the LAST duplicate name — mirror that)
@@ -75,9 +82,19 @@ object IncidentIngest {
     // format check, so this matches the reference's accepted inputs.
     val ds = col("Disaster Date").cast("string")
     val serial = ds.try_cast("double")
-    val parsed = file
+    val keyed0 = file
       .withColumn("prov_name_key", trim(col("Province").cast("string")))
       .withColumn("dist_name_key", trim(col("District").cast("string")))
+    // opt-in J5 fuzzy fallback: correct unresolvable name keys to the
+    // nearest dim name, then let the unchanged exact joins resolve them
+    val keyed =
+      if (fuzzyResolve <= 0) keyed0
+      else FuzzyResolve.correct(
+        FuzzyResolve.correct(keyed0, "prov_name_key",
+          provMap.select(col("prov_name_key").as("k")), fuzzyResolve),
+        "dist_name_key",
+        distMap.select(col("dist_name_key").as("k")), fuzzyResolve)
+    val parsed = keyed
       .join(broadcast(provMap), Seq("prov_name_key"), "left")
       .join(broadcast(distMap), Seq("dist_name_key"), "left")
       .withColumn("disaster_date",

@@ -27,13 +27,20 @@ object RiskIngest {
   /** Columns the file must carry (lower-cased; utils.py:298-302). */
   val RequiredCols: Set[String] = Set("amphoe_t", "prov_nam_t", "class")
 
+  /** @param fuzzyResolve max edit distance for name resolution: 0 (the
+    *   default) is the reference's exact-match semantics — misspelled
+    *   (province, district) keys fall into the risk_level=1 fill; d > 0
+    *   first corrects non-matching key PAIRS jointly to the nearest
+    *   real (province, district) combination within d total edits
+    *   ([[FuzzyResolve.correctPair]]); exact matches never touched. */
   def ingest(
       spark: SparkSession,
       dbf: DataFrame,
       provinces: DataFrame,
       districts: DataFrame,
       uploadRiskId: Long,
-      specialFix: Boolean = false): DataFrame = {
+      specialFix: Boolean = false,
+      fuzzyResolve: Int = 0): DataFrame = {
 
     // case-insensitive column acceptance, then schema assertion
     val lowered = dbf.toDF(dbf.columns.toIndexedSeq.map(_.toLowerCase): _*)
@@ -60,11 +67,20 @@ object RiskIngest {
     } else lowered
 
     // F2 normalize file keys; F4 class → numeric; drop unmapped classes
-    val classed = fixed
+    val classed0 = fixed
       .withColumn("prov_key", TextNorm.normalizeTh(col("prov_nam_t")))
       .withColumn("dist_key", TextNorm.normalizeTh(col("amphoe_t")))
       .withColumn("class_num", Buckets.classToNum(col("class")))
       .na.drop(Seq("class_num"))
+    // opt-in J5 fuzzy fallback, BEFORE the per-district aggregate so a
+    // corrected row merges into its correctly-spelled district's group
+    val classed =
+      if (fuzzyResolve <= 0) classed0
+      else FuzzyResolve.correctPair(classed0, "prov_key", "dist_key",
+        distKeyed.join(provKeyed.select(col("province_id"), col("prov_key")),
+          Seq("province_id"))
+          .select(col("prov_key").as("k1"), col("dist_key").as("k2")),
+        fuzzyResolve)
 
     // A6 + F5: mean class per (province, district) key → level
     val riskByAmp = classed
