@@ -60,6 +60,8 @@ object Bench {
     * bytes across 8 keys), and "union" → "un" / "exact" → "ex" /
     * "asof" → "ao" / "skew" → "sk" / "anti" → "ant" / "prep" → "pp"
     * (the 123rd — ~17 bytes across 8 keys), and mid-string
+    * "zorder" → "zo" / "train" → "tr" (the 132nd — ~10 bytes across
+    * 3 keys), and mid-string
     * "incremental" → "incr" plus DROP ALL UNDERSCORES as the final
     * step (the 124th — the underscore purge frees ~110 bytes in one
     * move, headroom for ~6 more queries instead of a rule per query;
@@ -115,6 +117,7 @@ object Bench {
       .replace("exact", "ex").replace("asof", "ao")
       .replace("skew", "sk").replace("anti", "ant")
       .replace("prep", "pp")
+      .replace("zorder", "zo").replace("train", "tr")
       .replace("incremental", "incr")
       .replace("index", "idx").replace("delete", "del")
       .replace("lookup", "lkp").replace("adaptive", "adp")
@@ -229,15 +232,27 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val retried = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // per-rep (total, build) pairs for gates that report a "build"
+    // phase (the index-lifecycle gates — judge ask r14 #4: ~90 % of
+    // those rows is per-rep index construction, and a probe regression
+    // would hide inside build noise). probe = total − build per rep,
+    // so the split always sums exactly to the published rep.
+    val buildTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     SparkEntry.queries.foreach { case (name, fn) =>
       if (isolate) spark.catalog.clearCache()
       val n = if (multiJob(name)) 5 else reps
       val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val builds = scala.collection.mutable.ArrayBuffer[Double]()
       var i = 0
       def runOnce(): Unit = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        queries.Phases.drain() // clear any residue from a prior gate
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+          builds += queries.Phases.drain().getOrElse("build", 0.0)
+        }
         catch { case e: Throwable =>
           errors(name) = ErrText.firstLine(e).take(120)
         }
@@ -258,7 +273,13 @@ object Bench {
         runOnce(); extra += 1
       }
       if (extra > 0) retried(name) = extra
-      if (!errors.contains(name)) allTimes(name) = times.toSeq.sorted
+      if (!errors.contains(name)) {
+        // sort (total, build) as PAIRS by total so rep alignment
+        // survives the sort the fidelity file publishes
+        val paired = times.toSeq.zip(builds.toSeq).sortBy(_._1)
+        allTimes(name) = paired.map(_._1)
+        if (builds.exists(_ > 0)) buildTimes(name) = paired.map(_._2)
+      }
     }
     // end-of-run load: degradation is judged on the WORST of start/end
     // (r12's driver run started quiet and got loaded mid-sweep)
@@ -309,14 +330,23 @@ object Bench {
     //    no per-row spread map (fidelity file only), short sf name.
     val fullJson = {
       val rows = allTimes.map { case (k, ts) =>
-        s"""    "$k": {"reps": [${ts.map(f).mkString(", ")}], "published": ${f(results(k))}, "stat": "median"}"""
+        // index-lifecycle gates additionally publish the build/probe
+        // split (probe_s = median of per-rep total − build): build is
+        // by-construction cost, probe is the serving path a regression
+        // would actually hurt
+        val split = buildTimes.get(k).map { bs =>
+          val probes = ts.zip(bs).map { case (t, b) => math.max(0.0, t - b) }
+          s""", "build_reps": [${bs.map(f).mkString(", ")}]""" +
+            s""", "build_s": ${f(median(bs.sorted))}, "probe_s": ${f(median(probes.sorted))}"""
+        }.getOrElse("")
+        s"""    "$k": {"reps": [${ts.map(f).mkString(", ")}], "published": ${f(results(k))}, "stat": "median"$split}"""
       }.mkString(",\n")
       val errRows = errors.map { case (k, v) => s"""    "${esc(k)}": "${esc(v)}"""" }
         .mkString(",\n")
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; then substring replaces (substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos; join -> jn; graph -> gr; session -> sess; group -> grp; count -> cnt; filter -> flt; embed -> emb; centroid -> ctr; revenue -> rev; running -> run; tumbling -> tumb; trailing -> trl; removal -> rm; paginate -> pgn; upsample -> ups; fluency -> flu; trigram -> tri; quantile -> qnt; approx -> apx; resample -> rsmp; media -> md; jaccard -> jac; minhash -> mh; hybrid -> hyb; extract -> ext; stats -> st; bucket -> bkt; rownum -> rn; summary -> sum; text -> txt; append -> app; select -> sel; enrich -> enr; range -> rng; funcs -> fn; parts -> pts; multi -> mlt; promo -> pr; keep_ -> kp_; corpus -> corp; page -> pg; dates -> dts; terms -> trm; score -> sc; shard -> shd; split -> spl; fill -> fl; domain -> dom; topk -> tk; null -> nl; case -> cs; union -> un; exact -> ex; asof -> ao; skew -> sk; anti -> ant; prep -> pp; mid-string incremental -> incr; index -> idx; delete -> del; lookup -> lkp; adaptive -> adp; project -> prj; overlap -> ovlp; redact -> red; minmax -> mm); finally ALL underscores dropped. BenchSpec pins the exact mapping; full names in the fidelity file",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; then substring replaces (substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos; join -> jn; graph -> gr; session -> sess; group -> grp; count -> cnt; filter -> flt; embed -> emb; centroid -> ctr; revenue -> rev; running -> run; tumbling -> tumb; trailing -> trl; removal -> rm; paginate -> pgn; upsample -> ups; fluency -> flu; trigram -> tri; quantile -> qnt; approx -> apx; resample -> rsmp; media -> md; jaccard -> jac; minhash -> mh; hybrid -> hyb; extract -> ext; stats -> st; bucket -> bkt; rownum -> rn; summary -> sum; text -> txt; append -> app; select -> sel; enrich -> enr; range -> rng; funcs -> fn; parts -> pts; multi -> mlt; promo -> pr; keep_ -> kp_; corpus -> corp; page -> pg; dates -> dts; terms -> trm; score -> sc; shard -> shd; split -> spl; fill -> fl; domain -> dom; topk -> tk; null -> nl; case -> cs; union -> un; exact -> ex; asof -> ao; skew -> sk; anti -> ant; prep -> pp; zorder -> zo; train -> tr; mid-string incremental -> incr; index -> idx; delete -> del; lookup -> lkp; adaptive -> adp; project -> prj; overlap -> ovlp; redact -> red; minmax -> mm); finally ALL underscores dropped. BenchSpec pins the exact mapping; full names in the fidelity file",
   "warmup_s": ${f(warmupS)}, "load1m_entry": ${f(loadEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
   "outlier_retries": {${retried.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
   "cpus": $cpus, "isolate": $isolate,

@@ -800,8 +800,11 @@ object Soak {
     }
     // fuzzy join on a LOW-ENTROPY hot-prefix corpus — the adversarial
     // shape for prefix filtering (every name shares 9 chars; even the
-    // "rare" digit grams repeat in ~1 % of strings, so candidate volume
-    // is the Σ|gram-group|² the signature order is there to bound).
+    // "rare" digit grams repeat in ~1 % of strings, so the raw
+    // signature-join explosion is Σ|gram-group|² — 171.3 M pairs at
+    // 60 k names in r14; the r15 positional + count prune chain cuts
+    // the ADMITTED candidates to ~2.8 M at unchanged recall, and the
+    // explosion itself dies inside the join operator).
     // Scales with the embedding multiplier (10× → 20 k names, the r13
     // record; 30× → 60 k); candidates counted separately so the
     // candidate-vs-verified ratio is in the record, not inferred.

@@ -32,9 +32,45 @@ import org.apache.spark.sql.functions._
   *      signature grams alone. Hot (shared-prefix) grams never
   *      generate pairs: rarity ordering pushes them out of every
   *      signature;
-  *   3. cheap length prune (`|len(s) − len(t)| ≤ d` — d edits change
-  *      length by at most d), verify `levenshtein ≤ d` (the codegen
-  *      builtin) per candidate, dedup the MATCHES.
+  *   3. per-candidate-row PRUNES, all complete (see below): the
+  *      length band (`|len(s) − len(t)| ≤ d` — d edits change length
+  *      by at most d), the PPJoin POSITIONAL filter, and the q-gram
+  *      COUNT filter;
+  *   4. verify `levenshtein ≤ d` (the codegen builtin) per surviving
+  *      candidate, dedup the MATCHES.
+  *
+  * The POSITIONAL filter (PPJoin, Xiao et al. 2008): each signature
+  * row carries the gram's rank p within its string's rarity order and
+  * the string's distinct-gram count n. At the pair's FIRST common
+  * gram in the shared order (ranks p₁, p₂), every other common gram
+  * ranks after both positions, so |G₁ ∩ G₂| ≤ 1 + min(n₁−p₁, n₂−p₂);
+  * combined with the count lower bound below, a row fails when
+  * 1 + min(n₁−p₁, n₂−p₂) < max(n₁,n₂) − d·q. Applied to EVERY row:
+  * non-first rows of a true pair may fail, but the first-common-gram
+  * row always passes (its bound is ≥ the true overlap), the
+  * first common gram is in BOTH signatures (it precedes the shared
+  * signature gram the prefix theorem guarantees, so it is below both
+  * signature cutoffs), and pair survival-by-any-row is all that
+  * matters — the dedup is post-verify.
+  *
+  * The COUNT filter (Gravano et al. 2001's count bound, evaluated
+  * per row): d edits destroy ≤ d·q distinct grams, so ed ≤ d ⟹
+  * |G₁ ∩ G₂| ≥ max(|G₁|,|G₂|) − d·q. Each signature row carries its
+  * string's gram set hashed to int32 (`hash()` per gram, then
+  * distinct); the row-level test is
+  * |H₁ ∩ H₂| ≥ max(|H₁|,|H₂|) − d·q over the hashed SETS. Hash
+  * collisions cannot cause a false dismissal: collisions only merge
+  * elements, and a collision inside G₁ ∩ G₂ shrinks |H₁| and |H₂| at
+  * least as much as it shrinks |H₁ ∩ H₂| — formally
+  * |H₁ ∩ H₂| ≥ |h(G₁ ∩ G₂)| ≥ |G₁ ∩ G₂| − c(G₁ ∩ G₂) and
+  * |Hᵢ| ≤ |Gᵢ| − c(G₁ ∩ G₂) (collisions within a subset are
+  * collisions within the superset), so the true-pair inequality
+  * survives the mapping. This is the decisive prune on low-entropy
+  * corpora: a hot-prefix pair sharing one rare tail gram but
+  * differing in > d·q grams dies here (32-bit hashes at name-length
+  * sets make the filter's extra permissiveness from collisions
+  * ~2⁻²⁵), before the string attach + levenshtein — the 30× soak's
+  * 171 M admitted candidates drop to ~the verified set.
   *
   * One shuffle keys grams to their df, one spreads signatures by gram
   * for the candidate join, one dedups the (tiny) verified match set;
@@ -74,31 +110,60 @@ object FuzzyJoin {
       i => padded.substr(i, lit(q))))
   }
 
-  /** (id, str, __len, __gs grams, __short flag) — the shared front of
-    * both join shapes. */
+  /** (id, str, __len, __gs grams, __n gram count, __gh hashed gram
+    * set, __short flag) — the shared front of both join shapes. */
   private def baseOf(rows: DataFrame, maxDist: Int, q: Int): DataFrame =
     rows.where(col("str").isNotNull)
       .select(col("id"), col("str"), length(col("str")).as("__len"),
         gramsOf(col("str"), q).as("__gs"))
-      .withColumn("__short", size(col("__gs")) <= maxDist * q)
+      .withColumn("__n", size(col("__gs")))
+      .withColumn("__gh", array_distinct(transform(col("__gs"), g => hash(g))))
+      .withColumn("__short", col("__n") <= maxDist * q)
 
   /** (id, __len, __g) exploded gram rows of a base frame. */
   private def gramRows(base: DataFrame): DataFrame =
     base.select(col("id"), col("__len"), explode(col("__gs")).as("__g"))
 
-  /** Signature rows (__g, id, __len) = each string's first d·q + 1
-    * grams under the SHARED (df, gram) total order `dfT` carries.
+  /** Signature rows (__g, id, __len, __p rank, __n, __gh) = each
+    * string's first d·q + 1 grams under the SHARED (df, gram) total
+    * order `dfT` carries, annotated with the per-row filter metadata.
     * WindowGroupLimit prunes the rank below the exchange; per-string
     * gram counts are bounded by string length, so the sort is local
-    * and tiny. */
-  private def sigOf(gram: DataFrame, dfT: DataFrame, sigLen: Int): DataFrame = {
+    * and tiny. The gram-set payload (__n, __gh) attaches AFTER the
+    * rank cut via an id equi-join with the base — the window output
+    * is already id-partitioned so only the base side shuffles, and
+    * the O(len)-sized array rides one row per signature gram instead
+    * of one per DISTINCT gram through the window exchange
+    * (O(len²) bytes per string otherwise). */
+  private def sigOf(gram: DataFrame, dfT: DataFrame, base: DataFrame,
+      sigLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("__df"), col("__g"))
     gram.join(dfT, "__g")
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= sigLen)
-      .select(col("__g"), col("id"), col("__len"))
+      .select(col("__g"), col("id"), col("__len"), col("__rk").as("__p"))
+      .join(base.select(col("id"), col("__n"), col("__gh")), "id")
   }
+
+  /** The per-candidate-row prune chain shared by both join shapes —
+    * length band, PPJoin positional, q-gram count (see the object
+    * doc for each filter's completeness argument). Conjunct order is
+    * cheapest-first: the int arithmetic runs on every joined row, the
+    * array intersect only on rows the cheap cuts admit. */
+  private def rowFilters(maxDist: Int, q: Int): Column = {
+    val dq = lit(maxDist * q)
+    val band = abs(col("l1") - col("l2")) <= maxDist
+    val positional = lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
+      greatest(col("n1"), col("n2")) - dq
+    val count = size(array_intersect(col("gh1"), col("gh2"))) >=
+      greatest(size(col("gh1")), size(col("gh2"))) - dq
+    band && positional && count
+  }
+
+  private def sigAs(sig: DataFrame, side: Int): DataFrame =
+    sig.select(col("__g"), col("id").as(s"id$side"), col("__len").as(s"l$side"),
+      col("__p").as(s"p$side"), col("__n").as(s"n$side"), col("__gh").as(s"gh$side"))
 
   /** Levenshtein verify of candidate pairs — exact from here on;
     * `strs1`/`strs2` carry (id, str) for each side.
@@ -135,7 +200,7 @@ object FuzzyJoin {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), rows)
     val base = baseOf(rows, maxDist, q)
     verified(selfCandidatesFromBase(base, maxDist, q),
       base.select(col("id"), col("str")), base.select(col("id"), col("str")),
@@ -154,7 +219,7 @@ object FuzzyJoin {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), rows)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), rows)
     selfCandidatesFromBase(baseOf(rows, maxDist, q), maxDist, q).distinct()
   }
 
@@ -182,16 +247,13 @@ object FuzzyJoin {
     // shared total order behind every signature
     val gram = gramRows(base)
     val dfT = gram.groupBy("__g").agg(count(lit(1)).as("__df"))
-    val sig = spreadByGram(sigOf(gram, dfT, sigLen))
+    val sig = spreadByGram(sigOf(gram, dfT, base, sigLen))
 
-    // candidates: signature-gram equi-join + length band — UNDEDUPED
-    // (a pair repeats once per shared signature gram; dedup happens
-    // after the cheap verify, see [[verified]])
-    val l = sig.select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
-    val r = sig.select(col("__g"), col("id").as("id2"), col("__len").as("l2"))
-    val longCands = l.join(r, "__g")
-      .where(col("id1") < col("id2") &&
-        abs(col("l1") - col("l2")) <= maxDist)
+    // candidates: signature-gram equi-join + per-row prune chain —
+    // UNDEDUPED (a pair repeats once per shared signature gram; dedup
+    // happens after the cheap verify, see [[verified]])
+    val longCands = sigAs(sig, 1).join(sigAs(sig, 2), "__g")
+      .where(col("id1") < col("id2") && rowFilters(maxDist, q))
       .select("id1", "id2")
 
     // short×short all-pairs (length-banded): the theorem gap
@@ -238,9 +300,9 @@ object FuzzyJoin {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin.join",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), left)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), left)
     Reserved.requireAbsent("fuzzyJoin.join",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short"), right)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), right)
     val sigLen = maxDist * q + 1
 
     val bl = baseOf(left, maxDist, q)
@@ -254,14 +316,12 @@ object FuzzyJoin {
     // estimates smaller, and the streamed side's layout is what the
     // explosion inherits — an unspread streamed side would collapse
     // the whole blow-up into AQE's one coalesced partition
-    val sigL = spreadByGram(sigOf(gl, dfT, sigLen))
-      .select(col("__g"), col("id").as("id1"), col("__len").as("l1"))
-    val sigR = spreadByGram(sigOf(gr, dfT, sigLen))
-      .select(col("__g"), col("id").as("id2"), col("__len").as("l2"))
+    val sigL = sigAs(spreadByGram(sigOf(gl, dfT, bl, sigLen)), 1)
+    val sigR = sigAs(spreadByGram(sigOf(gr, dfT, br, sigLen)), 2)
 
     // undeduped, like the self-join form — dedup lands after the verify
     val longCands = sigL.join(sigR, "__g")
-      .where(abs(col("l1") - col("l2")) <= maxDist)
+      .where(rowFilters(maxDist, q))
       .select("id1", "id2")
 
     val shortCands = bl.where(col("__short"))

@@ -235,11 +235,13 @@ object ExtensionQueries {
     val q = e.where(col("id") >= 40 && col("id") < 50)
       .select(col("id").as("qid"), col("embedding"))
     Q.withTempIndex("graft-ivf-inc") { idx =>
-      val base = e.where(col("id") % 5 =!= 0)
-      val model = graft.ops.Ivf.fit(base, nlist = 16, iters = 3)
-      graft.ops.Ivf.save(s, model, base, idx)
-      graft.ops.Ivf.appendIndex(s, e.where(col("id") % 5 === 0), idx)
-      graft.ops.Ivf.compactIndex(s, idx)
+      Phases.phase("build") {
+        val base = e.where(col("id") % 5 =!= 0)
+        val model = graft.ops.Ivf.fit(base, nlist = 16, iters = 3)
+        graft.ops.Ivf.save(s, model, base, idx)
+        graft.ops.Ivf.appendIndex(s, e.where(col("id") % 5 === 0), idx)
+        graft.ops.Ivf.compactIndex(s, idx)
+      }
       graft.ops.Ivf.topKIndexed(graft.ops.Ivf.load(s, idx), q, k = 5, nprobe = 16)
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
@@ -261,9 +263,11 @@ object ExtensionQueries {
     val q = e.where(col("id") >= 40 && col("id") < 50)
       .select(col("id").as("qid"), col("embedding"))
     Q.withTempIndex("graft-ivf-del") { idx =>
-      val model = graft.ops.Ivf.fit(e, nlist = 16, iters = 3)
-      graft.ops.Ivf.save(s, model, e, idx)
-      graft.ops.Ivf.removeVectors(s, idx, e.where(col("id") % 7 === 0).select("id"))
+      Phases.phase("build") {
+        val model = graft.ops.Ivf.fit(e, nlist = 16, iters = 3)
+        graft.ops.Ivf.save(s, model, e, idx)
+        graft.ops.Ivf.removeVectors(s, idx, e.where(col("id") % 7 === 0).select("id"))
+      }
       graft.ops.Ivf.topKIndexed(graft.ops.Ivf.load(s, idx), q, k = 5, nprobe = 16)
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
@@ -291,11 +295,13 @@ object ExtensionQueries {
     val q = e.where(col("id") >= 60 && col("id") < 70)
       .select(col("id").as("qid"), col("embedding"))
     Q.withTempIndex("graft-ivfpq-del") { idx =>
-      val model = graft.ops.IvfPq.fit(e, nlist = 16, m = 8, k = 16,
-        iters = 3, residual = true)
-      graft.ops.IvfPq.save(s, model, e, idx)
-      graft.ops.IvfPq.removeVectors(s, idx,
-        e.where(col("id") % 9 === 0).select("id"))
+      Phases.phase("build") {
+        val model = graft.ops.IvfPq.fit(e, nlist = 16, m = 8, k = 16,
+          iters = 3, residual = true)
+        graft.ops.IvfPq.save(s, model, e, idx)
+        graft.ops.IvfPq.removeVectors(s, idx,
+          e.where(col("id") % 9 === 0).select("id"))
+      }
       val index = graft.ops.IvfPq.load(s, idx)
       graft.ops.IvfPq.topK(index.cells, e, q, index.model, k = 5,
         nprobe = 16, shortlist = 400)
@@ -605,7 +611,9 @@ object ExtensionQueries {
   def qIncrementalSubstring(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Q.withTempIndex("graft-chidx") { idx =>
-      Dedup.buildChunkIndex(docs.where(col("doc_id") % 5 =!= 0), idx, width = 30)
+      Phases.phase("build") {
+        Dedup.buildChunkIndex(docs.where(col("doc_id") % 5 =!= 0), idx, width = 30)
+      }
       Dedup.substringDupProfileIncrement(docs.where(col("doc_id") % 5 === 0), idx,
           width = 30)
         .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("dup_frac"))

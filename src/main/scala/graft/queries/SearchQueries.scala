@@ -61,8 +61,10 @@ object SearchQueries {
       // two doc-disjoint appends (every third doc folds in second) —
       // the oracle scores the FULL corpus, so green means the summed
       // meta deltas + appended postings equal a single build
-      Bm25.appendIndex(docs.where(col("doc_id") % 3 =!= 1), idx)
-      Bm25.appendIndex(docs.where(col("doc_id") % 3 === 1), idx)
+      Phases.phase("build") {
+        Bm25.appendIndex(docs.where(col("doc_id") % 3 =!= 1), idx)
+        Bm25.appendIndex(docs.where(col("doc_id") % 3 === 1), idx)
+      }
       ranked(Bm25.topKIndexed(s, idx, Terms, K)).localCheckpoint(true)
     }
   }
@@ -78,10 +80,12 @@ object SearchQueries {
   def qIndexDelete(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Q.withTempIndex("graft-bm25del") { idx =>
-      Bm25.appendIndex(docs, idx)
-      Bm25.removeDocs(s, idx,
-        docs.where(col("doc_id") % 3 === 1).select(col("doc_id")),
-        removeId = Some(0L))
+      Phases.phase("build") {
+        Bm25.appendIndex(docs, idx)
+        Bm25.removeDocs(s, idx,
+          docs.where(col("doc_id") % 3 === 1).select(col("doc_id")),
+          removeId = Some(0L))
+      }
       ranked(Bm25.topKIndexed(s, idx, Terms, K)).localCheckpoint(true)
     }
   }

@@ -275,10 +275,17 @@ class PlanAuditSpec extends SparkSpec {
       "q_bm25_index: the recomputed-df attach must broadcast")
     val hyb = views("q_hybrid_rrf")
     assert(!hyb.contains("CartesianProduct"), "q_hybrid_rrf degraded to a cartesian")
+    // OPERATOR counts below use the "(<id>) <Op>" detail headers —
+    // the formatted explain prints every operator TWICE (tree line +
+    // details section), so a bare substring count would double-count
+    // each node (the original ≤1 pin failed on the single declared
+    // BNLJ, and a ≥2 arm check would pass with one arm).
+    def nodes(op: String): Int =
+      (raw"\(\d+\) " + op + raw"\b").r.findAllIn(hyb).size
     // the RRF full-outer join may legitimately sort-merge (full outer
     // cannot broadcast) — what must hold is that BOTH of its inputs are
     // bounded: the lexical arm cut by a fused top-k, the final cut too
-    assert(raw"TakeOrderedAndProject".r.findAllIn(hyb).size >= 2,
+    assert(nodes("TakeOrderedAndProject") >= 2,
       "q_hybrid_rrf: an arm lost its bounded top-k cut before the fusion join")
     // the ONE declared BroadcastNestedLoopJoin is the semantic arm's
     // brute cosine (one query vector × corpus, fused top-N cut — the
@@ -286,7 +293,7 @@ class PlanAuditSpec extends SparkSpec {
     // THIS view is where the declaration is load-bearing (judge ask
     // r14 #3): a second BNLJ — e.g. the RRF fusion or the df attach
     // degrading — fails here.
-    assert(raw"BroadcastNestedLoopJoin".r.findAllIn(hyb).size <= 1,
+    assert(nodes("BroadcastNestedLoopJoin") <= 1,
       "q_hybrid_rrf: an undeclared nested-loop join appeared beyond the brute-cosine arm")
   }
 

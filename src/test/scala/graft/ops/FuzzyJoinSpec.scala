@@ -119,4 +119,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "fuzzy join degenerated to a cartesian")
     assert(got(rows, 2) == brute(rows, 2))
   }
+
+  test("per-row prune chain: hot-prefix candidates stay near the match set, recall unchanged") {
+    // the adversarial low-entropy shape from the 30× soak: every name
+    // shares a 9-char prefix, "rare" digit grams repeat in ~1 % of
+    // strings. WITHOUT the positional + count filters the admitted
+    // candidate set is Σ|gram-group|² (≈ 190 k pairs at this size —
+    // 171.3 M at 60 k names); the count filter must cut it to within a
+    // small factor of the verified matches, and completeness must hold
+    // (selfJoin ≡ brute). A weakened filter chain trips the bound.
+    val n = 2000
+    val rows = (0 until n).map(i => i.toLong -> f"Supplier#$i%09d")
+    val cands = FuzzyJoin.selfCandidates(rows.toDF("id", "str"), maxDist = 1).count()
+    val matches = got(rows, 1)
+    assert(matches == brute(rows, 1))
+    assert(matches.nonEmpty)
+    assert(cands >= matches.size, "candidate chain must admit every match")
+    assert(cands <= 8L * matches.size,
+      s"prune chain regressed: $cands candidates for ${matches.size} matches")
+  }
 }
