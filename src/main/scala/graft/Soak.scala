@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
+  /** Recursive temp-dir cleanup shared by every index-lifecycle soak's
+    * finally block (was copy-pasted 8x). */
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+
   /** Shared soak context: the Spark session, the replicated corpora
     * (lazy — a families subset only pays for the tables it touches),
     * and the measurement helpers every stage uses. */
@@ -268,13 +279,7 @@ object Soak {
         ops.Dedup.substringDupProfileIncrement(docs.where(inc), chIdx,
           width = 30, idCol = "id").count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(chIdx))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(chIdx)
   }
 
   /** DSIR + LM fluency: weight/model tables are bounded by B / target
@@ -396,13 +401,7 @@ object Soak {
         ops.Boilerplate.stripLinesIncrement(soakLines.where(inc), "id", "site",
           "idx", "line", blIdx, maxDocFrac = 0.6).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(blIdx))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(blIdx)
     // keep-first paragraph dedup over the same pseudo-site pages:
     // winner election is fingerprint-only; the semi-join attach and
     // reassembly are the two text shuffles — watch for time ∝ lines,
@@ -492,11 +491,7 @@ object Soak {
           "text", bpeMerges, bpeDir, eow = bpeEow).count()
       }
     } finally {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(bpeDir))
-      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally w.close()
+      deleteRecursively(bpeDir)
     }
   }
 
@@ -574,13 +569,7 @@ object Soak {
       time("bm25 topKIndexed post-remove") {
         ops.Bm25.topKIndexed(spark, idx, terms, k = 20).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(idx)
     time("gopher rule battery") {
       val rules = ops.Quality.gopherRules(col("text"))
       docs.select(rules.map { case (n, cc) => cc.as(n) }: _*)
@@ -674,13 +663,7 @@ object Soak {
         ops.SemDedup.semDedupIncrement(probeSlice, semCents, 0.4, semIdx,
           Some(3L)).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(semIdx))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(semIdx)
   }
 
   private def annFamily(c: Ctx): Unit = {
@@ -732,13 +715,7 @@ object Soak {
       time("ivf topKIndexed post-remove") {
         ops.Ivf.topKIndexed(ops.Ivf.load(spark, idxDir), q, k = 10, nprobe = 8).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(idxDir)
 
     val pqModel = time("pq fit m=8 k=64")(ops.Pq.fit(emb, m = 8, k = 64, iters = 3))
     val codes = ops.Pq.encode(emb, pqModel)
@@ -762,13 +739,7 @@ object Soak {
         val loaded = ops.IvfPq.load(spark, pqIdxDir)
         ops.IvfPq.topK(loaded.cells, emb, q, loaded.model, k = 10, nprobe = 8).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(pqIdxDir))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(pqIdxDir)
 
     val ivfpq = time("ivfpq fit nlist=64")(ops.IvfPq.fit(emb, nlist = 64, m = 8, k = 64, iters = 3))
     val idx = ops.IvfPq.index(emb, ivfpq)
@@ -924,7 +895,8 @@ object Soak {
     try {
       val wh = new Warehouse(spark, root)
       val eng = new graft.domain.Engine(spark, wh)
-      val n = 100000L * sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+      val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+      val n = 100000L * mult
       val facts = spark.range(n).select(
         col("id").as("pk_id"), lit(1L).as("upload_id"),
         date_add(lit(java.sql.Date.valueOf("2023-01-01")),
@@ -951,7 +923,6 @@ object Soak {
       // rows carry WHY — the append layout spreads every district
       // over every file, so the served filter decodes ~everything
       // until the (district, date) z-order localizes it.
-      val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
       val ts = current_timestamp()
       wh.write(graft.domain.Engine.ProvinceT, spark.range(8).select(
         col("id").cast("int").as("province_id"),
@@ -1031,13 +1002,7 @@ object Soak {
       println(s"[soak] decode district+month: $decBefore -> $decAfter of $n " +
         s"| district-only: $decDistBefore -> $decDistAfter " +
         f"(skip ${decDistBefore.toDouble / math.max(decDistAfter, 1L)}%.1fx)")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    } finally deleteRecursively(root)
   }
 
   /** THE REGISTRY — soak families in run order. Add a family by adding

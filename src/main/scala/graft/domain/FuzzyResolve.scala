@@ -40,18 +40,20 @@ object FuzzyResolve {
     val dirty = df.select(col(keyCol).as("str"))
       .where(col("str").isNotNull).distinct()
       .join(keys.select(col("k").as("str")), Seq("str"), "left_anti")
-    val left = dirty.withColumn("id", monotonically_increasing_id())
-      .select(col("id"), col("str"))
-    val right = keys.withColumn("id", monotonically_increasing_id())
-      .select(col("id"), col("k").as("str"))
-    val pairs = graft.ops.FuzzyJoin.join(left, right, maxDist)
-    val best = pairs
-      .join(left.select(col("id").as("id1"), col("str").as("__dirty")), "id1")
-      .join(right.select(col("id").as("id2"), col("str").as("__canon")), "id2")
+    // the distinct string itself is the join id: unique by
+    // construction and DETERMINISTIC across plan re-evaluations.
+    // (monotonically_increasing_id over this shuffled frame is not —
+    // FuzzyJoin.join evaluates its inputs in several plan branches,
+    // and a task retry or different shuffle-fetch order could remap
+    // id→string between them, silently mislabeling corrections.)
+    // FuzzyJoin's id contract is uniqueness + equality, not a type.
+    val left = dirty.select(col("str").as("id"), col("str"))
+    val right = keys.select(col("k").as("id"), col("k").as("str"))
+    val best = graft.ops.FuzzyJoin.join(left, right, maxDist)
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("__dirty").orderBy(col("dist"), col("__canon"))))
+        Window.partitionBy("id1").orderBy(col("dist"), col("id2"))))
       .where(col("__rn") === 1)
-      .select(col("__dirty").as(keyCol), col("__canon"))
+      .select(col("id1").as(keyCol), col("id2").as("__canon"))
     df.join(broadcast(best), Seq(keyCol), "left")
       .withColumn(keyCol, coalesce(col("__canon"), col(keyCol)))
       .drop("__canon")

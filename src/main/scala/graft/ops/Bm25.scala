@@ -177,6 +177,12 @@ object Bm25 {
     // expectation is the SUM of the batch's meta n_postings rows, so a
     // takedown's negative decrement rows (see [[removeDocs]]) fold in
     // and a replayed post-takedown batch reads as fully landed.
+    // torn-swap restore runs UNCONDITIONALLY, before any branch: every
+    // append shape — replay, NEW batch, unstamped — must restore (or
+    // abort on) a postings dir lost mid-swap, never write into a
+    // silently re-created one while __old still holds all prior
+    // batches and meta keeps counting them.
+    IndexMaintenance.restoreTornSwap(fs, postPath)
     val (metaLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(metaPath)) =>
         val metaState =
@@ -188,7 +194,6 @@ object Bm25 {
         metaState match {
           case None => (false, None, 0L)
           case Some(exp) =>
-            IndexMaintenance.restoreTornSwap(fs, postPath) // outside any degrade
             (true, exp, IndexMaintenance.landedCount(spark, fs, postPath, b))
         }
       case _ => (false, None, 0L)

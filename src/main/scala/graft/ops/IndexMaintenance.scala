@@ -169,23 +169,38 @@ object IndexMaintenance {
     * rows without n_rows resume on existence (nothing better is
     * recoverable for them).
     *
+    * [[restoreTornSwap]] runs FIRST, unconditionally: a data dir lost
+    * between a rewrite's two renames (everything in `__old`) must be
+    * restored — or the append aborted — before ANY shape of append
+    * touches the path; gating the restore on "this batch's log row
+    * exists" would let a NEW or unstamped batch write into a silently
+    * re-created dir and the next rewrite delete `__old` (permanent
+    * loss of the prior index through the recovery path itself).
+    *
     * Degrades are NARROW, each to the least-destructive reading:
     * an unreadable log dir (torn first write) → plain append (the
-    * intent row never landed, re-logging is correct); a MISSING data
-    * dir with the log row present → first [[restoreTornSwap]] (a swap
-    * sibling means the data exists and must be restored or the append
-    * aborted — never silently re-created), else the normal log-first
-    * torn state: landed 0 with logLanded STILL TRUE, so the resume
-    * writes the data only and the log keeps one row per batch; a data
-    * dir with only torn write debris → landed 0, same path. The strip
-    * and the restore run OUTSIDE every degrade — a failed repair must
-    * abort the append, not be swallowed into a duplicating one. */
+    * intent row never landed, re-logging is correct); a missing data
+    * dir with the log row present and no swap sibling → the normal
+    * log-first torn state: landed 0 with logLanded STILL TRUE, so the
+    * resume writes the data only and the log keeps one row per batch;
+    * a data dir with only torn write debris → landed 0, same path.
+    * The strip and the restore run OUTSIDE every degrade — a failed
+    * repair must abort the append, not be swallowed into a
+    * duplicating one. */
   def resumeStampedAppend(spark: SparkSession, logDir: String,
       dataDir: String, batchId: Option[Long],
       partitionCols: Seq[String]): (Boolean, Boolean) = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(logDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // torn-swap restore runs UNCONDITIONALLY, before any branch: a
+    // crash between a strip/compaction's two renames leaves the whole
+    // index in __old, and EVERY append shape — a replay, a NEW batch
+    // whose log row doesn't exist yet, an unstamped append — would
+    // otherwise write into a silently re-created dataDir (the next
+    // rewrite then deletes __old: permanent loss). Outside every
+    // degrade: a failed restore must abort the append.
+    restoreTornSwap(fs, dataDir)
     val (logLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(logDir)) =>
         val logState =
@@ -195,7 +210,6 @@ object IndexMaintenance {
         logState match {
           case None => (false, None, 0L)
           case Some(exp) =>
-            restoreTornSwap(fs, dataDir) // outside any degrade: throws > re-creates
             (true, exp, landedCount(spark, fs, dataDir, b))
         }
       case _ => (false, None, 0L)

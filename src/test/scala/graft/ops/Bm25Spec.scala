@@ -389,4 +389,41 @@ class Bm25Spec extends SparkSpec {
       finally walk.close()
     }
   }
+  test("torn staged swap (postings renamed to __old): every append shape restores, never re-creates") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25-torn-swap").toString
+    val ref = java.nio.file.Files.createTempDirectory("bm25-torn-ref").toString
+    val terms = Seq("spark", "join", "scan", "vector")
+    def scores(path: String) = Bm25.topKIndexed(spark, path, terms, k = 10)
+      .select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    Bm25.appendIndex(corpus, ref, nBuckets = 8)
+
+    // crash between the postings swap's two renames, then the COMMON
+    // gate/soak shape: an UNSTAMPED append. Before the unconditional
+    // restore this path skipped the torn-swap check entirely (it lives
+    // behind "this batch's meta row exists"), re-created postings/
+    // with only the new batch, and left meta counting every batch -
+    // silently wrong N/avgdl/df on the next probe.
+    Bm25.appendIndex(corpus.where($"doc_id" <= 2L), idx, nBuckets = 8,
+      batchId = Some(0L))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    assert(fs.rename(p(s"$idx/postings"), p(s"$idx/postings__old")))
+    Bm25.appendIndex(corpus.where($"doc_id" >= 3L), idx, nBuckets = 8)
+    assert(scores(idx) == scores(ref),
+      "unstamped append after a torn swap lost the prior batch")
+
+    // a NEW stamped batch (no meta row yet) over a fresh torn state:
+    // the result must equal a one-shot build over corpus + the batch
+    assert(fs.rename(p(s"$idx/postings"), p(s"$idx/postings__old")))
+    Bm25.appendIndex(Seq((9L, "spark vector")).toDF("doc_id", "text"), idx,
+      nBuckets = 8, batchId = Some(7L))
+    val ref2 = java.nio.file.Files.createTempDirectory("bm25-torn-ref2").toString
+    Bm25.appendIndex(
+      corpus.unionByName(Seq((9L, "spark vector")).toDF("doc_id", "text")),
+      ref2, nBuckets = 8)
+    assert(scores(idx) == scores(ref2),
+      "new-batch append after a torn swap lost the prior index")
+  }
 }

@@ -472,6 +472,22 @@ class IvfSpec extends SparkSpec {
     assert(!fs.exists(p(s"$path/cells__old")),
       "restore should have renamed __old back to live")
 
+    // the restore must guard EVERY append shape, not just the replay
+    // of an already-logged batch: a NEW batch id (no log row yet) and
+    // an unstamped append each hit the probe's "nothing landed" arm,
+    // which before the unconditional restore re-created cells/ from
+    // scratch while __old held the whole index
+    val extra = e.where(col("id") % 5 === 1)
+    assert(fs.rename(p(s"$path/cells"), p(s"$path/cells__old")))
+    Ivf.appendIndex(spark, extra, path, Some(99L)) // NEW batch id
+    val withExtra = refIds ++ extra.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == withExtra,
+      "new-batch append after a torn swap lost the prior index")
+    assert(fs.rename(p(s"$path/cells"), p(s"$path/cells__old")))
+    Ivf.appendIndex(spark, e.where(col("id") % 5 === 2), path) // unstamped
+    assert(withExtra.subsetOf(ids()),
+      "unstamped append after a torn swap lost the prior index")
+
     // the un-restorable torn state — live missing, no __old, staged
     // present — must fail LOUDLY, not degrade to an empty re-create
     assert(fs.rename(p(s"$path/cells"), p(s"$path/cells__compacting2")))
@@ -479,6 +495,13 @@ class IvfSpec extends SparkSpec {
     assert(fs.rename(p(s"$path/cells__compacting2"), p(s"$path/cells__compacting")))
     intercept[IllegalStateException] {
       Ivf.appendIndex(spark, batch, path, Some(0L))
+    }
+    // ...for every append shape
+    intercept[IllegalStateException] {
+      Ivf.appendIndex(spark, batch, path, Some(101L))
+    }
+    intercept[IllegalStateException] {
+      Ivf.appendIndex(spark, batch, path)
     }
     // and removeVectors refuses the same state instead of stripping air
     intercept[Exception] {
