@@ -159,6 +159,10 @@ object Boilerplate {
   def buildLineStats(lines: DataFrame, idCol: String, grpCol: String,
       lineCol: String, path: String,
       mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    if (mode == SaveMode.Append) {
+      IndexMaintenance.guardAppend(lines.sparkSession, s"$path/freq")
+      IndexMaintenance.guardAppend(lines.sparkSession, s"$path/grps")
+    }
     lineDocFreq(lines, idCol, grpCol, lineCol)
       .write.mode(mode).option("compression", "zstd").parquet(s"$path/freq")
     lines.select(col(grpCol), col(idCol)).distinct()
@@ -197,6 +201,8 @@ object Boilerplate {
     * only, and a 0/0 frequency row sums to zero docs). */
   def removeLineStats(removedLines: DataFrame, idCol: String,
       grpCol: String, lineCol: String, path: String): Unit = {
+    IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/freq")
+    IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/grps")
     lineDocFreq(removedLines, idCol, grpCol, lineCol)
       .withColumn("n_docs", -col("n_docs"))
       .write.mode(SaveMode.Append).option("compression", "zstd").parquet(s"$path/freq")

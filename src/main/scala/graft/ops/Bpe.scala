@@ -391,6 +391,7 @@ object Bpe {
     // keeps table-first: a crash there leaves new table + OLD meta,
     // which fails fast at the next read (the safe direction).
     if (mode == SaveMode.Append) {
+      IndexMaintenance.guardAppend(spark, s"$path/table")
       val tableDir = new org.apache.hadoop.fs.Path(s"$path/table")
       val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(existingMeta.nonEmpty || !fs.exists(tableDir),
@@ -486,9 +487,14 @@ object Bpe {
       // appendNew) the fold-in write — and the result must not re-read
       // the table files after this call (the incremental contract)
       .localCheckpoint(true)
-    if (appendNew)
+    if (appendNew) {
+      // memo-cache loss from a torn compaction is benign for results
+      // (misses recompute) but silently shrinks the table and strands
+      // __old debris - restore like every other index append
+      IndexMaintenance.guardAppend(words.sparkSession, s"$path/table")
       misses.write.mode(SaveMode.Append)
         .option("compression", "zstd").parquet(s"$path/table")
+    }
     val table = known.unionByName(misses)
     words.join(if (broadcastTable) broadcast(table) else table, Seq("word"))
       .select(col(idCol), col("pos"),

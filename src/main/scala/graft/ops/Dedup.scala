@@ -133,6 +133,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val conf = spark.sessionState.newHadoopConf()
     val idxDir = new org.apache.hadoop.fs.Path(s"$indexPath/pmd5")
+    // restore a dir lost by an interrupted compaction BEFORE the
+    // existence probe — else seen paragraphs re-emit (wrong output)
+    // and the append re-creates the fingerprint set from one batch
+    IndexMaintenance.guardAppend(spark, idxDir.toString)
     val haveIndex = idxDir.getFileSystem(conf).exists(idxDir)
     val fresh =
       if (haveIndex) {
@@ -454,6 +458,10 @@ object Dedup {
     * never re-read. */
   def buildBandIndex(df: DataFrame, path: String, n: Int = 3, k: Int = 16,
       bands: Int = 4, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Append) {
+      IndexMaintenance.guardAppend(df.sparkSession, s"$path/buckets")
+      IndexMaintenance.guardAppend(df.sparkSession, s"$path/shingles")
+    }
     val withSh = df.select(col("id"), hashedShingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -693,7 +701,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = docs.sparkSession
-    if (mode == SaveMode.Append) requireIndexWidth(spark, path, width, "append to")
+    if (mode == SaveMode.Append) {
+      requireIndexWidth(spark, path, width, "append to")
+      IndexMaintenance.guardAppend(spark, s"$path/chunks")
+    }
     // persisted before the range layout: repartitionByRange SAMPLES its
     // child to pick boundaries, which would otherwise run the whole
     // chunk aggregation twice (sampling job + shuffle job) — the single
@@ -731,6 +742,7 @@ object Dedup {
       textCol: String = "text"): Unit = {
     val spark = removedDocs.sparkSession
     requireIndexWidth(spark, path, width, "remove from")
+    IndexMaintenance.guardAppend(spark, s"$path/chunks")
     chunkStream(removedDocs, width, idCol, textCol)
       .groupBy("__h").agg((-countDistinct(col(idCol))).as("n_docs"))
       .repartitionByRange(col("__h"))

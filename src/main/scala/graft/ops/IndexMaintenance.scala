@@ -73,6 +73,19 @@ object IndexMaintenance {
       df0.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
     }
 
+  /** Torn-swap guard for a persisted index dir about to be APPENDED
+    * to: restore-or-abort BEFORE the write. Every `SaveMode.Append`
+    * to an index dir shares the hazard the resume probes guard
+    * against — if a compaction/strip of that dir crashed between its
+    * two renames, the live dir is missing with the whole index in
+    * `__old`, and a bare Append silently re-creates the dir holding
+    * only the new batch (the next rewrite then deletes `__old`:
+    * permanent loss). No-op when the dir exists or never existed. */
+  private[ops] def guardAppend(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    restoreTornSwap(p.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+  }
+
   /** If `dir` is MISSING because a staged-rename swap crashed between
     * its two renames (live→__old done, staged→live not), the complete
     * pre-rewrite data sits in the `__old` sibling — restore it. The
@@ -283,6 +296,9 @@ object IndexMaintenance {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // auto-recover a dir lost mid-swap by a previously interrupted
+    // rewrite before requiring it: the data is sitting in __old
+    restoreTornSwap(fs, dir)
     require(fs.exists(live), s"no index directory at $dir")
     val staged = new Path(s"$dir/../${live.getName}__compacting").toString
     fs.delete(new Path(staged), true)

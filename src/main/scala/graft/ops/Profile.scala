@@ -89,6 +89,7 @@ object Profile {
     require(cols.nonEmpty, "no columns to profile")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"appendStats: no such column(s): ${missing.mkString(", ")}")
+    IndexMaintenance.guardAppend(df.sparkSession, path)
     df.agg(count(lit(1)).as("n_rows"),
         cols.flatMap { c =>
           Seq(

@@ -149,6 +149,11 @@ object SemDedup {
     val assigned = assignByCosine(newRows, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idxDir = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+    // restore a dir lost by an interrupted compaction BEFORE the
+    // existence probe: degrading to "no index yet" would both skip the
+    // cross-batch prune (wrong output) and re-create the seen set with
+    // only this batch (permanent loss at the next rewrite)
+    IndexMaintenance.guardAppend(spark, idxDir.toString)
     val haveIndex = idxDir.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(idxDir)
 

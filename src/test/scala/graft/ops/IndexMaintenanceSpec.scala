@@ -76,4 +76,33 @@ class IndexMaintenanceSpec extends SparkSpec {
         "mid-stream compaction changed incremental results")
     } finally deleteRec(idx)
   }
+  test("paragraph index: torn compaction swap restores on the next increment, never degrades to empty") {
+    val lines = Seq(
+      (1L, 0, "A"), (1L, 1, "B"),
+      (2L, 0, "A"), (2L, 1, "C"),
+    ).toDF("id", "pos", "para")
+    val idx = java.nio.file.Files.createTempDirectory("paratorn").toString
+    try {
+      Dedup.paragraphDedupIncrement(lines.where($"id" === 1), idx,
+        "id", "pos", "para").count()
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def p(x: String) = new org.apache.hadoop.fs.Path(x)
+      // crash between compactDir's renames: pmd5/ gone, __old complete.
+      // The exists-probe would read "no index yet": doc 2's seen
+      // paragraph "A" would wrongly re-emit and the fingerprint set
+      // would be re-created from doc 2 alone.
+      assert(fs.rename(p(s"$idx/pmd5"), p(s"$idx/pmd5__old")))
+      val o2 = Dedup.paragraphDedupIncrement(lines.where($"id" === 2), idx,
+        "id", "pos", "para").as[(Long, Long, Long, String)].collect().toSet
+      assert(!o2.exists(_._4.contains("A")),
+        "seen paragraph re-emitted after a torn swap - index not restored")
+      // un-restorable state (only staged survives) fails loudly
+      assert(fs.rename(p(s"$idx/pmd5"), p(s"$idx/pmd5__compacting")))
+      intercept[IllegalStateException] {
+        Dedup.paragraphDedupIncrement(lines.where($"id" === 2), idx,
+          "id", "pos", "para").count()
+      }
+    } finally deleteRec(idx)
+  }
 }

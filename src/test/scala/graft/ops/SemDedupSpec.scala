@@ -182,4 +182,32 @@ class SemDedupSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(10L, 12L, 20L))
   }
+  test("torn compaction swap (vectors renamed to __old): the next increment restores, never degrades to empty") {
+    val path = java.nio.file.Files.createTempDirectory("semdd-torn").toString
+    val tau = 0.999
+    SemDedup.semDedupIncrement(corpus.where(col("id") < 20L), centroids, tau,
+      path, Some(0L)).count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    // crash between compactDir's two renames: vectors/ gone, __old full
+    assert(fs.rename(p(s"$path/vectors"), p(s"$path/vectors__old")))
+    // the exists-probe would read this as "no index yet": batch 2's
+    // near-dup of seen vector 10 would WRONGLY survive, and the append
+    // would re-create the seen set holding only batch 2
+    // 30 is τ-close to seen vector 10 (cos ≈ 0.99995 ≥ 0.999)
+    val b2 = Seq((30L, Array(0.9999f, 0.01f, 0.0f))).toDF("id", "embedding")
+    val kept = SemDedup.semDedupIncrement(b2, centroids, tau, path, Some(1L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(30L),
+      "cross-batch prune lost after a torn swap - the seen index was not restored")
+    val ids = spark.read.option("mergeSchema", "true").parquet(s"$path/vectors")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 11L, 12L).subsetOf(ids), s"restored index lost batch 1: $ids")
+    // un-restorable state (only the staged dir survives) fails loudly
+    assert(fs.rename(p(s"$path/vectors"), p(s"$path/vectors__compacting")))
+    intercept[IllegalStateException] {
+      SemDedup.semDedupIncrement(b2, centroids, tau, path, Some(2L)).count()
+    }
+  }
 }
