@@ -993,6 +993,11 @@ object Soak {
       }
       val after = time("served district+month read (post-optimize)")(served())
       require(before == after, s"optimize changed the answer: $before vs $after")
+      // the selective optimizer's steady state: nothing fragmented ->
+      // the nightly run must cost a directory listing, not a rewrite
+      time("optimizeWarehouse steady-state re-run (no-op)") {
+        eng.optimizeWarehouse(targetBytes = 4L * 1024 * 1024)
+      }
       val decAfter = decoded(predServed)
       val decDistAfter = decoded(predDistrict)
       val pageAfter = time("listRain paginate endpoint (post-optimize)")(servePage())

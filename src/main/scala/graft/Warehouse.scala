@@ -51,7 +51,18 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
       .parquet(path(table))
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = {
+    // heal an interrupted selective [[optimize]] BEFORE the scan: its
+    // per-dir swap has a rename window where one partition dir is
+    // missing (old data safe in the __optimize_old sibling); reading
+    // through it would silently return a partial table. The marker
+    // probe is one cached-FileSystem exists() per call - driver-side
+    // metadata noise next to the scan it fronts.
+    val marker = new org.apache.hadoop.fs.Path(s"${path(table)}__optimizing")
+    if (marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker))
+      repairOptimize(table)
+    spark.read.parquet(path(table))
+  }
 
   // Resolved through Hadoop's FileSystem, not java.io.File: with an
   // hdfs:// or s3a:// warehouse root a local-File check would always
@@ -66,39 +77,168 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     if (exists(table)) read(table)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Compact a table's small files: every append writes new files into
-    * the year partitions, and at upload-per-request cadence a year of
-    * traffic is thousands of KB-scale files — the classic small-file
-    * problem (scan tasks, namenode pressure, footer overhead all scale
-    * with file count). Rewrites each partition dir to
-    * ⌈dirBytes/target⌉ files (a deterministic row-hash salt spreads a
-    * big partition over several writers; `partitionBy` alone would
-    * otherwise emit one file per shuffle task per dir). Staged write +
-    * swap: readers in flight keep their already-opened files. Run from
-    * the single-writer control plane, like all mutations here. */
-  /** @param zorderBy 2–3 numeric columns: rewrite in Morton order (the
-    *   OPTIMIZE-ZORDER analog) so parquet min/max stats skip files for
-    *   predicates on ANY of them. Unpartitioned tables range-lay the
-    *   whole table on the z-key; partitioned tables keep their dirs and
-    *   z-sort WITHIN each (cross-dir ordering is already the partition
-    *   column's job).
-    * @param quantile bucketize the z-order dims by quantile boundaries
-    *   instead of linear min/max scaling. Linear bucketing collapses on
-    *   skewed dims (a zipf column maps almost every row to bucket 0 —
-    *   ZOrderSpec measures it), so compacting on doc length / user-id
-    *   frequency / any long-tailed column wants this flag; the cost is
-    *   one approx-percentile scan instead of a min/max agg. */
-  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024,
+
+
+  /** Partition-selective OPTIMIZE - [[compact]]'s maintenance twin for
+    * big tables. [[compact]] rewrites the WHOLE table; at 100 TB with
+    * years of immutable history that re-shuffles everything to fix one
+    * fragmented year. This entry point measures each partition dir's
+    * layout debt and acts on the smallest sufficient scope:
+    *
+    *   - NO dir diverges from the `targetBytes` budget -> no-op (the
+    *     nightly-cron steady state costs one directory listing);
+    *   - EVERY dir diverges (first optimize, bulk reload) -> the
+    *     whole-table [[compact]] path, one staged swap;
+    *   - SOME dirs diverge -> only those partitions are read (the
+    *     `isin` filter partition-prunes the scan), re-laid-out into a
+    *     staging sibling, and swapped in PER DIR under a marker file:
+    *     a crash between a dir's two renames leaves that partition
+    *     missing from the live tree, so [[read]] and the next optimize
+    *     heal through [[repairOptimize]] (restore the old dir from the
+    *     trash sibling) before anything scans past it. Cost scales
+    *     with the fragmented data, not the table.
+    *
+    * A dir "diverges" when its parquet file count leaves
+    * [optimal/2, optimal+2] for optimal = ceil(dirBytes/targetBytes):
+    * above = append fragmentation (every upload adds files), below =
+    * files too coarse for the skip granularity the target encodes
+    * (also catches a never-optimized bulk write, so the z-order lands
+    * on first run). The +-slack absorbs range-partitioner imbalance so
+    * optimize converges: a second run right after is always a no-op.
+    *
+    * Selective swaps are only taken for single-level partitioning
+    * (the fact tables' `year=`); nested grains fall back to the
+    * whole-table path. Same single-writer contract as [[compact]]. */
+  def optimize(table: String, targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, lit}
     val conf = spark.sessionState.newHadoopConf()
-    val live = new org.apache.hadoop.fs.Path(path(table))
+    val live = new Path(path(table))
     val fs = live.getFileSystem(conf)
     require(fs.exists(live), s"no such table: $table")
-    val bytes = fs.getContentSummary(live).getLength
-    val staged = new org.apache.hadoop.fs.Path(s"${path(table)}__compacting")
-    fs.delete(staged, true)
-    val df0 = read(table)
+    repairOptimize(table)
+    def stats(p: Path): (Int, Long) = {
+      val files = fs.listStatus(p)
+        .filter(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
+      (files.length, files.map(_.getLen).sum)
+    }
+    // layout identity stamp: file counts alone cannot distinguish "right
+    // file count by accident" from "laid out under THIS (target, z-cols,
+    // quantile) config" - a never-z-ordered dir whose count matches the
+    // byte budget must still rewrite once. The stamp is an "_"-prefixed
+    // file parquet readers ignore; compact() run directly never stamps,
+    // so the next optimize re-lays and stamps (convergent either way).
+    val want = s"$targetBytes|${zorderBy.mkString(",")}|$quantile"
+    def layoutOf(p: Path): Option[String] = {
+      val m = new Path(p, "_graft_layout")
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    }
+    def stamp(p: Path): Unit = {
+      val o = fs.create(new Path(p, "_graft_layout"), true)
+      try o.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally o.close()
+    }
+    def diverges(p: Path, nFiles: Int, b: Long): Boolean = nFiles > 0 && {
+      val optimal = math.max(1L, (b + targetBytes - 1) / targetBytes)
+      nFiles > optimal + 2 || nFiles < optimal / 2 || !layoutOf(p).contains(want)
+    }
+    val partDirs = fs.listStatus(live)
+      .filter(x => x.isDirectory && x.getPath.getName.contains("="))
+    val singleLevel = partDirs.nonEmpty && partDirs.forall(d =>
+      !fs.listStatus(d.getPath).exists(x =>
+        x.isDirectory && x.getPath.getName.contains("=")))
+    // after a whole-table compact, re-list and stamp every dir (the
+    // swap replaced the tree, stamps and all)
+    def compactAndStamp(): Unit = {
+      compact(table, targetBytes, zorderBy, quantile)
+      val dirs = fs.listStatus(live)
+        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
+      if (dirs.isEmpty) stamp(live) else dirs.foreach(d => stamp(d.getPath))
+    }
+    if (partDirs.isEmpty) {
+      val (n, b) = stats(live)
+      if (diverges(live, n, b)) compactAndStamp()
+      return
+    }
+    if (!singleLevel) { compactAndStamp(); return }
+    val withStats = partDirs.map(d => (d.getPath, stats(d.getPath)))
+    val needy = withStats.filter { case (d, (n, b)) => diverges(d, n, b) }
+    if (needy.isEmpty) return
+    if (needy.length == partDirs.length) { compactAndStamp(); return }
+
+    val partCol = needy.head._1.getName.split("=", 2)(0)
+    val dt = read(table).schema(partCol).dataType
+    val values = needy.map(x => lit(x._1.getName.split("=", 2)(1)).cast(dt))
+    val bytesNeedy = needy.map(_._2._2).sum
+    val staging = new Path(s"${path(table)}__optimize_staged")
+    val trash = new Path(s"${path(table)}__optimize_old")
+    val marker = new Path(s"${path(table)}__optimizing")
+    fs.delete(staging, true)
+    // partition-pruned read of ONLY the fragmented dirs
+    val df0 = read(table).where(col(partCol).isin(values: _*))
+    writeLayout(df0, staging.toString, Some(Seq(partCol)), needy.length,
+      bytesNeedy, targetBytes, zorderBy, quantile)
+    fs.mkdirs(trash)
+    fs.create(marker, true).close()
+    for ((dir, _) <- needy) {
+      val name = dir.getName
+      require(fs.rename(dir, new Path(trash, name)),
+        s"optimize: cannot stage out $name")
+      require(fs.rename(new Path(staging, name), new Path(live, name)),
+        s"optimize: swap failed for $name - old data in $trash/$name; " +
+          "read()/the next optimize will repair")
+      stamp(new Path(live, name))
+    }
+    fs.delete(staging, true)
+    fs.delete(trash, true)
+    fs.delete(marker, false)
+  }
+
+  /** Heal an interrupted selective [[optimize]]: while its marker
+    * stands, any partition dir sitting in the trash sibling WITHOUT a
+    * live twin is mid-swap - restore the OLD dir (the staging output
+    * is discarded; re-running optimize redoes that work). Dirs whose
+    * swap completed keep the new layout. Idempotent; no-op without the
+    * marker. */
+  def repairOptimize(table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new Path(path(table))
+    val fs = live.getFileSystem(conf)
+    val marker = new Path(s"${path(table)}__optimizing")
+    if (!fs.exists(marker)) return
+    val trash = new Path(s"${path(table)}__optimize_old")
+    if (fs.exists(trash))
+      for (d <- fs.listStatus(trash) if d.isDirectory) {
+        val target = new Path(live, d.getPath.getName)
+        if (!fs.exists(target))
+          require(fs.rename(d.getPath, target),
+            s"repairOptimize: cannot restore ${d.getPath} to $target")
+      }
+    fs.delete(trash, true)
+    fs.delete(new Path(s"${path(table)}__optimize_staged"), true)
+    fs.delete(marker, false)
+  }
+
+  /** The layout-shaping core shared by [[compact]] (whole table) and
+    * [[optimize]] (selective dirs): derive numeric z-views, build the
+    * z-key, choose the writer shape (range-partitioned per-dir z
+    * slices / hash-salted per-dir files / whole-table range layout)
+    * and write `df0` to `outPath`. `dirs`/`bytes` size the output file
+    * count (callers pass the stats of exactly the data in `df0`). */
+  private def writeLayout(df0: DataFrame, outPath: String,
+      parts: Option[Seq[String]], dirs: Int, bytes: Long, targetBytes: Long,
+      zorderBy: Seq[String], quantile: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     // z-dims must be numeric for bucketizing; DATE/TIMESTAMP serving
     // filters (the (district_id, date) layout q_list_page/q_graph_day
     // want) z-order through a derived numeric view — days / micros
@@ -109,7 +249,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
       if (zorderBy.isEmpty) df0
       else {
         require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
-        require(zorderBy.forall(df0.columns.contains), s"z-order columns missing from $table")
+        require(zorderBy.forall(df0.columns.contains), s"z-order columns missing from $outPath")
         graft.ops.Reserved.requireAbsent("compact", Seq("__salt", "__z") ++ zvNames, df0)
         import org.apache.spark.sql.functions.{datediff, to_date, unix_micros}
         import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
@@ -154,11 +294,8 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
           if (zorderBy.size == 2) graft.ops.ZOrder.zkey2(b(0), b(1))
           else graft.ops.ZOrder.zkey3(b(0), b(1), b(2)))
       }
-    val parts = partCols(table, df.columns.toSeq).filter(_.forall(df.columns.contains))
     val writer = parts match {
       case Some(cols) =>
-        val dirs = math.max(1, fs.listStatus(live)
-          .count(s => s.isDirectory && s.getPath.getName.contains("=")))
         val perDir = math.max(1, math.ceil(bytes.toDouble / dirs / targetBytes).toInt)
         zkey match {
           case None =>
@@ -193,7 +330,46 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
         }
     }
     writer.mode(SaveMode.Overwrite).option("compression", "zstd")
-      .parquet(staged.toString)
+      .parquet(outPath)
+  }
+
+  /** Compact a table's small files: every append writes new files into
+    * the year partitions, and at upload-per-request cadence a year of
+    * traffic is thousands of KB-scale files — the classic small-file
+    * problem (scan tasks, namenode pressure, footer overhead all scale
+    * with file count). Rewrites each partition dir to
+    * ⌈dirBytes/target⌉ files (a deterministic row-hash salt spreads a
+    * big partition over several writers; `partitionBy` alone would
+    * otherwise emit one file per shuffle task per dir). Staged write +
+    * swap: readers in flight keep their already-opened files. Run from
+    * the single-writer control plane, like all mutations here. */
+  /** @param zorderBy 2–3 numeric columns: rewrite in Morton order (the
+    *   OPTIMIZE-ZORDER analog) so parquet min/max stats skip files for
+    *   predicates on ANY of them. Unpartitioned tables range-lay the
+    *   whole table on the z-key; partitioned tables keep their dirs and
+    *   z-sort WITHIN each (cross-dir ordering is already the partition
+    *   column's job).
+    * @param quantile bucketize the z-order dims by quantile boundaries
+    *   instead of linear min/max scaling. Linear bucketing collapses on
+    *   skewed dims (a zipf column maps almost every row to bucket 0 —
+    *   ZOrderSpec measures it), so compacting on doc length / user-id
+    *   frequency / any long-tailed column wants this flag; the cost is
+    *   one approx-percentile scan instead of a min/max agg. */
+  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(conf)
+    require(fs.exists(live), s"no such table: $table")
+    val bytes = fs.getContentSummary(live).getLength
+    val staged = new org.apache.hadoop.fs.Path(s"${path(table)}__compacting")
+    fs.delete(staged, true)
+    val df0 = read(table)
+    val parts = partCols(table, df0.columns.toSeq).filter(_.forall(df0.columns.contains))
+    val dirs = math.max(1, fs.listStatus(live)
+      .count(x => x.isDirectory && x.getPath.getName.contains("=")))
+    writeLayout(df0, staged.toString, parts, dirs, bytes, targetBytes,
+      zorderBy, quantile)
     // Swap in the crash-safe order: live→__old, staged→live, drop __old.
     // delete-then-rename would leave NO live table if the rename fails
     // or the process dies between the two (and on object stores rename

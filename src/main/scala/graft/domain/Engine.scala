@@ -234,11 +234,14 @@ final class Engine(spark: SparkSession, wh: Warehouse,
     * file-skip effect on a REAL served query is pinned in
     * WarehouseSpec's numOutputRows case. */
   def optimizeWarehouse(targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    if (wh.exists(RainT)) wh.compact(RainT, targetBytes, zorderBy = Seq("district_id", "date"))
+    // partition-selective since r15: only fragmented year dirs rewrite
+    // (Warehouse.optimize), so the nightly run costs ~nothing once the
+    // layout settles instead of re-shuffling every year of history
+    if (wh.exists(RainT)) wh.optimize(RainT, targetBytes, zorderBy = Seq("district_id", "date"))
     if (wh.exists(IncidentT))
-      wh.compact(IncidentT, targetBytes, zorderBy = Seq("district_id", "disaster_date"))
+      wh.optimize(IncidentT, targetBytes, zorderBy = Seq("district_id", "disaster_date"))
     if (wh.exists(RiskT))
-      wh.compact(RiskT, targetBytes, zorderBy = Seq("province_id", "district_id"))
+      wh.optimize(RiskT, targetBytes, zorderBy = Seq("province_id", "district_id"))
   }
 
   // ---- serving ----

@@ -280,4 +280,66 @@ class WarehouseSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.contains("disaster_date"))
   }
+  test("optimize: selective per-dir rewrite, no-op steady state, and interrupted-swap repair") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whopt").toString
+    val wh = new Warehouse(spark, root)
+    def facts(yr: Int, n: Int, idOff: Long) = spark.range(n.toLong).select(
+      (col("id") + idOff).as("pk_id"), lit(1L).as("upload_id"),
+      org.apache.spark.sql.functions.date_add(
+        lit(java.sql.Date.valueOf(s"$yr-01-01")), (col("id") % 300).cast("int")).as("date"),
+      lit(yr).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % 64).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    // two years, written fragmented (many files per dir)
+    wh.write("rain_points", facts(2022, 4000, 0L).repartition(24))
+    wh.write("rain_points", facts(2023, 4000, 100000L).repartition(24))
+    def total() = wh.read("rain_points").count()
+    def files(yr: Int): Set[(String, Long)] =
+      new java.io.File(s"$root/rain_points/year=$yr").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val n0 = total()
+
+    // first optimize: both dirs diverge -> whole-table path; settles the layout
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(total() == n0)
+    val settled2022 = files(2022)
+    val settled2023 = files(2023)
+
+    // steady state: a second optimize is a NO-OP (no file churn at all)
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(files(2022) == settled2022 && files(2023) == settled2023,
+      "steady-state optimize must not rewrite settled partitions")
+
+    // fragment ONLY 2023 with fresh appends -> selective path: 2022
+    // untouched (same files), 2023 rewritten, answers intact
+    wh.write("rain_points", facts(2023, 4000, 200000L).repartition(24))
+    val n1 = total()
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(total() == n1, "selective optimize changed the answer")
+    assert(files(2022) == settled2022,
+      "selective optimize rewrote a partition that was not fragmented")
+    assert(files(2023) != settled2023, "fragmented partition was not rewritten")
+
+    // interrupted swap: marker standing, one dir staged out to the
+    // trash sibling and missing from the live tree - read() must heal
+    // (restore the old dir) instead of scanning a partial table
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.mkdirs(hp(s"$root/rain_points__optimize_old"))
+    assert(fs.rename(hp(s"$root/rain_points/year=2022"),
+      hp(s"$root/rain_points__optimize_old/year=2022")))
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    assert(total() == n1, "read() did not repair the interrupted optimize")
+    assert(!fs.exists(hp(s"$root/rain_points__optimizing")),
+      "repair should clear the marker")
+    assert(fs.exists(hp(s"$root/rain_points/year=2022")),
+      "repair should restore the staged-out partition")
+  }
 }
