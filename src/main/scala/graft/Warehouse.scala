@@ -52,15 +52,32 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
   }
 
   def read(table: String): DataFrame = {
-    // heal an interrupted selective [[optimize]] BEFORE the scan: its
+    // DETECT an interrupted selective [[optimize]] before the scan: its
     // per-dir swap has a rename window where one partition dir is
-    // missing (old data safe in the __optimize_old sibling); reading
-    // through it would silently return a partial table. The marker
-    // probe is one cached-FileSystem exists() per call - driver-side
-    // metadata noise next to the scan it fronts.
+    // missing (old data safe in the __optimize_old sibling), and
+    // reading through it would silently return a partial table. The
+    // read path only ever FAILS LOUD - it must not repair: a live
+    // optimizer legitimately holds the marker during its swap loop,
+    // and a read-triggered repair would race it (restoring dirs it
+    // just staged out, deleting its staging). A read that lands inside
+    // the two-rename window of a LIVE optimize also throws - a
+    // transient, retryable failure during the maintenance window, the
+    // same contract as compact()'s whole-table swap instant. The
+    // marker probe is one cached-FileSystem exists() per call.
+    val fs = new org.apache.hadoop.fs.Path(path(table))
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(s"${path(table)}__optimizing")
-    if (marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker))
-      repairOptimize(table)
+    if (fs.exists(marker)) {
+      val trash = new org.apache.hadoop.fs.Path(s"${path(table)}__optimize_old")
+      val torn = fs.exists(trash) && fs.listStatus(trash).exists(d =>
+        d.isDirectory && !fs.exists(
+          new org.apache.hadoop.fs.Path(path(table) + "/" + d.getPath.getName)))
+      if (torn)
+        throw new IllegalStateException(
+          s"optimize of $table is mid-swap or was interrupted (marker + " +
+            "staged-out partition present) - retry, or run repairOptimize/" +
+            "optimize from the writer if no optimize is live")
+    }
     spark.read.parquet(path(table))
   }
 
@@ -156,35 +173,58 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     val singleLevel = partDirs.nonEmpty && partDirs.forall(d =>
       !fs.listStatus(d.getPath).exists(x =>
         x.isDirectory && x.getPath.getName.contains("=")))
+    // LEAF dirs (files live here): for nested grains (year=/month=)
+    // divergence is judged per leaf so the no-op steady state holds
+    // for every layout - only the selective swap is single-level-only
+    def leafDirs(p: Path): Seq[Path] = {
+      val subs = fs.listStatus(p)
+        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq(p) else subs.toSeq.flatMap(x => leafDirs(x.getPath))
+    }
     // after a whole-table compact, re-list and stamp every dir (the
     // swap replaced the tree, stamps and all)
     def compactAndStamp(): Unit = {
       compact(table, targetBytes, zorderBy, quantile)
-      val dirs = fs.listStatus(live)
-        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
-      if (dirs.isEmpty) stamp(live) else dirs.foreach(d => stamp(d.getPath))
+      val leaves = leafDirs(live)
+      if (leaves == Seq(live)) stamp(live) else leaves.foreach(stamp)
     }
     if (partDirs.isEmpty) {
       val (n, b) = stats(live)
       if (diverges(live, n, b)) compactAndStamp()
       return
     }
-    if (!singleLevel) { compactAndStamp(); return }
+    if (!singleLevel) {
+      // nested grains: no selective swap, but still a no-op when every
+      // leaf is settled (the 100 TB monthGrain layout must not
+      // re-shuffle all history on every nightly run)
+      if (leafDirs(live).exists(d => { val (n, b) = stats(d); diverges(d, n, b) }))
+        compactAndStamp()
+      return
+    }
     val withStats = partDirs.map(d => (d.getPath, stats(d.getPath)))
     val needy = withStats.filter { case (d, (n, b)) => diverges(d, n, b) }
     if (needy.isEmpty) return
     if (needy.length == partDirs.length) { compactAndStamp(); return }
 
     val partCol = needy.head._1.getName.split("=", 2)(0)
-    val dt = read(table).schema(partCol).dataType
-    val values = needy.map(x => lit(x._1.getName.split("=", 2)(1)).cast(dt))
+    val rawValues = needy.map(_._1.getName.split("=", 2)(1))
+    // the isin filter below must ROUND-TRIP the dir names: a null
+    // partition (__HIVE_DEFAULT_PARTITION__) or a URL-escaped value
+    // would select nothing, stage nothing, and abort mid-swap - those
+    // tables take the whole-table path instead
+    if (rawValues.exists(v => v == "__HIVE_DEFAULT_PARTITION__" || v.contains("%"))) {
+      compactAndStamp(); return
+    }
+    val full = read(table)
+    val dt = full.schema(partCol).dataType
+    val values = rawValues.map(v => lit(v).cast(dt)).toIndexedSeq
     val bytesNeedy = needy.map(_._2._2).sum
     val staging = new Path(s"${path(table)}__optimize_staged")
     val trash = new Path(s"${path(table)}__optimize_old")
     val marker = new Path(s"${path(table)}__optimizing")
     fs.delete(staging, true)
     // partition-pruned read of ONLY the fragmented dirs
-    val df0 = read(table).where(col(partCol).isin(values: _*))
+    val df0 = full.where(col(partCol).isin(values: _*))
     writeLayout(df0, staging.toString, Some(Seq(partCol)), needy.length,
       bytesNeedy, targetBytes, zorderBy, quantile)
     fs.mkdirs(trash)

@@ -181,8 +181,12 @@ object Bm25 {
     // append shape — replay, NEW batch, unstamped — must restore (or
     // abort on) a postings dir lost mid-swap, never write into a
     // silently re-created one while __old still holds all prior
-    // batches and meta keeps counting them.
+    // batches and meta keeps counting them. META gets the same guard:
+    // compactIndex staged-swaps BOTH dirs, and a torn meta swap would
+    // otherwise read as "no meta yet" and re-create the stats from one
+    // batch — silently wrong N/avgdl with the postings still complete.
     IndexMaintenance.restoreTornSwap(fs, postPath)
+    IndexMaintenance.restoreTornSwap(fs, metaPath)
     val (metaLanded, expected, landed) = batchId match {
       case Some(b) if fs.exists(new org.apache.hadoop.fs.Path(metaPath)) =>
         val metaState =
@@ -314,6 +318,12 @@ object Bm25 {
     import spark.implicits._
     val metaPath = s"$path/meta"
     val postPath = s"$path/postings"
+    // heal a torn compaction swap of either dir before reading: the
+    // bare read would fail loud, but the restore is free and converges
+    val rmFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    IndexMaintenance.restoreTornSwap(rmFs, postPath)
+    IndexMaintenance.restoreTornSwap(rmFs, metaPath)
     val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
     val deltaLanded = removeId.exists(r =>
       meta.columns.contains("remove_id") &&

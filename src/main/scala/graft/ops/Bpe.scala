@@ -460,6 +460,11 @@ object Bpe {
       s"subword table at $path was built under a different merge table " +
         s"(fingerprints $got != $want) — rebuild it or pass the matching " +
         "merges")
+    // heal a torn compaction swap BEFORE the table read (a memo-cache
+    // loss is benign for results, but the read would fail loud and
+    // __old would strand); must run here, not at the append below —
+    // the read comes first
+    IndexMaintenance.guardAppend(spark, s"$path/table")
     // overlapping appends may duplicate a word; any copy is correct
     // (tokenization is a pure function of (word, merges)), so dedup by
     // first — the arrays are identical, so the pick is deterministic
@@ -487,14 +492,9 @@ object Bpe {
       // appendNew) the fold-in write — and the result must not re-read
       // the table files after this call (the incremental contract)
       .localCheckpoint(true)
-    if (appendNew) {
-      // memo-cache loss from a torn compaction is benign for results
-      // (misses recompute) but silently shrinks the table and strands
-      // __old debris - restore like every other index append
-      IndexMaintenance.guardAppend(words.sparkSession, s"$path/table")
+    if (appendNew)
       misses.write.mode(SaveMode.Append)
         .option("compression", "zstd").parquet(s"$path/table")
-    }
     val table = known.unionByName(misses)
     words.join(if (broadcastTable) broadcast(table) else table, Seq("word"))
       .select(col(idCol), col("pos"),

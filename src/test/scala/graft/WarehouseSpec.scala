@@ -327,8 +327,11 @@ class WarehouseSpec extends SparkSpec {
     assert(files(2023) != settled2023, "fragmented partition was not rewritten")
 
     // interrupted swap: marker standing, one dir staged out to the
-    // trash sibling and missing from the live tree - read() must heal
-    // (restore the old dir) instead of scanning a partial table
+    // trash sibling and missing from the live tree. read() must FAIL
+    // LOUD (never scan a silently partial table, never mutate - a
+    // repair from the read path would race a live optimizer);
+    // repairOptimize (the writer's entry, also run at the head of
+    // every optimize) restores the old dir and clears the state.
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def hp(x: String) = new org.apache.hadoop.fs.Path(x)
@@ -336,10 +339,17 @@ class WarehouseSpec extends SparkSpec {
     assert(fs.rename(hp(s"$root/rain_points/year=2022"),
       hp(s"$root/rain_points__optimize_old/year=2022")))
     fs.create(hp(s"$root/rain_points__optimizing"), true).close()
-    assert(total() == n1, "read() did not repair the interrupted optimize")
+    intercept[IllegalStateException] { total() }
+    wh.repairOptimize("rain_points")
+    assert(total() == n1, "repairOptimize did not restore the staged-out partition")
     assert(!fs.exists(hp(s"$root/rain_points__optimizing")),
       "repair should clear the marker")
     assert(fs.exists(hp(s"$root/rain_points/year=2022")),
       "repair should restore the staged-out partition")
+    // marker WITHOUT a missing dir (optimizer between writes, or crash
+    // before any swap): reads proceed - the table is complete
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    assert(total() == n1, "marker alone must not block reads")
+    wh.repairOptimize("rain_points")
   }
 }
