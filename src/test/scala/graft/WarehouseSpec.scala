@@ -352,4 +352,52 @@ class WarehouseSpec extends SparkSpec {
     assert(total() == n1, "marker alone must not block reads")
     wh.repairOptimize("rain_points")
   }
+  test("optimize: randomized append/optimize sequences preserve answers and converge to a no-op") {
+    val rnd = new scala.util.Random(19)
+    val root = java.nio.file.Files.createTempDirectory("graft-whopt-rnd").toString
+    val wh = new Warehouse(spark, root)
+    def facts(yr: Int, n: Int, idOff: Long) = spark.range(n.toLong).select(
+      (col("id") + idOff).as("pk_id"), lit(1L).as("upload_id"),
+      org.apache.spark.sql.functions.date_add(
+        lit(java.sql.Date.valueOf(s"$yr-01-01")), (col("id") % 300).cast("int")).as("date"),
+      lit(yr).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % 64).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    var nextId = 0L
+    var expect = Set.empty[Long]
+    def append(yr: Int, n: Int): Unit = {
+      wh.write("rain_points", facts(yr, n, nextId).repartition(1 + rnd.nextInt(8)))
+      expect ++= (nextId until nextId + n)
+      nextId += 1000000L
+    }
+    def ids(): Set[Long] = wh.read("rain_points")
+      .select("pk_id").collect().map(_.getLong(0)).toSet
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/rain_points"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    }
+    append(2021, 500)
+    for (step <- 1 to 8) {
+      rnd.nextInt(3) match {
+        case 0 => append(2021 + rnd.nextInt(3), 200 + rnd.nextInt(1500))
+        case 1 => wh.optimize("rain_points", targetBytes = 64L * 1024,
+          zorderBy = Seq("district_id", "date"))
+        case _ => wh.optimize("rain_points", targetBytes = 64L * 1024)
+      }
+      assert(ids() == expect, s"step $step changed the answer")
+    }
+    // convergence: after one settling optimize, an immediate re-run
+    // with the same config must not touch a single file
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    val settled = files()
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(files() == settled, "optimize did not converge to a no-op")
+    assert(ids() == expect)
+  }
 }
