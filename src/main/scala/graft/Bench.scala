@@ -377,6 +377,11 @@ $errRows
       java.nio.file.Files.writeString(p, line + "\n")
     } catch { case e: Throwable => println(s"[bench] stat write failed: ${e.getMessage}") }
     println(line)
+    // 4. the SAME line on stderr: sbt forwards stderr WITHOUT the
+    //    "[info]" log prefix that has kept the driver's stdout parse
+    //    null for three rounds — a second clean channel alongside the
+    //    stat file (judge ask r15 #5).
+    System.err.println(line)
     spark.stop()
   }
 }

@@ -36,6 +36,16 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
   def path(table: String): String = s"$root/$table"
 
   def write(table: String, df: DataFrame, mode: SaveMode = SaveMode.Append): Unit = {
+    // TORN-OPTIMIZE GUARD (the write-side twin of read()'s): an append
+    // into a table whose selective optimize died between its two
+    // renames would re-CREATE the missing partition dir with only the
+    // new batch; repairOptimize would then see a live twin, skip the
+    // restore, and delete the old dir from the trash — permanent
+    // silent loss of the partition's history. write() runs in the same
+    // single-writer control plane as optimize, so no optimize can be
+    // live here and repairing (restore old dirs, discard staging) is
+    // safe — unlike read(), which must only fail loud.
+    repairOptimize(table)
     // zstd: ~30% smaller than snappy at comparable scan cost — at
     // 100 TB the scan is IO-bound, so smaller files win twice
     val parts = partCols(table, df.columns.toSeq)
@@ -51,6 +61,22 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
       .parquet(path(table))
   }
 
+  /** Relative paths ("year=2020", "year=2020/month=3") of the LEAF
+    * partition dirs under `p` — `k=v` dirs with no further `k=v`
+    * subdirs (where the parquet files live). Nil when `p` has no
+    * partition subdirs at all. */
+  private def leafRels(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    def walk(d: org.apache.hadoop.fs.Path, rel: String): Seq[String] = {
+      val subs = fs.listStatus(d)
+        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq(rel)
+      else subs.toSeq.flatMap(s => walk(s.getPath,
+        if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName))
+    }
+    walk(p, "").filter(_.nonEmpty)
+  }
+
   def read(table: String): DataFrame = {
     // DETECT an interrupted selective [[optimize]] before the scan: its
     // per-dir swap has a rename window where one partition dir is
@@ -64,14 +90,24 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     // transient, retryable failure during the maintenance window, the
     // same contract as compact()'s whole-table swap instant. The
     // marker probe is one cached-FileSystem exists() per call.
+    // NOTE the guard NARROWS the window rather than closing it: the
+    // probe and the spark.read file listing below are not atomic, so a
+    // scan that lists files just as a live optimize's two renames land
+    // can still see a partial tree — acceptable under the
+    // single-writer / retryable-read contract (reads during the
+    // maintenance window may fail or must be retried; they are never
+    // silently wrong OUTSIDE that window, which is the class this
+    // guard exists to close).
     val fs = new org.apache.hadoop.fs.Path(path(table))
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(s"${path(table)}__optimizing")
     if (fs.exists(marker)) {
       val trash = new org.apache.hadoop.fs.Path(s"${path(table)}__optimize_old")
-      val torn = fs.exists(trash) && fs.listStatus(trash).exists(d =>
-        d.isDirectory && !fs.exists(
-          new org.apache.hadoop.fs.Path(path(table) + "/" + d.getPath.getName)))
+      // LEAF-level comparison: a nested swap stages out e.g.
+      // year=2020/month=3 while live year=2020 keeps its sibling
+      // months, so a top-level dir check would miss the tear
+      val torn = fs.exists(trash) && leafRels(fs, trash).exists(rel =>
+        !fs.exists(new org.apache.hadoop.fs.Path(path(table) + "/" + rel)))
       if (torn)
         throw new IllegalStateException(
           s"optimize of $table is mid-swap or was interrupted (marker + " +
@@ -123,9 +159,10 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     * on first run). The +-slack absorbs range-partitioner imbalance so
     * optimize converges: a second run right after is always a no-op.
     *
-    * Selective swaps are only taken for single-level partitioning
-    * (the fact tables' `year=`); nested grains fall back to the
-    * whole-table path. Same single-writer contract as [[compact]]. */
+    * Selective swaps work at LEAF granularity for any nesting depth
+    * (`year=` and `year=/month=` alike); tables whose dir names don't
+    * round-trip as filter literals fall back to the whole-table path.
+    * Same single-writer contract as [[compact]]. */
   def optimize(table: String, targetBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
@@ -170,73 +207,86 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     }
     val partDirs = fs.listStatus(live)
       .filter(x => x.isDirectory && x.getPath.getName.contains("="))
-    val singleLevel = partDirs.nonEmpty && partDirs.forall(d =>
-      !fs.listStatus(d.getPath).exists(x =>
-        x.isDirectory && x.getPath.getName.contains("=")))
-    // LEAF dirs (files live here): for nested grains (year=/month=)
-    // divergence is judged per leaf so the no-op steady state holds
-    // for every layout - only the selective swap is single-level-only
-    def leafDirs(p: Path): Seq[Path] = {
-      val subs = fs.listStatus(p)
-        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
-      if (subs.isEmpty) Seq(p) else subs.toSeq.flatMap(x => leafDirs(x.getPath))
-    }
-    // after a whole-table compact, re-list and stamp every dir (the
-    // swap replaced the tree, stamps and all)
+    // after a whole-table compact, re-list and stamp every leaf dir
+    // (the swap replaced the tree, stamps and all)
     def compactAndStamp(): Unit = {
       compact(table, targetBytes, zorderBy, quantile)
-      val leaves = leafDirs(live)
-      if (leaves == Seq(live)) stamp(live) else leaves.foreach(stamp)
+      val leaves = leafRels(fs, live)
+      if (leaves.isEmpty) stamp(live)
+      else leaves.foreach(r => stamp(new Path(live, r)))
     }
     if (partDirs.isEmpty) {
       val (n, b) = stats(live)
       if (diverges(live, n, b)) compactAndStamp()
       return
     }
-    if (!singleLevel) {
-      // nested grains: no selective swap, but still a no-op when every
-      // leaf is settled (the 100 TB monthGrain layout must not
-      // re-shuffle all history on every nightly run)
-      if (leafDirs(live).exists(d => { val (n, b) = stats(d); diverges(d, n, b) }))
-        compactAndStamp()
-      return
-    }
-    val withStats = partDirs.map(d => (d.getPath, stats(d.getPath)))
-    val needy = withStats.filter { case (d, (n, b)) => diverges(d, n, b) }
+    // SELECTIVE swap at LEAF granularity, any nesting depth: divergence
+    // is judged per leaf dir (where the files live), and only the
+    // fragmented leaves are rewritten — a fragmented month under a
+    // settled year swaps alone, sibling months byte-untouched. At
+    // 100 TB with monthGrain this is the difference between a nightly
+    // no-op-plus-one-month rewrite and re-shuffling years of history.
+    val rels = leafRels(fs, live)
+    val withStats = rels.map(r => (r, stats(new Path(live, r))))
+    val needy = withStats.filter { case (r, (n, b)) =>
+      diverges(new Path(live, r), n, b) }
     if (needy.isEmpty) return
-    if (needy.length == partDirs.length) { compactAndStamp(); return }
+    if (needy.length == rels.length) { compactAndStamp(); return }
 
-    val partCol = needy.head._1.getName.split("=", 2)(0)
-    val rawValues = needy.map(_._1.getName.split("=", 2)(1))
-    // the isin filter below must ROUND-TRIP the dir names: a null
-    // partition (__HIVE_DEFAULT_PARTITION__) or a URL-escaped value
-    // would select nothing, stage nothing, and abort mid-swap - those
-    // tables take the whole-table path instead
-    if (rawValues.exists(v => v == "__HIVE_DEFAULT_PARTITION__" || v.contains("%"))) {
-      compactAndStamp(); return
-    }
+    // every leaf must decompose into the SAME partition-column chain,
+    // and every dir-name value must ROUND-TRIP lit(v).cast(dt) back to
+    // the identical dir name: null partitions
+    // (__HIVE_DEFAULT_PARTITION__) and URL-escaped values would select
+    // nothing (or a different dir), stage nothing, and abort mid-swap
+    // — those tables take the whole-table path instead
+    val chains = rels.map(_.split('/').toSeq.map(_.split("=", 2)(0)))
+    val partChain = chains.head
+    val valuesOk = chains.forall(_ == partChain) && rels.forall(
+      _.split('/').forall { seg =>
+        val v = seg.split("=", 2)(1)
+        v != "__HIVE_DEFAULT_PARTITION__" && !v.contains("%")
+      })
+    if (!valuesOk) { compactAndStamp(); return }
+
     val full = read(table)
-    val dt = full.schema(partCol).dataType
-    val values = rawValues.map(v => lit(v).cast(dt)).toIndexedSeq
+    // one conjunction per needy leaf, OR'd — partition-prunes the scan
+    // to exactly the fragmented leaves
+    val pred = needy.map { case (rel, _) =>
+      rel.split('/').map { seg =>
+        val kv = seg.split("=", 2)
+        col(kv(0)) === lit(kv(1)).cast(full.schema(kv(0)).dataType)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
     val bytesNeedy = needy.map(_._2._2).sum
     val staging = new Path(s"${path(table)}__optimize_staged")
     val trash = new Path(s"${path(table)}__optimize_old")
     val marker = new Path(s"${path(table)}__optimizing")
     fs.delete(staging, true)
-    // partition-pruned read of ONLY the fragmented dirs
-    val df0 = full.where(col(partCol).isin(values: _*))
-    writeLayout(df0, staging.toString, Some(Seq(partCol)), needy.length,
-      bytesNeedy, targetBytes, zorderBy, quantile)
+    writeLayout(full.where(pred), staging.toString, Some(partChain),
+      needy.length, bytesNeedy, targetBytes, zorderBy, quantile)
+    // VERIFY the staged tree BEFORE the first destructive rename: a
+    // value that casts to null or reformats on re-write (decimal
+    // "1.10" → "1.1"), or a zero-row dir judged needy (empty parquet
+    // file), leaves its staged twin absent — proceeding would stage
+    // OUT the old dir and then fail the swap-in, and every later
+    // optimize would repair and fail the same way (a non-convergent
+    // loop). Any missing staged leaf → whole-table fallback.
+    if (needy.exists { case (rel, _) => !fs.exists(new Path(staging, rel)) }) {
+      fs.delete(staging, true)
+      compactAndStamp()
+      return
+    }
     fs.mkdirs(trash)
     fs.create(marker, true).close()
-    for ((dir, _) <- needy) {
-      val name = dir.getName
-      require(fs.rename(dir, new Path(trash, name)),
-        s"optimize: cannot stage out $name")
-      require(fs.rename(new Path(staging, name), new Path(live, name)),
-        s"optimize: swap failed for $name - old data in $trash/$name; " +
+    for ((rel, _) <- needy) {
+      val oldDir = new Path(trash, rel)
+      Option(oldDir.getParent).foreach(fs.mkdirs)
+      require(fs.rename(new Path(live, rel), oldDir),
+        s"optimize: cannot stage out $rel")
+      require(fs.rename(new Path(staging, rel), new Path(live, rel)),
+        s"optimize: swap failed for $rel - old data in $trash/$rel; " +
           "read()/the next optimize will repair")
-      stamp(new Path(live, name))
+      stamp(new Path(live, rel))
     }
     fs.delete(staging, true)
     fs.delete(trash, true)
@@ -257,12 +307,19 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     val marker = new Path(s"${path(table)}__optimizing")
     if (!fs.exists(marker)) return
     val trash = new Path(s"${path(table)}__optimize_old")
+    // restore at LEAF granularity: a nested swap stages out
+    // year=2020/month=3 while live year=2020 keeps its sibling months,
+    // so the live-twin probe must compare leaf dirs, not top-level ones
+    // (a top-level check would see live year=2020 present, skip the
+    // restore, and the trash delete below would lose the month)
     if (fs.exists(trash))
-      for (d <- fs.listStatus(trash) if d.isDirectory) {
-        val target = new Path(live, d.getPath.getName)
-        if (!fs.exists(target))
-          require(fs.rename(d.getPath, target),
-            s"repairOptimize: cannot restore ${d.getPath} to $target")
+      for (rel <- leafRels(fs, trash)) {
+        val target = new Path(live, rel)
+        if (!fs.exists(target)) {
+          Option(target.getParent).foreach(fs.mkdirs)
+          require(fs.rename(new Path(trash, rel), target),
+            s"repairOptimize: cannot restore $trash/$rel to $target")
+        }
       }
     fs.delete(trash, true)
     fs.delete(new Path(s"${path(table)}__optimize_staged"), true)

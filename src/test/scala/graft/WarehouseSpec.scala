@@ -352,6 +352,97 @@ class WarehouseSpec extends SparkSpec {
     assert(total() == n1, "marker alone must not block reads")
     wh.repairOptimize("rain_points")
   }
+  test("optimize: nested (year=/month=) grain swaps the fragmented month leaf alone; crash mid-swap heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whoptm").toString
+    val wh = new Warehouse(spark, root, monthGrain = true)
+    def facts(yr: Int, mo: Int, n: Int, idOff: Long) = spark.range(n.toLong).select(
+      (col("id") + idOff).as("pk_id"), lit(1L).as("upload_id"),
+      org.apache.spark.sql.functions.date_add(
+        lit(java.sql.Date.valueOf(f"$yr-$mo%02d-01")), (col("id") % 28).cast("int")).as("date"),
+      lit(yr).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % 64).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    wh.write("rain_points", facts(2022, 5, 2000, 0L).repartition(12))
+    wh.write("rain_points", facts(2023, 6, 2000, 100000L).repartition(12))
+    wh.write("rain_points", facts(2023, 7, 2000, 200000L).repartition(12))
+    def total() = wh.read("rain_points").count()
+    def files(rel: String): Set[(String, Long)] =
+      new java.io.File(s"$root/rain_points/$rel").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val n0 = total()
+
+    // settle all three month leaves, then verify steady-state no-op
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(total() == n0)
+    val s225 = files("year=2022/month=5")
+    val s236 = files("year=2023/month=6")
+    val s237 = files("year=2023/month=7")
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(files("year=2022/month=5") == s225 && files("year=2023/month=6") == s236
+      && files("year=2023/month=7") == s237,
+      "steady-state nested optimize must not rewrite settled leaves")
+
+    // fragment ONLY 2023/month=7 → selective leaf swap: the sibling
+    // month and the other year byte-untouched, answers intact
+    wh.write("rain_points", facts(2023, 7, 2000, 300000L).repartition(12))
+    val n1 = total()
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(total() == n1, "nested selective optimize changed the answer")
+    assert(files("year=2022/month=5") == s225,
+      "nested selective optimize rewrote a settled year")
+    assert(files("year=2023/month=6") == s236,
+      "nested selective optimize rewrote the settled sibling month")
+    assert(files("year=2023/month=7") != s237, "fragmented month leaf was not rewritten")
+
+    // crash mid-swap at leaf level: month dir staged out to the trash,
+    // marker standing, live sibling months present. read() fails loud;
+    // repairOptimize restores the LEAF (a top-level live-twin check
+    // would see year=2023 present and lose the month).
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.mkdirs(hp(s"$root/rain_points__optimize_old/year=2023"))
+    assert(fs.rename(hp(s"$root/rain_points/year=2023/month=7"),
+      hp(s"$root/rain_points__optimize_old/year=2023/month=7")))
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    intercept[IllegalStateException] { total() }
+    wh.repairOptimize("rain_points")
+    assert(total() == n1, "leaf-level repair did not restore the staged-out month")
+    assert(fs.exists(hp(s"$root/rain_points/year=2023/month=7")))
+    assert(!fs.exists(hp(s"$root/rain_points__optimizing")))
+  }
+  test("write: append into a torn-optimize table repairs first (no silent partition loss)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whwg").toString
+    val wh = new Warehouse(spark, root)
+    def row(pk: Long, y: Int) = Seq((pk, 1L, Date.valueOf(s"$y-06-01"), y, 1, 11, 1.0, 2.0))
+      .toDF("pk_id", "upload_id", "date", "year", "province_id", "district_id", "rain_mm_wmean", "rainfall_mm")
+    wh.write("rain_points", row(1, 2022))
+    wh.write("rain_points", row(2, 2023))
+    // simulate an optimize that died between its two renames: year=2022
+    // staged out to the trash, marker standing
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.mkdirs(hp(s"$root/rain_points__optimize_old"))
+    assert(fs.rename(hp(s"$root/rain_points/year=2022"),
+      hp(s"$root/rain_points__optimize_old/year=2022")))
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    // an unguarded append would re-create year=2022 with ONLY the new
+    // row; the later repair would then see a live twin, skip the
+    // restore, and delete the trash — losing pk 1 forever
+    wh.write("rain_points", row(3, 2022))
+    assert(wh.read("rain_points").select("pk_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L),
+      "append into a torn table lost the staged-out partition's history")
+    assert(!fs.exists(hp(s"$root/rain_points__optimizing")))
+    assert(!fs.exists(hp(s"$root/rain_points__optimize_old")))
+  }
   test("optimize: randomized append/optimize sequences preserve answers and converge to a no-op") {
     val rnd = new scala.util.Random(19)
     val root = java.nio.file.Files.createTempDirectory("graft-whopt-rnd").toString
