@@ -81,6 +81,23 @@ import org.apache.spark.sql.functions._
   * sort on low-entropy corpora) to save ≤ (d·q + 1)× of sub-µs per-row
   * verify. Nothing is n² in the long-string population.
   *
+  * FUSED SIGNATURE PATH (the default): the gram VOCABULARY is bounded
+  * by |alphabet|^q regardless of corpus size — at the q=2 name-length
+  * default a few hundred thousand distinct grams cover any corpus, 100
+  * TB included. When the vocabulary fits under `fuseCap` (probed with
+  * a bounded `head(cap+1)` — never an unbounded driver collect), the
+  * global rarity order ships to executors as a broadcast map and each
+  * string's signature is computed MAP-SIDE from its own gram array:
+  * the gram⟶df equi-join exchange, the per-string rank-window
+  * exchange, and the gram-set-payload attach join all disappear, and
+  * the signature rows carry the string itself so the verify needs ZERO
+  * attach joins — the whole job is gram-df aggregate (1 exchange) →
+  * map-side signatures → spread (1 exchange) → candidate join + prune
+  * + levenshtein in one stage → match dedup (1 tiny exchange). A
+  * vocabulary over the cap (large q over wide charsets) falls back to
+  * the fully-distributed pipeline below with identical output —
+  * FuzzyJoinSpec pins both paths against brute force and each other.
+  *
   * SHORT strings are the one theorem gap: when BOTH sides have ≤ d·q
   * grams (padded gram count = len + q − 1 ≤ d·q, i.e. len ≤
   * q·(d−1) + 1 — three chars at q=2, d=2), a within-distance pair can
@@ -98,6 +115,56 @@ import org.apache.spark.sql.functions._
   * removes every false candidate.
   */
 object FuzzyJoin {
+
+  /** Default vocabulary bound for the fused signature path: ~1 M
+    * distinct grams ≈ tens of MB as a broadcast map — comfortably
+    * inside executor memory, far above any q=2 corpus (the padded
+    * 2-gram universe over full BMP Thai+Latin text measures in the
+    * tens of thousands). */
+  val DefaultFuseCap: Int = 1 << 20
+
+  /** The global rarity order as a driver map, IF the vocabulary is
+    * bounded: `head(cap+1)` collects at most cap+1 rows by
+    * construction (the aggregate still runs distributed), so the
+    * driver's exposure is the cap, never the corpus. None ⇒ the
+    * caller takes the fully-distributed pipeline. */
+  private def rarityMap(dfT: DataFrame, cap: Int): Option[Map[String, Long]] = {
+    val rows = dfT.select(col("__g"), col("__df")).head(cap + 1)
+    if (rows.length > cap) None
+    else Some(rows.iterator.map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  /** Map-side signature rows from the broadcast rarity order: each
+    * base row sorts its OWN gram array by (df, gram) — the same
+    * shared total order the window pipeline uses — and keeps the
+    * first `sigLen`, so no gram-join, no window exchange, no payload
+    * attach. Rows carry the string itself: the verify downstream is
+    * then a pure in-stage levenshtein, no attach joins. Per-row cost
+    * is O(len·log len) — the same comparator work the distributed
+    * sort did, now without the exchanges around it. */
+  private def fusedSig(base: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+      sigLen: Int): DataFrame = {
+    val sigUdf = udf { gs: Seq[String] =>
+      val m = bc.value
+      gs.map(g => (m.getOrElse(g, Long.MaxValue), g)).sorted
+        .take(sigLen).zipWithIndex
+        .map { case ((_, g), i) => (g, i + 1) }
+    }
+    base.select(col("id"), col("str"), col("__len"), col("__n"), col("__gh"),
+        explode(sigUdf(col("__gs"))).as("__sg"))
+      .select(col("__sg._1").as("__g"), col("id"), col("str"), col("__len"),
+        col("__sg._2").as("__p"), col("__n"), col("__gh"))
+  }
+
+  /** Verify for candidates that already CARRY their strings (the
+    * fused path): in-stage levenshtein + match dedup — the explosion
+    * reaches no exchange at all. */
+  private def verifiedInline(cands: DataFrame, maxDist: Int): DataFrame =
+    cands.withColumn("dist", levenshtein(col("str1"), col("str2")))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+      .distinct()
 
   /** Distinct q-grams of the (q−1)-padded string (U+0001 padding —
     * outside any real alphabet, so boundary grams never collide with
@@ -117,7 +184,12 @@ object FuzzyJoin {
       .select(col("id"), col("str"), length(col("str")).as("__len"),
         gramsOf(col("str"), q).as("__gs"))
       .withColumn("__n", size(col("__gs")))
-      .withColumn("__gh", array_distinct(transform(col("__gs"), g => hash(g))))
+      // SORTED hashed gram set: the count filter's merge-walk
+      // expression needs ascending order — one O(len·log len) sort per
+      // STRING here buys an allocation-free O(len) (early-abort) test
+      // per candidate PAIR downstream
+      .withColumn("__gh",
+        sort_array(array_distinct(transform(col("__gs"), g => hash(g)))))
       .withColumn("__short", col("__n") <= maxDist * q)
 
   /** (id, __len, __g) exploded gram rows of a base frame. */
@@ -156,14 +228,25 @@ object FuzzyJoin {
     val band = abs(col("l1") - col("l2")) <= maxDist
     val positional = lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
       greatest(col("n1"), col("n2")) - dq
-    val count = size(array_intersect(col("gh1"), col("gh2"))) >=
-      greatest(size(col("gh1")), size(col("gh2"))) - dq
+    // the decision form of size(array_intersect(..)) >= threshold:
+    // allocation-free sorted merge walk with early abort — on the
+    // low-entropy explosion (~every raw pair reaches this conjunct;
+    // the int cuts above can't separate equal-length hot-prefix names)
+    // the hash-set + materialized-intersection allocation of
+    // array_intersect was the hottest line of the whole join
+    val count = graft.expr.IntersectAtLeast.intersectAtLeast(
+      col("gh1"), col("gh2"),
+      greatest(size(col("gh1")), size(col("gh2"))) - dq)
     band && positional && count
   }
 
-  private def sigAs(sig: DataFrame, side: Int): DataFrame =
-    sig.select(col("__g"), col("id").as(s"id$side"), col("__len").as(s"l$side"),
+  private def sigAs(sig: DataFrame, side: Int): DataFrame = {
+    val strCol =
+      if (sig.columns.contains("str")) Seq(col("str").as(s"str$side")) else Nil
+    sig.select(Seq(col("__g"), col("id").as(s"id$side"), col("__len").as(s"l$side"),
       col("__p").as(s"p$side"), col("__n").as(s"n$side"), col("__gh").as(s"gh$side"))
+      ++ strCol: _*)
+  }
 
   /** Levenshtein verify of candidate pairs — exact from here on;
     * `strs1`/`strs2` carry (id, str) for each side.
@@ -194,17 +277,41 @@ object FuzzyJoin {
     * @param rows    (`id` long, `str` string) — ids unique
     * @param maxDist inclusive edit-distance bound d
     * @param q       gram width (2 is the name-matching default)
+    * @param fuseCap max distinct grams for the broadcast-fused
+    *   signature path (0 forces the fully-distributed pipeline; both
+    *   produce identical output)
     * @return (`id1`, `id2`, `dist`) with id1 < id2, dist ≤ maxDist,
     *   exact and duplicate-free */
-  def selfJoin(rows: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+  def selfJoin(rows: DataFrame, maxDist: Int, q: Int = 2,
+      fuseCap: Int = DefaultFuseCap): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), rows)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p", "__sg"), rows)
     val base = baseOf(rows, maxDist, q)
-    verified(selfCandidatesFromBase(base, maxDist, q),
-      base.select(col("id"), col("str")), base.select(col("id"), col("str")),
-      maxDist)
+    val sigLen = maxDist * q + 1
+    val dfT = gramRows(base).groupBy("__g").agg(count(lit(1)).as("__df"))
+    rarityMap(dfT, fuseCap) match {
+      case Some(m) =>
+        val bc = rows.sparkSession.sparkContext.broadcast(m)
+        val sig = spreadByGram(fusedSig(base, bc, sigLen))
+        val longCands = sigAs(sig, 1).join(sigAs(sig, 2), "__g")
+          .where(col("id1") < col("id2") && rowFilters(maxDist, q))
+          .select("id1", "id2", "str1", "str2")
+        val shorts = base.where(col("__short"))
+          .select(col("id"), col("__len"), col("str"))
+        val shortCands = shorts
+          .select(col("id").as("id1"), col("__len").as("l1"), col("str").as("str1"))
+          .join(shorts.select(col("id").as("id2"), col("__len").as("l2"),
+              col("str").as("str2")),
+            col("id1") < col("id2") && abs(col("l1") - col("l2")) <= maxDist)
+          .select("id1", "id2", "str1", "str2")
+        verifiedInline(longCands.unionByName(shortCands), maxDist)
+      case None =>
+        verified(selfCandidatesFromBase(base, maxDist, q),
+          base.select(col("id"), col("str")), base.select(col("id"), col("str")),
+          maxDist)
+    }
   }
 
   /** The DEDUPED candidate-pair set [[selfJoin]]'s filter chain admits
@@ -294,45 +401,68 @@ object FuzzyJoin {
     * @param right   (`id`, `str`) — the catalog side
     * @param maxDist inclusive edit-distance bound d
     * @param q       gram width
+    * @param fuseCap max distinct grams for the broadcast-fused
+    *   signature path (0 forces the fully-distributed pipeline)
     * @return (`id1` from left, `id2` from right, `dist`) with
     *   dist ≤ maxDist */
-  def join(left: DataFrame, right: DataFrame, maxDist: Int, q: Int = 2): DataFrame = {
+  def join(left: DataFrame, right: DataFrame, maxDist: Int, q: Int = 2,
+      fuseCap: Int = DefaultFuseCap): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be ≥ 0")
     require(q >= 1, "fuzzyJoin: q must be ≥ 1")
     Reserved.requireAbsent("fuzzyJoin.join",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), left)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p", "__sg"), left)
     Reserved.requireAbsent("fuzzyJoin.join",
-      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p"), right)
+      Seq("__gs", "__g", "__df", "__rk", "__len", "__short", "__n", "__gh", "__p", "__sg"), right)
     val sigLen = maxDist * q + 1
 
     val bl = baseOf(left, maxDist, q)
     val br = baseOf(right, maxDist, q)
     val gl = gramRows(bl)
     val gr = gramRows(br)
-    // the ONE shared rarity order: df over both sides' gram bags
+    // the ONE shared rarity order: df over both sides' gram bags — the
+    // prefix-filter theorem needs both signatures drawn from one total
+    // order, fused path included
     val dfT = gl.select("__g").unionAll(gr.select("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__df"))
-    // BOTH sides spread: the optimizer broadcasts whichever side it
-    // estimates smaller, and the streamed side's layout is what the
-    // explosion inherits — an unspread streamed side would collapse
-    // the whole blow-up into AQE's one coalesced partition
-    val sigL = sigAs(spreadByGram(sigOf(gl, dfT, bl, sigLen)), 1)
-    val sigR = sigAs(spreadByGram(sigOf(gr, dfT, br, sigLen)), 2)
+    rarityMap(dfT, fuseCap) match {
+      case Some(m) =>
+        val bc = left.sparkSession.sparkContext.broadcast(m)
+        val sigL = sigAs(spreadByGram(fusedSig(bl, bc, sigLen)), 1)
+        val sigR = sigAs(spreadByGram(fusedSig(br, bc, sigLen)), 2)
+        val longCands = sigL.join(sigR, "__g")
+          .where(rowFilters(maxDist, q))
+          .select("id1", "id2", "str1", "str2")
+        val shortCands = bl.where(col("__short"))
+          .select(col("id").as("id1"), col("__len").as("l1"), col("str").as("str1"))
+          .join(br.where(col("__short"))
+              .select(col("id").as("id2"), col("__len").as("l2"),
+                col("str").as("str2")),
+            abs(col("l1") - col("l2")) <= maxDist)
+          .select("id1", "id2", "str1", "str2")
+        verifiedInline(longCands.unionByName(shortCands), maxDist)
+      case None =>
+        // BOTH sides spread: the optimizer broadcasts whichever side it
+        // estimates smaller, and the streamed side's layout is what the
+        // explosion inherits — an unspread streamed side would collapse
+        // the whole blow-up into AQE's one coalesced partition
+        val sigL = sigAs(spreadByGram(sigOf(gl, dfT, bl, sigLen)), 1)
+        val sigR = sigAs(spreadByGram(sigOf(gr, dfT, br, sigLen)), 2)
 
-    // undeduped, like the self-join form — dedup lands after the verify
-    val longCands = sigL.join(sigR, "__g")
-      .where(rowFilters(maxDist, q))
-      .select("id1", "id2")
+        // undeduped, like the self-join form — dedup lands after the verify
+        val longCands = sigL.join(sigR, "__g")
+          .where(rowFilters(maxDist, q))
+          .select("id1", "id2")
 
-    val shortCands = bl.where(col("__short"))
-      .select(col("id").as("id1"), col("__len").as("l1"))
-      .join(br.where(col("__short"))
-          .select(col("id").as("id2"), col("__len").as("l2")),
-        abs(col("l1") - col("l2")) <= maxDist)
-      .select("id1", "id2")
+        val shortCands = bl.where(col("__short"))
+          .select(col("id").as("id1"), col("__len").as("l1"))
+          .join(br.where(col("__short"))
+              .select(col("id").as("id2"), col("__len").as("l2")),
+            abs(col("l1") - col("l2")) <= maxDist)
+          .select("id1", "id2")
 
-    verified(longCands.unionByName(shortCands),
-      bl.select(col("id"), col("str")), br.select(col("id"), col("str")),
-      maxDist)
+        verified(longCands.unionByName(shortCands),
+          bl.select(col("id"), col("str")), br.select(col("id"), col("str")),
+          maxDist)
+    }
   }
 }

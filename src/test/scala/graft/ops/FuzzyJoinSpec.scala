@@ -120,6 +120,37 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got(rows, 2) == brute(rows, 2))
   }
 
+  test("fused signature path ≡ fallback pipeline ≡ brute force (both join shapes, d ∈ {0,1,2})") {
+    // fuseCap = 0 forces the fully-distributed pipeline; the default
+    // takes the broadcast-fused path. Both must agree exactly with
+    // each other and with brute force — the fused path changes the
+    // execution shape (map-side signatures, inline verify), never the
+    // candidate or match semantics.
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdef"
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      val len = rnd.nextInt(11)
+      (off + i) -> (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = mk(100, 0L)
+    val l = mk(60, 0L); val r = mk(60, 1000L)
+    for (d <- Seq(0, 1, 2)) {
+      val fused = FuzzyJoin.selfJoin(rows.toDF("id", "str"), maxDist = d)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val fallback = FuzzyJoin.selfJoin(rows.toDF("id", "str"), maxDist = d, fuseCap = 0)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(fused == brute(rows, d), s"fused selfJoin diverged from brute at d=$d")
+      assert(fallback == fused, s"fallback selfJoin diverged from fused at d=$d")
+      val fusedJ = FuzzyJoin.join(l.toDF("id", "str"), r.toDF("id", "str"), maxDist = d)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val fallbackJ = FuzzyJoin.join(l.toDF("id", "str"), r.toDF("id", "str"),
+          maxDist = d, fuseCap = 0)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(fusedJ == bruteJoin(l, r, d), s"fused join diverged from brute at d=$d")
+      assert(fallbackJ == fusedJ, s"fallback join diverged from fused at d=$d")
+    }
+  }
+
   test("per-row prune chain: hot-prefix candidates stay near the match set, recall unchanged") {
     // the adversarial low-entropy shape from the 30× soak: every name
     // shares a 9-char prefix, "rare" digit grams repeat in ~1 % of
