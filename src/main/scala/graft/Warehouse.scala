@@ -22,6 +22,39 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (no rewrite), and writers never touch readers (parquet committer
   * atomicity per job).
   */
+object Warehouse {
+  /** File-internal layout a maintenance rewrite produces — the
+    * serving-side contract is identical for all of them (same rows,
+    * same schema); what differs is WHICH predicates parquet min/max
+    * file skipping serves well. Chosen per table from the endpoint
+    * mix and stamped into `_graft_layout` so optimize converges. */
+  sealed trait Layout { def tag: String }
+  /** Size-only compaction: no ordering, hash-salted file split. */
+  case object Plain extends Layout { val tag = "plain" }
+  /** Lexicographic range sort: best-in-class skipping on `cols.head`
+    * prefixes, none on anything else — the append-cadence layout a
+    * date-range-only endpoint mix wants. */
+  final case class Sort(cols: Seq[String]) extends Layout {
+    def tag: String = s"sort:${cols.mkString(",")}"
+  }
+  /** Symmetric Morton order over 2–3 dims: balanced skipping on every
+    * clustered dim (~√F per dim at F files). */
+  final case class Z(cols: Seq[String], quantile: Boolean = false) extends Layout {
+    def tag: String = s"z:${cols.mkString(",")}|$quantile"
+  }
+  /** Weighted Morton order ([[graft.ops.ZOrder.zkeyWeighted]]):
+    * `primary` gets primaryBits/(primaryBits+secondaryBits) of the
+    * interleave — strong skipping on primary ranges (dates) while
+    * keeping real skipping on secondary equality (district). The
+    * layout for a MIXED endpoint profile, closing the measured r15
+    * trade where a date sort beat symmetric z on date ranges but gave
+    * up district skipping entirely. Buckets are linear min/max. */
+  final case class WeightedZ(primary: String, secondary: String,
+      primaryBits: Int = 16, secondaryBits: Int = 8) extends Layout {
+    def tag: String = s"wz:$primary,$secondary|$primaryBits,$secondaryBits"
+  }
+}
+
 final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = false) {
 
   private val partitionedBy: Map[String, Seq[String]] = Map(
@@ -164,7 +197,11 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     * round-trip as filter literals fall back to the whole-table path.
     * Same single-writer contract as [[compact]]. */
   def optimize(table: String, targetBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit = {
+      zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit =
+    optimize(table, targetBytes,
+      if (zorderBy.isEmpty) Warehouse.Plain else Warehouse.Z(zorderBy, quantile))
+
+  def optimize(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{col, lit}
     val conf = spark.sessionState.newHadoopConf()
@@ -183,7 +220,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     // byte budget must still rewrite once. The stamp is an "_"-prefixed
     // file parquet readers ignore; compact() run directly never stamps,
     // so the next optimize re-lays and stamps (convergent either way).
-    val want = s"$targetBytes|${zorderBy.mkString(",")}|$quantile"
+    val want = s"$targetBytes|${layout.tag}"
     def layoutOf(p: Path): Option[String] = {
       val m = new Path(p, "_graft_layout")
       if (!fs.exists(m)) None
@@ -210,7 +247,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     // after a whole-table compact, re-list and stamp every leaf dir
     // (the swap replaced the tree, stamps and all)
     def compactAndStamp(): Unit = {
-      compact(table, targetBytes, zorderBy, quantile)
+      compact(table, targetBytes, layout)
       val leaves = leafRels(fs, live)
       if (leaves.isEmpty) stamp(live)
       else leaves.foreach(r => stamp(new Path(live, r)))
@@ -263,7 +300,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     val marker = new Path(s"${path(table)}__optimizing")
     fs.delete(staging, true)
     writeLayout(full.where(pred), staging.toString, Some(partChain),
-      needy.length, bytesNeedy, targetBytes, zorderBy, quantile)
+      needy.length, bytesNeedy, targetBytes, layout)
     // VERIFY the staged tree BEFORE the first destructive rename: a
     // value that casts to null or reformats on re-write (decimal
     // "1.10" → "1.1"), or a zero-row dir judged needy (empty parquet
@@ -327,103 +364,121 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
   }
 
   /** The layout-shaping core shared by [[compact]] (whole table) and
-    * [[optimize]] (selective dirs): derive numeric z-views, build the
-    * z-key, choose the writer shape (range-partitioned per-dir z
-    * slices / hash-salted per-dir files / whole-table range layout)
-    * and write `df0` to `outPath`. `dirs`/`bytes` size the output file
-    * count (callers pass the stats of exactly the data in `df0`). */
+    * [[optimize]] (selective dirs): derive numeric views, build the
+    * ordering columns for the chosen [[Warehouse.Layout]], choose the
+    * writer shape (range-partitioned per-dir slices / hash-salted
+    * per-dir files / whole-table range layout) and write `df0` to
+    * `outPath`. `dirs`/`bytes` size the output file count (callers
+    * pass the stats of exactly the data in `df0`). */
   private def writeLayout(df0: DataFrame, outPath: String,
       parts: Option[Seq[String]], dirs: Int, bytes: Long, targetBytes: Long,
-      zorderBy: Seq[String], quantile: Boolean): Unit = {
+      layout: Warehouse.Layout): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     // z-dims must be numeric for bucketizing; DATE/TIMESTAMP serving
     // filters (the (district_id, date) layout q_list_page/q_graph_day
-    // want) z-order through a derived numeric view — days / micros
+    // want) order through a derived numeric view — days / micros
     // since epoch, monotone in the original so file min/max stats on
     // the REAL column skip exactly as if it were numeric
-    val zvNames = zorderBy.indices.map(i => s"__zv$i")
-    val df =
-      if (zorderBy.isEmpty) df0
-      else {
-        require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
-        require(zorderBy.forall(df0.columns.contains), s"z-order columns missing from $outPath")
-        graft.ops.Reserved.requireAbsent("compact", Seq("__salt", "__z") ++ zvNames, df0)
-        import org.apache.spark.sql.functions.{datediff, to_date, unix_micros}
-        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-        zorderBy.zip(zvNames).foldLeft(df0) { case (d, (c, n)) =>
-          d.withColumn(n, df0.schema(c).dataType match {
-            case DateType => datediff(col(c), to_date(lit("1970-01-01")))
-            case TimestampType => unix_micros(col(c))
-            case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-            case _ => col(c)
-          })
-        }
+    def withNumericViews(cols: Seq[String]): (DataFrame, Seq[String]) = {
+      val zvNames = cols.indices.map(i => s"__zv$i")
+      require(cols.forall(df0.columns.contains),
+        s"layout columns ${cols.mkString(",")} missing from $outPath")
+      graft.ops.Reserved.requireAbsent("compact", Seq("__salt", "__z") ++ zvNames, df0)
+      import org.apache.spark.sql.functions.{datediff, to_date, unix_micros}
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      val out = cols.zip(zvNames).foldLeft(df0) { case (d, (c, n)) =>
+        d.withColumn(n, df0.schema(c).dataType match {
+          case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+          case TimestampType => unix_micros(col(c))
+          case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+          case _ => col(c)
+        })
       }
-    val zkey: Option[org.apache.spark.sql.Column] =
-      if (zorderBy.isEmpty) None
-      else {
-        val zc = zvNames
-        val bk: Option[Seq[org.apache.spark.sql.Column]] =
-          if (quantile)
-            // all-null dim / empty table → same plain-compaction fallback
-            // as the linear path below
-            try Some(graft.ops.ZOrder.bucketizeByQuantilesMulti(df, zc, 12))
-            catch { case _: IllegalArgumentException => None }
-          else {
-            val bits = if (zorderBy.size == 3) 21 else 20
-            val bounds = df.agg(
-              org.apache.spark.sql.functions.min(col(zc.head)).cast("double"),
-              org.apache.spark.sql.functions.max(col(zc.head)).cast("double"),
-              org.apache.spark.sql.functions.min(col(zc(1))).cast("double"),
-              org.apache.spark.sql.functions.max(col(zc(1))).cast("double"),
-              org.apache.spark.sql.functions.min(col(zc.lift(2).getOrElse(zc.head))).cast("double"),
-              org.apache.spark.sql.functions.max(col(zc.lift(2).getOrElse(zc.head))).cast("double"))
-              .head()
-            // empty table / all-null dim: no meaningful z-layout exists;
-            // fall back to a plain compaction instead of an NPE
-            if (zc.indices.exists(i =>
-                bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))) None
-            else Some(zc.zipWithIndex.map { case (c, i) =>
-              graft.ops.ZOrder.bucketize(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
-            })
+      (out, zvNames)
+    }
+    // empty table / all-null dim: no meaningful clustered layout
+    // exists; None → plain-compaction fallback instead of an NPE
+    def linearBuckets(df: DataFrame, zc: Seq[String],
+        bits: Seq[Int]): Option[Seq[org.apache.spark.sql.Column]] = {
+      val exprs = zc.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).cast("double"),
+        org.apache.spark.sql.functions.max(col(c)).cast("double")))
+      val bounds = df.agg(exprs.head, exprs.tail: _*).head()
+      if (zc.indices.exists(i => bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))) None
+      else Some(zc.zipWithIndex.map { case (c, i) =>
+        graft.ops.ZOrder.bucketize(col(c),
+          bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits(i))
+      })
+    }
+    // (frame with helper cols, range-ordering cols or None for the
+    // salted plain shape, helper col names to drop before the write)
+    val (df, orderCols, helperCols): (DataFrame, Option[Seq[org.apache.spark.sql.Column]], Seq[String]) =
+      layout match {
+        case Warehouse.Plain => (df0, None, Nil)
+        case Warehouse.Sort(cols) =>
+          require(cols.nonEmpty && cols.forall(df0.columns.contains),
+            s"sort layout columns missing from $outPath")
+          (df0, Some(cols.map(col)), Nil)
+        case Warehouse.Z(zorderBy, quantile) =>
+          require(zorderBy.size == 2 || zorderBy.size == 3, "z-order takes 2 or 3 columns")
+          val (dfv, zvNames) = withNumericViews(zorderBy)
+          val bk: Option[Seq[org.apache.spark.sql.Column]] =
+            if (quantile)
+              try Some(graft.ops.ZOrder.bucketizeByQuantilesMulti(dfv, zvNames, 12))
+              catch { case _: IllegalArgumentException => None }
+            else {
+              val bits = if (zorderBy.size == 3) 21 else 20
+              linearBuckets(dfv, zvNames, zvNames.map(_ => bits))
+            }
+          bk match {
+            case Some(b) =>
+              val z = if (zorderBy.size == 2) graft.ops.ZOrder.zkey2(b(0), b(1))
+                else graft.ops.ZOrder.zkey3(b(0), b(1), b(2))
+              (dfv.withColumn("__z", z), Some(Seq(col("__z"))), zvNames :+ "__z")
+            case None => (dfv, None, zvNames)
           }
-        bk.map(b =>
-          if (zorderBy.size == 2) graft.ops.ZOrder.zkey2(b(0), b(1))
-          else graft.ops.ZOrder.zkey3(b(0), b(1), b(2)))
+        case Warehouse.WeightedZ(primary, secondary, pBits, sBits) =>
+          val (dfv, zvNames) = withNumericViews(Seq(primary, secondary))
+          linearBuckets(dfv, zvNames, Seq(pBits, sBits)) match {
+            case Some(b) =>
+              val z = graft.ops.ZOrder.zkeyWeighted(b(0), b(1), pBits, sBits)
+              (dfv.withColumn("__z", z), Some(Seq(col("__z"))), zvNames :+ "__z")
+            case None => (dfv, None, zvNames)
+          }
       }
     val writer = parts match {
       case Some(cols) =>
         val perDir = math.max(1, math.ceil(bytes.toDouble / dirs / targetBytes).toInt)
-        zkey match {
+        orderCols match {
           case None =>
             val salted = df.withColumn("__salt",
                 pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perDir.toLong)))
               .repartition((cols.map(col) :+ col("__salt")): _*)
-            salted.drop(("__salt" +: zvNames): _*).write.partitionBy(cols: _*)
-          case Some(z) =>
-            // RANGE-partition on (dir cols, z), not hash-salt: each
-            // writer task then owns one contiguous z-slice of one dir,
-            // so every output FILE covers a tight z-range — that's
-            // what lets a parquet footer min/max check skip whole
-            // files. (A hash salt would spread each dir's rows
-            // uniformly over its files: z-sorted inside, but every
-            // file spanning the full z-domain — zero cross-file
+            salted.drop(("__salt" +: helperCols): _*).write.partitionBy(cols: _*)
+          case Some(ord) =>
+            // RANGE-partition on (dir cols, ordering), not hash-salt:
+            // each writer task then owns one contiguous slice of one
+            // dir, so every output FILE covers a tight range of the
+            // ordering — that's what lets a parquet footer min/max
+            // check skip whole files. (A hash salt would spread each
+            // dir's rows uniformly over its files: sorted inside, but
+            // every file spanning the full domain — zero cross-file
             // skipping, the layout this rewrite exists to produce.)
-            df.withColumn("__z", z)
-              .repartitionByRange(math.max(1, dirs * perDir),
-                (cols.map(col) :+ col("__z")): _*)
-              .sortWithinPartitions((cols.map(col) :+ col("__z")): _*)
-              .drop((Seq("__z") ++ zvNames): _*)
+            df.repartitionByRange(math.max(1, dirs * perDir),
+                (cols.map(col) ++ ord): _*)
+              .sortWithinPartitions((cols.map(col) ++ ord): _*)
+              .drop(helperCols: _*)
               .write.partitionBy(cols: _*)
         }
       case None =>
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        zkey.fold(df.drop(zvNames: _*).repartition(nFiles).write) { z =>
-          df.withColumn("__z", z)
-            .repartitionByRange(nFiles, col("__z"))
-            .sortWithinPartitions("__z")
-            .drop(("__z" +: zvNames): _*)
-            .write
+        orderCols match {
+          case None => df.drop(helperCols: _*).repartition(nFiles).write
+          case Some(ord) =>
+            df.repartitionByRange(nFiles, ord: _*)
+              .sortWithinPartitions(ord: _*)
+              .drop(helperCols: _*)
+              .write
         }
     }
     writer.mode(SaveMode.Overwrite).option("compression", "zstd")
@@ -453,7 +508,11 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     *   frequency / any long-tailed column wants this flag; the cost is
     *   one approx-percentile scan instead of a min/max agg. */
   def compact(table: String, targetBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit = {
+      zorderBy: Seq[String] = Nil, quantile: Boolean = false): Unit =
+    compact(table, targetBytes,
+      if (zorderBy.isEmpty) Warehouse.Plain else Warehouse.Z(zorderBy, quantile))
+
+  def compact(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(conf)
@@ -465,8 +524,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     val parts = partCols(table, df0.columns.toSeq).filter(_.forall(df0.columns.contains))
     val dirs = math.max(1, fs.listStatus(live)
       .count(x => x.isDirectory && x.getPath.getName.contains("=")))
-    writeLayout(df0, staged.toString, parts, dirs, bytes, targetBytes,
-      zorderBy, quantile)
+    writeLayout(df0, staged.toString, parts, dirs, bytes, targetBytes, layout)
     // Swap in the crash-safe order: live→__old, staged→live, drop __old.
     // delete-then-rename would leave NO live table if the rename fails
     // or the process dies between the two (and on object stores rename

@@ -233,15 +233,13 @@ final class Engine(spark: SparkSession, wh: Warehouse,
     * flight keep their opened files (the staged-rename swap). The
     * file-skip effect on a REAL served query is pinned in
     * WarehouseSpec's numOutputRows case. */
-  def optimizeWarehouse(targetBytes: Long = 128L * 1024 * 1024): Unit = {
+  def optimizeWarehouse(targetBytes: Long = 128L * 1024 * 1024,
+      layouts: Map[String, graft.Warehouse.Layout] = Engine.ServingLayouts): Unit = {
     // partition-selective since r15: only fragmented year dirs rewrite
     // (Warehouse.optimize), so the nightly run costs ~nothing once the
     // layout settles instead of re-shuffling every year of history
-    if (wh.exists(RainT)) wh.optimize(RainT, targetBytes, zorderBy = Seq("district_id", "date"))
-    if (wh.exists(IncidentT))
-      wh.optimize(IncidentT, targetBytes, zorderBy = Seq("district_id", "disaster_date"))
-    if (wh.exists(RiskT))
-      wh.optimize(RiskT, targetBytes, zorderBy = Seq("province_id", "district_id"))
+    for ((table, layout) <- layouts if wh.exists(table))
+      wh.optimize(table, targetBytes, layout)
   }
 
   // ---- serving ----
@@ -301,4 +299,21 @@ object Engine {
   val UploadRainT = "upload_rain_point"
   val UploadRiskT = "upload_risk"
   val UsersT = "users"
+
+  /** Per-table serving layouts, chosen from each table's endpoint
+    * mix. The dated fact tables serve BOTH date-RANGE windows
+    * (list_rain/graph_day's dateStart..dateEnd) and district-equality
+    * slices — the r15 soak measured that a symmetric (district, date)
+    * z-order loses to a plain date sort on the range shape at real
+    * file counts while a date sort gives up district skipping
+    * entirely, so they get the date-weighted Morton layout (date 16
+    * interleave bits, district 8: ~F^(2/3) date skip, ~F^(1/3)
+    * district skip at F files — beats each single layout on the shape
+    * it is weak at; WarehouseSpec pins both counterfactuals by
+    * decoded-row accounting). The undated risk facts keep symmetric
+    * (province, district) z — both their filters are equalities. */
+  val ServingLayouts: Map[String, graft.Warehouse.Layout] = Map(
+    RainT -> graft.Warehouse.WeightedZ("date", "district_id"),
+    IncidentT -> graft.Warehouse.WeightedZ("disaster_date", "district_id"),
+    RiskT -> graft.Warehouse.Z(Seq("province_id", "district_id")))
 }

@@ -64,6 +64,32 @@ object ZOrder {
       .bitwiseOR(shiftleft(spread3(b.cast("long")), 1))
       .bitwiseOR(shiftleft(spread3(c.cast("long")), 2))
 
+  /** WEIGHTED Morton key of two bucketed dims with UNEQUAL bit widths
+    * (`aBits` must be a multiple of `bBits`): an MSB-aligned interleave
+    * placing g = aBits/bBits bits of `a` between consecutive bits of
+    * `b`, so `a` gets weight g/(g+1) of the ordering. With F output
+    * files a range layout on this key yields per-file spans of roughly
+    * A/F^(g/(g+1)) in `a` and B/F^(1/(g+1)) in `b` — the tool for an
+    * endpoint mix DOMINATED by predicates on `a` (date ranges) that
+    * still wants real skipping on `b` (district equality). The r15
+    * serving soak measured the motivating trade: at low file counts a
+    * plain date sort out-skips symmetric (district, date) z-order on
+    * date-range predicates while giving up district skipping entirely;
+    * this key beats each single layout on the shape it is weak at.
+    * Total key width aBits + bBits ≤ 62 keeps the sign bit clear. */
+  def zkeyWeighted(a: Column, b: Column, aBits: Int, bBits: Int): Column = {
+    require(bBits >= 1 && aBits >= bBits && aBits % bBits == 0,
+      s"zkeyWeighted: aBits ($aBits) must be a positive multiple of bBits ($bBits)")
+    require(aBits + bBits <= 62, "zkeyWeighted: total key width must stay ≤ 62 bits")
+    val g = aBits / bBits
+    (0 until bBits).foldLeft(lit(0L)) { case (acc, i) =>
+      val aGroup = shiftright(a.cast("long"), g * i).bitwiseAND(lit((1L << g) - 1))
+      val bBit = shiftright(b.cast("long"), i).bitwiseAND(lit(1L))
+      acc.bitwiseOR(shiftleft(aGroup, (g + 1) * i + 1))
+        .bitwiseOR(shiftleft(bBit, (g + 1) * i))
+    }
+  }
+
   /** Linear bucketing of a numeric column into [0, 2^bits). Constant
     * columns map to bucket 0. */
   def bucketize(c: Column, min: Double, max: Double, bits: Int): Column = {

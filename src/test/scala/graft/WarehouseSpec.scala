@@ -164,12 +164,13 @@ class WarehouseSpec extends SparkSpec {
       assert(beforeDecoded >= n * 9 / 10,
         s"premise broken: append layout should decode ~everything, got $beforeDecoded of $n")
 
-      // z-order splits skip power ~√F per dim — give the layout enough
-      // files that a single-district slice is a clear win
-      eng.optimizeWarehouse(targetBytes = 2L * 1024)
+      // clustered splits fix ~log2(F) leading interleave bits, and the
+      // weighted serving layout gives district 1 of every 3 — give it
+      // enough files that ≥2 district bits are fixed (≥4× skip)
+      eng.optimizeWarehouse(targetBytes = 512L)
       val files = new java.io.File(s"$root/rain_points/year=2023").listFiles()
         .count(_.getName.endsWith(".parquet"))
-      assert(files >= 32, s"premise broken: want ≥32 z-files for skip granularity, got $files")
+      assert(files >= 64, s"premise broken: want ≥64 clustered files for skip granularity, got $files")
 
       val afterQ = wh.read("rain_points").where(pred)
         .select("pk_id", "date", "district_id")
@@ -186,6 +187,83 @@ class WarehouseSpec extends SparkSpec {
           dateStart = Some("2023-02-01"), dateEnd = Some("2023-03-01")),
         graft.domain.ListQueries.PageRequest(page = 1, pageSize = 50))
       assert(page.total == beforeRows.size)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("layout knob: weighted z beats date-sort on district slices AND symmetric z on date ranges") {
+    // the r15 serving-soak trade, closed: a date sort skips best on
+    // date RANGES but nothing on district equality; symmetric
+    // (district, date) z splits the difference evenly; the
+    // date-weighted Morton layout must beat EACH single layout on the
+    // shape it is weak at — measured in decoded rows, answers pinned
+    // identical across all three layouts.
+    val root = java.nio.file.Files.createTempDirectory("graft-whlay").toString
+    val wh = new Warehouse(spark, root)
+    val nD = 64; val nDays = 512
+    val facts = spark.range(nD.toLong * nDays).select(
+      col("id").as("pk_id"), lit(1L).as("upload_id"),
+      date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+        (col("id") / nD).cast("int")).as("date"),
+      lit(2023).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % nD).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    val layouts: Seq[(String, Warehouse.Layout)] = Seq(
+      "lay_sort" -> Warehouse.Sort(Seq("date")),
+      "lay_z" -> Warehouse.Z(Seq("district_id", "date")),
+      "lay_wz" -> Warehouse.WeightedZ("date", "district_id"))
+    for ((t, lay) <- layouts) {
+      wh.write(t, facts)
+      wh.optimize(t, targetBytes = 512L, lay)
+    }
+    def decodedRows(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val predDistrict = col("district_id") === 7
+    val predRange = col("date").between(
+      lit("2023-03-01").cast("date"), lit("2023-03-29").cast("date"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def measure(t: String, pred: org.apache.spark.sql.Column): (Long, Set[Long]) = {
+        val q = wh.read(t).where(pred).select("pk_id")
+        val ids = q.collect().map(_.getLong(0)).toSet
+        (decodedRows(wh.read(t).where(pred).select("pk_id")), ids)
+      }
+      val byLayout = layouts.map { case (t, _) =>
+        t -> (measure(t, predDistrict), measure(t, predRange))
+      }.toMap
+      // answers identical across layouts, both shapes
+      val wantD = byLayout("lay_sort")._1._2
+      val wantR = byLayout("lay_sort")._2._2
+      for ((t, ((_, d), (_, r))) <- byLayout) {
+        assert(d == wantD, s"$t changed the district-slice answer")
+        assert(r == wantR, s"$t changed the date-range answer")
+      }
+      val sortD = byLayout("lay_sort")._1._1
+      val zD = byLayout("lay_z")._1._1
+      val wzD = byLayout("lay_wz")._1._1
+      val sortR = byLayout("lay_sort")._2._1
+      val zR = byLayout("lay_z")._2._1
+      val wzR = byLayout("lay_wz")._2._1
+      val total = nD.toLong * nDays
+      // premise: the date sort cannot skip on district equality
+      assert(sortD >= total * 8 / 10,
+        s"premise broken: date sort should decode ~all on district, got $sortD/$total")
+      // weighted z beats the date sort where the sort is weak ...
+      assert(wzD * 2 <= sortD,
+        s"weighted z lost district skipping: $wzD vs sort's $sortD")
+      // ... and beats symmetric z where z is weak
+      assert(wzR < zR,
+        s"weighted z did not out-skip symmetric z on the date range: $wzR vs $zR")
+      // context rows for the record (not asserted): sort range / z district
+      info(s"district decode: sort=$sortD z=$zD wz=$wzD; " +
+        s"range decode: sort=$sortR z=$zR wz=$wzR; total=$total")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
