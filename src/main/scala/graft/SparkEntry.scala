@@ -23,6 +23,16 @@ object SparkEntry {
       PipelineQueries.all ++ CurationQueries.all ++ TokenizerQueries.all ++
       SearchQueries.all
 
+  /** Index-LIFECYCLE gates: builders with an eager build/mutate
+    * section wrapped in [[graft.queries.Phases]].phase("build") before
+    * the probe. Derived from the per-family declarations that sit next
+    * to each family's registration map — PhasesSpec enumerates THIS
+    * set (build recorded, strictly inside the total, every name
+    * registered), so a declaration typo or an unwired gate fails a
+    * spec instead of silently losing its bench build/probe split. */
+  def lifecycleQueries: Set[String] =
+    ExtensionQueries.lifecycle ++ SearchQueries.lifecycle
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -693,6 +693,14 @@ object ExtensionQueries {
     "q_lm_fluency" -> (qLmFluency _),
   )
 
+  /** Index-LIFECYCLE gates of this family (see
+    * [[SearchQueries.lifecycle]] for the contract): eager
+    * build/mutate sections wrapped in [[Phases.phase]]("build"),
+    * declared next to their registration so PhasesSpec's
+    * registry-derived sweep pins the build/probe split. */
+  val lifecycle: Set[String] = Set("q_ann_incremental", "q_ann_delete",
+    "q_annpq_delete", "q_incremental_substring")
+
   /** CCNet-style LM fluency ([[graft.ops.LmScore]]): stupid-backoff
     * bigram LM trained on the English slice, every document scored by
     * fixed-point mean transition probability — the integer-exact gate

@@ -234,6 +234,15 @@ object SearchQueries {
     "q_quality_pipeline" -> (qQualityPipeline _),
   )
 
+  /** Index-LIFECYCLE gates of this family: builders that construct or
+    * mutate a persisted index eagerly (wrapped in
+    * [[Phases.phase]]("build")) before probing it. Declared HERE, next
+    * to the registration and the wiring, and enumerated by PhasesSpec
+    * via [[graft.SparkEntry.lifecycleQueries]] — a gate added to this
+    * set without build wiring (or vice versa, or with a typo'd name)
+    * fails that spec loudly. */
+  val lifecycle: Set[String] = Set("q_bm25_index", "q_index_delete")
+
   /** Shared BM25 oracle body: the full-corpus score, written once —
     * both gates must equal it. Constants are spelled as arithmetic
     * (`1.2 + 1.0`) so DuckDB performs the same IEEE ops the Spark plan
