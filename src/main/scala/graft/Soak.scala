@@ -46,7 +46,7 @@ object Soak {
   /** Shared soak context: the Spark session, the replicated corpora
     * (lazy — a families subset only pays for the tables it touches),
     * and the measurement helpers every stage uses. */
-  final class Ctx(val spark: SparkSession, sfDir: String,
+  final class Ctx(val spark: SparkSession, val sfDir: String,
       multDocs: Int, val multEmb: Int, docDecor: Boolean,
       partsEnv: Option[String], cpus: Int) {
 
@@ -341,6 +341,37 @@ object Soak {
     }
     lm3.orders.values.foreach(_.unpersist(blocking = false))
     lm3.uni.unpersist(blocking = false)
+
+    // benchmark decontamination, the realistic two-sided shape: a
+    // SMALL test/benchmark set (200 base docs) against the FULL
+    // replicated train corpus — at 100 TB the train side is the big
+    // one and its distinct+join shuffle is the operator's whole cost.
+    // The Bloom prefilter (no false negatives — BloomSpec pins output
+    // equality row-for-row) must cut the train-shingle stream entering
+    // that shuffle to ~matched size; the reduction receipt prints
+    // below alongside the identical output counts.
+    val ctest = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode(ops.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val ctrain = docs.select(
+      explode(ops.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val nPlain = time(s"contamination plain (200 test docs × $nDocs train)") {
+      queries.ExtensionQueries.contaminationJoin(ctest, ctrain, useBloom = false).count()
+    }
+    val nBloom = time("contamination bloom-prefiltered") {
+      queries.ExtensionQueries.contaminationJoin(ctest, ctrain, useBloom = true).count()
+    }
+    require(nPlain == nBloom,
+      s"bloom prefilter changed the contamination output: $nPlain vs $nBloom")
+    val cbloom = ops.Bloom.buildLongFilter(
+      ctest.select(xxhash64(col("shingle")).as("h")), "h",
+      expectedItems = ctest.count())
+    val cBefore = ctrain.count()
+    val cAfter = ctrain
+      .where(ops.Bloom.mightContain(cbloom, xxhash64(col("shingle")))).count()
+    println(f"[soak] contamination train-shingle prefilter: $cBefore -> $cAfter " +
+      f"(${cBefore.toDouble / math.max(cAfter, 1L)}%.1fx) at recall 1.0 (outputs equal)")
   }
 
   /** url dedup / boilerplate / epoch shard. All should scale ~linearly:

@@ -561,8 +561,23 @@ object ExtensionQueries {
         explode(Dedup.shingles(col("text"), 3)).as("shingle"))
     val test = sh.where(col("split") === "test").select("doc_id", "shingle")
     val trainSh = sh.where(col("split") === "train")
+    contaminationJoin(test, trainSh, useBloom = docs.count() >= bloomThreshold)
+  }
+
+  /** The containment-join core behind [[contamination]], exposed for
+    * the soak's realistic two-sided shape (a SMALL benchmark `test`
+    * set against the full train corpus — the actual 100 TB regime,
+    * where the md5-split gate form makes both sides corpus-sized).
+    * `test` carries (doc_id, shingle); `trainSh` a `shingle` column.
+    * With `useBloom`, the train stream is prefiltered by a broadcast
+    * Bloom filter over the test shingles before its distinct+join —
+    * no false negatives, so the output is identical (BloomSpec pins
+    * it); the win is the train-side shuffle shrinking from
+    * corpus-sized to ~matched-size. */
+  private[graft] def contaminationJoin(test: DataFrame, trainSh: DataFrame,
+      useBloom: Boolean): DataFrame = {
     val trainPre =
-      if (docs.count() < bloomThreshold) trainSh
+      if (!useBloom) trainSh
       else {
         val bloom = graft.ops.Bloom.buildLongFilter(
           test.select(xxhash64(col("shingle")).as("h")), "h",

@@ -206,5 +206,47 @@ def main(sf_dir, out_dir, json_out=None):
         print(f"-- wrote {json_out}")
 
 
+def prewarm(sf_dir, oracle_json_path):
+    """Populate the oracle cache for every SQL in the battery WITHOUT
+    needing engine outputs.
+
+    The duckdb version is part of the cache key (correctly -- an engine
+    upgrade can change result types), so every duckdb bump cold-starts
+    the full sf0.1 sweep (~22 min measured at r13). This mode replays
+    just the oracle side, so the cold start can be paid EARLY and in
+    parallel -- e.g. kicked off against the committed oracle_sql.json
+    while the Spark Verify run is still producing engine outputs, or at
+    sf0.001 first for a fast smoke of the new duckdb's SQL surface.
+
+    Usage: python3 tools/compare.py --prewarm <sfDir> <oracle_sql.json>
+    """
+    import time
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(oracle_json_path))
+    fp = table_fingerprint(sf_dir)
+    t0 = time.time()
+    n_hit = n_err = 0
+    for name in sorted(oracles):
+        s = time.time()
+        try:
+            _, cached = oracle_result(con, oracles[name], fp)
+        except Exception as e:
+            n_err += 1
+            print(f"✗ {name:24s} ORACLE SQL ERROR: {e}")
+            continue
+        n_hit += int(cached)
+        if not cached:
+            print(f"  {name:24s} {time.time() - s:6.1f}s")
+    print(f"-- prewarmed {len(oracles) - n_hit - n_err} oracles at {sf_dir} "
+          f"in {time.time() - t0:.1f}s ({n_hit} already cached, {n_err} errors)")
+    return 1 if n_err else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--prewarm":
+        sys.exit(prewarm(sys.argv[2], sys.argv[3]))
     main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
