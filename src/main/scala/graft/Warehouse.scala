@@ -55,7 +55,23 @@ object Warehouse {
   }
 }
 
-final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = false) {
+/** @param markerProbeTtlMs opt-in cache for [[read]]'s torn-optimize
+  *   probe: 0 (default) probes the marker on EVERY read — one
+  *   cached-FileSystem `exists()` locally, but a real metadata
+  *   round-trip per query on an object store at serving QPS. A
+  *   positive TTL caches the NEGATIVE result (marker absent) for that
+  *   many ms, trading the round-trip for a widened detection window:
+  *   an optimize that starts AND tears within one TTL of a probe is
+  *   seen only after expiry. Safe exactly where the contract already
+  *   holds (single-writer maintenance, retryable reads); keep 0 in
+  *   tests and low-QPS deployments. */
+final class Warehouse(spark: SparkSession, root: String,
+    monthGrain: Boolean = false, markerProbeTtlMs: Long = 0L) {
+
+  // negative-probe cache (see markerProbeTtlMs): table -> wall-clock ms
+  // until which the marker is known absent
+  private val markerClearUntil =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private val partitionedBy: Map[String, Seq[String]] = Map(
     "rain_points" -> Seq("year"),
@@ -131,21 +147,27 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     // maintenance window may fail or must be retried; they are never
     // silently wrong OUTSIDE that window, which is the class this
     // guard exists to close).
-    val fs = new org.apache.hadoop.fs.Path(path(table))
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(s"${path(table)}__optimizing")
-    if (fs.exists(marker)) {
-      val trash = new org.apache.hadoop.fs.Path(s"${path(table)}__optimize_old")
-      // LEAF-level comparison: a nested swap stages out e.g.
-      // year=2020/month=3 while live year=2020 keeps its sibling
-      // months, so a top-level dir check would miss the tear
-      val torn = fs.exists(trash) && leafRels(fs, trash).exists(rel =>
-        !fs.exists(new org.apache.hadoop.fs.Path(path(table) + "/" + rel)))
-      if (torn)
-        throw new IllegalStateException(
-          s"optimize of $table is mid-swap or was interrupted (marker + " +
-            "staged-out partition present) - retry, or run repairOptimize/" +
-            "optimize from the writer if no optimize is live")
+    val now = System.currentTimeMillis()
+    val cachedClear = markerClearUntil.get(table)
+    if (cachedClear == null || now >= cachedClear) {
+      val fs = new org.apache.hadoop.fs.Path(path(table))
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new org.apache.hadoop.fs.Path(s"${path(table)}__optimizing")
+      if (fs.exists(marker)) {
+        markerClearUntil.remove(table)
+        val trash = new org.apache.hadoop.fs.Path(s"${path(table)}__optimize_old")
+        // LEAF-level comparison: a nested swap stages out e.g.
+        // year=2020/month=3 while live year=2020 keeps its sibling
+        // months, so a top-level dir check would miss the tear
+        val torn = fs.exists(trash) && leafRels(fs, trash).exists(rel =>
+          !fs.exists(new org.apache.hadoop.fs.Path(path(table) + "/" + rel)))
+        if (torn)
+          throw new IllegalStateException(
+            s"optimize of $table is mid-swap or was interrupted (marker + " +
+              "staged-out partition present) - retry, or run repairOptimize/" +
+              "optimize from the writer if no optimize is live")
+      } else if (markerProbeTtlMs > 0)
+        markerClearUntil.put(table, now + markerProbeTtlMs)
     }
     spark.read.parquet(path(table))
   }
@@ -204,6 +226,9 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
   def optimize(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{col, lit}
+    // this writer is about to raise the marker: same-instance readers
+    // must not ride a stale negative probe past it
+    markerClearUntil.remove(table)
     val conf = spark.sessionState.newHadoopConf()
     val live = new Path(path(table))
     val fs = live.getFileSystem(conf)
@@ -337,6 +362,7 @@ final class Warehouse(spark: SparkSession, root: String, monthGrain: Boolean = f
     * swap completed keep the new layout. Idempotent; no-op without the
     * marker. */
   def repairOptimize(table: String): Unit = {
+    markerClearUntil.remove(table)
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val live = new Path(path(table))
