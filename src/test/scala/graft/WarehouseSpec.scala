@@ -534,6 +534,93 @@ class WarehouseSpec extends SparkSpec {
     assert(!fs.exists(hp(s"$root/rain_points__optimizing")))
     assert(!fs.exists(hp(s"$root/rain_points__optimize_old")))
   }
+  test("optimize crash matrix: every intermediate swap state heals; read fails loud only when torn") {
+    // the selective swap's filesystem states, constructed directly (the
+    // IvfSpec crash-replay device): for each, (1) read() throws iff a
+    // staged-out leaf is missing from the live tree, (2) the writer
+    // path heals, (3) a follow-up optimize converges with the answer
+    // intact. Nested grain so the leaf-level machinery is what heals.
+    val root = java.nio.file.Files.createTempDirectory("graft-whcm").toString
+    val wh = new Warehouse(spark, root, monthGrain = true)
+    def facts(mo: Int, n: Int, idOff: Long) = spark.range(n.toLong).select(
+      (col("id") + idOff).as("pk_id"), lit(1L).as("upload_id"),
+      org.apache.spark.sql.functions.date_add(
+        lit(java.sql.Date.valueOf(f"2023-$mo%02d-01")), (col("id") % 28).cast("int")).as("date"),
+      lit(2023).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % 64).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    wh.write("rain_points", facts(6, 1500, 0L).repartition(8))
+    wh.write("rain_points", facts(7, 1500, 100000L).repartition(8))
+    wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    // fragment month=7 so a selective swap would target exactly it
+    wh.write("rain_points", facts(7, 1500, 200000L).repartition(8))
+    val expect = wh.read("rain_points").select("pk_id").collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    def ids(): Set[Long] =
+      wh.read("rain_points").select("pk_id").collect().map(_.getLong(0)).toSet
+    def settle(): Unit = wh.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+
+    // state A: staging written, crash BEFORE the marker/renames —
+    // reads unaffected, next optimize discards staging and proceeds
+    fs.mkdirs(hp(s"$root/rain_points__optimize_staged/year=2023/month=7"))
+    assert(ids() == expect, "stale staging must not affect reads")
+    settle()
+    assert(ids() == expect)
+    assert(!fs.exists(hp(s"$root/rain_points__optimize_staged")),
+      "optimize left stale staging behind")
+
+    // state B: marker raised, crash before ANY rename (empty trash) —
+    // reads proceed (nothing torn), repair clears the state
+    fs.mkdirs(hp(s"$root/rain_points__optimize_old"))
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    assert(ids() == expect, "marker with empty trash must not block reads")
+    wh.repairOptimize("rain_points")
+    assert(!fs.exists(hp(s"$root/rain_points__optimizing")))
+    assert(ids() == expect)
+
+    // state C: crash BETWEEN leaves — month=6 fully swapped (live has
+    // a new copy, old copy still in trash), month=7 staged out and
+    // missing from live. read must throw; repair must keep the new
+    // month=6 (live twin present) and restore the old month=7.
+    val live6 = hp(s"$root/rain_points/year=2023/month=6")
+    val live7 = hp(s"$root/rain_points/year=2023/month=7")
+    fs.mkdirs(hp(s"$root/rain_points__optimize_old/year=2023"))
+    // month=6's "old" copy in trash alongside its live (new) twin:
+    // copy by reading+writing a sibling dir is overkill — renaming the
+    // real dir out and back preserves bytes; what matters is the
+    // twin-present shape, so stage a COPY via a temp rename dance
+    fs.rename(live6, hp(s"$root/rain_points__optimize_old/year=2023/month=6"))
+    // recreate live month=6 from the trash copy's bytes (rename back
+    // would empty the trash — write a fresh dir instead)
+    spark.read.parquet(s"$root/rain_points__optimize_old/year=2023/month=6")
+      .write.option("compression", "zstd")
+      .parquet(live6.toString)
+    fs.rename(live7, hp(s"$root/rain_points__optimize_old/year=2023/month=7"))
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    intercept[IllegalStateException] { ids() }
+    wh.repairOptimize("rain_points")
+    assert(ids() == expect, "between-leaves repair lost rows")
+    assert(!fs.exists(hp(s"$root/rain_points__optimize_old")))
+
+    // state D: crash during final cleanup — marker alone, staging and
+    // trash already gone. reads proceed; repair is a no-op clear.
+    fs.create(hp(s"$root/rain_points__optimizing"), true).close()
+    assert(ids() == expect)
+    wh.repairOptimize("rain_points")
+    assert(!fs.exists(hp(s"$root/rain_points__optimizing")))
+
+    // convergence: a settle after the whole matrix is clean and keeps
+    // the answer
+    settle()
+    assert(ids() == expect)
+  }
+
   test("markerProbeTtlMs: negative probe caches within the TTL; writer paths invalidate; default stays strict") {
     val root = java.nio.file.Files.createTempDirectory("graft-whttl").toString
     def row(pk: Long, y: Int) = Seq((pk, 1L, Date.valueOf(s"$y-06-01"), y, 1, 11, 1.0, 2.0))
