@@ -31,7 +31,9 @@ object SparkEntry {
     * registered), so a declaration typo or an unwired gate fails a
     * spec instead of silently losing its bench build/probe split. */
   def lifecycleQueries: Set[String] =
-    ExtensionQueries.lifecycle ++ SearchQueries.lifecycle
+    ExtensionQueries.lifecycle ++ SearchQueries.lifecycle ++
+      PipelineQueries.lifecycle ++ CurationQueries.lifecycle ++
+      TokenizerQueries.lifecycle
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -115,8 +115,10 @@ object CurationQueries {
     val lines = synthLines(s, dir)
     val isBatch = col("doc_id") % 100 < 20
     Q.withTempIndex("graft-blstats") { idx =>
-      Boilerplate.buildLineStats(lines.where(!isBatch), "doc_id", "source",
-        "line", idx, org.apache.spark.sql.SaveMode.Overwrite)
+      Phases.phase("build") {
+        Boilerplate.buildLineStats(lines.where(!isBatch), "doc_id", "source",
+          "line", idx, org.apache.spark.sql.SaveMode.Overwrite)
+      }
       Boilerplate.stripLinesIncrement(lines.where(isBatch), "doc_id",
           "source", "idx", "line", idx, maxDocFrac = 0.6)
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
@@ -234,6 +236,10 @@ object CurationQueries {
     "q_epoch_shard" -> (qEpochShard _),
     "q_mix_temperature" -> (qMixTemperature _),
   )
+
+  /** Index-LIFECYCLE gates of this family (see
+    * [[SearchQueries.lifecycle]] for the contract). */
+  val lifecycle: Set[String] = Set("q_incremental_boilerplate")
 
   // Oracle notes: the boilerplate oracle joins on line TEXT where the
   // engine joins on md5(line) — identical semantics absent a 128-bit

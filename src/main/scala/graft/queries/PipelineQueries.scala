@@ -423,7 +423,7 @@ object PipelineQueries {
       build: (DataFrame, String) => Unit): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
     Q.withTempIndex("graft-ndidx") { idx =>
-      build(docs, idx)
+      Phases.phase("build") { build(docs, idx) }
       graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx,
           threshold = 0.8, n = 3, k = 48, bands = 16)
         .orderBy("id1", "id2")
@@ -548,6 +548,12 @@ object PipelineQueries {
     "q_ffd_summary" -> (qFfdSummary _),
     "q_doc_chunk" -> (qDocChunk _),
   )
+
+  /** Index-LIFECYCLE gates of this family (see
+    * [[SearchQueries.lifecycle]] for the contract): both band-index
+    * construction paths build eagerly inside [[incrementalGate]]'s
+    * [[Phases.phase]]("build") section before the probe. */
+  val lifecycle: Set[String] = Set("q_incremental_dedup", "q_incremental_append")
 
   /** The htmlToText regex chain replayed in DuckDB — built
     * programmatically from the SAME (pattern, replacement) list shape

@@ -142,8 +142,10 @@ object TokenizerQueries {
         .select(explode(graft.ops.TextOps.tokens(lower(col("text"))))
           .as("text"))
         .where(length(col("text")) > 0 && substring(col("text"), 1, 1) < "n")
-      Bpe.buildSubwordTable(half, "text", FixedMerges, idx,
-        org.apache.spark.sql.SaveMode.Overwrite)
+      Phases.phase("build") {
+        Bpe.buildSubwordTable(half, "text", FixedMerges, idx,
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
       Bpe.tokenizeIncrement(docs, "doc_id", "text", FixedMerges, idx,
           materializeTable = true)
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -160,6 +162,10 @@ object TokenizerQueries {
     "q_incremental_tokenize" -> (qIncrementalTokenize _),
     "q_tok_pack" -> (qTokPack _),
   )
+
+  /** Index-LIFECYCLE gates of this family (see
+    * [[SearchQueries.lifecycle]] for the contract). */
+  val lifecycle: Set[String] = Set("q_incremental_tokenize")
 
   /** The tokenize replay shared by the q_bpe_tokenize and q_tok_pack
     * oracles — built once here so the two cannot drift. Produces CTEs
