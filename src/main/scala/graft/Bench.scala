@@ -180,6 +180,13 @@ object Bench {
     // idle box degraded at "load 2.46")
     val loadEntry = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // the 5-minute average, for the degraded gate below (the MXBean
+    // exposes only the 1-minute figure). Missing/unparseable (non-Linux)
+    // degrades to +∞ so the gate falls back to the 1-minute samples.
+    val load5mEntry: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+")(1).toDouble
+      catch { case _: Throwable => Double.PositiveInfinity }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -307,15 +314,20 @@ object Bench {
     // the line now carries the flag so a noisy total is never read as a
     // regression (threshold ~half the cores would be too lax; 1.5 is
     // the r8 judge's suggested "this number is load, not signal" bar)
-    // Gate on the LESS self-polluted of the two start-side readings:
-    // the entry sample predates the SparkSession + warmup (but may
-    // carry residue of whatever launched sbt), the post-warmup sample
-    // includes our own boot work. Both overstate ambient, never
-    // understate it, so min() is still conservative. End-of-run load
-    // is pure self-measurement (~3+ from local[8] every run) and only
-    // ever recorded, never gated on; mid-run EXTERNAL noise is the
-    // per-query outlier retry's job.
-    val degraded = math.min(loadEntry, load1m) > 1.5
+    // Gate on the LEAST self-polluted of the start-side readings. The
+    // 1-minute entry sample predates the SparkSession + warmup but NOT
+    // the ~30 s sbt boot that launches this main — measured r16: an
+    // idle box (load 0.11 three minutes earlier) reads loadEntry 2.08
+    // under `sbt runMain` and 0.004 under a plain `java -cp` launch of
+    // the same class, so the sbt path was false-flagging EVERY driver
+    // bench as degraded. The 5-MINUTE entry average dilutes a 30 s
+    // self-boot spike ~5× while still reading high on a genuinely busy
+    // box; the post-warmup 1-minute sample includes our own boot work.
+    // All three overstate ambient, never understate it, so min() stays
+    // conservative. End-of-run load is pure self-measurement (~3+ from
+    // local[8] every run) and only ever recorded, never gated on;
+    // mid-run EXTERNAL noise is the per-query outlier retry's job.
+    val degraded = math.min(math.min(loadEntry, load5mEntry), load1m) > 1.5
 
     // ---- output, two channels ----
     // 1. FULL-FIDELITY file: every rep of every query, 3 decimals, all
@@ -347,7 +359,7 @@ object Bench {
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
   "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; then substring replaces (substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos; join -> jn; graph -> gr; session -> sess; group -> grp; count -> cnt; filter -> flt; embed -> emb; centroid -> ctr; revenue -> rev; running -> run; tumbling -> tumb; trailing -> trl; removal -> rm; paginate -> pgn; upsample -> ups; fluency -> flu; trigram -> tri; quantile -> qnt; approx -> apx; resample -> rsmp; media -> md; jaccard -> jac; minhash -> mh; hybrid -> hyb; extract -> ext; stats -> st; bucket -> bkt; rownum -> rn; summary -> sum; text -> txt; append -> app; select -> sel; enrich -> enr; range -> rng; funcs -> fn; parts -> pts; multi -> mlt; promo -> pr; keep_ -> kp_; corpus -> corp; page -> pg; dates -> dts; terms -> trm; score -> sc; shard -> shd; split -> spl; fill -> fl; domain -> dom; topk -> tk; null -> nl; case -> cs; union -> un; exact -> ex; asof -> ao; skew -> sk; anti -> ant; prep -> pp; zorder -> zo; train -> tr; mid-string incremental -> incr; index -> idx; delete -> del; lookup -> lkp; adaptive -> adp; project -> prj; overlap -> ovlp; redact -> red; minmax -> mm); finally ALL underscores dropped. BenchSpec pins the exact mapping; full names in the fidelity file",
-  "warmup_s": ${f(warmupS)}, "load1m_entry": ${f(loadEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
+  "warmup_s": ${f(warmupS)}, "load1m_entry": ${f(loadEntry)}, "load5m_entry": ${if (load5mEntry.isInfinity) "null" else f(load5mEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
   "outlier_retries": {${retried.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",
