@@ -650,6 +650,61 @@ class WarehouseSpec extends SparkSpec {
     assert(whTtl.read("rain_points").count() == 2)
   }
 
+  test("optimize: randomized nested-grain sequences across LAYOUTS preserve answers and converge") {
+    // the r16 surface under random composition: monthGrain (nested
+    // year=/month= leaves), appends, and optimize under a layout drawn
+    // from the full ADT — answers must survive every step, and a
+    // settling optimize with a FIXED layout must reach a byte-stable
+    // no-op even after the table was previously laid out differently
+    // (the _graft_layout stamp is what forces the one re-layout).
+    val rnd = new scala.util.Random(41)
+    val root = java.nio.file.Files.createTempDirectory("graft-whopt-rndm").toString
+    val wh = new Warehouse(spark, root, monthGrain = true)
+    def facts(yr: Int, mo: Int, n: Int, idOff: Long) = spark.range(n.toLong).select(
+      (col("id") + idOff).as("pk_id"), lit(1L).as("upload_id"),
+      org.apache.spark.sql.functions.date_add(
+        lit(java.sql.Date.valueOf(f"$yr-$mo%02d-01")), (col("id") % 28).cast("int")).as("date"),
+      lit(yr).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % 64).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    var nextId = 0L
+    var expect = Set.empty[Long]
+    def append(): Unit = {
+      val yr = 2022 + rnd.nextInt(2); val mo = 5 + rnd.nextInt(3)
+      val n = 200 + rnd.nextInt(1200)
+      wh.write("rain_points", facts(yr, mo, n, nextId).repartition(1 + rnd.nextInt(6)))
+      expect ++= (nextId until nextId + n)
+      nextId += 1000000L
+    }
+    def ids(): Set[Long] = wh.read("rain_points")
+      .select("pk_id").collect().map(_.getLong(0)).toSet
+    val layouts: Seq[Warehouse.Layout] = Seq(
+      Warehouse.Plain,
+      Warehouse.Sort(Seq("date")),
+      Warehouse.Z(Seq("district_id", "date")),
+      Warehouse.WeightedZ("date", "district_id"))
+    append()
+    for (step <- 1 to 8) {
+      if (rnd.nextBoolean()) append()
+      else wh.optimize("rain_points", 64L * 1024, layouts(rnd.nextInt(layouts.size)))
+      assert(ids() == expect, s"step $step changed the answer")
+    }
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/rain_points"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    }
+    val fixed = Warehouse.WeightedZ("date", "district_id")
+    wh.optimize("rain_points", 64L * 1024, fixed)
+    val settled = files()
+    wh.optimize("rain_points", 64L * 1024, fixed)
+    assert(files() == settled, "nested-grain layout optimize did not converge to a no-op")
+    assert(ids() == expect)
+  }
+
   test("optimize: randomized append/optimize sequences preserve answers and converge to a no-op") {
     val rnd = new scala.util.Random(19)
     val root = java.nio.file.Files.createTempDirectory("graft-whopt-rnd").toString
