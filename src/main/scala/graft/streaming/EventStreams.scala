@@ -682,6 +682,51 @@ object EventStreams {
     * target table, and only the new keys are appended — re-delivered
     * events insert nothing (exactly-once effect on at-least-once
     * delivery). */
+  /** Streaming contamination scoring — the decontamination check
+    * applied at INGEST time: each arriving doc's distinct word-n-gram
+    * containment against a STATIC benchmark shingle set (the test-side
+    * of the batch gate, q_contamination, with the benchmark in the
+    * train role). A benchmark is small by construction, so its
+    * xxhash64'd shingles ride into the plan as ONE sorted literal
+    * array (KB-scale — the DSIR weights-array / LshKeys plane-tensor
+    * precedent) and every doc scores in a single STATELESS projection:
+    * shingles → hash → sort → merge-count
+    * ([[graft.expr.IntersectCount]]). No join, no aggregation state,
+    * no watermark — legal in append mode on an unbounded stream, and
+    * the identical column expressions run in batch
+    * (EventStreamsSpec pins stream ≡ the batch contamination join
+    * row-for-row). n_shingles counts STRING-distinct shingles; the
+    * overlap compares 64-bit hashes, where a collision inflating
+    * n_overlap is a ~10⁻¹³-per-pair event (the batch gate joins exact
+    * strings — same stance as [[nearDupHits]]). Docs with no n-gram
+    * (< n tokens) drop, like the batch gate. */
+  def contaminationScoreStream(docs: DataFrame, idCol: String, textCol: String,
+      benchHashes: Array[Long], n: Int = 3): DataFrame = {
+    graft.ops.Reserved.requireAbsent("contaminationScoreStream",
+      Seq("__s", "__sh", "n_shingles", "n_overlap", "contamination"),
+      docs.select(col(idCol), col(textCol)))
+    docs
+      .select(col(idCol), col(textCol),
+        graft.ops.Dedup.shingles(col(textCol), n).as("__s"))
+      .where(size(col("__s")) > 0)
+      .select(col(idCol),
+        size(col("__s")).cast("long").as("n_shingles"),
+        graft.expr.IntersectCount.intersectCount(
+          sort_array(array_distinct(transform(col("__s"), s => xxhash64(s)))),
+          typedlit(benchHashes.toSeq)).cast("long").as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
+  /** One-time hashed benchmark set for [[contaminationScoreStream]] —
+    * a bounded driver collect (the benchmark is the SMALL side by
+    * definition; a benchmark too large to collect should use the batch
+    * containment join instead). */
+  def benchShingleHashes(bench: DataFrame, textCol: String, n: Int = 3): Array[Long] =
+    bench.select(explode(graft.ops.Dedup.shingles(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
   def idempotentAppend(
       stream: DataFrame,
       wh: Warehouse,

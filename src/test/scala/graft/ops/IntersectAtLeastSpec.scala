@@ -41,6 +41,20 @@ class IntersectAtLeastSpec extends SparkSpec {
     }
   }
 
+  test("intersect_count ≡ size(array_intersect) over sorted distinct long arrays, randomized") {
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 300).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .withColumn("got", graft.expr.IntersectCount.intersectCount(col("a"), col("b")))
+      .withColumn("want", size(array_intersect(col("a"), col("b"))))
+    val bad = df.where(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, s"intersect_count diverged on ${bad.length} rows")
+  }
+
   test("nulls propagate; type mismatch rejected") {
     val df = Seq((Some(Seq(1, 2)), Some(Seq(1, 2)), Some(1)),
       (None, Some(Seq(1)), Some(0)), (Some(Seq(1)), Some(Seq(1)), None))

@@ -551,6 +551,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L).map(_._3) == Seq(""))
   }
 
+  test("contaminationScoreStream: stateless ingest-time scoring ≡ batch containment join on replay") {
+    implicit val sc = spark.sqlContext
+    // benchmark: two short docs; arriving corpus: overlapping, disjoint,
+    // and too-short docs, split across micro-batches (boundaries must
+    // not matter — the op is a stateless projection)
+    val bench = Seq("the quick brown fox jumps", "pack my box with jugs")
+      .toDF("text")
+    val hashes = EventStreams.benchShingleHashes(bench, "text")
+    assert(hashes.sorted.sameElements(hashes), "bench hashes must come sorted")
+    val in = MemoryStream[(Long, String)]
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over it"), // heavy overlap
+      (2L, "completely unrelated words entirely here"))
+    val batch2 = Seq(
+      (3L, "pack my box"),  // exactly one benchmark shingle
+      (4L, "two words"))    // < 3 tokens: no shingle — must drop
+    in.addData(batch1); in.addData(batch2)
+    val q = EventStreams.contaminationScoreStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", hashes)
+      .writeStream.format("memory").queryName("ctm").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ctm").as[(Long, Long, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    // the batch gate's containment join over the replayed corpus, with
+    // the benchmark in the train role (exact string join — the 64-bit
+    // hash form must agree on this corpus)
+    val test = (batch1 ++ batch2).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val trainSh = bench
+      .select(explode(graft.ops.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val want = graft.queries.ExtensionQueries
+      .contaminationJoin(test, trainSh, useBloom = false)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == want, s"stream $got != batch $want")
+    assert(!got.exists(_._1 == 4L), "a shingle-less doc must drop, like the batch gate")
+    assert(got.find(_._1 == 3L).exists(_._3 == 1L), "doc 3 shares exactly one shingle")
+    assert(got.find(_._1 == 2L).exists(_._3 == 0L))
+  }
+
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
