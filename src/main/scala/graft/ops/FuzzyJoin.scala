@@ -129,7 +129,9 @@ object FuzzyJoin {
     * driver's exposure is the cap, never the corpus. None ⇒ the
     * caller takes the fully-distributed pipeline. */
   private def rarityMap(dfT: DataFrame, cap: Int): Option[Map[String, Long]] = {
-    val rows = dfT.select(col("__g"), col("__df")).head(cap + 1)
+    if (cap <= 0) return None // explicit fallback request; also keeps cap+1 sane
+    val probe = if (cap >= Int.MaxValue) Int.MaxValue else cap + 1
+    val rows = dfT.select(col("__g"), col("__df")).head(probe)
     if (rows.length > cap) None
     else Some(rows.iterator.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
