@@ -41,6 +41,47 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zkeyWeighted matches the group-interleave reference; monotone in the primary's high bits") {
+    // reference: for each secondary bit i, primary bits [g·i, g·(i+1))
+    // land at positions [(g+1)·i + 1, (g+1)·(i+1)) and secondary bit i
+    // at (g+1)·i — MSB-aligned unequal-width interleave
+    def ref(a: Long, b: Long, aBits: Int, bBits: Int): Long = {
+      val g = aBits / bBits
+      var out = 0L
+      for (i <- 0 until bBits) {
+        val aGroup = (a >> (g * i)) & ((1L << g) - 1)
+        val bBit = (b >> i) & 1L
+        out |= aGroup << ((g + 1) * i + 1)
+        out |= bBit << ((g + 1) * i)
+      }
+      out
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 255L),
+      (0xABCDL, 0x5AL), (40000L, 7L), (12345L, 200L))
+    for ((ab, bb) <- Seq((16, 8), (8, 4), (12, 4))) {
+      val got = samples.toDF("a", "b")
+        .select(ZOrder.zkeyWeighted(col("a"), col("b"), ab, bb))
+        .as[Long].collect()
+      samples.zip(got).foreach { case ((a, b), z) =>
+        assert(z == ref(a, b, ab, bb), s"zkeyWeighted($a,$b,$ab,$bb)")
+        assert(z >= 0, "weighted key must stay off the sign bit")
+      }
+    }
+    // the top (g) primary bits are the key's most significant bits, so
+    // ordering by the key is monotone in the primary's high group —
+    // the property that makes date-range skipping strong
+    val ks = (0 until 16).map(h =>
+      ref((h.toLong << 12), 137L, 16, 8))
+    assert(ks == ks.sorted, "high primary bits must dominate the ordering")
+    // parameter validation
+    intercept[IllegalArgumentException] {
+      spark.range(1).select(ZOrder.zkeyWeighted(col("id"), col("id"), 10, 4)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.range(1).select(ZOrder.zkeyWeighted(col("id"), col("id"), 48, 16)).collect()
+    }
+  }
+
   test("zkey2 stays non-negative through 31-bit buckets (sign-bit regression)") {
     // bit 31 of the SECOND dim would land on the long's sign bit; with
     // 32-bit buckets sorting by the signed key breaks z-monotonicity at
