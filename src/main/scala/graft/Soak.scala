@@ -635,6 +635,21 @@ object Soak {
         k = 8, threshold = 1.0).count()
     }
     println(s"[soak] bitext mined pairs: $mined")
+    // the CELL-PARTITIONED tier — the scale path once either side
+    // outgrows LSH's bucket-population quadratic (the 30× record:
+    // LSH-tier 612 s at 30 k × 30 k, candidate volume ∝ Σ|bucket|²;
+    // IVF probes read nprobe cells per query, so candidate volume is
+    // ∝ n · nprobe · cellSize — linear in the corpus at fixed
+    // quantizer granularity). Two quick fits at √n-ish nlist, then
+    // mine over the unioned per-cell top-k.
+    val minedIvf = time("bitext mine (IVF-tier candidates, k=8, nprobe=4)") {
+      val srcM = ops.Ivf.fit(srcE, nlist = 64, iters = 3)
+      val tgtM = ops.Ivf.fit(tgtE, nlist = 64, iters = 3)
+      ops.Bitext.mine(
+        ops.Bitext.ivfCandidates(srcE, tgtE, k = 8, srcM, tgtM, nprobe = 4),
+        k = 8, threshold = 1.0).count()
+    }
+    println(s"[soak] bitext mined pairs (ivf tier): $minedIvf")
   }
 
   /** SemDeDup at production-ish k: assignment is ONE codegen pass whose
