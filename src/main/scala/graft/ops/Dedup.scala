@@ -164,15 +164,13 @@ object Dedup {
   }
 
   /** Word n-gram shingles of normalized text, deduplicated. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(lower(text))
-    // sequence(0, -1) would produce a DESCENDING range — guard short docs
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // codegen'd window join (graft.expr.WordNgrams — totality built in:
+    // short docs yield an empty array); the HOF formulation it replaced
+    // ran an interpreted concat_ws lambda per gram per row, the hot
+    // line of every shingle-fed operator
+    array_distinct(graft.expr.WordNgrams.wordNgrams(
+      TextOps.tokens(lower(text)), n))
 
   /** 64-bit hashes of the shingle set — computed ONCE per doc and fed
     * to both the MinHash signature and the Jaccard verifier (long-array

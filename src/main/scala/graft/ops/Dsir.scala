@@ -49,16 +49,12 @@ object Dsir {
     * gate before the projection boundary was made mandatory here. */
   private def termsOf(toks: Column, n: Int = 2): Column = {
     require(n >= 1, "n-gram order must be >= 1")
-    val grams = (2 to n).map { k =>
-      when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          // j = 0 uses `i` bare: higher-order-function lambdas run
-          // INTERPRETED, so a decorative `i + 0` would be a real Add
-          // per element per row on the hot path
-          i => concat_ws(" ", element_at(toks, i) +:
-            (1 until k).map(j => element_at(toks, i + j)): _*)))
-        .otherwise(array().cast("array<string>"))
-    }
+    // codegen'd window join per order (graft.expr.WordNgrams; empty
+    // when the doc is shorter than k — the totality the old
+    // when/otherwise guarded). The HOF formulation it replaced ran
+    // interpreted element_at + concat_ws lambdas per gram per row —
+    // the hot line of both the count and the score pass.
+    val grams = (2 to n).map(k => graft.expr.WordNgrams.wordNgrams(toks, k))
     if (grams.isEmpty) toks else concat(toks +: grams: _*)
   }
 
