@@ -73,13 +73,10 @@ object TextOps {
   /** ALL word n-grams in order (duplicates kept — repetition analysis
     * needs the multiset; [[graft.ops.Dedup.shingles]] is the distinct
     * variant for set semantics). Empty for docs shorter than n. */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramsAll(text: Column, n: Int): Column =
+    // codegen'd window join (graft.expr.WordNgrams; empty for short
+    // docs) — multiset kept, no distinct
+    graft.expr.WordNgrams.wordNgrams(tokens(lower(text)), n)
 
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 − |distinct|/|all|. The word-level repetition signal from
