@@ -72,6 +72,10 @@ final class Warehouse(spark: SparkSession, root: String,
   // until which the marker is known absent
   private val markerClearUntil =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // tables already warned about (marker seen while a positive TTL is
+  // configured) — one log line per table per Warehouse instance
+  private val markerWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val partitionedBy: Map[String, Seq[String]] = Map(
     "rain_points" -> Seq("year"),
@@ -146,7 +150,13 @@ final class Warehouse(spark: SparkSession, root: String,
     // single-writer / retryable-read contract (reads during the
     // maintenance window may fail or must be retried; they are never
     // silently wrong OUTSIDE that window, which is the class this
-    // guard exists to close).
+    // guard exists to close). TTL EXCEPTION: with markerProbeTtlMs > 0
+    // that "never silently wrong outside the window" claim holds only
+    // up to the TTL — a read inside the TTL of a torn optimize skips
+    // the probe and returns PARTIAL results until expiry (WarehouseSpec
+    // pins it). A warning is logged the first time a cached-probe
+    // table is seen holding a marker, so an operator who enabled the
+    // TTL on a maintenance-active table finds out from the logs.
     val now = System.currentTimeMillis()
     val cachedClear = markerClearUntil.get(table)
     if (cachedClear == null || now >= cachedClear) {
@@ -155,6 +165,12 @@ final class Warehouse(spark: SparkSession, root: String,
       val marker = new org.apache.hadoop.fs.Path(s"${path(table)}__optimizing")
       if (fs.exists(marker)) {
         markerClearUntil.remove(table)
+        if (markerProbeTtlMs > 0 && markerWarned.add(table))
+          org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+            s"table $table holds an optimize marker while markerProbeTtlMs=" +
+              s"$markerProbeTtlMs is caching negative probes — reads within " +
+              "one TTL of a torn optimize can return partial results; " +
+              "prefer TTL 0 on maintenance-active tables")
         val trash = new org.apache.hadoop.fs.Path(s"${path(table)}__optimize_old")
         // LEAF-level comparison: a nested swap stages out e.g.
         // year=2020/month=3 while live year=2020 keeps its sibling

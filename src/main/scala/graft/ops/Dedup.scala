@@ -163,14 +163,18 @@ object Dedup {
     rebuilt
   }
 
-  /** Word n-gram shingles of normalized text, deduplicated. */
+  /** Word n-gram shingles of normalized text, deduplicated. TOTAL:
+    * short docs AND null/untokenizable text yield an empty array (the
+    * coalesce restores the pre-WordNgrams contract — the expression
+    * itself propagates a null token array as null). */
   def shingles(text: Column, n: Int = 3): Column =
-    // codegen'd window join (graft.expr.WordNgrams — totality built in:
-    // short docs yield an empty array); the HOF formulation it replaced
-    // ran an interpreted concat_ws lambda per gram per row, the hot
-    // line of every shingle-fed operator
-    array_distinct(graft.expr.WordNgrams.wordNgrams(
-      TextOps.tokens(lower(text)), n))
+    // codegen'd window join (graft.expr.WordNgrams); the HOF
+    // formulation it replaced ran an interpreted concat_ws lambda per
+    // gram per row, the hot line of every shingle-fed operator
+    coalesce(
+      array_distinct(graft.expr.WordNgrams.wordNgrams(
+        TextOps.tokens(lower(text)), n)),
+      array().cast("array<string>"))
 
   /** 64-bit hashes of the shingle set — computed ONCE per doc and fed
     * to both the MinHash signature and the Jaccard verifier (long-array

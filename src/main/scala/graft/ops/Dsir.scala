@@ -46,7 +46,12 @@ object Dsir {
     * every `element_at` in a gram lambda re-evaluates its child per
     * sequence element, so an inlined `split(...)` would re-tokenize the
     * text O(tokens) times per row — measured 8 s vs 0.3 s on the sf0.1
-    * gate before the projection boundary was made mandatory here. */
+    * gate before the projection boundary was made mandatory here.
+    * Null-in/null-out: a null `toks` yields null terms (WordNgrams
+    * propagates child null) — DataFrame callers here materialize the
+    * token array from non-null text, so no consumer sees it; external
+    * callers wanting totality should coalesce like
+    * [[graft.ops.TextOps.ngramsAll]]. */
   private def termsOf(toks: Column, n: Int = 2): Column = {
     require(n >= 1, "n-gram order must be >= 1")
     // codegen'd window join per order (graft.expr.WordNgrams; empty

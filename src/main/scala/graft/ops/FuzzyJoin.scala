@@ -127,7 +127,16 @@ object FuzzyJoin {
     * bounded: `head(cap+1)` collects at most cap+1 rows by
     * construction (the aggregate still runs distributed), so the
     * driver's exposure is the cap, never the corpus. None ⇒ the
-    * caller takes the fully-distributed pipeline. */
+    * caller takes the fully-distributed pipeline.
+    *
+    * Broadcast lifetime: the map broadcast from this probe is
+    * captured by the RETURNED (lazy) plan, so it cannot be destroyed
+    * eagerly here — it lives until the caller's DataFrame is executed
+    * and the `Broadcast` handle becomes unreachable, at which point
+    * Spark's ContextCleaner reclaims the executor copies (weak-ref
+    * GC, the same lifecycle as any `sparkContext.broadcast`).
+    * Repeated join calls therefore hold at most the not-yet-collected
+    * maps — bounded by the caps, not the call count. */
   private def rarityMap(dfT: DataFrame, cap: Int): Option[Map[String, Long]] = {
     if (cap <= 0) return None // explicit fallback request; also keeps cap+1 sane
     val probe = if (cap >= Int.MaxValue) Int.MaxValue else cap + 1
@@ -310,7 +319,10 @@ object FuzzyJoin {
           .select("id1", "id2", "str1", "str2")
         verifiedInline(longCands.unionByName(shortCands), maxDist)
       case None =>
-        verified(selfCandidatesFromBase(base, maxDist, q),
+        // the gram-df aggregate computed for the fuse probe is the
+        // same dfT the pipeline needs — pass it through, don't
+        // recompute (the probe already paid the aggregation)
+        verified(selfCandidatesFromBase(base, maxDist, q, Some(dfT)),
           base.select(col("id"), col("str")), base.select(col("id"), col("str")),
           maxDist)
     }
@@ -350,12 +362,14 @@ object FuzzyJoin {
     sig.repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
       col("__g"))
 
-  private def selfCandidatesFromBase(base: DataFrame, maxDist: Int, q: Int): DataFrame = {
+  private def selfCandidatesFromBase(base: DataFrame, maxDist: Int, q: Int,
+      dfT0: Option[DataFrame] = None): DataFrame = {
     val sigLen = maxDist * q + 1
     // global gram rarity (df = strings containing the gram), the
-    // shared total order behind every signature
+    // shared total order behind every signature — reused from the
+    // fuse probe when the caller already computed it
     val gram = gramRows(base)
-    val dfT = gram.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val dfT = dfT0.getOrElse(gram.groupBy("__g").agg(count(lit(1)).as("__df")))
     val sig = spreadByGram(sigOf(gram, dfT, base, sigLen))
 
     // candidates: signature-gram equi-join + per-row prune chain —

@@ -72,11 +72,14 @@ object TextOps {
 
   /** ALL word n-grams in order (duplicates kept — repetition analysis
     * needs the multiset; [[graft.ops.Dedup.shingles]] is the distinct
-    * variant for set semantics). Empty for docs shorter than n. */
+    * variant for set semantics). TOTAL: empty for docs shorter than n
+    * AND for null text (coalesced — the WordNgrams expression itself
+    * propagates a null token array as null). */
   def ngramsAll(text: Column, n: Int): Column =
-    // codegen'd window join (graft.expr.WordNgrams; empty for short
-    // docs) — multiset kept, no distinct
-    graft.expr.WordNgrams.wordNgrams(tokens(lower(text)), n)
+    // codegen'd window join (graft.expr.WordNgrams) — multiset kept,
+    // no distinct
+    coalesce(graft.expr.WordNgrams.wordNgrams(tokens(lower(text)), n),
+      array().cast("array<string>"))
 
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 − |distinct|/|all|. The word-level repetition signal from

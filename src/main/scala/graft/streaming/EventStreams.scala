@@ -713,7 +713,11 @@ object EventStreams {
         size(col("__s")).cast("long").as("n_shingles"),
         graft.expr.IntersectCount.intersectCount(
           sort_array(array_distinct(transform(col("__s"), s => xxhash64(s)))),
-          typedlit(benchHashes.toSeq)).cast("long").as("n_overlap"))
+          // sorted defensively here, NOT trusted from the caller: the
+          // merge-walk silently undercounts on an unsorted literal, and
+          // one driver-side sort per stream START is free. (Already
+          // sorted when it came from [[benchShingleHashes]].)
+          typedlit(benchHashes.sorted.toSeq)).cast("long").as("n_overlap"))
       .withColumn("contamination",
         round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
   }

@@ -140,6 +140,21 @@ class DedupSpec extends SparkSpec {
     assert(sh(5L).isEmpty)
   }
 
+  test("shingles/ngramsAll: TOTAL on null text — empty array, never null") {
+    val withNull = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = withNull.select(col("id"),
+        Dedup.shingles(col("text"), 3).as("sh"),
+        TextOps.ngramsAll(col("text"), 2).as("ng"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    assert(got(1L)._1 == Seq("a b c", "b c d"))
+    assert(got(1L)._2 == Seq("a b", "b c", "c d"))
+    // the pre-WordNgrams contract: null in → EMPTY out (not null) —
+    // consumers may size()/explode without a null guard
+    assert(got(2L)._1 != null && got(2L)._1.isEmpty)
+    assert(got(2L)._2 != null && got(2L)._2.isEmpty)
+  }
+
   test("jaccard: identical=1, near-dup high, disjoint=0, empty-safe") {
     val sh = docs.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
     val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))

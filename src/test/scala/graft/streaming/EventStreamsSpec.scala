@@ -591,6 +591,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.find(_._1 == 2L).exists(_._3 == 0L))
   }
 
+  test("contaminationScoreStream: benchHashes sorted defensively — unsorted input scores identically") {
+    // the merge-walk inside IntersectCount undercounts on an unsorted
+    // literal; the op must sort the caller's array itself rather than
+    // trust the benchShingleHashes docstring
+    val bench = Seq("the quick brown fox jumps").toDF("text")
+    val hashes = EventStreams.benchShingleHashes(bench, "text")
+    val scrambled = hashes.reverse
+    val docs = Seq((1L, "the quick brown fox jumps over it"),
+      (2L, "completely unrelated words entirely here")).toDF("doc_id", "text")
+    def score(hs: Array[Long]) =
+      EventStreams.contaminationScoreStream(docs, "doc_id", "text", hs)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = score(hashes)
+    assert(want.find(_._1 == 1L).exists(_._3 > 0L), "sanity: doc 1 overlaps")
+    assert(score(scrambled) == want, "unsorted bench hashes must not undercount")
+  }
+
   test("nearDupHits: streaming LSH flags near-dups against earlier state, across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]

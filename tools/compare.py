@@ -247,6 +247,15 @@ def prewarm(sf_dir, oracle_json_path):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print("usage: compare.py <sf_dir> <out_dir> [report.json]\n"
+              "       compare.py --prewarm <sf_dir> <oracle_sql.json>",
+              file=sys.stderr)
+        sys.exit(2)
     if sys.argv[1] == "--prewarm":
+        if len(sys.argv) < 4:
+            print("usage: compare.py --prewarm <sf_dir> <oracle_sql.json>",
+                  file=sys.stderr)
+            sys.exit(2)
         sys.exit(prewarm(sys.argv[2], sys.argv[3]))
     main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
