@@ -307,14 +307,21 @@ object Bm25 {
     * delta would double-decrement); pass removeId anywhere a retry is
     * possible. Unknown ids are no-ops (anti-join semantics); removing
     * docs of a STREAMING batch whose checkpoint hasn't committed is
-    * out of contract (the batch's replay would resurrect them).
+    * REFUSED at runtime when `checkpoint` names the maintaining
+    * stream's checkpoint location
+    * ([[IndexMaintenance.requireBatchesCommitted]] — the batch's
+    * replay would resurrect them); pass it whenever
+    * [[graft.streaming.EventStreams.bm25IndexStream]] (or any stream)
+    * maintains this index. Without it the race remains the caller's
+    * contract, as before.
     *
     * Torn visibility between the steps (delta landed, strip not yet):
     * scores are briefly perturbed (N too low) but the strip completes
     * on the re-run; the removed docs stop being RETURNABLE only once
     * the strip lands — the strip, not the delta, is the takedown. */
   def removeDocs(spark: SparkSession, path: String, ids: DataFrame,
-      removeId: Option[Long] = None): Unit = {
+      removeId: Option[Long] = None,
+      checkpoint: Option[String] = None): Unit = {
     import spark.implicits._
     val metaPath = s"$path/meta"
     val postPath = s"$path/postings"
@@ -333,6 +340,11 @@ object Bm25 {
       .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // streaming-replay guard BEFORE any mutation (delta or strip):
+      // a first run and its stamped retry see the same committedness
+      // (commits never un-commit), so a retry that passed once passes
+      checkpoint.foreach(cp => IndexMaintenance
+        .requireBatchesCommitted(spark, hits, cp, s"Bm25.removeDocs($path)"))
       val nPost = hits.count()
       if (!deltaLanded) {
         if (nPost == 0 && removeId.isEmpty) return // nothing to remove

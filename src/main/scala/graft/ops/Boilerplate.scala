@@ -200,7 +200,15 @@ object Boilerplate {
     * ([[boilerplateSetFromStats]] keeps `minGrpDocs ≥ 2`-doc groups
     * only, and a 0/0 frequency row sums to zero docs). */
   def removeLineStats(removedLines: DataFrame, idCol: String,
-      grpCol: String, lineCol: String, path: String): Unit = {
+      grpCol: String, lineCol: String, path: String,
+      checkpoint: Option[String] = None): Unit = {
+    // streaming-replay guard (quiescence form — stats rows carry no
+    // batch stamps): decrementing counts an uncommitted batch's replay
+    // will re-add leaves the additive sums permanently wrong
+    checkpoint.foreach(cp => IndexMaintenance.requireBatchesCommitted(
+      removedLines.sparkSession,
+      removedLines.sparkSession.read.parquet(s"$path/freq"), cp,
+      s"Boilerplate.removeLineStats($path)"))
     IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/freq")
     IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/grps")
     lineDocFreq(removedLines, idCol, grpCol, lineCol)

@@ -540,9 +540,20 @@ object Dedup {
     * Membership/candidate-set semantics make the removal naturally
     * idempotent and exact: the stripped index is row-identical to one
     * built over the survivors under the same (n, k, bands) config
-    * (DedupSpec pins probe-result equality). Unknown ids are no-ops. */
+    * (DedupSpec pins probe-result equality). Unknown ids are no-ops.
+    *
+    * `checkpoint` (pass it whenever a stream maintains this index)
+    * arms the streaming-replay guard
+    * ([[IndexMaintenance.requireBatchesCommitted]]): band-index rows
+    * carry no batch stamps, so the guard is the coarse QUIESCENCE
+    * form — it refuses while any started batch at that checkpoint has
+    * not committed, because an uncommitted batch's replay would
+    * re-append whatever of these rows it originally wrote. */
   def removeFromBandIndex(spark: SparkSession, path: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame, checkpoint: Option[String] = None): Unit = {
+    checkpoint.foreach(cp => IndexMaintenance.requireBatchesCommitted(
+      spark, spark.read.parquet(s"$path/buckets"), cp,
+      s"Dedup.removeFromBandIndex($path)"))
     IndexMaintenance.rewriteExcludingKeys(spark, s"$path/buckets",
       ids.select(col("id")), "id", rangeSortCols = Seq("band", "bkey"))
     IndexMaintenance.rewriteExcludingKeys(spark, s"$path/shingles",
@@ -738,12 +749,20 @@ object Dedup {
     * one-shot build over the survivors (DedupSpec pins it; hashes
     * whose count reaches zero fall out of every ≥ minDocs threshold).
     * Same one-shot contract as the Append fold-in, inverted: remove
-    * each doc exactly once — a blind re-run double-decrements. */
+    * each doc exactly once — a blind re-run double-decrements.
+    * `checkpoint` (when a stream maintains this index) arms the
+    * quiescence form of
+    * [[IndexMaintenance.requireBatchesCommitted]] — count rows carry
+    * no batch stamps, and decrementing counts an uncommitted batch's
+    * replay will re-add leaves the sums permanently wrong. */
   def removeFromChunkIndex(removedDocs: DataFrame, path: String,
       width: Int = 30, idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text", checkpoint: Option[String] = None): Unit = {
     val spark = removedDocs.sparkSession
     requireIndexWidth(spark, path, width, "remove from")
+    checkpoint.foreach(cp => IndexMaintenance.requireBatchesCommitted(
+      spark, spark.read.parquet(s"$path/chunks"), cp,
+      s"Dedup.removeFromChunkIndex($path)"))
     IndexMaintenance.guardAppend(spark, s"$path/chunks")
     chunkStream(removedDocs, width, idCol, textCol)
       .groupBy("__h").agg((-countDistinct(col(idCol))).as("n_docs"))

@@ -238,6 +238,84 @@ object IndexMaintenance {
     (logLanded, fullyLanded)
   }
 
+  /** Streaming-takedown safety guard: REFUSE (loudly) to run a
+    * takedown whose rows could be resurrected by a structured-
+    * streaming replay — the runtime form of the contract that was
+    * previously documentation-only on [[Bm25.removeDocs]].
+    *
+    * The hazard: a streaming index maintainer's `foreachBatch` body
+    * runs BEFORE the checkpoint's commit log records the batch, so a
+    * takedown racing an in-flight batch can strip rows that batch
+    * wrote — and the batch's replay (after a crash, or on restart)
+    * re-appends them: the removed docs silently come back, the worst
+    * failure mode a compliance verb can have.
+    *
+    * Committedness is read from the checkpoint's commit log
+    * (`<checkpoint>/commits/<batchId>`, one entry per committed
+    * batch). Commits are SEQUENTIAL — batch b commits only after
+    * b − 1 — so b is committed iff b ≤ the log's max entry; that
+    * inequality (not per-file existence) also stays correct after
+    * Spark purges old entries per `minBatchesToRetain`.
+    *
+    * Two modes, chosen by whether the index attributes rows:
+    *   - `affected` HAS a `batch_id` column (bm25 postings, IVF/PQ
+    *     cells): the distinct non-null stamps among the rows being
+    *     removed must all be ≤ max committed — a precise per-batch
+    *     check; rows of committed batches are removable while a new
+    *     batch is mid-flight.
+    *   - no `batch_id` column (the band index's bucket rows): rows
+    *     cannot be attributed, so the only safe claim is QUIESCENCE —
+    *     refuse if any started batch (`offsets/<b>`) has not
+    *     committed. Coarser by necessity; stamps buy precision.
+    *
+    * Call this with the checkpoint of the stream that MAINTAINS the
+    * index (the one whose replay could re-append). A takedown with no
+    * streaming maintainer passes `None` upstream and never reaches
+    * here. */
+  def requireBatchesCommitted(spark: SparkSession,
+      affected: org.apache.spark.sql.DataFrame, checkpoint: String,
+      context: String): Unit = {
+    val cpPath = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = cpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(cpPath),
+      s"$context: streaming checkpoint $checkpoint does not exist — " +
+        "pass the checkpoint of the stream maintaining this index, or " +
+        "None if no stream maintains it")
+    def maxEntry(sub: String): Option[Long] = {
+      val d = new org.apache.hadoop.fs.Path(cpPath, sub)
+      if (!fs.exists(d)) None
+      else fs.listStatus(d).iterator
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        .maxOption
+    }
+    val maxCommitted = maxEntry("commits")
+    if (affected.columns.contains("batch_id")) {
+      val stamped = affected.where(col("batch_id").isNotNull)
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val uncommitted = stamped.filter(b => !maxCommitted.exists(b <= _))
+      if (uncommitted.nonEmpty)
+        throw new IllegalStateException(
+          s"$context: refusing takedown — rows to remove belong to " +
+            s"streaming batch(es) ${uncommitted.mkString(", ")} whose " +
+            s"commit is not in $checkpoint/commits (max committed: " +
+            s"${maxCommitted.fold("none")(_.toString)}). A replay of an " +
+            "uncommitted batch would re-append the removed rows. Wait " +
+            "for the batch to commit (or stop the stream) and retry.")
+    } else {
+      val maxStarted = maxEntry("offsets")
+      val inFlight = maxStarted.filter(s => !maxCommitted.exists(s <= _))
+      if (inFlight.isDefined)
+        throw new IllegalStateException(
+          s"$context: refusing takedown — this index carries no " +
+            s"batch_id stamps and streaming batch ${inFlight.get} at " +
+            s"$checkpoint has started (offsets/) but not committed " +
+            "(commits/), so the rows to remove cannot be proven outside " +
+            "it; a replay would re-append them. Wait for the batch to " +
+            "commit (or stop the stream) and retry.")
+    }
+  }
+
   /** DELETE/takedown strip of `dataDir` rows whose `keyCol` is in
     * `ids`, KEEPING THE APPEND LOG CONSISTENT: before the strip, one
     * NEGATIVE decrement row per affected stamped batch is appended to
@@ -258,13 +336,26 @@ object IndexMaintenance {
     * anywhere a retry is possible. Rows with a NULL batch_id (the
     * initial [[Ivf.save]] build) need no decrement — no log row ever
     * expects them. A missing/unstamped log dir degrades to the bare
-    * strip (nothing to keep consistent). */
+    * strip (nothing to keep consistent).
+    *
+    * `checkpoint` (the location of the streaming maintainer, when one
+    * exists) arms [[requireBatchesCommitted]]: the removal REFUSES —
+    * before any mutation — when the affected rows carry a batch stamp
+    * whose commit-log entry is absent, closing the replay-resurrection
+    * race that was previously only a documented contract. */
   def removeKeysWithLogDecrement(spark: SparkSession, logDir: String,
       dataDir: String, ids: org.apache.spark.sql.DataFrame, keyCol: String,
-      partitionCols: Seq[String], removeId: Option[Long] = None): Unit = {
+      partitionCols: Seq[String], removeId: Option[Long] = None,
+      checkpoint: Option[String] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dataDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     restoreTornSwap(fs, dataDir)
+    checkpoint.foreach { cp =>
+      val affected = spark.read.option("mergeSchema", "true").parquet(dataDir)
+        .join(ids.select(col(keyCol)), Seq(keyCol), "left_semi")
+      requireBatchesCommitted(spark, affected, cp,
+        s"removeKeysWithLogDecrement($dataDir)")
+    }
     if (fs.exists(new org.apache.hadoop.fs.Path(logDir))) {
       val log0 = spark.read.option("mergeSchema", "true").parquet(logDir)
       val decLanded = removeId.exists(r =>

@@ -291,13 +291,18 @@ object Ivf {
     * idempotent strip; an unstamped removal that crashes between
     * decrement and strip must not be blindly re-run — the decrement
     * would double). Removing ids of a streaming batch whose
-    * checkpoint hasn't committed remains out of contract (its replay
-    * races the decrement). */
+    * checkpoint hasn't committed is REFUSED at runtime when
+    * `checkpoint` names the maintainer's checkpoint location
+    * ([[IndexMaintenance.requireBatchesCommitted]] — an uncommitted
+    * batch's replay would resurrect the removed vectors); pass it
+    * whenever a stream maintains this index. */
   def removeVectors(spark: SparkSession, path: String, ids: DataFrame,
-      removeId: Option[Long] = None): Unit =
+      removeId: Option[Long] = None,
+      checkpoint: Option[String] = None): Unit =
     IndexMaintenance.removeKeysWithLogDecrement(spark, s"$path/appendlog",
       s"$path/cells", ids.select(col("id")), "id",
-      partitionCols = Seq("cell"), removeId = removeId)
+      partitionCols = Seq("cell"), removeId = removeId,
+      checkpoint = checkpoint)
 
   /** Per-cell row counts of a persisted index — the rebuild monitor
     * for [[appendIndex]]'s drift contract (cheap: a count per cell

@@ -126,13 +126,18 @@ object IvfPq {
     * (IvfPqSpec pins it). Unknown ids are no-ops. Appendlog decrement
     * + `removeId` retry stamp exactly as in [[Ivf.removeVectors]] —
     * a replayed stamped batch must read the takedown as fully landed,
-    * never as a partial commit to repair. */
+    * never as a partial commit to repair. `checkpoint` (pass it
+    * whenever a stream maintains this index) makes the removal REFUSE
+    * rows of an uncommitted streaming batch
+    * ([[IndexMaintenance.requireBatchesCommitted]]). */
   def removeVectors(spark: SparkSession, path: String,
       ids: org.apache.spark.sql.DataFrame,
-      removeId: Option[Long] = None): Unit =
+      removeId: Option[Long] = None,
+      checkpoint: Option[String] = None): Unit =
     IndexMaintenance.removeKeysWithLogDecrement(spark, s"$path/appendlog",
       s"$path/cells", ids.select(col("id")), "id",
-      partitionCols = Seq("cell"), removeId = removeId)
+      partitionCols = Seq("cell"), removeId = removeId,
+      checkpoint = checkpoint)
 
   /** One file per cell partition after appends — the staged-rename
     * re-layout ([[IndexMaintenance.compactDir]]); results-identical,

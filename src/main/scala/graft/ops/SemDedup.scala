@@ -206,10 +206,22 @@ object SemDedup {
     * embedding must not keep suppressing near-duplicates it can no
     * longer be compared against. Naturally idempotent; unknown ids
     * are no-ops. Removing ids of a batch whose streaming checkpoint
-    * hasn't committed is out of contract (its replay would re-append
-    * them — the index-family rule). */
+    * hasn't committed is REFUSED at runtime when `checkpoint` names
+    * the maintaining stream's checkpoint
+    * ([[IndexMaintenance.requireBatchesCommitted]], precise per-batch
+    * mode — the vectors are batch-stamped); without it the race stays
+    * the caller's contract (the index-family rule). */
   def removeSeen(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, ids: DataFrame): Unit =
+      indexPath: String, ids: DataFrame,
+      checkpoint: Option[String] = None): Unit = {
+    checkpoint.foreach { cp =>
+      val affected = spark.read.option("mergeSchema", "true")
+        .parquet(s"$indexPath/vectors")
+        .join(ids.select(col("id")), Seq("id"), "left_semi")
+      IndexMaintenance.requireBatchesCommitted(spark, affected, cp,
+        s"SemDedup.removeSeen($indexPath)")
+    }
     IndexMaintenance.rewriteExcludingKeys(spark, s"$indexPath/vectors",
       ids.select(col("id")), "id")
+  }
 }
