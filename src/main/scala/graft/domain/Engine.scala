@@ -307,11 +307,20 @@ object Engine {
     * z-order loses to a plain date sort on the range shape at real
     * file counts while a date sort gives up district skipping
     * entirely, so they get the date-weighted Morton layout (date 16
-    * interleave bits, district 8: ~F^(2/3) date skip, ~F^(1/3)
-    * district skip at F files — beats each single layout on the shape
-    * it is weak at; WarehouseSpec pins both counterfactuals by
-    * decoded-row accounting). The undated risk facts keep symmetric
-    * (province, district) z — both their filters are equalities. */
+    * interleave bits, district 8 — the g = 2 interleave
+    * [[graft.ops.ZOrder.weightedBitsFor]] picks for a ~0.9
+    * range-dominated endpoint mix; that helper is the executable form
+    * of the sizing rule, so re-derive the widths from (fileCount,
+    * endpoint mix) when either changes instead of copying 16/8).
+    * SMALL-F CAVEAT ([[graft.ops.ZOrder.fixedBitsAt]], the measured
+    * r16 lesson): F files fix only ⌊log₂F⌋ leading key bits and the
+    * secondary gets every third of them at g = 2 — at F ≈ 48 that is
+    * ONE district bit (2× skip); the weighted layout needs F ≳ 200
+    * before its asymptotic F^(1/3) district skip shows. Beats each
+    * single layout on the shape it is weak at; WarehouseSpec pins
+    * both counterfactuals by decoded-row accounting. The undated risk
+    * facts keep symmetric (province, district) z — both their filters
+    * are equalities. */
   val ServingLayouts: Map[String, graft.Warehouse.Layout] = Map(
     RainT -> graft.Warehouse.WeightedZ("date", "district_id"),
     IncidentT -> graft.Warehouse.WeightedZ("disaster_date", "district_id"),

@@ -90,6 +90,81 @@ object ZOrder {
     }
   }
 
+  /** The bit-budget model behind [[zkeyWeighted]] sizing, made
+    * executable (it was a NOTES paragraph after the r16 layout soaks):
+    * a range layout over F files fixes the leading ⌊log₂F⌋ bits of
+    * the key per file (each file covers a 1/F slice of the key
+    * space), and in a g:1 interleave ([[zkeyWeighted]] with
+    * g = aBits/bBits) every (g+1)-th of those leading bits belongs to
+    * the secondary dim — so the secondary gets ⌊log₂F / (g+1)⌋
+    * file-constant bits and the primary the rest. A point/equality
+    * predicate on a dim then skips ≈ 2^(its fixed bits) of the files.
+    *
+    * Discreteness is the point: the continuous F^(1/(g+1)) span model
+    * OVERESTIMATES small-F skipping — at F = 48, g = 2 the secondary
+    * holds ONE fixed bit (2× skip, measured exactly so on the r16
+    * warehouse soak), and both r16 layout specs needed F ≥ ~200
+    * before the weighted layout showed its asymptotics.
+    *
+    * @return (primary, secondary) file-constant bit counts */
+  def fixedBitsAt(fileCount: Long, g: Int): (Int, Int) = {
+    require(fileCount >= 1, "fixedBitsAt: fileCount must be ≥ 1")
+    require(g >= 1, "fixedBitsAt: g must be ≥ 1")
+    val l = 63 - java.lang.Long.numberOfLeadingZeros(fileCount) // ⌊log₂F⌋
+    val sec = l / (g + 1)
+    (l - sec, sec)
+  }
+
+  /** Pick (aBits, bBits) for [[zkeyWeighted]] FROM DATA — file count
+    * and endpoint mix — instead of folklore: choose the interleave
+    * ratio g minimizing the expected DECODED FRACTION
+    *
+    *   primaryShare · 2^−primaryFixed + (1 − primaryShare) · 2^−secondaryFixed
+    *
+    * with per-dim fixed bits from [[fixedBitsAt]]. Decoded rows (not
+    * "bits of skipping") is the quantity served reads pay, and its
+    * exponential shape is what keeps the optimum INTERIOR: the weak
+    * shape's 2^−fixed term dominates, so an extreme g that zeroes the
+    * secondary's fixed bits only wins when the mix is truly lopsided.
+    * Worked examples at F = 512 (log₂F = 9), totalBits = 24:
+    * mix 0.5 → g = 1 (symmetric 12/12); mix 0.9 → g = 2 (16/8, the
+    * r16 serving default — its "range-dominated" endpoint profile is
+    * a ~0.9 mix); mix 0.98 → g = 3 (18/6); mix 1.0 → the smallest g
+    * whose secondary fixed bits hit 0 (a primary sort in weighted-z
+    * clothing — at that mix the secondary genuinely buys nothing).
+    *
+    * For a SECONDARY-dominated mix (< 0.5) swap the dims — g ≥ 1
+    * always weights the first dim at least evenly.
+    *
+    * @param fileCount    files the table's optimize targets (measure:
+    *   table bytes / targetBytes)
+    * @param primaryShare fraction of reads filtering on the primary
+    *   dim (the rest filter on the secondary)
+    * @param totalBits    key-width budget, ≤ 62; g is chosen among
+    *   ratios that divide it into integer (aBits, bBits)
+    * @return (aBits, bBits) for [[zkeyWeighted]] /
+    *   [[graft.Warehouse.Layout.WeightedZ]] */
+  def weightedBitsFor(fileCount: Long, primaryShare: Double,
+      totalBits: Int = 24): (Int, Int) = {
+    require(primaryShare >= 0.0 && primaryShare <= 1.0,
+      s"weightedBitsFor: primaryShare must be in [0,1], got $primaryShare")
+    require(primaryShare >= 0.5,
+      "weightedBitsFor: secondary-dominated mix — swap the dims and pass " +
+        s"primaryShare = ${1.0 - primaryShare}")
+    require(totalBits >= 2 && totalBits <= 62,
+      "weightedBitsFor: totalBits must be in [2, 62]")
+    val feasible = (1 to totalBits - 1).filter(g => totalBits % (g + 1) == 0)
+    val best = feasible.minBy { g =>
+      val (pf, sf) = fixedBitsAt(fileCount, g)
+      val expectedDecodedFraction =
+        primaryShare * math.pow(2.0, -pf) +
+          (1.0 - primaryShare) * math.pow(2.0, -sf)
+      // deterministic tie-break toward balance: equal cost → smaller g
+      (expectedDecodedFraction, g)
+    }
+    (best * totalBits / (best + 1), totalBits / (best + 1))
+  }
+
   /** Linear bucketing of a numeric column into [0, 2^bits). Constant
     * columns map to bucket 0. */
   def bucketize(c: Column, min: Double, max: Double, bits: Int): Column = {

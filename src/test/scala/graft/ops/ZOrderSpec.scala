@@ -82,6 +82,76 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("fixedBitsAt: the r16 bit-budget lesson as data points; weightedBitsFor routes by decoded-fraction") {
+    // the measured r16 warehouse-soak anchors: at F ≈ 48, g = 2 the
+    // secondary holds exactly ONE fixed bit (the 2×-skip surprise that
+    // failed the first layout spec), and the asymptotics need F ≳ 200
+    assert(ZOrder.fixedBitsAt(48, 2) == (4, 1))
+    assert(ZOrder.fixedBitsAt(200, 2) == (5, 2))
+    assert(ZOrder.fixedBitsAt(256, 2) == (6, 2))
+    // symmetric split at g = 1; everything to the primary as g grows
+    assert(ZOrder.fixedBitsAt(256, 1) == (4, 4))
+    assert(ZOrder.fixedBitsAt(256, 8) == (8, 0))
+    // degenerate table: one file fixes nothing
+    assert(ZOrder.fixedBitsAt(1, 2) == (0, 0))
+    // secondary fixed bits are nondecreasing in F at fixed g
+    val secs = (1L to 20L).map(e => ZOrder.fixedBitsAt(1L << e, 2)._2)
+    assert(secs == secs.sorted)
+
+    // weightedBitsFor at F = 512, budget 24: balanced mix → symmetric;
+    // the r16 range-dominated profile (~0.9) → the shipped 16/8;
+    // truly lopsided → steeper; total mix → secondary dropped entirely
+    assert(ZOrder.weightedBitsFor(512, 0.5) == (12, 12))
+    assert(ZOrder.weightedBitsFor(512, 0.9) == (16, 8))
+    assert(ZOrder.weightedBitsFor(512, 0.98) == (18, 6))
+    assert(ZOrder.weightedBitsFor(512, 1.0)._2 * 3 <= 24 &&
+      ZOrder.fixedBitsAt(512,
+        ZOrder.weightedBitsFor(512, 1.0)._1 / ZOrder.weightedBitsFor(512, 1.0)._2)._2 == 0)
+    // widths always consume the budget and keep the multiple contract
+    for (mix <- Seq(0.5, 0.7, 0.9, 0.99); f <- Seq(10L, 100L, 1000L, 100000L)) {
+      val (a, b) = ZOrder.weightedBitsFor(f, mix)
+      assert(a + b == 24 && a % b == 0, s"($a,$b) at mix=$mix F=$f")
+    }
+    intercept[IllegalArgumentException](ZOrder.weightedBitsFor(512, 1.2))
+    // secondary-dominated mixes must be re-posed with swapped dims
+    intercept[IllegalArgumentException](ZOrder.weightedBitsFor(512, 0.3))
+  }
+
+  test("fixedBitsAt predicts the measured layout: per-file secondary spans under a real weighted key") {
+    // the decode-accounting experiment in model form, deterministic
+    // (no range-partitioner sampling): lay out the full 512-day ×
+    // 64-district grid in zkeyWeighted(date, district, 16, 8) order,
+    // slice into F equal files, and measure how many files a
+    // district-equality predicate could skip via min/max pruning. The
+    // model says: at F files the secondary holds
+    // sec = fixedBitsAt(F, 2)._2 fixed bits, so a district slice
+    // decodes ~F / 2^sec files — 1 bit at F = 64, 2 bits at F = 512,
+    // reproducing the r16 "one district bit at small F" accounting.
+    val nDays = 512L; val nD = 64L
+    val keys = (for (d <- 0L until nDays; k <- 0L until nD) yield (d, k))
+      .toDF("date_b", "district_b")
+      .select(col("district_b"),
+        ZOrder.zkeyWeighted(col("date_b"), col("district_b"), 16, 8).as("z"))
+      .orderBy("z")
+      .select("district_b")
+      .as[Long].collect()
+    for (files <- Seq(64, 512)) {
+      val perFile = keys.length / files
+      val hit = 7L // any district id; the grid is symmetric
+      val decodedFiles = keys.grouped(perFile).count { f =>
+        f.min <= hit && hit <= f.max // min/max stats pruning
+      }
+      val sec = ZOrder.fixedBitsAt(files, 2)._2
+      val predicted = files / (1 << sec)
+      // exact-model corridor: the grid is uniform, so the measured
+      // count sits within 2× of the floor-model prediction
+      assert(decodedFiles <= predicted * 2 && decodedFiles * 2 >= predicted,
+        s"F=$files: decoded $decodedFiles files vs predicted $predicted (sec=$sec)")
+      info(s"F=$files: district slice decodes $decodedFiles/$files files " +
+        s"(model: $predicted, ${sec} fixed secondary bits)")
+    }
+  }
+
   test("zkey2 stays non-negative through 31-bit buckets (sign-bit regression)") {
     // bit 31 of the SECOND dim would land on the long's sign bit; with
     // 32-bit buckets sorting by the signed key breaks z-monotonicity at
