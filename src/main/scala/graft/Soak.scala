@@ -1117,6 +1117,50 @@ object Soak {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_SOAK_BITEXT_X=<multEmb>: dedicated bitext-tier sweep
+    // — times brute (small sides only), LSH, IVF (incl. its two fits),
+    // and the ROUTED bitextMine at one corpus size, then exits. The
+    // receipt harness behind Bitext.DefaultLshMax: run at a few
+    // multipliers and read the LSH/IVF crossover off the printed rows
+    // (per-side n = multEmb × 1000 on the sf0.1 embeddings table).
+    val bitextX = sys.env.getOrElse("SPARK_GRAFT_SOAK_BITEXT_X", "0").toInt
+    if (bitextX > 0) {
+      val ctx = new Ctx(spark, sfDir, 1, bitextX, docDecor = false,
+        partsEnv, cpus.toInt)
+      val srcE = ctx.emb.where(pmod(col("id"), lit(2)) === 0)
+      val tgtE = ctx.emb.where(pmod(col("id"), lit(2)) === 1)
+      val nSide = math.max(srcE.count(), tgtE.count())
+      println(s"[soak] bitext sweep: ~$nSide rows per side")
+      if (nSide <= 6000) {
+        val b = ctx.time("bitext brute tier") {
+          ops.Bitext.mine(ops.Bitext.bruteCandidates(srcE, tgtE),
+            k = 8, threshold = 1.0).count()
+        }
+        println(s"[soak] brute mined: $b")
+      }
+      val l = ctx.time("bitext LSH tier") {
+        ops.Bitext.mine(ops.Bitext.annCandidates(srcE, tgtE, k = 8),
+          k = 8, threshold = 1.0).count()
+      }
+      println(s"[soak] lsh mined: $l")
+      val iv = ctx.time("bitext IVF tier (incl. 2 fits)") {
+        val cells = math.max(16L, math.min(4096L,
+          math.round(math.sqrt(nSide.toDouble)))).toInt
+        val srcM = ops.Ivf.fit(srcE, nlist = cells, iters = 3)
+        val tgtM = ops.Ivf.fit(tgtE, nlist = cells, iters = 3)
+        ops.Bitext.mine(
+          ops.Bitext.ivfCandidates(srcE, tgtE, k = 8, srcM, tgtM, nprobe = 4),
+          k = 8, threshold = 1.0).count()
+      }
+      println(s"[soak] ivf mined: $iv")
+      val r = ctx.time("bitext ROUTED (bitextMine)") {
+        ops.Bitext.bitextMine(srcE, tgtE, k = 8, threshold = 1.0).count()
+      }
+      println(s"[soak] routed mined: $r")
+      ctx.releaseAll()
+      spark.stop(); return
+    }
+
     // family selection: explicit list wins; legacy DOCS_ONLY/EMB_ONLY
     // aliases keep old invocations working
     val selected: Set[String] =
