@@ -1161,6 +1161,50 @@ object Soak {
       spark.stop(); return
     }
 
+    // SPARK_GRAFT_SOAK_STREAMFRAG=<batches>: streaming index
+    // fragmentation audit (r16 ask #6) — drive bm25IndexStream through
+    // that many 100-doc micro-batches (a 1 s-trigger day compressed:
+    // every trigger appends one file per touched bucket) under three
+    // maintenance configs and print the end-state parquet file counts:
+    // no compaction (the debt baseline), the batch-count schedule
+    // (compactEvery = 10), and the measured-file-count trigger
+    // (compactOverFiles = 128). Probe equality across configs is the
+    // specs' job; this row is the files/hour receipt.
+    val fragBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_STREAMFRAG", "0").toInt
+    if (fragBatches > 0) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ctx = new Ctx(spark, sfDir, 1, 1, docDecor = false, partsEnv, cpus.toInt)
+      val dir = java.nio.file.Files.createTempDirectory("graft-streamfrag").toString
+      def run(tag: String, every: Int, overFiles: Int): Unit = {
+        val idx = s"$dir/idx_$tag"
+        val in = MemoryStream[(Long, String)]
+        val q = streaming.EventStreams.bm25IndexStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          idx, s"$dir/ckpt_$tag",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+          compactEvery = every, compactOverFiles = overFiles)
+        ctx.time(s"bm25 stream $fragBatches batches [$tag]") {
+          for (b <- 0 until fragBatches) {
+            in.addData((0 until 100).map(j =>
+              (b * 100L + j, s"spark join data token${b % 17} word${j % 29}")))
+            q.processAllAvailable()
+          }
+          q.stop()
+        }
+        val files = ops.IndexMaintenance.parquetFileCount(spark, idx)
+        println(f"[soak] [$tag] end-state parquet files: $files " +
+          f"(${files.toDouble / fragBatches}%.1f files/batch-equivalent)")
+      }
+      try {
+        run("none", 0, 0)
+        run("every10", 10, 0)
+        run("over128", 0, 128)
+      } finally deleteRecursively(dir)
+      spark.stop(); return
+    }
+
     // family selection: explicit list wins; legacy DOCS_ONLY/EMB_ONLY
     // aliases keep old invocations working
     val selected: Set[String] =

@@ -268,11 +268,26 @@ object EventStreams {
     * `compactEvery = n` runs [[graft.ops.Bm25.compactIndex]] after
     * every n-th micro-batch (crash-safe staged-rename re-layout;
     * results are bit-identical before/after, Bm25Spec-pinned), keeping
-    * per-bucket file counts O(1) without an external janitor. */
+    * per-bucket file counts O(1) without an external janitor.
+    * `compactOverFiles = f` is the ADAPTIVE form: compact when the
+    * index's MEASURED parquet file count exceeds f
+    * ([[graft.ops.IndexMaintenance.parquetFileCount]]). Batch counts
+    * are an indirect fragmentation proxy — one append spreads across
+    * up to nBuckets files, so a fixed n mis-compacts by the
+    * touched-bucket factor, which varies with batch content. The r17
+    * audit (SPARK_GRAFT_SOAK_STREAMFRAG, 40 × 100-doc batches,
+    * 64 buckets): uncompacted debt grows 24.7 files/batch to 988
+    * files; `compactEvery = 10` ends at 36 files with 4 compactions;
+    * `compactOverFiles = 128` ends at 60 having compacted every ~5
+    * batches — the file knob BOUNDS what reads pay (files opened)
+    * directly, the schedule knob bounds compaction work; pick by
+    * which bound is the contract, or set both (either condition
+    * compacts). The probe is one recursive listing per trigger, only
+    * when armed — a metadata round-trip on object stores. */
   def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String, nBuckets: Int = 64,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, compactOverFiles: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -280,10 +295,24 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Bm25.appendIndex(batch, indexPath, idCol, textCol, nBuckets,
           Some(batchId))
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (shouldCompact(batch.sparkSession, batchId, compactEvery,
+            compactOverFiles, indexPath))
           graft.ops.Bm25.compactIndex(batch.sparkSession, indexPath)
       }
       .start()
+
+  /** The shared compaction predicate behind the index maintainers'
+    * two knobs: the batch-count schedule (`compactEvery`) and the
+    * measured-file-count trigger (`compactOverFiles`); either firing
+    * compacts. The file probe only runs when its knob is armed — the
+    * schedule-only configuration pays no extra listing. */
+  private def shouldCompact(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, compactEvery: Int, compactOverFiles: Int,
+      watchedDir: String): Boolean =
+    (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
+      (compactOverFiles > 0 &&
+        graft.ops.IndexMaintenance.parquetFileCount(spark, watchedDir) >
+          compactOverFiles)
 
   /** Streaming keep-first paragraph dedup — the stream twin of
     * [[graft.ops.Dedup.paragraphDedup]], wired as a foreachBatch
@@ -301,11 +330,13 @@ object EventStreams {
     * (idCol, n_paras, n_kept, clean_text). `compactEvery = n` runs
     * [[graft.ops.IndexMaintenance.compactDir]] (dedupeRows — retry
     * duplicates are inert) on the fingerprint dir after every n-th
-    * micro-batch, the [[bm25IndexStream]] small-file stance. */
+    * micro-batch; `compactOverFiles = f` compacts on the MEASURED
+    * file count instead — the [[bm25IndexStream]] small-file stance,
+    * both knobs composing the same way. */
   def paraDedupStream(lines: DataFrame, idCol: String, posCol: String,
       paraCol: String, indexPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0, compactOverFiles: Int = 0)(
       sink: DataFrame => Unit): StreamingQuery =
     lines.writeStream
       .outputMode(OutputMode.Append())
@@ -314,7 +345,8 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.ops.Dedup.paragraphDedupIncrement(
           batch, indexPath, idCol, posCol, paraCol, Some(batchId)))
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (shouldCompact(batch.sparkSession, batchId, compactEvery,
+            compactOverFiles, s"$indexPath/pmd5"))
           graft.ops.IndexMaintenance.compactDir(batch.sparkSession,
             s"$indexPath/pmd5", dedupeRows = true)
       }
@@ -330,12 +362,15 @@ object EventStreams {
     * ingested so far. The batchId passes through, making a retried
     * batch a RESUME (appendlog-first protocol — a replay can never
     * duplicate candidates in probe results); `compactEvery = n`
-    * restores one file per cell every n-th batch. Drift contract is
-    * the batch operator's: the quantizer froze at build time, monitor
-    * [[graft.ops.Ivf.cellStats]] and rebuild when cells unbalance. */
+    * restores one file per cell every n-th batch and
+    * `compactOverFiles = f` does so when the cells dir's measured
+    * file count exceeds f (the [[bm25IndexStream]] adaptive stance).
+    * Drift contract is the batch operator's: the quantizer froze at
+    * build time, monitor [[graft.ops.Ivf.cellStats]] and rebuild when
+    * cells unbalance. */
   def annIndexStream(vectors: DataFrame, indexPath: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, compactOverFiles: Int = 0): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -343,7 +378,8 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Ivf.appendIndex(batch.sparkSession, batch, indexPath,
           Some(batchId))
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (shouldCompact(batch.sparkSession, batchId, compactEvery,
+            compactOverFiles, s"$indexPath/cells"))
           graft.ops.Ivf.compactIndex(batch.sparkSession, indexPath)
       }
       .start()
@@ -360,11 +396,13 @@ object EventStreams {
     * (EventStreamsSpec-pinned). Output-first/append-second + the
     * batchId stamp give the full crash-replay safety of the paragraph
     * stream. `sink` receives the batch's SURVIVORS. `compactEvery = n`
-    * dedupe-compacts the vector index every n-th batch. */
+    * dedupe-compacts the vector index every n-th batch;
+    * `compactOverFiles = f` on its measured file count (the
+    * [[bm25IndexStream]] adaptive stance). */
   def semDedupStream(vectors: DataFrame, centroids: DataFrame,
       threshold: Double, indexPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0, compactOverFiles: Int = 0)(
       sink: DataFrame => Unit): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append())
@@ -373,7 +411,8 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.ops.SemDedup.semDedupIncrement(
           batch, centroids, threshold, indexPath, Some(batchId)))
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (shouldCompact(batch.sparkSession, batchId, compactEvery,
+            compactOverFiles, s"$indexPath/vectors"))
           graft.ops.IndexMaintenance.compactDir(batch.sparkSession,
             s"$indexPath/vectors", dedupeRows = true)
       }

@@ -246,6 +246,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("bm25IndexStream compactOverFiles: measured-file-count trigger bounds the index, answers unchanged") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25frag").toString
+    try {
+      def drive(tag: String, overFiles: Int): Long = {
+        val in = MemoryStream[(Long, String)]
+        val q = EventStreams.bm25IndexStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$dir/$tag", s"$dir/ckpt_$tag", nBuckets = 8,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+          compactOverFiles = overFiles)
+        for (b <- 0 until 6) {
+          in.addData((0 until 20).map(j =>
+            (b * 20L + j, s"spark join data token${j % 5} batch$b")))
+          q.processAllAvailable()
+        }
+        q.stop()
+        graft.ops.IndexMaintenance.parquetFileCount(spark, s"$dir/$tag")
+      }
+      val unbounded = drive("plain", 0)
+      val bounded = drive("adaptive", 10)
+      // the adaptive trigger compacts when the MEASURED count exceeds
+      // the knob, so the end state is at most one batch's spread past
+      // it; the unbounded twin keeps every append's files
+      assert(bounded < unbounded,
+        s"adaptive compaction did not shrink the index: $bounded vs $unbounded")
+      assert(bounded <= 10 + 12, // knob + one batch across 8 buckets + meta/doclen
+        s"adaptive end state too fragmented: $bounded files")
+      // and the compacted index answers exactly like the uncompacted one
+      val terms = Seq("spark", "join", "token1")
+      val a = graft.ops.Bm25.topKIndexed(spark, s"$dir/plain", terms, k = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      val b = graft.ops.Bm25.topKIndexed(spark, s"$dir/adaptive", terms, k = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(a == b, "compaction changed probe results")
+    } finally deleteRecursively(dir)
+  }
+
   test("bm25IndexStream: per-trigger fold-in ≡ one batch index over the replayed stream") {
     implicit val sc = spark.sqlContext
     val batch1 = Seq((1L, "spark joins data with spark"),
