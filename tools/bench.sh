@@ -20,7 +20,7 @@
 # Usage:
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/bench.sh
 # Optional env (same as Bench itself): SPARK_GRAFT_CPUS,
-# SPARK_DRIVER_MEM, SPARK_GRAFT_BENCH_STAT, SPARK_GRAFT_BENCH_REPS.
+# SPARK_DRIVER_MEM, SPARK_GRAFT_BENCH_STAT, SPARK_GRAFT_BENCH_FULL.
 # Extra args are passed through to graft.Bench.
 set -euo pipefail
 cd "$(dirname "$0")/.."
