@@ -202,15 +202,16 @@ object Boilerplate {
   def removeLineStats(removedLines: DataFrame, idCol: String,
       grpCol: String, lineCol: String, path: String,
       checkpoint: Option[String] = None): Unit = {
+    IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/freq")
+    IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/grps")
     // streaming-replay guard (quiescence form — stats rows carry no
     // batch stamps): decrementing counts an uncommitted batch's replay
-    // will re-add leaves the additive sums permanently wrong
+    // will re-add leaves the additive sums permanently wrong. Runs
+    // after the heals above so its read never trips on a torn swap.
     checkpoint.foreach(cp => IndexMaintenance.requireBatchesCommitted(
       removedLines.sparkSession,
       removedLines.sparkSession.read.parquet(s"$path/freq"), cp,
       s"Boilerplate.removeLineStats($path)"))
-    IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/freq")
-    IndexMaintenance.guardAppend(removedLines.sparkSession, s"$path/grps")
     lineDocFreq(removedLines, idCol, grpCol, lineCol)
       .withColumn("n_docs", -col("n_docs"))
       .write.mode(SaveMode.Append).option("compression", "zstd").parquet(s"$path/freq")

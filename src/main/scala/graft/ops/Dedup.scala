@@ -551,9 +551,14 @@ object Dedup {
     * re-append whatever of these rows it originally wrote. */
   def removeFromBandIndex(spark: SparkSession, path: String,
       ids: DataFrame, checkpoint: Option[String] = None): Unit = {
-    checkpoint.foreach(cp => IndexMaintenance.requireBatchesCommitted(
-      spark, spark.read.parquet(s"$path/buckets"), cp,
-      s"Dedup.removeFromBandIndex($path)"))
+    checkpoint.foreach { cp =>
+      // heal a torn compaction swap BEFORE the guard's read — the
+      // strip below would heal it anyway, but the guard reads first
+      IndexMaintenance.guardAppend(spark, s"$path/buckets")
+      IndexMaintenance.requireBatchesCommitted(
+        spark, spark.read.parquet(s"$path/buckets"), cp,
+        s"Dedup.removeFromBandIndex($path)")
+    }
     IndexMaintenance.rewriteExcludingKeys(spark, s"$path/buckets",
       ids.select(col("id")), "id", rangeSortCols = Seq("band", "bkey"))
     IndexMaintenance.rewriteExcludingKeys(spark, s"$path/shingles",
@@ -760,10 +765,10 @@ object Dedup {
       textCol: String = "text", checkpoint: Option[String] = None): Unit = {
     val spark = removedDocs.sparkSession
     requireIndexWidth(spark, path, width, "remove from")
+    IndexMaintenance.guardAppend(spark, s"$path/chunks") // heal, THEN read
     checkpoint.foreach(cp => IndexMaintenance.requireBatchesCommitted(
       spark, spark.read.parquet(s"$path/chunks"), cp,
       s"Dedup.removeFromChunkIndex($path)"))
-    IndexMaintenance.guardAppend(spark, s"$path/chunks")
     chunkStream(removedDocs, width, idCol, textCol)
       .groupBy("__h").agg((-countDistinct(col(idCol))).as("n_docs"))
       .repartitionByRange(col("__h"))

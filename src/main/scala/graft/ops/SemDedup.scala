@@ -215,6 +215,9 @@ object SemDedup {
       indexPath: String, ids: DataFrame,
       checkpoint: Option[String] = None): Unit = {
     checkpoint.foreach { cp =>
+      // heal a torn compaction swap BEFORE the guard's read — the
+      // strip below would heal it anyway, but the guard reads first
+      IndexMaintenance.guardAppend(spark, s"$indexPath/vectors")
       val affected = spark.read.option("mergeSchema", "true")
         .parquet(s"$indexPath/vectors")
         .join(ids.select(col("id")), Seq("id"), "left_semi")

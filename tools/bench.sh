@@ -28,13 +28,17 @@ cd "$(dirname "$0")/.."
 : "${SPARK_GRAFT_SF_DIR:?set SPARK_GRAFT_SF_DIR to a testdata sf dir}"
 
 CLASSES=target/scala-2.13/classes
-# compile only when the tree is newer than the classes dir — the whole
-# point is NOT to pay sbt's boot load right before the bench samples
-# /proc/loadavg; when a build is needed, let the load decay afterwards.
-if [ ! -d "$CLASSES" ] ||
-   [ -n "$(find src/main build.sbt -newer "$CLASSES" -print -quit 2>/dev/null)" ]; then
+STAMP=target/.bench_compile_stamp
+# compile only when a source is newer than the last compile THIS SCRIPT
+# saw (a stamp file, not the classes dir — directory mtimes only track
+# direct children, so the dir reads permanently stale and every launch
+# would pay sbt's boot + the 60 s settle). The whole point is NOT to
+# put sbt's boot load in front of Bench's /proc/loadavg sample.
+if [ ! -d "$CLASSES" ] || [ ! -f "$STAMP" ] ||
+   [ -n "$(find src/main build.sbt -newer "$STAMP" -print -quit 2>/dev/null)" ]; then
   echo "[bench.sh] classes stale — compiling via sbt, then settling 60s" >&2
   sbt -batch compile 1>&2
+  touch "$STAMP"
   sleep 60 # let sbt's boot load drain out of the 1-minute average
 fi
 
