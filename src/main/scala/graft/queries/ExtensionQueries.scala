@@ -303,8 +303,17 @@ object ExtensionQueries {
           e.where(col("id") % 9 === 0).select("id"))
       }
       val index = graft.ops.IvfPq.load(s, idx)
+      // corpus-covering by CONSTRUCTION, not by constant: the exact
+      // re-rank keeps the k·shortlist ADC-best rows, so covering needs
+      // k·shortlist ≥ survivors. The old shortlist = 400 covered
+      // sf0.1's 1778 survivors (400·5 = 2000) but silently stopped
+      // covering at the r17 10× scaling run (17 778 survivors) — the
+      // one red in that sweep; deriving it from the index keeps the
+      // ≡-brute contract at every SF
+      val survivors = index.cells.count()
+      val covering = ((survivors + 4) / 5).toInt.max(1)
       graft.ops.IvfPq.topK(index.cells, e, q, index.model, k = 5,
-        nprobe = 16, shortlist = 400)
+        nprobe = 16, shortlist = covering)
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
@@ -355,20 +364,23 @@ object ExtensionQueries {
   }
 
   /** Product-quantization ANN, end to end (fit → encode → ADC
-    * shortlist → exact re-rank). The gate's shortlist (k×400 ≥ corpus
-    * at gate scale) covers every vector, making the re-ranked output
-    * provably the exact cosine top-k — the same exact-by-construction
-    * configuration q_ann_ivf uses — while still executing the whole
-    * compressed-scoring machinery. ADC-only recall (the genuinely
-    * approximate path) is pinned in PqSpec. Query set 20 ≤ id < 30,
-    * distinct from the other ANN gates. */
+    * shortlist → exact re-rank). The gate's shortlist is derived from
+    * the corpus (k·shortlist ≥ |corpus| — covering by CONSTRUCTION,
+    * the r17 lesson from q_annpq_delete's 10× scaling red where a
+    * constant 400 silently stopped covering), making the re-ranked
+    * output provably the exact cosine top-k at every SF — the same
+    * exact-by-construction configuration q_ann_ivf uses — while still
+    * executing the whole compressed-scoring machinery. ADC-only
+    * recall (the genuinely approximate path) is pinned in PqSpec.
+    * Query set 20 ≤ id < 30, distinct from the other ANN gates. */
   def qPqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding"))
     val q = e.where(col("id") >= 20 && col("id") < 30)
       .select(col("id").as("qid"), col("embedding"))
     val model = graft.ops.Pq.fit(e, m = 8, k = 16, iters = 3)
-    graft.ops.Pq.topKReranked(e, q, model, k = 5, shortlist = 400)
+    val covering = ((e.count() + 4) / 5).toInt.max(1)
+    graft.ops.Pq.topKReranked(e, q, model, k = 5, shortlist = covering)
       .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"),
         col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")

@@ -39,7 +39,15 @@ def table_fingerprint(sf_dir):
     parts = [os.path.realpath(sf_dir)]
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (the
+            # ScaleTestdata output shape) — fingerprint the parts
+            files = [os.path.join(p, f) for f in sorted(os.listdir(p))
+                     if f.endswith(".parquet")]
+            size = sum(os.stat(f).st_size for f in files)
+            mt = max((os.stat(f).st_mtime_ns for f in files), default=0)
+            parts.append(f"{t}:{size}:{mt}")
+        elif os.path.exists(p):
             st = os.stat(p)
             parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts)
@@ -119,7 +127,9 @@ def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dir-style table
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
@@ -224,7 +234,9 @@ def prewarm(sf_dir, oracle_json_path):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dir-style table
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(oracle_json_path))
     fp = table_fingerprint(sf_dir)
