@@ -261,7 +261,12 @@ object EventStreams {
     * skipped, a torn meta-only state finishes just its postings —
     * every crash point converges to the no-crash index
     * (Bm25Spec's crash-replay cases pin it). Equivalence to one
-    * batch build is EventStreamsSpec-pinned.
+    * batch build is EventStreamsSpec-pinned. Takedowns against an
+    * index THIS stream maintains should pass `checkpoint` to
+    * [[graft.ops.Bm25.removeDocs]] — the runtime guard
+    * ([[graft.ops.IndexMaintenance.requireBatchesCommitted]]) then
+    * refuses to strip rows of a batch whose commit hasn't landed,
+    * closing the replay-resurrection race.
     *
     * Every append adds one file per touched bucket, so at trigger
     * cadence the index hits the small-file cliff in days —
