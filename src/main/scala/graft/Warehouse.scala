@@ -53,6 +53,29 @@ object Warehouse {
       primaryBits: Int = 16, secondaryBits: Int = 8) extends Layout {
     def tag: String = s"wz:$primary,$secondary|$primaryBits,$secondaryBits"
   }
+  /** [[WeightedZ]] with the interleave widths DERIVED AT EACH
+    * OPTIMIZE from measured table stats
+    * ([[graft.ops.ZOrder.weightedBitsFor]](perDirFileCount,
+    * primaryShare, totalBits)) instead of fixed 16/8 — the layout for
+    * a table whose size drifts: as appends grow a leaf past the next
+    * file-count threshold, the rewrite that the byte-budget
+    * divergence already triggers re-derives the bit split for the NEW
+    * file count, so the secondary dim's fixed-bit budget
+    * ([[graft.ops.ZOrder.fixedBitsAt]] — the r16 small-F lesson)
+    * tracks growth without anyone re-reading the sizing table.
+    * `primaryShare` is the endpoint mix (fraction of reads filtering
+    * on `primary`); the tag carries (share, totalBits), NOT the
+    * derived widths — re-derivation on growth rides the file-count
+    * divergence check, so a settled table is still a no-op. */
+  final case class WeightedZAuto(primary: String, secondary: String,
+      primaryShare: Double = 0.9, totalBits: Int = 24) extends Layout {
+    require(primaryShare >= 0.5 && primaryShare <= 1.0,
+      s"WeightedZAuto: primaryShare must be in [0.5, 1] (swap the dims " +
+        s"for a secondary-dominated mix), got $primaryShare")
+    require(totalBits >= 2 && totalBits <= 62,
+      s"WeightedZAuto: totalBits must be in [2, 62], got $totalBits")
+    def tag: String = s"wza:$primary,$secondary|$primaryShare|$totalBits"
+  }
 }
 
 /** @param markerProbeTtlMs opt-in cache for [[read]]'s torn-optimize
@@ -484,6 +507,26 @@ final class Warehouse(spark: SparkSession, root: String,
           linearBuckets(dfv, zvNames, Seq(pBits, sBits)) match {
             case Some(b) =>
               val z = graft.ops.ZOrder.zkeyWeighted(b(0), b(1), pBits, sBits)
+              (dfv.withColumn("__z", z), Some(Seq(col("__z"))), zvNames :+ "__z")
+            case None => (dfv, None, zvNames)
+          }
+        case Warehouse.WeightedZAuto(primary, secondary, share, totalBits) =>
+          // size the interleave to the PER-LEAF-DIR file count — the
+          // unit the range layout fixes leading bits over (queries
+          // prune dirs first; within a dir the z-range split is what
+          // footer min/max skipping sees). Same ceil the writer shape
+          // below uses for its own file budget.
+          val files =
+            if (parts.isDefined)
+              math.max(1L, math.ceil(
+                bytes.toDouble / math.max(1, dirs) / targetBytes).toLong)
+            else math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+          val (aB, bB) =
+            graft.ops.ZOrder.weightedBitsFor(files, share, totalBits)
+          val (dfv, zvNames) = withNumericViews(Seq(primary, secondary))
+          linearBuckets(dfv, zvNames, Seq(aB, bB)) match {
+            case Some(b) =>
+              val z = graft.ops.ZOrder.zkeyWeighted(b(0), b(1), aB, bB)
               (dfv.withColumn("__z", z), Some(Seq(col("__z"))), zvNames :+ "__z")
             case None => (dfv, None, zvNames)
           }

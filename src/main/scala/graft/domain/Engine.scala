@@ -320,7 +320,11 @@ object Engine {
     * single layout on the shape it is weak at; WarehouseSpec pins
     * both counterfactuals by decoded-row accounting. The undated risk
     * facts keep symmetric (province, district) z — both their filters
-    * are equalities. */
+    * are equalities. Tables whose size DRIFTS (so a fixed 16/8 would
+    * go stale) can use [[graft.Warehouse.WeightedZAuto]] instead —
+    * it re-derives the widths from the measured per-dir file count at
+    * each optimize; the serving tables here keep the explicit,
+    * soak-measured split. */
   val ServingLayouts: Map[String, graft.Warehouse.Layout] = Map(
     RainT -> graft.Warehouse.WeightedZ("date", "district_id"),
     IncidentT -> graft.Warehouse.WeightedZ("disaster_date", "district_id"),
