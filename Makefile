@@ -25,9 +25,11 @@ verify: prewarm
 bench:
 	SPARK_GRAFT_SF_DIR=$(SF_BENCH) SPARK_GRAFT_CPUS=$(CPUS) tools/bench.sh
 
-# oracle-cache prewarm, keyed on the duckdb version stamp
+# oracle-cache prewarm, keyed on the duckdb version stamp — warms the
+# SAME dir verify compares (a default-dir warm would leave the real
+# battery cold-starting inside compare.py after a duckdb bump)
 prewarm:
-	tools/prewarm_oracles.sh
+	tools/prewarm_oracles.sh $(SF_VERIFY)
 
 soak:
 	SPARK_GRAFT_SF_DIR=$(SF_BENCH) SPARK_GRAFT_CPUS=$(CPUS) sbt -batch "runMain graft.Soak"

@@ -28,3 +28,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// `sbt bench` — the sbt-initiated route to the SAME fork-free bench
+// (r17 ask #6): execs tools/bench.sh with INHERITED stdio.
+// ProcessBuilder.inheritIO attaches the child directly to this JVM's
+// stdout/stderr file descriptors, so sbt's logger never frames the
+// stat JSON line and bench.sh's channel discipline survives (stat
+// JSON is the script's only stdout line; program output on stderr).
+// bench.sh itself launches graft.Bench under plain `java -cp`, so the
+// measured process still boots free of sbt's load spike. Env passes
+// through; SPARK_GRAFT_SF_DIR defaults to the per-round driver dir.
+lazy val bench = taskKey[Unit](
+  "fork-free bench via tools/bench.sh (stat JSON unframed on stdout)")
+bench := {
+  val pb = new java.lang.ProcessBuilder(
+    (baseDirectory.value / "tools" / "bench.sh").getAbsolutePath)
+  pb.directory(baseDirectory.value)
+  if (!sys.env.contains("SPARK_GRAFT_SF_DIR"))
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  pb.inheritIO()
+  val rc = pb.start().waitFor()
+  if (rc != 0) sys.error(s"tools/bench.sh exited $rc")
+}

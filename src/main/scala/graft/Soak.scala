@@ -1120,9 +1120,10 @@ object Soak {
     // SPARK_GRAFT_SOAK_BITEXT_X=<multEmb>: dedicated bitext-tier sweep
     // — times brute (small sides only), LSH, IVF (incl. its two fits),
     // and the ROUTED bitextMine at one corpus size, then exits. The
-    // receipt harness behind Bitext.DefaultLshMax: run at a few
-    // multipliers and read the LSH/IVF crossover off the printed rows
-    // (per-side n = multEmb × 1000 on the sf0.1 embeddings table).
+    // receipt harness behind bitextMine having NO LSH leg (the
+    // annCandidates scaladoc table): run at a few multipliers and read
+    // the LSH/IVF crossover off the printed rows (per-side
+    // n = multEmb × 1000 on the sf0.1 embeddings table).
     val bitextX = sys.env.getOrElse("SPARK_GRAFT_SOAK_BITEXT_X", "0").toInt
     if (bitextX > 0) {
       val ctx = new Ctx(spark, sfDir, 1, bitextX, docDecor = false,

@@ -96,62 +96,40 @@ object Bitext {
     * 8.6 s). */
   val DefaultBruteMax: Long = 2000L
 
-  /** Default upper edge of the LSH window — EQUAL to
-    * [[DefaultBruteMax]], i.e. the LSH tier is OFF the default route.
-    * That is a measured conclusion, not an oversight: the r17 sweep
-    * (64-dim, 8 cpus, k = 8, LSH auto bucket sizing vs IVF √n cells /
-    * nprobe 4, both at comparable mined-pair recall) found NO corpus
-    * size where LSH beat IVF —
-    *
-    *   per side:   1 k    2 k    4 k    6 k    16 k   24 k   30 k(r16)
-    *   LSH  (s):   8.6   14.4   21.8   24.8   177    265    579
-    *   IVF  (s):   3.7    4.4    6.1    8.6    28.3   33.3   106
-    *
-    * LSH's candidate volume is Σ|bucket|² (bucket-population
-    * quadratic) while IVF's is n · nprobe · cellSize (linear at fixed
-    * quantizer granularity), and the two √n-ish fits amortize by
-    * ~2 k rows. Widen the window (`bruteMax < lshMax`) only for a
-    * regime where quantizer fits are disproportionate on YOUR rig —
-    * and measure first (SPARK_GRAFT_SOAK_BITEXT_X is the harness). */
-  val DefaultLshMax: Long = DefaultBruteMax
-
   /** THE routed entry point — mine mutual-best pairs with the
     * candidate tier CHOSEN BY CORPUS SIZE, the [[IvfPq.topKAuto]]
-    * stance: one count per side picks brute / LSH / IVF, so the
-    * caller no longer hand-selects a tier (and no longer discovers
-    * the LSH bucket quadratic by timeout at 30 k × 30 k).
+    * stance: one count per side picks brute / IVF, so the caller no
+    * longer hand-selects a tier.
     *
     *   - max side ≤ `bruteMax`: [[bruteCandidates]] — the exact tier;
     *     a broadcast cross product is unbeatable while it fits.
-    *   - max side ≤ `lshMax`: [[annCandidates]] (LSH both directions,
-    *     auto bucket sizing). The DEFAULT window is EMPTY
-    *     (`DefaultLshMax == DefaultBruteMax`) — the r17 sweep found
-    *     no size where LSH beat IVF on this rig; see
-    *     [[DefaultLshMax]] for the table and when to widen it.
     *   - above: two √n-ish IVF fits + [[ivfCandidates]] — the
     *     linear-in-corpus path (fit cost amortizes by ~2 k rows; at
-    *     24 k per side fits + probes run 8× faster than LSH, at the
-    *     r16 30 k point 5.5×).
+    *     24 k per side fits + probes run 8× faster than the LSH tier,
+    *     at the r16 30 k point 5.5×).
     *
-    * Exactness: the brute route is exact; LSH/IVF pay their usual
-    * recall trade at production settings, and reproduce the brute
-    * mining bit-for-bit under covering settings (`nBits = 0` /
-    * `nprobe ≥ nlist` with `k ≥ corpus` — BitextSpec pins ALL THREE
-    * routes ≡ brute through this entry point). Same contract as the
-    * tiers themselves: disjoint id spaces, null embeddings drop.
+    * There is deliberately NO LSH leg here: the r17 sweep found no
+    * corpus size where [[annCandidates]] beat IVF (its measured table
+    * lives on that method), so a routed LSH window would be dead code
+    * on every default path. [[annCandidates]] remains available as an
+    * explicitly caller-chosen tier — compose it with [[mine]] if a
+    * sweep on YOUR rig says otherwise.
+    *
+    * Exactness: the brute route is exact; IVF pays its usual recall
+    * trade at production settings, and reproduces the brute mining
+    * bit-for-bit under covering settings (`nprobe ≥ nlist` with
+    * `k ≥ corpus` — BitextSpec pins both routes ≡ brute through this
+    * entry point). Same contract as the tiers themselves: disjoint id
+    * spaces, null embeddings drop.
     *
     * @param nlist IVF cells per side; 0 (default) sizes to
     *   clamp(√n, 16, 4096) — the usual quantizer-granularity rule */
   def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, threshold: Double,
-      bruteMax: Long = DefaultBruteMax, lshMax: Long = DefaultLshMax,
-      nBits: Int = -1, nTables: Int = 8,
+      bruteMax: Long = DefaultBruteMax,
       nlist: Int = 0, nprobe: Int = 4, ivfIters: Int = 3): DataFrame = {
-    require(bruteMax <= lshMax,
-      s"bitextMine: bruteMax ($bruteMax) must be ≤ lshMax ($lshMax)")
     val n = math.max(src.count(), tgt.count())
     val pairs =
       if (n <= bruteMax) bruteCandidates(src, tgt)
-      else if (n <= lshMax) annCandidates(src, tgt, k, nBits, nTables)
       else {
         val cells =
           if (nlist > 0) nlist
@@ -164,14 +142,32 @@ object Bitext {
     mine(pairs, k, threshold)
   }
 
-  /** Production candidate tier: each side's LSH top-k against the
-    * other, UNIONED — both directions, because the margin needs both
-    * sides' own neighbourhood lists and mutual-best needs every pair
-    * visible from whichever side ranked it. With covering buckets
-    * (`nBits = 0`) and `k ≥ |corpus|` this provably reproduces
-    * [[bruteCandidates]]-fed mining bit-for-bit (BitextSpec pins it —
-    * the HybridRetrievalSpec device); production reduces bits/k and
-    * pays the usual LSH recall trade. [[ivfCandidates]] is the
+  /** LSH candidate tier — CALLER-CHOSEN ONLY, never routed: each
+    * side's LSH top-k against the other, UNIONED — both directions,
+    * because the margin needs both sides' own neighbourhood lists and
+    * mutual-best needs every pair visible from whichever side ranked
+    * it. With covering buckets (`nBits = 0`) and `k ≥ |corpus|` this
+    * provably reproduces [[bruteCandidates]]-fed mining bit-for-bit
+    * (BitextSpec pins it — the HybridRetrievalSpec device); production
+    * reduces bits/k and pays the usual LSH recall trade.
+    *
+    * [[bitextMine]] does not route here, by measurement: the r17 sweep
+    * (64-dim, 8 cpus, k = 8, auto bucket sizing vs IVF √n cells /
+    * nprobe 4, comparable mined-pair recall) found NO corpus size
+    * where this tier beat [[ivfCandidates]] —
+    *
+    *   per side:   1 k    2 k    4 k    6 k    16 k   24 k   30 k(r16)
+    *   LSH  (s):   8.6   14.4   21.8   24.8   177    265    579
+    *   IVF  (s):   3.7    4.4    6.1    8.6    28.3   33.3   106
+    *
+    * LSH's candidate volume is Σ|bucket|² (bucket-population
+    * quadratic) while IVF's is n · nprobe · cellSize (linear at fixed
+    * quantizer granularity), and the two √n-ish IVF fits amortize by
+    * ~2 k rows. The tier could only win where quantizer fits are
+    * disproportionately expensive on a given rig (e.g. iteration-bound
+    * k-means on very high dims) — measure with the
+    * SPARK_GRAFT_SOAK_BITEXT_X harness before choosing it, then
+    * compose directly with [[mine]]. [[ivfCandidates]] is the
     * cell-partitioned variant ([[Ivf.topK]] both ways) — [[mine]]
     * only sees (sid, tid, cosine).
     *

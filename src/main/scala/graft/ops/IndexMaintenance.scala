@@ -261,39 +261,44 @@ object IndexMaintenance {
   }
 
   /** Streaming-takedown safety guard: REFUSE (loudly) to run a
-    * takedown whose rows could be resurrected by a structured-
-    * streaming replay — the runtime form of the contract that was
-    * previously documentation-only on [[Bm25.removeDocs]].
+    * takedown while the maintaining stream's checkpoint shows work in
+    * flight — the runtime form of the contract that was previously
+    * documentation-only on [[Bm25.removeDocs]].
     *
-    * The hazard: a streaming index maintainer's `foreachBatch` body
-    * runs BEFORE the checkpoint's commit log records the batch, so a
-    * takedown racing an in-flight batch can strip rows that batch
-    * wrote — and the batch's replay (after a crash, or on restart)
-    * re-appends them: the removed docs silently come back, the worst
-    * failure mode a compliance verb can have.
+    * TWO hazards, one guard:
+    *   - Replay resurrection: a maintainer's `foreachBatch` body runs
+    *     BEFORE the checkpoint's commit log records the batch, so a
+    *     takedown racing an in-flight batch can strip rows that batch
+    *     wrote — and the batch's replay (after a crash, or on restart)
+    *     re-appends them: the removed docs silently come back.
+    *   - Concurrent-append loss: every strip this guard fronts is a
+    *     whole-dir read → staged-rename swap, so an append that lands
+    *     between the strip's read and its swap is DISCARDED when the
+    *     swap retires the old dir — committed-batch data loss, which
+    *     is worse. An in-flight batch at check time makes that loss
+    *     near-certain (strips and batches run on the same timescale).
     *
-    * Committedness is read from the checkpoint's commit log
-    * (`<checkpoint>/commits/<batchId>`, one entry per committed
-    * batch). Commits are SEQUENTIAL — batch b commits only after
-    * b − 1 — so b is committed iff b ≤ the log's max entry; that
-    * inequality (not per-file existence) also stays correct after
-    * Spark purges old entries per `minBatchesToRetain`.
+    * Both modes therefore require QUIESCENCE — every started batch
+    * (`offsets/<b>`) must have committed (`commits/<b>`). Committedness
+    * is the MAX-COMMIT INEQUALITY (commits are sequential — batch b
+    * commits only after b − 1 — so b is committed iff b ≤ the log's
+    * max entry), which stays correct after Spark purges old entries
+    * per `minBatchesToRetain`. When `affected` carries a `batch_id`
+    * column (bm25 postings, IVF/PQ cells), the distinct non-null
+    * stamps among the rows being removed must ALSO all be ≤ max
+    * committed — a cross-check that catches an index paired with the
+    * wrong checkpoint, which bare quiescence cannot see.
     *
-    * Two modes, chosen by whether the index attributes rows:
-    *   - `affected` HAS a `batch_id` column (bm25 postings, IVF/PQ
-    *     cells): the distinct non-null stamps among the rows being
-    *     removed must all be ≤ max committed — a precise per-batch
-    *     check; rows of committed batches are removable while a new
-    *     batch is mid-flight.
-    *   - no `batch_id` column (the band index's bucket rows): rows
-    *     cannot be attributed, so the only safe claim is QUIESCENCE —
-    *     refuse if any started batch (`offsets/<b>`) has not
-    *     committed. Coarser by necessity; stamps buy precision.
-    *
-    * Call this with the checkpoint of the stream that MAINTAINS the
-    * index (the one whose replay could re-append). A takedown with no
-    * streaming maintainer passes `None` upstream and never reaches
-    * here. */
+    * SCOPE — what this guard does and does not close: it closes the
+    * replay-resurrection race and shrinks the concurrent-append-loss
+    * window to "a batch that both starts and lands after the check"
+    * (TOCTOU — the checkpoint has no liveness signal, so no check here
+    * can see a batch that starts later). A takedown against an index
+    * with a LIVE maintainer still requires the single-writer
+    * maintenance window: stop the stream, or know it is idle for the
+    * strip's duration. Call this with the checkpoint of the stream
+    * that MAINTAINS the index; a takedown with no streaming maintainer
+    * passes `None` upstream and never reaches here. */
   def requireBatchesCommitted(spark: SparkSession,
       affected: org.apache.spark.sql.DataFrame, checkpoint: String,
       context: String): Unit = {
@@ -311,7 +316,26 @@ object IndexMaintenance {
         .maxOption
     }
     val maxCommitted = maxEntry("commits")
+    // Quiescence first, in BOTH modes: the strips this guard fronts
+    // are whole-dir staged swaps, so an in-flight batch's append can
+    // land between the strip's read and its swap and be discarded —
+    // loss the per-batch stamp check below cannot prevent.
+    val maxStarted = maxEntry("offsets")
+    val inFlight = maxStarted.filter(s => !maxCommitted.exists(s <= _))
+    if (inFlight.isDefined)
+      throw new IllegalStateException(
+        s"$context: refusing takedown — streaming batch ${inFlight.get} " +
+          s"at $checkpoint has started (offsets/) but not committed " +
+          "(commits/). Its replay would re-append removed rows, and its " +
+          "in-flight append could land mid-strip and be lost by the " +
+          "staged swap. Wait for the batch to commit (or stop the " +
+          "stream) and retry.")
     if (affected.columns.contains("batch_id")) {
+      // Cross-check: stamps on the rows being removed must be covered
+      // by THIS checkpoint's commit log — a stamp above max committed
+      // on a quiescent checkpoint means the index is paired with the
+      // wrong checkpoint (or the log was truncated), and a replay
+      // elsewhere could still resurrect the rows.
       val stamped = affected.where(col("batch_id").isNotNull)
         .select(col("batch_id").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
@@ -324,17 +348,6 @@ object IndexMaintenance {
             s"${maxCommitted.fold("none")(_.toString)}). A replay of an " +
             "uncommitted batch would re-append the removed rows. Wait " +
             "for the batch to commit (or stop the stream) and retry.")
-    } else {
-      val maxStarted = maxEntry("offsets")
-      val inFlight = maxStarted.filter(s => !maxCommitted.exists(s <= _))
-      if (inFlight.isDefined)
-        throw new IllegalStateException(
-          s"$context: refusing takedown — this index carries no " +
-            s"batch_id stamps and streaming batch ${inFlight.get} at " +
-            s"$checkpoint has started (offsets/) but not committed " +
-            "(commits/), so the rows to remove cannot be proven outside " +
-            "it; a replay would re-append them. Wait for the batch to " +
-            "commit (or stop the stream) and retry.")
     }
   }
 

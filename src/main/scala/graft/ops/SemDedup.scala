@@ -208,9 +208,9 @@ object SemDedup {
     * are no-ops. Removing ids of a batch whose streaming checkpoint
     * hasn't committed is REFUSED at runtime when `checkpoint` names
     * the maintaining stream's checkpoint
-    * ([[IndexMaintenance.requireBatchesCommitted]], precise per-batch
-    * mode — the vectors are batch-stamped); without it the race stays
-    * the caller's contract (the index-family rule). */
+    * ([[IndexMaintenance.requireBatchesCommitted]] — quiescence plus
+    * the stamped cross-check, the vectors are batch-stamped); without
+    * it the race stays the caller's contract (the index-family rule). */
   def removeSeen(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, ids: DataFrame,
       checkpoint: Option[String] = None): Unit = {

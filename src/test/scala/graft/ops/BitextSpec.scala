@@ -101,12 +101,11 @@ class BitextSpec extends SparkSpec {
     assert(reduced.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1))
   }
 
-  test("bitextMine: every route — brute, LSH, IVF — reproduces brute mining under covering settings") {
+  test("bitextMine: both routes — brute, IVF — reproduce brute mining under covering settings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
     val s = e.where(col("id") % 2 === 0)
     val t = e.where(col("id") % 2 === 1)
-    val n = math.max(s.count(), t.count())
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e9))).toSet
@@ -115,22 +114,17 @@ class BitextSpec extends SparkSpec {
     // default thresholds: a gate-scale corpus routes to the exact tier
     assert(canon(Bitext.bitextMine(s, t, k = 4, threshold = 1.0)) == brute,
       "default routing at gate scale must take the exact brute tier")
-    // thresholds forced so each tier is the one chosen; covering
-    // settings (nBits = 0 / nprobe ≥ nlist) make each tier's
-    // per-direction top-k EXACT, and an exact union top-k mines
-    // identically to all-pairs: per sid the union's top-k by cosine IS
-    // its true top-k (any extra pair beating the kth would itself be
-    // in the true top-k), so ranks, neighbourhood means, margins, and
-    // the mutual-best windows all coincide with brute's
-    val viaLsh = canon(Bitext.bitextMine(s, t, k = 4, threshold = 1.0,
-      bruteMax = 0, lshMax = n, nBits = 0, nTables = 2))
-    assert(viaLsh == brute, "LSH route diverged from brute mining")
+    // bruteMax forced to 0 so the IVF tier is the one chosen; covering
+    // settings (nprobe ≥ nlist) make each direction's top-k EXACT, and
+    // an exact union top-k mines identically to all-pairs: per sid the
+    // union's top-k by cosine IS its true top-k (any extra pair beating
+    // the kth would itself be in the true top-k), so ranks,
+    // neighbourhood means, margins, and the mutual-best windows all
+    // coincide with brute's. (The LSH tier is caller-chosen only — its
+    // covering ≡-brute pin is the annCandidates test above.)
     val viaIvf = canon(Bitext.bitextMine(s, t, k = 4, threshold = 1.0,
-      bruteMax = 0, lshMax = 0, nlist = 4, nprobe = 4, ivfIters = 2))
+      bruteMax = 0, nlist = 4, nprobe = 4, ivfIters = 2))
     assert(viaIvf == brute, "IVF route diverged from brute mining")
-    intercept[IllegalArgumentException] {
-      Bitext.bitextMine(s, t, k = 4, threshold = 1.0, bruteMax = 10, lshMax = 5)
-    }
   }
 
   test("margin normalizes hubness: the hub's raw cosine outranks, its margin does not") {

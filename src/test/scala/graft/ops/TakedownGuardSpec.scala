@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** The takedown-vs-streaming-checkpoint runtime guard
   * ([[IndexMaintenance.requireBatchesCommitted]]): a removal must
-  * REFUSE rows that belong to a streaming batch whose checkpoint
-  * commit is absent — an uncommitted batch's replay would resurrect
-  * them. Previously a documentation-only contract on every takedown
-  * verb in the index family. */
+  * REFUSE while the maintaining stream's checkpoint shows ANY batch
+  * in flight (quiescence, both modes — an uncommitted batch's replay
+  * would resurrect removed rows, and its in-flight append could land
+  * mid-strip and be lost by the staged swap), and stamped indexes
+  * additionally cross-check that every stamp on the rows being
+  * removed is covered by THIS checkpoint's commit log. Previously a
+  * documentation-only contract on every takedown verb in the index
+  * family. */
 class TakedownGuardSpec extends SparkSpec {
   import spark.implicits._
 
@@ -64,16 +68,23 @@ class TakedownGuardSpec extends SparkSpec {
       assert(!spark.read.option("mergeSchema", "true")
         .parquet(s"$dir/idx/meta").columns.contains("remove_id"))
 
-      // docs of a COMMITTED batch stay removable while batch 1 is
-      // "in flight" — the stamped guard is per-batch, not quiescence
-      Bm25.removeDocs(spark, s"$dir/idx", Seq(1L).toDF("doc_id"),
-        removeId = Some(8L), checkpoint = Some(s"$dir/ckpt"))
-      assert(spark.read.parquet(s"$dir/idx/postings")
-        .where(col("doc_id") === 1L).isEmpty)
+      // even docs of a COMMITTED batch refuse while batch 1 is in
+      // flight: the strip is a whole-dir staged swap, so batch 1's
+      // append could land mid-strip and be lost — quiescence is
+      // required in BOTH modes (the r18 narrowing)
+      intercept[IllegalStateException] {
+        Bm25.removeDocs(spark, s"$dir/idx", Seq(1L).toDF("doc_id"),
+          removeId = Some(8L), checkpoint = Some(s"$dir/ckpt"))
+      }
+      assert(spark.read.parquet(s"$dir/idx/postings").count() == before)
 
       // commit restored (the stream finished its batch) → allowed, and
       // the stripped index answers like a build over the survivors
       java.nio.file.Files.write(commit1, commit1Bytes)
+      Bm25.removeDocs(spark, s"$dir/idx", Seq(1L).toDF("doc_id"),
+        removeId = Some(8L), checkpoint = Some(s"$dir/ckpt"))
+      assert(spark.read.parquet(s"$dir/idx/postings")
+        .where(col("doc_id") === 1L).isEmpty)
       Bm25.removeDocs(spark, s"$dir/idx", Seq(3L).toDF("doc_id"),
         removeId = Some(7L), checkpoint = Some(s"$dir/ckpt"))
       val got = Bm25.topKIndexed(spark, s"$dir/idx",
@@ -88,17 +99,19 @@ class TakedownGuardSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
-  test("stamped mode: committedness is max-commit INEQUALITY — survives retention purge of old entries") {
+  test("stamped mode: quiescence + max-commit INEQUALITY — survives retention purge of old entries") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tdguard2").toString
     try {
-      // commits 0..4 purged by minBatchesToRetain; only 5 remains
-      val cp = fakeCheckpoint(dir, offsets = Seq(5L, 6L), commits = Seq(5L))
+      // QUIESCENT checkpoint (offsets max == commits max); commits
+      // 0..4 purged by minBatchesToRetain, only 5 remains
+      val cp = fakeCheckpoint(dir, offsets = Seq(5L), commits = Seq(5L))
       val stamped = Seq((10L, java.lang.Long.valueOf(3L)),
         (11L, java.lang.Long.valueOf(5L))).toDF("id", "batch_id")
       // batches 3 and 5 are ≤ max committed → allowed even though
       // commits/3 no longer exists on disk
       IndexMaintenance.requireBatchesCommitted(spark, stamped, cp, "spec")
-      // batch 6 started (offsets/6) but uncommitted → refused
+      // a stamp ABOVE max committed on a quiescent checkpoint = the
+      // index is paired with the wrong checkpoint → refused
       val withSix = stamped.unionByName(
         Seq((12L, java.lang.Long.valueOf(6L))).toDF("id", "batch_id"))
       val err = intercept[IllegalStateException] {
@@ -109,6 +122,15 @@ class TakedownGuardSpec extends SparkSpec {
       val withNull = stamped.unionByName(
         Seq((13L, null.asInstanceOf[java.lang.Long])).toDF("id", "batch_id"))
       IndexMaintenance.requireBatchesCommitted(spark, withNull, cp, "spec")
+      // a NON-quiescent checkpoint refuses even when every stamp on
+      // the removed rows is committed: the in-flight batch's append
+      // could land mid-strip and be lost by the staged swap (r18)
+      val cpBusy = fakeCheckpoint(s"$dir/b",
+        offsets = Seq(5L, 6L), commits = Seq(5L))
+      val errBusy = intercept[IllegalStateException] {
+        IndexMaintenance.requireBatchesCommitted(spark, stamped, cpBusy, "spec")
+      }
+      assert(errBusy.getMessage.contains("6"))
       // an empty commit log refuses every stamped row
       val cpEmpty = fakeCheckpoint(s"$dir/e", offsets = Seq(0L), commits = Nil)
       intercept[IllegalStateException] {
@@ -169,14 +191,19 @@ class TakedownGuardSpec extends SparkSpec {
         Ivf.removeVectors(spark, s"$dir/ivf", Seq(100L).toDF("id"),
           removeId = Some(1L), checkpoint = Some(cp))
       }
-      // removing a NULL-stamped (initial-build) vector passes even now
+      // even a NULL-stamped (initial-build) vector refuses while a
+      // batch is in flight — quiescence is required in both modes
+      intercept[IllegalStateException] {
+        Ivf.removeVectors(spark, s"$dir/ivf", Seq(5L).toDF("id"),
+          removeId = Some(2L), checkpoint = Some(cp))
+      }
+      // after commit (quiescent), both are removable
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cp, "commits", "0"), "v1")
       Ivf.removeVectors(spark, s"$dir/ivf", Seq(5L).toDF("id"),
         removeId = Some(2L), checkpoint = Some(cp))
       assert(spark.read.parquet(s"$dir/ivf/cells")
         .where(col("id") === 5L).isEmpty)
-      // after commit, the stamped vector is removable
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(cp, "commits", "0"), "v1")
       Ivf.removeVectors(spark, s"$dir/ivf", Seq(100L).toDF("id"),
         removeId = Some(3L), checkpoint = Some(cp))
       assert(spark.read.parquet(s"$dir/ivf/cells")

@@ -34,8 +34,13 @@ STAMP=target/.bench_compile_stamp
 # direct children, so the dir reads permanently stale and every launch
 # would pay sbt's boot + the 60 s settle). The whole point is NOT to
 # put sbt's boot load in front of Bench's /proc/loadavg sample.
+# project/ (sbt plugins/build helpers) is part of the build definition
+# too (ADVICE r17); prune sbt's own project/target so the probe keys
+# on sources, not on artifacts sbt touches every launch
 if [ ! -d "$CLASSES" ] || [ ! -f "$STAMP" ] ||
-   [ -n "$(find src/main build.sbt -newer "$STAMP" -print -quit 2>/dev/null)" ]; then
+   [ -n "$(find src/main build.sbt project \
+             \( -path project/target -o -path project/project \) -prune \
+             -o -newer "$STAMP" -print -quit 2>/dev/null)" ]; then
   echo "[bench.sh] classes stale — compiling via sbt, then settling 60s" >&2
   sbt -batch compile 1>&2
   touch "$STAMP"

@@ -25,7 +25,11 @@ SF_DIR="${1:-/root/testdata/sf0.001}"
 ORACLES="${2:-target/prewarm/oracle_sql.json}"
 
 VER=$(python3 -c "import duckdb; print(duckdb.__version__)")
-STAMP=target/oracle_duckdb_version
+# stamp keyed PER SF DIR: a warm run against sf0.001 must not mark
+# sf0.01's battery warm (ADVICE r17 — the shared stamp let the smoke
+# dir's prewarm suppress the verify dir's, which then cold-started
+# inside compare.py anyway)
+STAMP="target/oracle_duckdb_version.$(echo "$SF_DIR" | tr '/' '_')"
 mkdir -p target
 
 if [ -f "$STAMP" ] && [ "$(cat "$STAMP")" = "$VER" ]; then
