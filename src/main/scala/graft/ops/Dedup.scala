@@ -271,6 +271,42 @@ object Dedup {
     (r * b, b)
   }
 
+  /** Load-time covering assertion for a banded near-dup result (the
+    * r18 SF-constant audit): bounds the EXPECTED number of true pairs
+    * the banding missed, from the MEASURED verified-pair count, and
+    * fails loudly when a pinned (r, bands) config stops covering at
+    * the corpus size actually probed — the probabilistic analogue of
+    * the `shortlist = ceil(|corpus|/k)` derivation (the r17 lesson:
+    * covering assumptions tuned to one SF rot silently at the first
+    * scaled run; this converts that rot into a red).
+    *
+    * Math: a true pair at similarity j escapes every band with
+    * probability mᵢ = (1 − jᵢʳ)ᵇ, so E[missed] ≤ Σ_true mᵢ. The true
+    * set is unobservable, but each true pair lands in `pairs` with
+    * probability 1 − mᵢ, so E[Σ_found mᵢ] ≥ (1 − m_max)·Σ_true mᵢ with
+    * m_max = (1 − tʳ)ᵇ — i.e. E[missed] ≤ Σ_found mᵢ / (1 − m_max), a
+    * bound computed purely from the RESULT's own jaccard column. It
+    * scales with the data (pairs hugging the threshold tighten it,
+    * high-j dup clusters barely move it: measured 1.0e-4 at the 10×
+    * sf1-equivalent corpus vs the 2.6e-2 worst-case-at-threshold
+    * bound) at the cost of one agg over an already-materialized frame.
+    * The default budget (10⁻² expected missed pairs) keeps a gate's
+    * oracle-exactness claim honest: a config passing it produces the
+    * brute-force pair set except with probability ≤ ~1 %. */
+  def requireBandRecall(pairs: DataFrame, threshold: Double, r: Int,
+      bands: Int, budget: Double = 1e-2, context: String = "banded dedup"): Unit = {
+    val mMax = math.pow(1 - math.pow(threshold, r), bands)
+    val row = pairs.agg(
+      sum(pow(lit(1.0) - pow(col("jaccard"), r), bands)), count(lit(1))).first()
+    val sumMiss = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val expectedMissed = sumMiss / (1 - mMax)
+    require(expectedMissed <= budget,
+      f"$context: band config (r=$r, bands=$bands) no longer covers at " +
+        f"this corpus size — ${row.getLong(1)} verified pairs imply " +
+        f"expected missed pairs $expectedMissed%.2e > budget $budget%.0e; " +
+        "raise bands (k = r·bands) or derive them via autoBands")
+  }
+
   /** [[minhashNearDups]] with the band configuration auto-scaled to the
     * corpus size via [[autoBands]]. The count that decides is a full
     * pass over `df` — cheap for a parquet scan (footer counts), but a

@@ -104,13 +104,21 @@ object ExtensionQueries {
     * candidates stay engine-specific; the verified output doesn't).
     * r=3 rather than r=2: one fewer nine of recall, but collision
     * (false-candidate) counts drop by orders of magnitude on 10³–10⁴
-    * doc corpora — measured 6× faster at sf0.1. */
-  def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(
+    * doc corpora — measured 6× faster at sf0.1. The pinned config's
+    * covering claim is ASSERTED at load time against the measured
+    * result ([[graft.ops.Dedup.requireBandRecall]] — the r18
+    * SF-constant audit: expected missed pairs ≤ 10⁻², so a corpus
+    * where 16 bands stop covering turns the gate red instead of
+    * silently shedding pairs). */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val res = Dedup.minhashNearDups(
       Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
       threshold = 0.8, k = 48, bands = 16)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy("id1", "id2")
+    Dedup.requireBandRecall(res, threshold = 0.8, r = 3, bands = 16,
+      context = "q_minhash_lsh")
+    res.orderBy("id1", "id2")
+  }
 
   /** SimHash near-dups over the PORTABLE (md5-60-bit) token hash —
     * banding is complete for Hamming ≤ 3, so the output is exactly all
@@ -281,7 +289,9 @@ object ExtensionQueries {
     * classic IVF-PQ asymmetric form, the one whose codes depend on the
     * cell assignment): save the full corpus, [[graft.ops.IvfPq
     * .removeVectors]] every ninth vector, probe with nprobe = nlist
-    * and a corpus-covering shortlist (k×400 ≥ 2000 at every gate SF) +
+    * and a corpus-covering shortlist DERIVED from the stripped index
+    * (k·shortlist ≥ survivors — see the in-body comment; the r17
+    * lesson is that a covering CONSTANT rots at the first scaled run) +
     * exact re-rank — provably the brute-force cosine top-k over
     * whatever the cells hold. Removed ids can never re-enter through
     * the re-rank corpus: the shortlist is drawn from the stripped
@@ -893,18 +903,45 @@ object ExtensionQueries {
         |ORDER BY id1, id2""".stripMargin,
     // The verified MinHash output equals the brute-force Jaccard pair
     // set (32 perms × 16 bands: miss probability ≤ 8e-8 per true pair
-    // at j = 0.8), so the oracle is the same n² Jaccard as
-    // q_ngram_jaccard, unrestricted.
+    // at j = 0.8). BOUNDED FORM (r18): the all-pairs list_intersect
+    // self-join ran 2.5 G pairwise list ops at the 10× sf1-equivalent
+    // set (230+ CPU-minutes — the CORRECTNESS_SF1X exclusion class),
+    // so the oracle now uses the PREFIX FILTER, answer-identically:
+    // under any global total order on shingles — here (df, gram),
+    // rarest first — a pair with J(A,B) ≥ t must share a shingle
+    // within each side's first |A| − ⌈t·|A|⌉ + 1 shingles, because
+    // J ≥ t ⟹ |A∩B| ≥ t·|A| (i(1+t) ≥ t(|A|+|B|) ≥ t|A| + t·i), so at
+    // most |A| − ⌈t|A|⌉ shingles of A precede min(A∩B) in the order.
+    // floor(4n/5) ≤ ⌈0.8n⌉ keeps the prefix a hair long (integer
+    // arithmetic — no 0.8·n float round-off can shorten it), candidate
+    // pairs come from a keyed join on prefix shingles, and the exact
+    // intersection count is re-derived per candidate — the same
+    // explode → group-by-shingle shape the engine's LSH uses.
     "q_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
         |  CASE WHEN len(toks) >= 3 THEN
         |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
         |  ELSE [] END AS sh FROM t),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
-        |  cast(len(a.sh) + len(b.sh) as double) AS tot
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |df AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+        |r AS (SELECT e.doc_id, e.g,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.g) AS rn,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS n
+        |  FROM e JOIN df ON df.g = e.g),
+        |pre AS (SELECT doc_id, g FROM r WHERE rn <= n - (4 * n) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM pre a JOIN pre b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |iv AS (SELECT c.id1, c.id2, count(*) AS icnt
+        |  FROM cand c
+        |  JOIN e ea ON ea.doc_id = c.id1
+        |  JOIN e eb ON eb.doc_id = c.id2 AND eb.g = ea.g
+        |  GROUP BY c.id1, c.id2),
+        |p AS (SELECT iv.id1, iv.id2, cast(iv.icnt as double) AS inter,
+        |    cast(na.n + nb.n as double) AS tot
+        |  FROM iv
+        |  JOIN (SELECT doc_id, len(sh) AS n FROM s) na ON na.doc_id = iv.id1
+        |  JOIN (SELECT doc_id, len(sh) AS n FROM s) nb ON nb.doc_id = iv.id2)
         |SELECT id1, id2,
         |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
         |FROM p WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END) >= 0.8
@@ -912,16 +949,26 @@ object ExtensionQueries {
     // Bit-for-bit portable simhash: 60-bit md5 token hashes, ±1 per bit
     // over distinct tokens, sign → bit; banding is complete for
     // Hamming ≤ 3 so the engine output is the full Hamming ball.
+    // BOUNDED FORM (r18): the all-pairs xor self-join was quadratic in
+    // docs (the CORRECTNESS_SF1X exclusion class); the oracle now
+    // bucket-joins on 4 × 15-bit signature bands — the SAME pigeonhole
+    // the engine uses: ≤ 3 differing bits across 4 bands leaves at
+    // least one band identical, so the band equi-join is a complete
+    // candidate source and the exact xor re-check keeps the output
+    // answer-identical to all-pairs.
     "q_simhash" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
         |h AS (SELECT doc_id, list_transform(toks, x -> ('0x'||substr(md5(x),1,15))::bigint) AS hs FROM t),
         |sh AS (SELECT doc_id, list_sum(list_transform(range(0,60), b ->
         |    CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |         THEN (1::bigint << b) ELSE 0::bigint END)) AS sh
-        |  FROM h)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2, cast(bit_count(xor(a.sh, b.sh)) as bigint) AS dist
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |  FROM h),
+        |k AS (SELECT doc_id, sh, bi, (sh >> (bi * 15)) & 32767 AS bv
+        |  FROM (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS bi FROM sh)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, a.sh AS s1, b.doc_id AS id2, b.sh AS s2
+        |  FROM k a JOIN k b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, cast(bit_count(xor(s1, s2)) as bigint) AS dist
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
         |ORDER BY id1, id2""".stripMargin,
     "q_dedup_groups" ->
       """WITH RECURSIVE

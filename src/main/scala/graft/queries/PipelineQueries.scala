@@ -424,9 +424,15 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
     Q.withTempIndex("graft-ndidx") { idx =>
       Phases.phase("build") { build(docs, idx) }
-      graft.ops.Dedup.incrementalNearDups(docs.where(col("id") % 10 >= 8), idx,
-          threshold = 0.8, n = 3, k = 48, bands = 16)
-        .orderBy("id1", "id2")
+      val probe = graft.ops.Dedup.incrementalNearDups(
+        docs.where(col("id") % 10 >= 8), idx,
+        threshold = 0.8, n = 3, k = 48, bands = 16)
+      // r18 SF-constant audit: the pinned (k=48, bands=16) covering
+      // claim is asserted against the measured probe result — a corpus
+      // size where it stops covering turns the gate red, not silent
+      graft.ops.Dedup.requireBandRecall(probe, threshold = 0.8, r = 3,
+        bands = 16, context = "q_incremental_dedup/append")
+      probe.orderBy("id1", "id2")
     }
   }
 
@@ -604,23 +610,48 @@ object PipelineQueries {
 
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Brute-force n² Jaccard restricted to pairs touching the increment
-    * (id % 10 >= 8): cross pairs emit the increment doc first,
-    * batch-internal pairs (min, max) — the incrementalNearDups
-    * contract. Shared by q_incremental_dedup (one-shot 80 % index) and
+  /** Jaccard over pairs touching the increment (id % 10 >= 8): cross
+    * pairs emit the increment doc first, batch-internal pairs
+    * (min, max) — the incrementalNearDups contract. Shared by
+    * q_incremental_dedup (one-shot 80 % index) and
     * q_incremental_append (60 % build + 20 % Append) — the two index
-    * construction paths MUST produce the same probe result. */
+    * construction paths MUST produce the same probe result.
+    *
+    * BOUNDED FORM (r18): formerly a brute-force n² list_intersect
+    * self-join — quadratic in docs, the CORRECTNESS_SF1X exclusion
+    * class. Now the PREFIX FILTER under the global (df, gram) order:
+    * J(A,B) ≥ 0.8 forces a shared shingle within each side's first
+    * n − floor(4n/5) + 1 shingles (see the q_minhash_lsh oracle's
+    * derivation — integer arithmetic so no float round-off shortens
+    * the prefix), candidates come from the keyed prefix join filtered
+    * to increment-touching pairs, and the exact intersection count is
+    * re-derived per candidate. Answer-identical to the n² form. */
   private val incrementalOracleSql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
       |s AS (SELECT doc_id,
       |  CASE WHEN len(toks) >= 3 THEN
       |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
       |  ELSE [] END AS sh FROM t),
-      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-      |  cast(len(list_intersect(a.sh, b.sh)) as double) AS inter,
-      |  cast(len(a.sh) + len(b.sh) as double) AS tot
-      | FROM s a JOIN s b ON a.doc_id < b.doc_id
-      | WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |df AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+      |r AS (SELECT e.doc_id, e.g,
+      |    row_number() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.g) AS rn,
+      |    count(*) OVER (PARTITION BY e.doc_id) AS n
+      |  FROM e JOIN df ON df.g = e.g),
+      |pre AS (SELECT doc_id, g FROM r WHERE rn <= n - (4 * n) // 5 + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM pre a JOIN pre b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8),
+      |iv AS (SELECT c.ia, c.ib, count(*) AS icnt
+      |  FROM cand c
+      |  JOIN e ea ON ea.doc_id = c.ia
+      |  JOIN e eb ON eb.doc_id = c.ib AND eb.g = ea.g
+      |  GROUP BY c.ia, c.ib),
+      |p AS (SELECT iv.ia, iv.ib, cast(iv.icnt as double) AS inter,
+      |    cast(na.n + nb.n as double) AS tot
+      |  FROM iv
+      |  JOIN (SELECT doc_id, len(sh) AS n FROM s) na ON na.doc_id = iv.ia
+      |  JOIN (SELECT doc_id, len(sh) AS n FROM s) nb ON nb.doc_id = iv.ib),
       |j AS (SELECT ia, ib,
       |  CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0.0 END AS jaccard
       | FROM p)

@@ -227,6 +227,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("requireBandRecall: high-j results pass, threshold-hugging volume fails with the covering message") {
+    import spark.implicits._
+    // near-exact duplicates: each pair's miss probability (1-j^3)^16 is
+    // astronomically small, so even many pairs stay far under budget
+    val highJ = Seq.tabulate(5000)(i => (i.toLong, i.toLong + 100000L, 0.98))
+      .toDF("id1", "id2", "jaccard")
+    Dedup.requireBandRecall(highJ, threshold = 0.8, r = 3, bands = 16)
+    // the adversarial corpus: every pair EXACTLY at the threshold —
+    // per-pair miss 1.03e-5, so ~10^3 pairs exceed the 1e-2 budget and
+    // the gate must go red instead of silently shedding expected pairs
+    val atT = Seq.tabulate(5000)(i => (i.toLong, i.toLong + 100000L, 0.80))
+      .toDF("id1", "id2", "jaccard")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.requireBandRecall(atT, threshold = 0.8, r = 3, bands = 16)
+    }
+    assert(err.getMessage.contains("no longer covers"))
+    // empty result (no pairs) trivially covers
+    Dedup.requireBandRecall(highJ.where(col("id1") < 0),
+      threshold = 0.8, r = 3, bands = 16)
+    // the budget scales the cut: the same at-threshold volume passes a
+    // loose budget — the inequality is the contract, not a constant
+    Dedup.requireBandRecall(atT, threshold = 0.8, r = 3, bands = 16,
+      budget = 1.0)
+  }
+
   test("simhash: exact dups collide, near-dups within small hamming, disjoint far") {
     val sh = docs.select(col("id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
