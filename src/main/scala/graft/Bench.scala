@@ -123,6 +123,11 @@ object Bench {
       .replace("lookup", "lkp").replace("adaptive", "adp")
       .replace("project", "prj").replace("overlap", "ovlp")
       .replace("redact", "red").replace("minmax", "mm")
+      // the 133rd re-budget (q_fuzzy_topk): fuzzy family + three
+      // stragglers shaved; compare TOTALS across rounds, not renamed
+      // keys (the r14 precedent)
+      .replace("fuzzy", "fz").replace("ngram", "ng")
+      .replace("token", "tok").replace("total", "tot")
       .replace("_", "")
   }
 
@@ -358,7 +363,7 @@ object Bench {
       s"""{
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
-  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; then substring replaces (substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos; join -> jn; graph -> gr; session -> sess; group -> grp; count -> cnt; filter -> flt; embed -> emb; centroid -> ctr; revenue -> rev; running -> run; tumbling -> tumb; trailing -> trl; removal -> rm; paginate -> pgn; upsample -> ups; fluency -> flu; trigram -> tri; quantile -> qnt; approx -> apx; resample -> rsmp; media -> md; jaccard -> jac; minhash -> mh; hybrid -> hyb; extract -> ext; stats -> st; bucket -> bkt; rownum -> rn; summary -> sum; text -> txt; append -> app; select -> sel; enrich -> enr; range -> rng; funcs -> fn; parts -> pts; multi -> mlt; promo -> pr; keep_ -> kp_; corpus -> corp; page -> pg; dates -> dts; terms -> trm; score -> sc; shard -> shd; split -> spl; fill -> fl; domain -> dom; topk -> tk; null -> nl; case -> cs; union -> un; exact -> ex; asof -> ao; skew -> sk; anti -> ant; prep -> pp; zorder -> zo; train -> tr; mid-string incremental -> incr; index -> idx; delete -> del; lookup -> lkp; adaptive -> adp; project -> prj; overlap -> ovlp; redact -> red; minmax -> mm); finally ALL underscores dropped. BenchSpec pins the exact mapping; full names in the fidelity file",
+  "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; then substring replaces (substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos; join -> jn; graph -> gr; session -> sess; group -> grp; count -> cnt; filter -> flt; embed -> emb; centroid -> ctr; revenue -> rev; running -> run; tumbling -> tumb; trailing -> trl; removal -> rm; paginate -> pgn; upsample -> ups; fluency -> flu; trigram -> tri; quantile -> qnt; approx -> apx; resample -> rsmp; media -> md; jaccard -> jac; minhash -> mh; hybrid -> hyb; extract -> ext; stats -> st; bucket -> bkt; rownum -> rn; summary -> sum; text -> txt; append -> app; select -> sel; enrich -> enr; range -> rng; funcs -> fn; parts -> pts; multi -> mlt; promo -> pr; keep_ -> kp_; corpus -> corp; page -> pg; dates -> dts; terms -> trm; score -> sc; shard -> shd; split -> spl; fill -> fl; domain -> dom; topk -> tk; null -> nl; case -> cs; union -> un; exact -> ex; asof -> ao; skew -> sk; anti -> ant; prep -> pp; zorder -> zo; train -> tr; mid-string incremental -> incr; index -> idx; delete -> del; lookup -> lkp; adaptive -> adp; project -> prj; overlap -> ovlp; redact -> red; minmax -> mm; fuzzy -> fz; ngram -> ng; token -> tok; total -> tot); finally ALL underscores dropped. BenchSpec pins the exact mapping; full names in the fidelity file",
   "warmup_s": ${f(warmupS)}, "load1m_entry": ${f(loadEntry)}, "load5m_entry": ${if (load5mEntry.isInfinity) "null" else f(load5mEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
   "outlier_retries": {${retried.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
   "cpus": $cpus, "isolate": $isolate,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** String-similarity joins under an edit-distance bound — the
@@ -481,4 +482,41 @@ object FuzzyJoin {
           maxDist)
     }
   }
+
+  /** OUTPUT-BOUNDED two-table fuzzy lookup — [[join]]'s match set is
+    * proportional to the key distribution's true adjacency, and
+    * sequential/templated keys make that adjacency QUADRATIC (the r17
+    * 10× sweep measured 28 k → 2.8 M true matches for 10× input —
+    * exactly 100×, because every same-tail digit substitution is
+    * within d), so a resolution caller gets an unbounded result from
+    * a pathological catalog with no warning. This verb bounds the
+    * CONTRACT: per probe, keep only the k best matches under the
+    * TOTAL order (dist asc, id2 asc) — deterministic, so the cut is
+    * ≡ the brute-force top-k (FuzzyJoinSpec pins it). The match set
+    * is still computed in full (completeness needs every candidate
+    * verified) but never returned, never collected, and the rank
+    * window partitions by probe id — no single-reducer sort.
+    *
+    * @param k max matches returned per left id (≥ 1) */
+  def joinTopK(left: DataFrame, right: DataFrame, maxDist: Int, k: Int,
+      q: Int = 2, fuseCap: Int = DefaultFuseCap): DataFrame = {
+    require(k >= 1, "fuzzyJoin.joinTopK: k must be ≥ 1")
+    val w = Window.partitionBy("id1").orderBy(col("dist").asc, col("id2").asc)
+    join(left, right, maxDist, q, fuseCap)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Match-COUNT-only mode: one row per MATCHED probe — (id1,
+    * n_matches) — the other scale-safe answer shape for pathological
+    * adjacency (audit "how dirty is this feed" without materializing
+    * the quadratic match list anywhere past the aggregate's partial
+    * counts). Probes with zero matches do not appear (count them by
+    * left-anti against `left` if needed — their absence IS the
+    * answer). */
+  def joinCounts(left: DataFrame, right: DataFrame, maxDist: Int,
+      q: Int = 2, fuseCap: Int = DefaultFuseCap): DataFrame =
+    join(left, right, maxDist, q, fuseCap)
+      .groupBy("id1").agg(count(lit(1)).as("n_matches"))
 }

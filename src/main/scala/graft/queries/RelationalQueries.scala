@@ -363,6 +363,24 @@ object RelationalQueries {
       .orderBy("id1", "id2")
   }
 
+  /** OUTPUT-BOUNDED fuzzy lookup ([[graft.ops.FuzzyJoin.joinTopK]],
+    * the r18 scale-safe contract): [[qFuzzyLookup]]'s device with the
+    * result capped at the k = 3 best matches per probe under the
+    * total order (dist asc, id2 asc). Sequential supplier digit tails
+    * are exactly the pathological adjacency whose raw match set grows
+    * quadratically (the r17 10× lesson: 28 k → 2.8 M rows), so this
+    * gate pins the verb a 100 TB resolution caller actually wants —
+    * output ∝ |probes|, never ∝ adjacency — and its oracle replays
+    * the same deterministic cut over the brute match set. */
+  def qFuzzyTopk(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("str"))
+    val dirty = sup.select(col("id"),
+      regexp_replace(col("str"), "Supplier#", "Supplr#").as("str"))
+    graft.ops.FuzzyJoin.joinTopK(dirty, sup, maxDist = 3, k = 3)
+      .orderBy("id1", "id2")
+  }
+
   /** Conversion funnel view → click → purchase within 7 days of the
     * user's first view ([[graft.ops.Funnel]] min-chain semantics —
     * each stage's time is the earliest qualifying event strictly after
@@ -519,6 +537,7 @@ object RelationalQueries {
     "q_set_ops" -> (qSetOps _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_lookup" -> (qFuzzyLookup _),
+    "q_fuzzy_topk" -> (qFuzzyTopk _),
     "q_funnel" -> (qFunnel _),
     "q_window_nav" -> (qWindowNav _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -737,6 +756,18 @@ object RelationalQueries {
         |SELECT id1, id2, levenshtein(n1, n2) AS dist
         |FROM dirty, canon
         |WHERE levenshtein(n1, n2) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+    // the bounded verb's oracle: the SAME brute match set with the
+    // deterministic (dist, id2) top-3 cut replayed as a window —
+    // green proves the engine's rank window cuts identically
+    "q_fuzzy_topk" ->
+      """WITH dirty AS (SELECT s_suppkey AS id1,
+        |  replace(s_name, 'Supplier#', 'Supplr#') AS n1 FROM supplier),
+        |canon AS (SELECT s_suppkey AS id2, s_name AS n2 FROM supplier),
+        |m AS (SELECT id1, id2, levenshtein(n1, n2) AS dist
+        |      FROM dirty, canon WHERE levenshtein(n1, n2) <= 3)
+        |SELECT id1, id2, dist FROM m
+        |QUALIFY row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) <= 3
         |ORDER BY id1, id2""".stripMargin,
     // brute n² levenshtein — the completeness oracle for the q-gram
     // signature filter chain

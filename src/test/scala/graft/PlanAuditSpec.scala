@@ -32,8 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     // fuzzy join's SHORT-string class (len ≤ q(d−1)+1, the prefix-
     // filter theorem gap) joins all-pairs by design — a definitionally
     // bounded tiny class; the long-string population stays on the
-    // gram equi-join (q_fuzzy_lookup: the same class, two-table form)
-    "q_fuzzy_join", "q_fuzzy_lookup",
+    // gram equi-join (q_fuzzy_lookup: the same class, two-table form;
+    // q_fuzzy_topk: the same two-table plan + a probe-keyed rank cut)
+    "q_fuzzy_join", "q_fuzzy_lookup", "q_fuzzy_topk",
     // full-probe/covering-shortlist ANN gates rank vs a broadcast
     // query set after non-equi self-exclusion
     "q_ann_ivf", "q_ann_filter", "q_pq_topk",

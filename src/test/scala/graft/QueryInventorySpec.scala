@@ -43,8 +43,8 @@ class QueryInventorySpec extends SparkSpec {
     // inventory grows past the constant without a bump (grow to 85,
     // silently shrink to 80, 80 ≥ 79 still green — the exact recurrence
     // the pin exists to prevent). Adding a query REQUIRES bumping these.
-    val expectedQueries = 132
-    val expectedOracles = 132
+    val expectedQueries = 133
+    val expectedOracles = 133
     assert(SparkEntry.queries.size == expectedQueries,
       s"query inventory is ${SparkEntry.queries.size}, pinned $expectedQueries — " +
         "if you ADDED queries, bump the pin in this test; if you didn't, " +

@@ -102,6 +102,37 @@ class FuzzyJoinSpec extends SparkSpec {
       bruteJoin(l.take(30), r.take(30), 1))
   }
 
+  test("joinTopK ≡ brute top-k under (dist, id2); joinCounts ≡ brute counts — the output-bounded verbs") {
+    val rnd = new scala.util.Random(13)
+    // adversarial adjacency: sequential digit tails under a shared hot
+    // prefix — the 10×-lesson distribution where the raw match set is
+    // quadratic and a bounded contract is the only scale-safe answer
+    val canon = (0 until 90).map(i => i.toLong -> f"Supplier#$i%04d")
+    val dirty = (0 until 90).map(i =>
+      (1000L + i) -> f"Supplr#${rnd.nextInt(90)}%04d")
+    for (d <- Seq(2, 3); k <- Seq(1, 3)) {
+      val bruteTop = bruteJoin(dirty, canon, d).groupBy(_._1).flatMap {
+        case (_, ms) => ms.toSeq.sortBy(m => (m._3, m._2)).take(k)
+      }.toSet
+      val gotTop = FuzzyJoin.joinTopK(dirty.toDF("id", "str"),
+          canon.toDF("id", "str"), maxDist = d, k = k)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(gotTop == bruteTop, s"topK diverged at d=$d k=$k")
+      // the bound is the contract: no probe exceeds k rows
+      assert(gotTop.groupBy(_._1).values.forall(_.size <= k))
+    }
+    val bruteCnt = bruteJoin(dirty, canon, 3).groupBy(_._1)
+      .map { case (id, ms) => (id, ms.size.toLong) }.toSet
+    val gotCnt = FuzzyJoin.joinCounts(dirty.toDF("id", "str"),
+        canon.toDF("id", "str"), maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(gotCnt == bruteCnt, "joinCounts diverged from brute counts")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.joinTopK(dirty.toDF("id", "str"), canon.toDF("id", "str"),
+        maxDist = 1, k = 0)
+    }
+  }
+
   test("two-table join: nulls drop per side; asymmetric sides; unmatched probe yields nothing") {
     val l = Seq((1L, "abc"), (2L, null: String), (3L, "zzzzzzzz"))
     val r = Seq((10L, "abd"), (11L, null: String))
