@@ -76,6 +76,17 @@ object Warehouse {
       s"WeightedZAuto: totalBits must be in [2, 62], got $totalBits")
     def tag: String = s"wza:$primary,$secondary|$primaryShare|$totalBits"
   }
+
+  /** In-process half of the maintenance lease (see [[Warehouse
+    * .acquireLease]]): HDFS's exclusive create is atomic, but Hadoop's
+    * RAW LOCAL filesystem degrades it to check-then-create — two
+    * same-JVM threads racing the file can BOTH win (measured: the
+    * WarehouseSpec threaded race). This set, keyed on the lease
+    * path, makes the in-process claim atomic (`Set.add`); the file
+    * stays the cross-driver mutex. A crashed JVM clears its set with
+    * it, leaving only the file for the TTL takeover path. */
+  private[graft] val jvmLeases: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 /** @param markerProbeTtlMs opt-in cache for [[read]]'s torn-optimize
@@ -87,9 +98,16 @@ object Warehouse {
   *   an optimize that starts AND tears within one TTL of a probe is
   *   seen only after expiry. Safe exactly where the contract already
   *   holds (single-writer maintenance, retryable reads); keep 0 in
-  *   tests and low-QPS deployments. */
+  *   tests and low-QPS deployments.
+  * @param leaseTtlMs staleness horizon for the maintenance lease (see
+  *   [[acquireLease]]): a lease file older than this is presumed to
+  *   belong to a CRASHED optimize and is taken over with a loud
+  *   warning. Size it above your longest plausible optimize/compact —
+  *   a live holder outliving the TTL re-opens the two-writer hazard
+  *   the lease exists to close. Default 6 h. */
 final class Warehouse(spark: SparkSession, root: String,
-    monthGrain: Boolean = false, markerProbeTtlMs: Long = 0L) {
+    monthGrain: Boolean = false, markerProbeTtlMs: Long = 0L,
+    leaseTtlMs: Long = 6L * 3600 * 1000) {
 
   // negative-probe cache (see markerProbeTtlMs): table -> wall-clock ms
   // until which the marker is known absent
@@ -262,7 +280,105 @@ final class Warehouse(spark: SparkSession, root: String,
     optimize(table, targetBytes,
       if (zorderBy.isEmpty) Warehouse.Plain else Warehouse.Z(zorderBy, quantile))
 
-  def optimize(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit = {
+  /** Runtime single-writer LEASE for the maintenance verbs (r18): the
+    * torn-swap healing, marker protocol, and TTL semantics above are
+    * all built on a single-writer contract that was previously
+    * UNCHECKED — two concurrent optimizes would interleave their
+    * staged swaps into torn states no repair converges from. The
+    * lease makes the second writer FAIL FAST instead.
+    *
+    * Protocol: exclusive-create of `<table>__optimize_lease`
+    * (atomic on HDFS; Hadoop's raw local fs degrades to
+    * check-then-create, fine for the single-JVM test rig). Held for
+    * the verb's whole duration, deleted in `finally`. A holder that
+    * CRASHES leaves the file behind; a later writer finding a lease
+    * older than `leaseTtlMs` logs a LOUD takeover warning, deletes
+    * it, and re-races the exclusive create (losing that re-race
+    * refuses too — someone else took over first). Size the TTL above
+    * your longest plausible optimize: a lease outliving its TTL while
+    * its holder still runs re-opens the two-writer hazard, which is
+    * why takeover is a warning, never silent. */
+  private def leasePath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${path(table)}__optimize_lease")
+
+  private[graft] def acquireLease(table: String): Unit = {
+    val lease = leasePath(table)
+    val fs = lease.getFileSystem(spark.sessionState.newHadoopConf())
+    val jvmKey = lease.toString
+    // in-process claim FIRST (atomic Set.add): the raw local fs
+    // degrades exclusive create to check-then-create, so two same-JVM
+    // threads can both win the file — see Warehouse.jvmLeases
+    if (!Warehouse.jvmLeases.add(jvmKey))
+      throw new IllegalStateException(
+        s"optimize/compact of $table refused: another writer in this " +
+          s"JVM holds the maintenance lease $lease. Concurrent " +
+          "maintenance would interleave staged swaps into torn states.")
+    val stamp =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}|" +
+        s"thread=${Thread.currentThread().getId}|${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      try {
+        val o = fs.create(lease, false)
+        try o.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally o.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // raw local fs reports the exists-collision as a plain
+        // IOException("File already exists") rather than the typed one
+        case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+          false
+      }
+    def bail[T](t: Throwable): T = {
+      Warehouse.jvmLeases.remove(jvmKey); throw t
+    }
+    if (tryCreate()) return
+    val holder = try {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime
+      Some(age)
+    } catch { case _: java.io.FileNotFoundException => None }
+    holder match {
+      case Some(age) if age < leaseTtlMs =>
+        bail(new IllegalStateException(
+          s"optimize/compact of $table refused: another writer holds " +
+            s"$lease (age ${age} ms < TTL $leaseTtlMs ms). Concurrent " +
+            "maintenance would interleave staged swaps into torn states; " +
+            "wait for the holder (or, if it crashed, wait out the TTL or " +
+            "delete the lease)."))
+      case _ =>
+        // stale (or vanished between probe and stat): loud takeover
+        org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+          s"optimize lease on $table is older than TTL $leaseTtlMs ms — " +
+            "assuming its holder crashed and taking over. If that holder " +
+            "still runs, two writers are now live: raise leaseTtlMs above " +
+            "your longest optimize.")
+        fs.delete(lease, false)
+        if (!tryCreate())
+          bail(new IllegalStateException(
+            s"optimize/compact of $table refused: lost the stale-lease " +
+              s"takeover race on $lease to another writer."))
+    }
+  }
+
+  private[graft] def releaseLease(table: String): Unit = {
+    val lease = leasePath(table)
+    lease.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lease, false)
+    Warehouse.jvmLeases.remove(lease.toString)
+  }
+
+  private def withLease[T](table: String)(body: => T): T = {
+    acquireLease(table)
+    try body finally releaseLease(table)
+  }
+
+  def optimize(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit =
+    withLease(table) { optimizeImpl(table, targetBytes, layout) }
+
+  private def optimizeImpl(table: String, targetBytes: Long,
+      layout: Warehouse.Layout): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{col, lit}
     // this writer is about to raise the marker: same-instance readers
@@ -311,7 +427,8 @@ final class Warehouse(spark: SparkSession, root: String,
     // after a whole-table compact, re-list and stamp every leaf dir
     // (the swap replaced the tree, stamps and all)
     def compactAndStamp(): Unit = {
-      compact(table, targetBytes, layout)
+      // compactImpl, not compact: this runs under optimize's own lease
+      compactImpl(table, targetBytes, layout)
       val leaves = leafRels(fs, live)
       if (leaves.isEmpty) stamp(live)
       else leaves.foreach(r => stamp(new Path(live, r)))
@@ -597,7 +714,11 @@ final class Warehouse(spark: SparkSession, root: String,
     compact(table, targetBytes,
       if (zorderBy.isEmpty) Warehouse.Plain else Warehouse.Z(zorderBy, quantile))
 
-  def compact(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit = {
+  def compact(table: String, targetBytes: Long, layout: Warehouse.Layout): Unit =
+    withLease(table) { compactImpl(table, targetBytes, layout) }
+
+  private def compactImpl(table: String, targetBytes: Long,
+      layout: Warehouse.Layout): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(conf)

@@ -441,6 +441,89 @@ class WarehouseSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.contains("disaster_date"))
   }
+  test("maintenance lease: a racing optimize refuses fast and mutates nothing; release allows; stale lease is taken over; reads never torn") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whlease").toString
+    val wh = new Warehouse(spark, root)
+    val facts = spark.range(3000L).select(
+      col("id").as("pk_id"), lit(1L).as("upload_id"),
+      org.apache.spark.sql.functions.date_add(
+        lit(java.sql.Date.valueOf("2022-01-01")), (col("id") % 300).cast("int")).as("date"),
+      lit(2022).as("year"),
+      (col("id") % 8).cast("int").as("province_id"),
+      (col("id") % 64).cast("int").as("district_id"),
+      (col("id") % 100).cast("double").as("rain_mm_wmean"),
+      lit(2.0).as("rainfall_mm"))
+    wh.write("rain_points", facts.repartition(16))
+    val n0 = wh.read("rain_points").count()
+    def gone(suffix: String) =
+      !new java.io.File(s"$root/rain_points$suffix").exists()
+
+    // writer A's critical section is open (the deterministic form of
+    // two racing optimizes: A holds, B arrives)
+    wh.acquireLease("rain_points")
+    val err = intercept[IllegalStateException] {
+      wh.optimize("rain_points", targetBytes = 64L * 1024,
+        zorderBy = Seq("district_id", "date"))
+    }
+    assert(err.getMessage.contains("lease"))
+    // the refusal happened BEFORE any mutation: no staging, no trash,
+    // no marker — and reads are clean mid-hold
+    assert(gone("__optimize_staged") && gone("__optimize_old") &&
+      gone("__optimizing"))
+    assert(wh.read("rain_points").count() == n0)
+    // the lease is a FILE, not JVM state: a second Warehouse instance
+    // (another driver on the same warehouse root) refuses identically
+    val whB = new Warehouse(spark, root)
+    intercept[IllegalStateException] {
+      whB.optimize("rain_points", targetBytes = 64L * 1024,
+        zorderBy = Seq("district_id", "date"))
+    }
+
+    // A releases → B's retry wins, completes, and releases in turn
+    wh.releaseLease("rain_points")
+    whB.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(wh.read("rain_points").count() == n0)
+    assert(gone("__optimize_lease"), "winner must release on completion")
+
+    // genuinely-threaded race on a re-fragmented table: at least one
+    // optimize wins; any loser failed on the LEASE (fail-fast), and
+    // the final state is settled and correct
+    wh.write("rain_points", facts.repartition(16))
+    val n1 = wh.read("rain_points").count()
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 2).map(_ => new Thread(() =>
+      try {
+        wh.optimize("rain_points", targetBytes = 64L * 1024,
+          zorderBy = Seq("district_id", "date"))
+        outcomes.add("ok")
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("lease") =>
+          outcomes.add("refused")
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val res = scala.jdk.CollectionConverters.IterableHasAsScala(outcomes).asScala.toSeq
+    assert(res.count(_ == "ok") >= 1, s"no optimize won the race: $res")
+    assert(res.size == 2, s"an optimize died outside the lease contract: $res")
+    assert(wh.read("rain_points").count() == n1)
+    assert(gone("__optimize_lease") && gone("__optimizing"))
+
+    // CRASHED holder: the lease FILE outlives its writer (the crashed
+    // JVM's in-process claim died with it — so the file is written
+    // directly here, not via acquireLease); a tiny-TTL instance takes
+    // it over with a loud warning and completes
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/rain_points__optimize_lease"),
+      "dead-jvm|thread=1|0")
+    val whT = new Warehouse(spark, root, leaseTtlMs = 50L)
+    Thread.sleep(120)
+    whT.optimize("rain_points", targetBytes = 64L * 1024,
+      zorderBy = Seq("district_id", "date"))
+    assert(wh.read("rain_points").count() == n1)
+    assert(gone("__optimize_lease"), "takeover must release like any holder")
+    deleteRecursively(root)
+  }
+
   test("optimize: selective per-dir rewrite, no-op steady state, and interrupted-swap repair") {
     val root = java.nio.file.Files.createTempDirectory("graft-whopt").toString
     val wh = new Warehouse(spark, root)
