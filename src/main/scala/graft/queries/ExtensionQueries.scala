@@ -667,9 +667,20 @@ object ExtensionQueries {
     * same prune, trained clusters. */
   def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // r18 SF-constant audit, the PERF class: the seed-centroid count
+    // is DERIVED from the corpus — k = max(8, ⌈n/250⌉), integer
+    // arithmetic, same formula in the oracle SQL. A fixed k = 8 made
+    // the within-cluster pairwise prune quadratic (Σ|cluster|² ≈
+    // n²/8; the r18 30× soak measured exponent +1.49 — the round's
+    // one super-linear query), while derived k keeps cluster sizes
+    // ~250 at every SF → linear, the production Ivf.fit stance. At
+    // the gated SFs (n ≤ 2000) k is still exactly 8, so sf0.01/sf0.1
+    // outputs are unchanged.
+    val n = e.where(col("embedding").isNotNull).count()
+    val k = math.max(8L, (n + 249L) / 250L)
     SemDedup.semDedup(
       e.select(col("vec_id").as("id"), col("embedding")),
-      e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
+      e.where(col("vec_id") < k).select(col("vec_id").as("cid"), col("embedding")),
       threshold = 0.4)
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
         round(col("centroid_cosine"), 6).as("centroid_cosine"))
@@ -1101,7 +1112,9 @@ object ExtensionQueries {
         |FROM c LEFT JOIN d ON c.h = d.h
         |WHERE c.doc_id % 5 = 0
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
-    // deterministic seed centroids (vec_id < 8) make the clustering
+    // deterministic seed centroids (vec_id below the DERIVED k =
+    // max(8, ⌈n/250⌉) — the r18 audit's perf-class fix: fixed k made
+    // the within-cluster prune quadratic) make the clustering
     // replayable; assignment ties break (cosine DESC, cid ASC) exactly
     // like the Spark argmax; survivors are rows with no lower-id
     // cluster-mate at cosine ≥ 0.4. The NOT NULL filter mirrors
@@ -1110,7 +1123,8 @@ object ExtensionQueries {
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  WHERE vec_id < (SELECT greatest(8, (count(*) + 249) // 250) FROM e)),
         |p AS (SELECT e.vec_id, e.v, cent.cid,
         |  list_sum(list_transform(list_zip(e.v, cent.cv), t -> t[1] * t[2])) AS dotp,
         |  sqrt(list_sum(list_transform(e.v, x -> x * x))) *
