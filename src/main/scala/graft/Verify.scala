@@ -17,6 +17,39 @@ object Verify {
       .select(org.apache.spark.sql.functions.lit(name).as("__graft_failed"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
 
+  /** Query selection for CHUNKED runs of the battery (r18): scaled
+    * sweeps (10×/30× testdata) can outlive a caller's process budget,
+    * and parquet outputs land per query, so re-running the WHOLE
+    * battery to finish a tail is waste. `only` (comma env
+    * SPARK_GRAFT_VERIFY_ONLY) picks names exactly; `shard` (env
+    * SPARK_GRAFT_VERIFY_SHARD = "i/n", 0-based) deterministically
+    * partitions the SORTED name list round-robin — the i-th of n
+    * shards takes every n-th name, so shards are disjoint, cover
+    * everything, and balance mixed-cost neighbourhoods better than
+    * contiguous ranges. Unknown `only` names fail loudly (a typo must
+    * not read as a green skip). Both unset → the full battery. */
+  def select(sortedNames: Seq[String], only: Option[Set[String]],
+      shard: Option[String]): Seq[String] = {
+    val afterOnly = only match {
+      case None => sortedNames
+      case Some(names) =>
+        val unknown = names -- sortedNames.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names not in the inventory: ${unknown.mkString(", ")}")
+        sortedNames.filter(names)
+    }
+    shard match {
+      case None => afterOnly
+      case Some(spec) =>
+        val m = "^(\\d+)/(\\d+)$".r.findFirstMatchIn(spec.trim).getOrElse(
+          sys.error(s"SPARK_GRAFT_VERIFY_SHARD must be i/n (0-based), got '$spec'"))
+        val (i, n) = (m.group(1).toInt, m.group(2).toInt)
+        require(n >= 1 && i >= 0 && i < n,
+          s"SPARK_GRAFT_VERIFY_SHARD out of range: $i/$n")
+        afterOnly.zipWithIndex.collect { case (q, ix) if ix % n == i => q }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,7 +73,15 @@ object Verify {
     // rejects empty-schema parquet writes (EMPTY_SCHEMA_NOT_SUPPORTED),
     // so the marker must carry at least one real column.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val shard = sys.env.get("SPARK_GRAFT_VERIFY_SHARD")
+    val selected = select(SparkEntry.queries.keys.toSeq.sorted, only, shard)
+    if (selected.size != SparkEntry.queries.size)
+      println(s"[verify] chunked run: ${selected.size}/${SparkEntry.queries.size} queries" +
+        shard.fold("")(s => s" (shard $s)"))
+    selected.foreach { name =>
+      val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -67,9 +108,16 @@ object Verify {
     } + "\""
     val failedJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // chunked runs must not clobber the full battery's failure record:
+    // a shard's file carries its shard id (informational — red rows
+    // are ALSO visible through the per-query marker parquet)
+    val failedFile =
+      if (selected.size == SparkEntry.queries.size) "_failed.json"
+      else shard.fold("_failed_only.json")(s =>
+        s"_failed_shard_${s.replace('/', '_')}.json")
+    Files.writeString(Paths.get(s"$outDir/$failedFile"), failedJson)
     if (failed.nonEmpty)
-      println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+      println(s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
         failed.keys.mkString(", "))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -70,7 +70,15 @@ object DomainQueries {
   def qRiskPipeline(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(s, dir)
     val provinces = provFromNation(s, dir)
-    val districts = Tables.supplier(s, dir).select(
+    // BOUNDED dim fixture (r18 30× sweep catch): the reference's dims
+    // are FIXED tables while facts grow, so the synthetic dim keeps
+    // only the base key universe — ScaleTestdata shifts copies by
+    // i·10⁸, and an unbounded fixture let 30×-shifted s_suppkeys
+    // (2.3e9 > 2³¹) hit the int cast: Spark wrapped silently while
+    // the DuckDB oracle errored. The bound also keeps the anti-join
+    // FILL sized by the dim, not by the scale multiplier.
+    val districts = Tables.supplier(s, dir)
+      .where(col("s_suppkey") < 100000000L).select(
       col("s_suppkey").cast("int").as("district_id"),
       concat(lit("D"), (col("s_suppkey") % 40).cast("string")).as("district_name"),
       (col("s_nationkey") + 1).cast("int").as("province_id"))
@@ -264,7 +272,8 @@ object DomainQueries {
         |prov AS (SELECT cast(n_nationkey + 1 as int) AS province_id, n_name AS prov_key FROM nation),
         |dist AS (SELECT cast(s_suppkey as int) AS district_id,
         |  'D' || cast(s_suppkey % 40 as varchar) AS dist_key,
-        |  cast(s_nationkey + 1 as int) AS province_id FROM supplier),
+        |  cast(s_nationkey + 1 as int) AS province_id FROM supplier
+        |  WHERE s_suppkey < 100000000),
         |matched AS (
         |  SELECT d.province_id, d.district_id, l.risk_level
         |  FROM lvl l

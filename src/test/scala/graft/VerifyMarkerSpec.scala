@@ -7,6 +7,29 @@ package graft
   * prevent; this spec makes that dead-code regression impossible). */
 class VerifyMarkerSpec extends SparkSpec {
 
+  test("select: shards partition the sorted inventory disjointly and completely; only picks exactly; typos fail loudly") {
+    val names = Seq("a", "b", "c", "d", "e", "f", "g")
+    // round-robin shards: disjoint, covering, deterministic
+    val shards = (0 until 3).map(i => Verify.select(names, None, Some(s"$i/3")))
+    assert(shards.flatten.sorted == names, "shards must cover the inventory")
+    assert(shards.map(_.toSet).reduce(_ intersect _).isEmpty ||
+      shards.combinations(2).forall { case Seq(x, y) => (x.toSet & y.toSet).isEmpty })
+    assert(shards(0) == Seq("a", "d", "g"), "round-robin, not contiguous")
+    // only: exact picks, order preserved from the sorted list
+    assert(Verify.select(names, Some(Set("e", "b")), None) == Seq("b", "e"))
+    // only + shard compose (shard applies to the only-filtered list)
+    assert(Verify.select(names, Some(Set("a", "b", "c")), Some("1/2")) == Seq("b"))
+    // a typo'd only name must fail, never read as a green skip
+    intercept[IllegalArgumentException] {
+      Verify.select(names, Some(Set("nope")), None)
+    }
+    // malformed / out-of-range shard specs fail loudly
+    intercept[RuntimeException] { Verify.select(names, None, Some("3/3")) }
+    intercept[RuntimeException] { Verify.select(names, None, Some("x/y")) }
+    // both unset: the full battery
+    assert(Verify.select(names, None, None) == names)
+  }
+
   test("writeFailureMarker produces a readable one-column parquet naming the query") {
     val out = java.nio.file.Files.createTempDirectory("graft-marker").toString
     Verify.writeFailureMarker(spark, out, "q_example_failed")
