@@ -22,14 +22,22 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Common-English stopwords used by the heuristics below. */
-  val EnStopwords: Seq[String] = Seq(
-    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that",
-    "for", "on", "with", "as", "at", "by", "this", "was", "are", "be")
+  /** Common-English stopwords used by the heuristics below (canonical
+    * list lives next to the native expression that burns it into a
+    * hash set — one source of truth). */
+  val EnStopwords: Seq[String] = graft.expr.TextQualityCore.EnStopwords
 
   /** Fraction of tokens that are English stopwords — the language-ID
-    * signal (n-gram/stopword heuristic; no external models). */
-  def stopwordRatio(text: Column): Column = {
+    * signal (n-gram/stopword heuristic; no external models). Native
+    * one-pass expression (r18): the Column composite re-tokenized per
+    * use and ran an interpreted `filter(_.isin(...))` lambda per token;
+    * [[stopwordRatioComposite]] keeps the original definition as the
+    * parity baseline (TextQualityParitySpec pins equality). */
+  def stopwordRatio(text: Column): Column =
+    graft.expr.TextQuality.stopwordRatio(text)
+
+  /** The pre-r18 Column-composite definition — parity baseline only. */
+  private[graft] def stopwordRatioComposite(text: Column): Column = {
     val toks = tokens(lower(text))
     val hits = size(filter(toks, t => t.isin(EnStopwords: _*)))
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(0.0)
@@ -60,11 +68,19 @@ object TextOps {
 
   /** Composite quality score in [0,1]: length band, stopword presence,
     * sane punctuation, sane token length. The shape mirrors common
-    * pretraining-corpus filters (Gopher/C4-style rules). */
-  def qualityScore(text: Column): Column = {
+    * pretraining-corpus filters (Gopher/C4-style rules). Native
+    * one-pass expression (r18) — the Column composite tokenized the
+    * text 4–6× per row with interpreted HOF lambdas;
+    * [[qualityScoreComposite]] keeps the original as the parity
+    * baseline (TextQualityParitySpec pins equality, incl. null). */
+  def qualityScore(text: Column): Column =
+    graft.expr.TextQuality.qualityScore(text)
+
+  /** The pre-r18 Column-composite definition — parity baseline only. */
+  private[graft] def qualityScoreComposite(text: Column): Column = {
     val nChars = length(text)
     val lengthOk = when(nChars.between(50, 100000), 1.0).otherwise(0.0)
-    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatioComposite(text) >= 0.05, 1.0).otherwise(0.0)
     val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
     val tokOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
     (lengthOk + stopOk + punctOk + tokOk) / 4.0
@@ -83,8 +99,14 @@ object TextOps {
 
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 − |distinct|/|all|. The word-level repetition signal from
-    * Gopher/C4-style quality filtering. 0 for empty docs. */
-  def dupTokenRatio(text: Column): Column = {
+    * Gopher/C4-style quality filtering. 0 for empty docs. Native
+    * one-pass expression (r18); [[dupTokenRatioComposite]] is the
+    * parity baseline (TextQualityParitySpec pins equality). */
+  def dupTokenRatio(text: Column): Column =
+    graft.expr.TextQuality.dupTokenRatio(text)
+
+  /** The pre-r18 Column-composite definition — parity baseline only. */
+  private[graft] def dupTokenRatioComposite(text: Column): Column = {
     val toks = tokens(lower(text))
     when(size(toks) > 0,
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))

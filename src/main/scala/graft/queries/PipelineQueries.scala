@@ -465,7 +465,12 @@ object PipelineQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("doc_id")
     withSyntheticPii(Tables.documents(s, dir))
-      .withColumn("rtext", Pii.redact(col("ptext")))
+      // ComputeOnce: the quality/repetition filters and the fp/token
+      // projections all reference rtext — without the barrier,
+      // predicate pushdown inlined the 3-pass regex redaction ~18×
+      // into one Filter node (56 regexp_replace per row in the r18
+      // before-plan). The barrier keeps ONE evaluation per row.
+      .withColumn("rtext", graft.expr.ComputeOnce.once(Pii.redact(col("ptext"))))
       .where(TextOps.qualityScore(col("rtext")) >= 0.5 &&
         TextOps.dupTokenRatio(col("rtext")) <= 0.6)
       .withColumn("fp", TextOps.fingerprint(col("rtext")))

@@ -148,10 +148,16 @@ object SearchQueries {
     val c = Quality.c4CleanDoc(synthPage)
     Tables.documents(s, dir)
       .where(gopherKeep)
-      .withColumn("c", c)
+      // ComputeOnce barriers (r18): the keep-filter, clean_text
+      // extraction, quality score and the aggregate all re-reference
+      // these two expensive per-row chains — pushdown/collapse inlined
+      // the C4 line battery and the quality score into every consumer
+      // (25 split-tokenizations per row in the before-plan). Each now
+      // evaluates once per row.
+      .withColumn("c", graft.expr.ComputeOnce.once(c))
       .where(col("c.keep"))
       .withColumn("clean", col("c.clean_text"))
-      .withColumn("q", TextOps.qualityScore(col("clean")))
+      .withColumn("q", graft.expr.ComputeOnce.once(TextOps.qualityScore(col("clean"))))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("q") >= 0.75, 1L).otherwise(0L)).as("n_hq"),
