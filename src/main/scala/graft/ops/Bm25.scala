@@ -220,9 +220,14 @@ object Bm25 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bid = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     if (!metaLanded) {
-      val totals = base.groupBy("doc_id").agg(min("dl").as("dl"))
-        .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
-      Seq((totals.getLong(0), totals.getLong(1), nBuckets, base.count()))
+      // one action computes all three stats: n_postings rides the
+      // per-doc groupBy as a count-sum instead of a second full pass
+      // (`base.count()`) over the cached postings — one Spark job per
+      // append instead of two (guide §1.2: don't compute twice)
+      val totals = base.groupBy("doc_id")
+        .agg(min("dl").as("dl"), count(lit(1)).as("np"))
+        .agg(count(lit(1)).as("n"), sum("dl").as("s"), sum("np").as("p")).head()
+      Seq((totals.getLong(0), totals.getLong(1), nBuckets, totals.getLong(2)))
         .toDF("n_docs", "sum_dl", "n_buckets", "n_postings")
         .withColumn("batch_id", bid)
         .write.mode(SaveMode.Append).parquet(metaPath)
@@ -255,12 +260,19 @@ object Bm25 {
     val avgdl = metaRows.map(_.getLong(1)).sum.toDouble / nDocs.toDouble
 
     // term→bucket must equal the WRITER's pmod(xxhash64(term), nBuckets);
-    // compute it with Spark's own expression on a literal frame so the
-    // two sides can never drift.
-    import spark.implicits._
-    val wanted = terms.toDF("term")
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
-    val buckets = wanted.select("bucket").distinct().as[Int].collect().toSeq
+    // evaluate Spark's OWN expression (same operators, literal input)
+    // driver-side so the two sides can never drift — without paying a
+    // whole distributed job for |terms| literal rows (was a
+    // toDF→distinct→collect round trip per query).
+    // (catalyst nodes built directly — the Column API's UnresolvedFunction
+    // wrappers are Unevaluable without an analyzer pass; XxHash64's 42L
+    // seed and Pmod are the same operators `xxhash64`/`pmod` resolve to)
+    val buckets = terms.map { t =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+      Pmod(new XxHash64(Seq(Literal.create(t))), Literal(nBuckets.toLong))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long].toInt
+    }.distinct
 
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
@@ -332,9 +344,15 @@ object Bm25 {
     IndexMaintenance.restoreTornSwap(rmFs, postPath)
     IndexMaintenance.restoreTornSwap(rmFs, metaPath)
     val meta = spark.read.option("mergeSchema", "true").parquet(metaPath)
+    // ONE bounded driver read of the tiny meta table answers both the
+    // retry-stamp probe and the n_buckets consistency check (was two
+    // separate Spark jobs over the same rows)
+    val metaSmall = meta.select(col("n_buckets"),
+        (if (meta.columns.contains("remove_id")) col("remove_id")
+         else lit(null).cast("long")).as("remove_id"))
+      .collect()
     val deltaLanded = removeId.exists(r =>
-      meta.columns.contains("remove_id") &&
-        !meta.where(col("remove_id") === r).isEmpty)
+      metaSmall.exists(row => !row.isNullAt(1) && row.getLong(1) == r))
     val postings = spark.read.option("mergeSchema", "true").parquet(postPath)
     val hits = postings
       .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -345,14 +363,18 @@ object Bm25 {
       // (commits never un-commit), so a retry that passed once passes
       checkpoint.foreach(cp => IndexMaintenance
         .requireBatchesCommitted(spark, hits, cp, s"Bm25.removeDocs($path)"))
-      val nPost = hits.count()
+      // one action over the cached hits yields the posting count AND
+      // the per-doc totals (was a separate count() plus an aggregate)
+      val totals = hits.groupBy("doc_id")
+        .agg(min("dl").as("dl"), count(lit(1)).as("np"))
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"),
+          coalesce(sum("np"), lit(0L)).as("p")).head()
+      val nPost = totals.getLong(2)
       if (!deltaLanded) {
         if (nPost == 0 && removeId.isEmpty) return // nothing to remove
-        val nBucketsAll = meta.select("n_buckets").distinct().collect().map(_.getInt(0))
+        val nBucketsAll = metaSmall.map(_.getInt(0)).distinct
         require(nBucketsAll.length == 1,
           s"inconsistent n_buckets ${nBucketsAll.mkString(",")} across appends at $path — rebuild the index")
-        val totals = hits.groupBy("doc_id").agg(min("dl").as("dl"))
-          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).head()
         val rid = removeId.map(lit(_)).getOrElse(lit(null)).cast("long")
         val globalDelta =
           Seq((-totals.getLong(0), -totals.getLong(1), nBucketsAll.head, -nPost))

@@ -608,7 +608,13 @@ object Dedup {
     * cross-engine-verifiable output). */
   def simhashNearDups(df: DataFrame, maxDist: Int = 3,
       sim: Column => Column = simhash): DataFrame = {
+    // fingerprint ONCE: the banded self-join otherwise duplicates the
+    // scan subtree and recomputes the per-token hashing + simhash on
+    // BOTH sides (the r18 before-plan showed two full corpus passes).
+    // The materialized frame is (id, 64-bit sh) — 16 bytes/doc, the
+    // "shuffle fingerprints, never text" posture at any scale.
     val sh = df.select(col("id"), sim(col("text")).as("sh"))
+      .localCheckpoint(true)
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "chunk")))

@@ -73,16 +73,32 @@ object Ivf {
     }
     var centroids: Array[(Int, Array[Double])] =
       chosen.toArray.zipWithIndex.map { case (c, i) => i -> c }
+    // centroid update: ONE hash aggregate keyed by cell — per-dimension
+    // SUMS plus one count, divided driver-side (avg's own sum/count
+    // division, same IEEE op). Map-side partial aggregation means
+    // nlist×(dim+1) values cross the exchange. The previous posexplode
+    // form multiplied the shuffle rows ×dim and needed a SECOND
+    // exchange + sort to re-assemble the centroid arrays (guide §2.3
+    // "aggregate before you shuffle" / §2.4: 2 Exchange → 1 per
+    // iteration, rows ×dim → ×1). sum-not-avg is load-bearing: dim
+    // avgs would put 2·dim+1 fields in the aggregate buffer, tripping
+    // spark.sql.codegen.maxFields (100) and dropping the whole stage —
+    // including the centroid-assign expression — to interpreted mode
+    // (measured: the dim=64 gates regressed ~+30 % that way; dim+1
+    // fields stays codegen'd). Final outputs of the ANN gates are
+    // exact-by-construction (full probe / covering shortlist), so they
+    // never depend on merge-order ULPs, exactly as before.
+    val dim = centroids.head._2.length
+    val dimSums = (0 until dim).map(i => sum(element_at(col("vec"), i + 1)).as(s"s$i"))
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cell", nearestCentroid(col("vec"), centroids))
       val updated = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+        .groupBy("cell").agg(count(lit(1)).as("n"), dimSums: _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+        }
       // empty cells keep their previous centroid
       val byId = updated.toMap
       centroids = centroids.map { case (i, c) => i -> byId.getOrElse(i, c) }

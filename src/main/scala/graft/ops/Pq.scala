@@ -45,15 +45,17 @@ object Pq {
     val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = vecs.select(size(col("vec"))).limit(1).collect()
-        .headOption.map(_.getInt(0))
-        .getOrElse(throw new IllegalArgumentException("cannot fit PQ on an empty corpus"))
-      require(dim % m == 0, s"dim $dim not divisible by m=$m")
-      val dsub = dim / m
-
-      // deterministic seeds per subspace from one hash-ordered sample
+      // deterministic seeds per subspace from one hash-ordered sample;
+      // dim comes from the sample itself (the former standalone
+      // `select(size(vec)).limit(1)` probe was one whole extra Spark
+      // job per fit — guide §1.2: don't compute things twice)
       val sample = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k * 8)
         .select("vec").collect().map(_.getSeq[Double](0).toArray)
+      if (sample.isEmpty)
+        throw new IllegalArgumentException("cannot fit PQ on an empty corpus")
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
       def d2(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var i = 0
         while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -67,6 +69,19 @@ object Pq {
         chosen.toArray
       }
 
+      // per-dimension SUMS of the subvector plus one count, keyed by
+      // (sub, cell), divided driver-side (avg's own sum/count division
+      // — same IEEE op): ONE hash aggregate with map-side partial
+      // aggregation (m×k×(dsub+1) values cross the exchange). The
+      // previous form posexploded the subvectors (rows ×dim total) and
+      // needed a second exchange + sort to re-assemble arrays (guide
+      // §2.3/§2.4 — 2 Exchange → 1 per iteration). sum-not-avg keeps
+      // the aggregate buffer at dsub+1 fields, clear of the
+      // spark.sql.codegen.maxFields whole-stage-codegen cliff the
+      // dim=64 IVF form measured (see Ivf.fit). The gates'
+      // covering-shortlist configs make final outputs independent of
+      // merge-order ULPs, exactly as before.
+      val dsubSums = (0 until dsub).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
       for (_ <- 0 until iters) {
         // one distributed pass updates EVERY subspace: explode each row
         // to its m (sub, cell, subvec) assignments, then one groupBy
@@ -76,13 +91,14 @@ object Pq {
             subvec(col("vec"), j, dsub).as("sv"))
         }: _*)
         val updated = vecs.select(explode(perSub).as("a"))
-          .select(col("a.sub"), col("a.cell"), posexplode(col("a.sv")).as(Seq("dim", "x")))
-          .groupBy("sub", "cell", "dim").agg(avg("x").as("mu"))
-          .groupBy("sub", "cell")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
-            s => s.getField("mu")).as("centroid"))
+          .select(col("a.sub").as("sub"), col("a.cell").as("cell"), col("a.sv").as("sv"))
+          .groupBy("sub", "cell").agg(count(lit(1)).as("n"), dsubSums: _*)
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+          .map { r =>
+            val n = r.getLong(2).toDouble
+            (r.getInt(0), r.getInt(1)) ->
+              Array.tabulate(dsub)(i => r.getDouble(i + 3) / n)
+          }
           .toMap
         codebooks = Array.tabulate(m)(j => Array.tabulate(codebooks(j).length)(c =>
           updated.getOrElse((j, c), codebooks(j)(c)))) // empty cells keep their centroid

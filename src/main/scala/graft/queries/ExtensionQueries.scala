@@ -472,12 +472,19 @@ object ExtensionQueries {
   def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = docs.count()
-    val tokens = docs.select(col("doc_id"),
-      explode(TextOps.tokens(lower(col("text")))).as("token"))
-    val tf = tokens.where(col("doc_id") < 100)
+    // one explode pass → (doc_id, token, tf) postings (the
+    // Bm25.buildStats shape); the r18 before-plan scanned + exploded
+    // the corpus TWICE (once for tf, once for df). df derives from the
+    // postings — rows per token ≡ countDistinct(doc_id), since the
+    // postings are already one row per (doc, token) — so the second
+    // aggregate shuffles |postings| rows instead of |tokens|.
+    val postings = docs.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df_ = tokens.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint(true)
+    val tf = postings.where(col("doc_id") < 100)
+    val df_ = postings.groupBy("token")
+      .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
     tf.join(df_, Seq("token"))
