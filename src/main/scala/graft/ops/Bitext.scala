@@ -57,23 +57,37 @@ object Bitext {
     require(k >= 1, "bitext: k must be ≥ 1")
     Reserved.requireAbsent("bitext.mine",
       Seq("__rs", "__rt", "__aks", "__akt", "__margin", "__bs", "__bt"), pairs)
+    // materialize the candidates once: the two per-side top-k windows
+    // below each reference them, and every shipped tier's pairs frame
+    // is expensive to recompute (a brute cross product, or ANN probes)
+    val cand = pairs.select(col("sid"), col("tid"), col("cosine"))
+      .localCheckpoint(true)
     val wS = Window.partitionBy("sid").orderBy(col("cosine").desc, col("tid"))
     val wT = Window.partitionBy("tid").orderBy(col("cosine").desc, col("sid"))
-    val ranked = pairs
-      .withColumn("__rs", row_number().over(wS))
-      .withColumn("__rt", row_number().over(wT))
+    // SEPARATE rank-pruned windows instead of one frame chaining both
+    // ranks (the r18 shuffle cut): a `__rs <= k` filter directly over
+    // its window lets WindowGroupLimit prune to k rows per key BELOW
+    // the exchange, so each shuffle moves ~k·|side| rows instead of
+    // |pairs| — the old chained form shuffled the FULL candidate set
+    // twice because the `__rs ≤ k OR __rt ≤ k` filter could prune
+    // neither window. Candidate tiers emit distinct (sid, tid) rows
+    // (all three shipped tiers do), so the union-distinct below is
+    // exactly the OR-filtered row set of the chained form.
+    val topS = cand.withColumn("__rs", row_number().over(wS))
+      .where(col("__rs") <= k).drop("__rs")
+    val topT = cand.withColumn("__rt", row_number().over(wT))
+      .where(col("__rt") <= k).drop("__rt")
     // neighbourhood means as exact decimals: order-independent sums,
     // ONE double conversion — identical IEEE margin in any engine
     val dec = col("cosine").cast(DecimalType(28, 12))
     // exact decimal SUM, one cast, then ONE double division — decimal
     // division scale rules differ across engines, double division does
     // not (same reason the division happens outside the aggregate)
-    val avgS = ranked.where(col("__rs") <= k)
+    val avgS = topS
       .groupBy("sid").agg((sum(dec).cast("double") / count(lit(1))).as("__aks"))
-    val avgT = ranked.where(col("__rt") <= k)
+    val avgT = topT
       .groupBy("tid").agg((sum(dec).cast("double") / count(lit(1))).as("__akt"))
-    val scored = ranked
-      .where(col("__rs") <= k || col("__rt") <= k)
+    val scored = topS.unionByName(topT).distinct()
       .join(avgS, "sid").join(avgT, "tid")
       .withColumn("__margin",
         col("cosine") / ((col("__aks") + col("__akt")) / lit(2.0)))

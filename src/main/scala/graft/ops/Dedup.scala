@@ -503,14 +503,25 @@ object Dedup {
     val withSh = df.select(col("id"), hashedShingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the banded rows are persisted too (the buildChunkIndex stance):
+    // repartitionByRange SAMPLES its child to pick boundaries, which
+    // would otherwise run the k×bands MinHash banding — the single
+    // heaviest per-row cost of a build — twice (sampling job + shuffle
+    // job). The cached frame is narrow (id, band, bkey) — bands rows
+    // per doc, no text, no shingle arrays.
+    val banded = withSh
+      .select(col("id"), posexplode(minhashBands(col("sh"), k, bands)).as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      withSh
-        .select(col("id"), posexplode(minhashBands(col("sh"), k, bands)).as(Seq("band", "bkey")))
+      banded
         .repartitionByRange(col("band"), col("bkey"))
         .sortWithinPartitions("band", "bkey")
         .write.mode(mode).option("compression", "zstd").parquet(s"$path/buckets")
       withSh.write.mode(mode).option("compression", "zstd").parquet(s"$path/shingles")
-    } finally withSh.unpersist(blocking = false)
+    } finally {
+      banded.unpersist(blocking = false)
+      withSh.unpersist(blocking = false)
+    }
   }
 
   /** Near-dup pairs of `newDocs` against an indexed corpus AND within

@@ -207,6 +207,10 @@ object Ivf {
       // null stamp: keeps one cells schema across the save → append
       // lifecycle ([[appendIndex]] stamps real batch ids)
       .withColumn("batch_id", lit(null).cast("long"))
+      // one writer per cell dir (the Bm25.appendIndex stance): without
+      // the repartition every scan task writes a file into every cell
+      // it holds — |tasks|×|cells| small files at scale (guide §6)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -282,6 +286,8 @@ object Ivf {
         .write.mode("append").parquet(logPath)
     assign(batch, loadModel(spark, path))
       .withColumn("batch_id", bid)
+      // one writer per touched cell per batch (small-file posture)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(cellsPath)
   }
 
@@ -378,6 +384,7 @@ object Ivf {
         .write.mode("overwrite").parquet(s"$staged/centroids")
       assign(corpus, fresh)
         .withColumn("batch_id", lit(null).cast("long"))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$staged/cells")
       val live = new org.apache.hadoop.fs.Path(path)
       val old = new org.apache.hadoop.fs.Path(path + "__old")

@@ -74,6 +74,10 @@ object IvfPq {
       // null stamp: keeps one cells schema across the save → append
       // lifecycle (the Ivf.save stance; appendIndex stamps real ids)
       .withColumn("batch_id", lit(null).cast("long"))
+      // one writer per cell dir (the Bm25.appendIndex stance): without
+      // the repartition every scan task writes a file into every cell
+      // it holds — |tasks|×|cells| small files at scale (guide §6)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -115,6 +119,8 @@ object IvfPq {
     index(batch, idx.model)
       .withColumn("batch_id",
         batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      // one writer per touched cell per batch (small-file posture)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(cellsPath)
   }
 
