@@ -211,6 +211,23 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     val warmupS = (System.nanoTime() - warm0) / 1e9
+    // HOST-THROTTLE CANARY (r18): the same warm query timed once after
+    // warmup and once after the sweep. The load-average gates can only
+    // see THIS guest's runnable threads — an r18 session measured the
+    // whole sweep inflating ~1.5× (uniformly, worst on multi-job rows)
+    // with load1m_entry 0.25 and degraded=false, i.e. hypervisor-side
+    // slowness invisible to every existing gate. A warm fixed-work
+    // probe at both ends makes that drift measurable in the record:
+    // canary_end ≫ canary_start (or both ≫ a prior run's) says "host,
+    // not code". Fidelity-file fields only; the capped stat line is
+    // unchanged.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryStart = canary()
     val load1m = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // SPARK_GRAFT_BENCH_ISOLATE=1: clear the catalog cache between
@@ -296,6 +313,7 @@ object Bench {
     // end-of-run load: degradation is judged on the WORST of start/end
     // (r12's driver run started quiet and got loaded mid-sweep)
     val loadEnd = osBean.getSystemLoadAverage
+    val canaryEnd = canary()
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
     // published per-query statistic — MEDIAN everywhere (the r8 flip,
     // after a round of A/B overlap: r8 recorded both totals, 74.3 min
@@ -364,7 +382,7 @@ object Bench {
   "metric": "total", "unit": "sec", "value": ${f(total)}, "total_min3med5": ${f(totalMin3)},
   "n_queries": ${results.size}, "reps": $reps, "reps_multijob": 5, "stat": "median",
   "key_transform": "line keys: q_ prefix stripped; leading incremental_ -> i_; _pipeline suffix -> _pl; then substring replaces (substring -> ss; boilerplate -> bp; tokenize -> tok; dedup -> dd; cosine -> cos; stratified -> strat; quality -> ql; contamination -> contam; temperature -> temp; repetition -> rep; window -> win; weighted -> wtd; _sample -> _smp; budget -> bdg; fingerprint -> fp; canonical -> canon; incident -> inc; distinct -> dst; coalesce -> coal; epoch -> ep; chunk -> chk; fertility -> fert; features -> feat; positive -> pos; join -> jn; graph -> gr; session -> sess; group -> grp; count -> cnt; filter -> flt; embed -> emb; centroid -> ctr; revenue -> rev; running -> run; tumbling -> tumb; trailing -> trl; removal -> rm; paginate -> pgn; upsample -> ups; fluency -> flu; trigram -> tri; quantile -> qnt; approx -> apx; resample -> rsmp; media -> md; jaccard -> jac; minhash -> mh; hybrid -> hyb; extract -> ext; stats -> st; bucket -> bkt; rownum -> rn; summary -> sum; text -> txt; append -> app; select -> sel; enrich -> enr; range -> rng; funcs -> fn; parts -> pts; multi -> mlt; promo -> pr; keep_ -> kp_; corpus -> corp; page -> pg; dates -> dts; terms -> trm; score -> sc; shard -> shd; split -> spl; fill -> fl; domain -> dom; topk -> tk; null -> nl; case -> cs; union -> un; exact -> ex; asof -> ao; skew -> sk; anti -> ant; prep -> pp; zorder -> zo; train -> tr; mid-string incremental -> incr; index -> idx; delete -> del; lookup -> lkp; adaptive -> adp; project -> prj; overlap -> ovlp; redact -> red; minmax -> mm; fuzzy -> fz; ngram -> ng; token -> tok; total -> tot); finally ALL underscores dropped. BenchSpec pins the exact mapping; full names in the fidelity file",
-  "warmup_s": ${f(warmupS)}, "load1m_entry": ${f(loadEntry)}, "load5m_entry": ${if (load5mEntry.isInfinity) "null" else f(load5mEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
+  "warmup_s": ${f(warmupS)}, "canary_start_s": ${f(canaryStart)}, "canary_end_s": ${f(canaryEnd)}, "load1m_entry": ${f(loadEntry)}, "load5m_entry": ${if (load5mEntry.isInfinity) "null" else f(load5mEntry)}, "load1m": ${f(load1m)}, "load1m_end": ${f(loadEnd)}, "degraded": $degraded,
   "outlier_retries": {${retried.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString(", ")}},
   "cpus": $cpus, "isolate": $isolate,
   "sf": "$sfDir",

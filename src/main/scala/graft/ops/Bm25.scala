@@ -103,6 +103,43 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** One-shot ad-hoc scoring WITHOUT materializing the in-memory index
+    * (r18): global totals come from a doc-level aggregate (dl = the
+    * doc's token count — no (term, doc) shuffle, no persist), and the
+    * postings are term-FILTERED before their exchange, so the only
+    * shuffle carries the query terms' rows instead of the whole
+    * corpus's postings (guide §2.3 "project/filter before the
+    * exchange"). Row-identical to `score(buildStats(docs), terms)` —
+    * same totals (a doc appears in the postings iff its token array is
+    * non-null; the filter commutes with the (term, doc) groupBy on its
+    * own key), same df (restricted per term), same contrib doubles —
+    * Bm25Spec pins the equality, null text included. [[buildStats]]
+    * stays the right call when one index serves MANY queries; this is
+    * the single-query form the ad-hoc gates want. */
+  def scoreTerms(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(lower(col(textCol))).as("ts"))
+    val t = toks.agg(
+      count(when(col("ts").isNotNull, 1)).as("n"),
+      coalesce(sum(when(col("ts").isNotNull, size(col("ts")).cast("long"))), lit(0L)).as("s"))
+      .head()
+    val nDocs = t.getLong(0)
+    val avgdl = t.getLong(1).toDouble / nDocs.toDouble
+    val postings = toks
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfT), Seq("term"))
+      .withColumn("c", contrib(k1, b, nDocs, avgdl).cast(DecimalType(28, 12)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c").cast("double").as("score"))
+  }
+
   // ---- persisted, appendable index -------------------------------------
 
   /** Directory layout: `postings/` (term-bucket-partitioned parquet;

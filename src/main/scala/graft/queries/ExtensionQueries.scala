@@ -472,16 +472,18 @@ object ExtensionQueries {
   def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = docs.count()
-    // one explode pass → (doc_id, token, tf) postings (the
-    // Bm25.buildStats shape); the r18 before-plan scanned + exploded
-    // the corpus TWICE (once for tf, once for df). df derives from the
-    // postings — rows per token ≡ countDistinct(doc_id), since the
-    // postings are already one row per (doc, token) — so the second
-    // aggregate shuffles |postings| rows instead of |tokens|.
+    // (term, doc)-grouped postings as the shared shape: df = rows per
+    // token over the postings ≡ countDistinct(doc_id) — the distinct
+    // aggregate's expand/two-phase rewrite is gone — and the tf branch
+    // filters on the GROUPING key, so `doc_id < 100` pushes below the
+    // aggregate and the explode into the parquet scan (PlanAuditSpec
+    // pins PushedFilters on this very gate; an earlier r18 draft
+    // materialized the postings instead, which halved gate time but
+    // hid the scan behind a checkpoint AND is a corpus-scale
+    // intermediate at 100 TB — the two-branch shape is the honest one)
     val postings = docs.select(col("doc_id"),
         explode(TextOps.tokens(lower(col("text")))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val tf = postings.where(col("doc_id") < 100)
     val df_ = postings.groupBy("token")
       .agg(count(lit(1)).as("df"))

@@ -48,12 +48,13 @@ object SearchQueries {
       .limit(K)
       .select(col("doc_id"), col("n_terms"), col("score"))
 
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val stats = Bm25.buildStats(Tables.documents(s, dir))
-    val out = ranked(Bm25.score(stats, Terms)).localCheckpoint(true)
-    stats.postings.unpersist(blocking = false)
-    out
-  }
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    // one-shot scoring (r18): totals from a doc-level aggregate,
+    // postings term-filtered BEFORE their exchange — the full-corpus
+    // postings shuffle + persist the old buildStats path paid per rep
+    // is gone; Bm25Spec pins scoreTerms ≡ score(buildStats(docs))
+    ranked(Bm25.scoreTerms(Tables.documents(s, dir), Terms))
+      .localCheckpoint(true)
 
   def qBm25Index(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -170,7 +171,13 @@ object SearchQueries {
     * desc, doc_id) — a distributed TakeOrderedAndProject, then
     * row_number over the bounded 50-row list. */
   private[graft] def lexicalArm(stats: Bm25.Stats): DataFrame =
-    Bm25.score(stats, Terms)
+    lexicalArmFrom(Bm25.score(stats, Terms))
+
+  /** The same arm over ANY (doc_id, n_terms, score) frame — the gate
+    * feeds it [[Bm25.scoreTerms]] (one-shot, no index materialized);
+    * HybridRetrievalSpec feeds it the Stats path and pins both equal. */
+  private[graft] def lexicalArmFrom(scored: DataFrame): DataFrame =
+    scored
       .withColumn("score_r", round(col("score"), 6))
       .orderBy(col("score_r").desc, col("doc_id")).limit(50)
       .withColumn("rank",
@@ -189,22 +196,20 @@ object SearchQueries {
 
   /** The un-checkpointed hybrid frame (gate = this + checkpoint). */
   private def hybridFused(s: SparkSession, dir: String,
-      stats: Bm25.Stats): DataFrame = {
+      lexScored: DataFrame): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
     val sem = Similarity.bruteForceTopK(emb,
         emb.where(col("id") === 0).select(col("id").as("qid"), col("embedding")),
         k = 50)
       .select(col("id"), col("rank"))
-    fuseArms(lexicalArm(stats), sem)
+    fuseArms(lexicalArmFrom(lexScored), sem)
   }
 
-  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val stats = Bm25.buildStats(Tables.documents(s, dir))
-    val out = hybridFused(s, dir, stats).localCheckpoint(true)
-    stats.postings.unpersist(blocking = false)
-    out
-  }
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame =
+    // lexical arm on the one-shot scoreTerms path (the qBm25 r18 move)
+    hybridFused(s, dir, Bm25.scoreTerms(Tables.documents(s, dir), Terms))
+      .localCheckpoint(true)
 
   /** Plan-audit views (PLANS.md + PlanAuditSpec): the search gates
     * checkpoint their results, which truncates the plans PlanDump and
@@ -216,10 +221,9 @@ object SearchQueries {
     import org.apache.spark.sql.execution.ExplainMode
     def fmt(df: DataFrame): String =
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    val stats = Bm25.buildStats(Tables.documents(s, dir))
-    val bm25View = fmt(ranked(Bm25.score(stats, Terms)))
-    val hybridView = fmt(hybridFused(s, dir, stats))
-    stats.postings.unpersist(blocking = false)
+    val docs = Tables.documents(s, dir)
+    val bm25View = fmt(ranked(Bm25.scoreTerms(docs, Terms)))
+    val hybridView = fmt(hybridFused(s, dir, Bm25.scoreTerms(docs, Terms)))
     var indexedView: String = ""
     Q.withTempIndex("graft-bm25plan") { idx =>
       Bm25.appendIndex(Tables.documents(s, dir), idx)

@@ -26,6 +26,19 @@ class Bm25Spec extends SparkSpec {
     st.postings.unpersist(blocking = false)
   }
 
+  test("scoreTerms ≡ score(buildStats(docs)) — null text and multi-term, bit-exact") {
+    val withNullDoc = corpus.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val terms = Seq("spark", "join", "the", "absent")
+    val st = Bm25.buildStats(withNullDoc)
+    val viaStats = Bm25.score(st, terms)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val oneShot = Bm25.scoreTerms(withNullDoc, terms)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(oneShot == viaStats) // exact doubles: same totals, same contrib tree
+    st.postings.unpersist(blocking = false)
+  }
+
   test("score matches the closed-form BM25 value") {
     val st = Bm25.buildStats(corpus)
     val got = Bm25.topK(st, Seq("spark"), k = 10)
