@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintenance {
 
+  /** One writer per `cell` partition dir for an index write — the
+    * Bm25.appendIndex stance (without it every input task writes a
+    * file into every cell it holds: |tasks|×|cells| small files at
+    * scale, guide §6) — but ADAPTIVE: a frame that is already a single
+    * partition writes one file per cell with no exchange at all, so
+    * the shuffle is paid exactly when it buys layout (the r18 paired
+    * bench measured the unconditional form taxing every gate-scale
+    * save/append ~0.2 s for zero file-count change). */
+  private[ops] def oneWriterPerCell(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.rdd.getNumPartitions <= 1) df else df.repartition(col("cell"))
+
   /** Compact one flat parquet directory in place.
     *
     * @param dedupeRows also collapse duplicate rows — for

@@ -207,10 +207,11 @@ object Ivf {
       // null stamp: keeps one cells schema across the save → append
       // lifecycle ([[appendIndex]] stamps real batch ids)
       .withColumn("batch_id", lit(null).cast("long"))
-      // one writer per cell dir (the Bm25.appendIndex stance): without
-      // the repartition every scan task writes a file into every cell
-      // it holds — |tasks|×|cells| small files at scale (guide §6)
-      .repartition(col("cell"))
+      // one writer per cell dir, adaptive (IndexMaintenance
+      // .oneWriterPerCell): the exchange is paid only when the input
+      // is multi-partition — i.e. exactly when it prevents
+      // |tasks|×|cells| small files (guide §6)
+      .transform(IndexMaintenance.oneWriterPerCell)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -286,8 +287,9 @@ object Ivf {
         .write.mode("append").parquet(logPath)
     assign(batch, loadModel(spark, path))
       .withColumn("batch_id", bid)
-      // one writer per touched cell per batch (small-file posture)
-      .repartition(col("cell"))
+      // one writer per touched cell per batch (adaptive — see
+      // IndexMaintenance.oneWriterPerCell)
+      .transform(IndexMaintenance.oneWriterPerCell)
       .write.mode("append").partitionBy("cell").parquet(cellsPath)
   }
 
@@ -384,7 +386,7 @@ object Ivf {
         .write.mode("overwrite").parquet(s"$staged/centroids")
       assign(corpus, fresh)
         .withColumn("batch_id", lit(null).cast("long"))
-        .repartition(col("cell"))
+        .transform(IndexMaintenance.oneWriterPerCell)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$staged/cells")
       val live = new org.apache.hadoop.fs.Path(path)
       val old = new org.apache.hadoop.fs.Path(path + "__old")

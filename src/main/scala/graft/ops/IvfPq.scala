@@ -74,10 +74,11 @@ object IvfPq {
       // null stamp: keeps one cells schema across the save → append
       // lifecycle (the Ivf.save stance; appendIndex stamps real ids)
       .withColumn("batch_id", lit(null).cast("long"))
-      // one writer per cell dir (the Bm25.appendIndex stance): without
-      // the repartition every scan task writes a file into every cell
-      // it holds — |tasks|×|cells| small files at scale (guide §6)
-      .repartition(col("cell"))
+      // one writer per cell dir, adaptive (IndexMaintenance
+      // .oneWriterPerCell): the exchange is paid only when the input
+      // is multi-partition — i.e. exactly when it prevents
+      // |tasks|×|cells| small files (guide §6)
+      .transform(IndexMaintenance.oneWriterPerCell)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -119,8 +120,9 @@ object IvfPq {
     index(batch, idx.model)
       .withColumn("batch_id",
         batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
-      // one writer per touched cell per batch (small-file posture)
-      .repartition(col("cell"))
+      // one writer per touched cell per batch (adaptive — see
+      // IndexMaintenance.oneWriterPerCell)
+      .transform(IndexMaintenance.oneWriterPerCell)
       .write.mode("append").partitionBy("cell").parquet(cellsPath)
   }
 
