@@ -257,16 +257,20 @@ object Bm25 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bid = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     if (!metaLanded) {
-      // one action computes all three stats: n_postings rides the
-      // per-doc groupBy as a count-sum instead of a second full pass
-      // (`base.count()`) over the cached postings — one Spark job per
-      // append instead of two (guide §1.2: don't compute twice)
-      val totals = base.groupBy("doc_id")
+      // the stats aggregate IS the meta write: one job computes
+      // n_docs/sum_dl/n_postings over the cached postings and writes
+      // the one-row meta delta directly — no `.head()` round-trip, no
+      // second action (guide §1.2: the r18 form had already folded
+      // n_postings into this aggregate; this folds the write in too)
+      base.groupBy("doc_id")
         .agg(min("dl").as("dl"), count(lit(1)).as("np"))
-        .agg(count(lit(1)).as("n"), sum("dl").as("s"), sum("np").as("p")).head()
-      Seq((totals.getLong(0), totals.getLong(1), nBuckets, totals.getLong(2)))
-        .toDF("n_docs", "sum_dl", "n_buckets", "n_postings")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("sum_dl"),
+          coalesce(sum("np"), lit(0L)).as("n_postings"))
+        .select(col("n_docs"), col("sum_dl"),
+          lit(nBuckets).as("n_buckets"), col("n_postings"))
         .withColumn("batch_id", bid)
+        .coalesce(1)
         .write.mode(SaveMode.Append).parquet(metaPath)
     }
     base
@@ -390,7 +394,11 @@ object Bm25 {
       .collect()
     val deltaLanded = removeId.exists(r =>
       metaSmall.exists(row => !row.isNullAt(1) && row.getLong(1) == r))
-    val postings = spark.read.option("mergeSchema", "true").parquet(postPath)
+    // postings are batch_id-stamped by every writer — the fast
+    // one-footer read (IndexMaintenance.readStamped); meta keeps
+    // mergeSchema above because its rows mix schemas in normal
+    // operation (append rows lack remove_id)
+    val postings = IndexMaintenance.readStamped(spark, postPath)
     val hits = postings
       .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -498,8 +506,8 @@ object Bm25 {
     fs.delete(stagedPost, true); fs.delete(stagedMeta, true)
     // one hash exchange on the bucket key → each bucket's rows land in
     // exactly one writer task → exactly one file per bucket directory
-    // (mergeSchema keeps the batch_id column alive across pre-stamp files)
-    spark.read.option("mergeSchema", "true").parquet(s"$path/postings")
+    // (readStamped keeps the batch_id column alive across pre-stamp files)
+    IndexMaintenance.readStamped(spark, s"$path/postings")
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(stagedPost.toString)

@@ -33,8 +33,43 @@ object IndexMaintenance {
     * the shuffle is paid exactly when it buys layout (the r18 paired
     * bench measured the unconditional form taxing every gate-scale
     * save/append ~0.2 s for zero file-count change). */
-  private[ops] def oneWriterPerCell(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.rdd.getNumPartitions <= 1) df else df.repartition(col("cell"))
+  private[ops] def oneWriterPerCell(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Decide WITHOUT finalizing an adaptive plan: Dataset.rdd on a plan
+    // containing exchanges executes those shuffle stages eagerly (AQE
+    // finalization), and the subsequent .write is a FRESH query
+    // execution — a caller passing a joined/shuffled frame would
+    // silently compute its whole upstream pipeline twice. A plan with
+    // an exchange is multi-partition for this purpose anyway (shuffle
+    // output spreads over the session's shuffle partitions), so the
+    // .rdd partition probe runs only on exchange-free plans, where RDD
+    // construction is lazy and runs nothing.
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (!hasExchange && df.rdd.getNumPartitions <= 1) df
+    else df.repartition(col("cell"))
+  }
+
+  /** Read an index DATA dir (IVF/PQ `cells/`, BM25 `postings/`) whose
+    * ONLY schema evolution is the `batch_id` stamp: the plain read
+    * infers from one footer — if that footer carries the stamp, files
+    * without it surface null batch_id, exactly what a full footer
+    * merge yields — and only a legacy pre-stamp dir (fast schema lacks
+    * the column) pays the distributed `mergeSchema` footer-merge job.
+    * Every current writer stamps (null for unstamped appends), so the
+    * steady state is one driver-side footer read instead of a
+    * |files|-task Spark job per maintenance action (these dirs hold
+    * one file per cell/bucket — 16–128 files at gate scale, unbounded
+    * between compactions at streaming cadence). Meta/log dirs do NOT
+    * take this path: their rows mix schemas within one dir in normal
+    * operation (append rows lack remove_id, decrement rows carry it),
+    * so their reads keep mergeSchema — they are tiny by construction. */
+  private[ops] def readStamped(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val fast = spark.read.parquet(dir)
+    if (fast.columns.contains("batch_id")) fast
+    else spark.read.option("mergeSchema", "true").parquet(dir)
+  }
 
   /** Compact one flat parquet directory in place.
     *
@@ -140,7 +175,7 @@ object IndexMaintenance {
       fs: org.apache.hadoop.fs.FileSystem, dataDir: String, b: Long): Long =
     if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir))) 0L
     else try {
-      val data = spark.read.option("mergeSchema", "true").parquet(dataDir)
+      val data = readStamped(spark, dataDir)
       if (!data.columns.contains("batch_id")) 0L
       else data.where(col("batch_id") === b).count()
     } catch { case _: Exception => 0L }
@@ -397,7 +432,7 @@ object IndexMaintenance {
       .getFileSystem(spark.sessionState.newHadoopConf())
     restoreTornSwap(fs, dataDir)
     checkpoint.foreach { cp =>
-      val affected = spark.read.option("mergeSchema", "true").parquet(dataDir)
+      val affected = readStamped(spark, dataDir)
         .join(ids.select(col(keyCol)), Seq(keyCol), "left_semi")
       requireBatchesCommitted(spark, affected, cp,
         s"removeKeysWithLogDecrement($dataDir)")
@@ -407,7 +442,7 @@ object IndexMaintenance {
       val decLanded = removeId.exists(r =>
         log0.columns.contains("remove_id") &&
           !log0.where(col("remove_id") === r).isEmpty)
-      val data = spark.read.option("mergeSchema", "true").parquet(dataDir)
+      val data = readStamped(spark, dataDir)
       if (!decLanded && data.columns.contains("batch_id")) {
         val dec = data
           .join(ids.select(col(keyCol)), Seq(keyCol), "left_semi")
@@ -439,12 +474,13 @@ object IndexMaintenance {
     require(fs.exists(live), s"no index directory at $dir")
     val staged = new Path(s"$dir/../${live.getName}__compacting").toString
     fs.delete(new Path(staged), true)
-    // mergeSchema: index dirs evolve (batch_id stamps arrived after
-    // some dirs were first written); a first-footer read would DROP
-    // the stamp column from every stamped row, erasing the replay
-    // detection the stamps exist for. The rewrite reads all data
-    // anyway — the footer-merge cost is noise.
-    val df = transform(spark.read.option("mergeSchema", "true").parquet(dir))
+    // schema evolution (batch_id stamps arrived after some dirs were
+    // first written) is handled by readStamped: one footer read when
+    // the stamp is present (every current writer stamps), the full
+    // mergeSchema footer-merge job only for legacy pre-stamp dirs —
+    // a first-footer read that DROPPED the stamp column would erase
+    // the replay detection the stamps exist for.
+    val df = transform(readStamped(spark, dir))
     val shaped =
       if (rangeSortCols.nonEmpty)
         df.repartitionByRange(rangeSortCols.map(col): _*)

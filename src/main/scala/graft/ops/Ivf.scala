@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * quantizer partitions the corpus into `nlist` cells; a query probes
   * its `nprobe` nearest centroids and ranks only those cells' vectors.
   *
-  * Training is Lloyd's algorithm expressed as DataFrame ops: assign =
-  * broadcast-centroid argmin (codegen'd [[graft.expr.CosineSim]]-style
-  * dot math), update = per-dimension mean via posexplode + groupBy —
-  * both fully distributed, centroids live on the driver only between
-  * iterations (nlist × dim doubles — KB-scale). Deterministic: initial
-  * centroids come from a hash-ordered sample refined by farthest-point
-  * selection (see [[fit]]), iterations fixed.
+  * Training is Lloyd's algorithm over a BOUNDED hash-ordered sample
+  * (one distributed top-k pass; iterations driver-side — see [[fit]]);
+  * ASSIGNMENT of the corpus stays fully distributed: a
+  * broadcast-centroid argmin (codegen'd [[graft.expr.CentroidExprs]]
+  * dot math) per row. Deterministic: initial centroids come from a
+  * hash-ordered sample refined by farthest-point selection,
+  * iterations fixed.
   *
   * At 100 TB the index build is a handful of full scans and the cell
   * assignment persists as a `cell` column (partition/bucket key);
@@ -45,25 +45,88 @@ object Ivf {
   private def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
     graft.expr.CentroidExprs.nearestCell(vec, matrixOf(centroids))
 
-  /** Train the coarse quantizer.
+  /** Train the coarse quantizer on a BOUNDED sample, Lloyd's driver-side.
     *
     * Seeding is deterministic AND content-spread: a hash-ordered sample
     * (`xxhash64(id)` order — uniform over the corpus no matter how ids
     * correlate with content, unlike first-n-by-id which degenerates on
-    * sorted/clustered corpora) of 8×nlist candidates, refined by greedy
-    * farthest-point selection on the driver (KB-scale work). Well-
-    * separated clusters present in the sample each get a seed before
-    * any cluster gets two, so no cell starts starved. */
-  def fit(corpus: DataFrame, nlist: Int = 16, iters: Int = 5): Model = {
-    val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand: Array[Array[Double]] = vecs
-      .orderBy(xxhash64(col("id")), col("id")).limit(nlist * 8).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cand.nonEmpty, "cannot fit an IVF model on an empty corpus")
-    def d2(a: Array[Double], b: Array[Double]): Double = {
+    * sorted/clustered corpora), refined by greedy farthest-point
+    * selection on the driver. Well-separated clusters present in the
+    * sample each get a seed before any cluster gets two, so no cell
+    * starts starved.
+    *
+    * TRAINING runs on a bounded sample — the standard IVF
+    * coarse-quantizer practice (FAISS trains on ~`samplePerCell`
+    * vectors per centroid): ONE distributed pass collects the
+    * hash-ordered training sample (TakeOrderedAndProject — map-side
+    * partial top-k; the collect is nlist×samplePerCell rows), then
+    * Lloyd's iterations run driver-side over that sample —
+    * nlist²×samplePerCell×dim multiply-adds per iteration, ms-scale.
+    * The previous form persisted the FULL corpus and ran a distributed
+    * assign+aggregate job pair per iteration (1 + 2·iters Spark jobs;
+    * at 100 TB, iters extra full passes over cached data). Quantizer
+    * quality is statistically the same — k-means cells are a density
+    * summary, and samplePerCell vectors per centroid estimate each
+    * mean to ~1/√samplePerCell of within-cell spread — while build
+    * cost drops to one bounded top-k pass (guide §1.2 step 1: fix the
+    * distributed algorithm before the per-task work). Driver memory is
+    * nlist×samplePerCell×dim doubles — size `samplePerCell` down for
+    * huge nlist. The ANN gates' outputs are exact-by-construction
+    * (full probe / covering shortlist + exact re-rank), so they never
+    * depend on centroid values; IvfSpec's recall pins cover the
+    * approximate paths.
+    *
+    * Determinism: the sample is a deterministic prefix of the
+    * (xxhash64(id), id) total order; assignment mirrors
+    * [[graft.expr.CentroidExprs.NearestCell]] exactly (L2 argmin over
+    * the min-length prefix, strict-< so ties keep the lowest cell id);
+    * sums accumulate in sample order. Same corpus + params ⇒ same
+    * model, every run. */
+  def fit(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+      samplePerCell: Int = 256): Model = {
+    require(samplePerCell >= 8, "fit: samplePerCell must be ≥ 8")
+    val train = trainingSample(corpus, nlist * samplePerCell)
+    require(train.nonEmpty, "cannot fit an IVF model on an empty corpus")
+    fitOnSample(train, nlist, iters)
+  }
+
+  /** The shared hash-ordered training collect (one distributed
+    * TakeOrderedAndProject) — [[IvfPq.fit]] reuses one sample for both
+    * stages instead of paying two collection passes. */
+  private[ops] def trainingSample(corpus: DataFrame, n: Int): Array[Array[Double]] =
+    corpus
+      .where(col("embedding").isNotNull)
+      .select(col("id"), asDouble(col("embedding")).as("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(n)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+
+  /** L2 argmin over the min-length prefix, strict-< lowest-index
+    * tie-break — the driver mirror of
+    * [[graft.expr.CentroidExprs.NearestCell.compute]]. */
+  private[ops] def nearestIdx(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(v.length, cv.length)
       var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      while (i < n) { val d = v(i) - cv(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[ops] def fitOnSample(train: Array[Array[Double]], nlist: Int,
+      iters: Int): Model = {
+    // farthest-point seeding over the first 8×nlist sample rows — the
+    // identical candidate set the full-corpus-trained fit used (a
+    // prefix of the same hash order)
+    val cand = train.take(nlist * 8)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
     val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
@@ -71,40 +134,27 @@ object Ivf {
       // deterministic: maxBy keeps the first (hash-order) argmax on ties
       chosen += cand.maxBy(v => chosen.iterator.map(c => d2(v, c)).min)
     }
-    var centroids: Array[(Int, Array[Double])] =
-      chosen.toArray.zipWithIndex.map { case (c, i) => i -> c }
-    // centroid update: ONE hash aggregate keyed by cell — per-dimension
-    // SUMS plus one count, divided driver-side (avg's own sum/count
-    // division, same IEEE op). Map-side partial aggregation means
-    // nlist×(dim+1) values cross the exchange. The previous posexplode
-    // form multiplied the shuffle rows ×dim and needed a SECOND
-    // exchange + sort to re-assemble the centroid arrays (guide §2.3
-    // "aggregate before you shuffle" / §2.4: 2 Exchange → 1 per
-    // iteration, rows ×dim → ×1). sum-not-avg is load-bearing: dim
-    // avgs would put 2·dim+1 fields in the aggregate buffer, tripping
-    // spark.sql.codegen.maxFields (100) and dropping the whole stage —
-    // including the centroid-assign expression — to interpreted mode
-    // (measured: the dim=64 gates regressed ~+30 % that way; dim+1
-    // fields stays codegen'd). Final outputs of the ANN gates are
-    // exact-by-construction (full probe / covering shortlist), so they
-    // never depend on merge-order ULPs, exactly as before.
-    val dim = centroids.head._2.length
-    val dimSums = (0 until dim).map(i => sum(element_at(col("vec"), i + 1)).as(s"s$i"))
+    var centroids: Array[Array[Double]] = chosen.toArray
+    val dim = centroids.head.length
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cell", nearestCentroid(col("vec"), centroids))
-      val updated = assigned
-        .groupBy("cell").agg(count(lit(1)).as("n"), dimSums: _*)
-        .collect()
-        .map { r =>
-          val n = r.getLong(1).toDouble
-          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
-        }
-      // empty cells keep their previous centroid
-      val byId = updated.toMap
-      centroids = centroids.map { case (i, c) => i -> byId.getOrElse(i, c) }
+      val sums = Array.ofDim[Double](centroids.length, dim)
+      val counts = new Array[Long](centroids.length)
+      train.foreach { v =>
+        val best = nearestIdx(v, centroids)
+        counts(best) += 1
+        val s = sums(best)
+        val n = math.min(v.length, dim)
+        var i = 0
+        while (i < n) { s(i) += v(i); i += 1 }
+      }
+      // empty cells keep their previous centroid (the distributed
+      // update's rule, unchanged)
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0L) centroids(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
     }
-    vecs.unpersist(blocking = false)
-    Model(centroids)
+    Model(centroids.zipWithIndex.map { case (c, i) => i -> c })
   }
 
   /** Cell assignment of the corpus under a trained model — persist this
@@ -202,6 +252,10 @@ object Ivf {
     import spark.implicits._
     model.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
       .toDF("cell", "centroid")
+      // KB-scale frame: one writer task, one file (the local Seq would
+      // otherwise spread its nlist rows over default-parallelism tasks
+      // — 8 two-row files at nlist=16, paid again at every load)
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     assign(corpus, model)
       // null stamp: keeps one cells schema across the save → append
@@ -219,9 +273,13 @@ object Ivf {
     Index(loadModel(spark, path), spark.read.parquet(s"$path/cells"))
 
   /** Just the quantizer (KB-scale) — what [[appendIndex]] needs; no
-    * point touching the cells data to fold a batch in. */
+    * point touching the cells data to fold a batch in. The schema is
+    * the writer's own fixed layout ([[save]]), stated explicitly so
+    * the read skips the footer-inference Spark job. */
   def loadModel(spark: SparkSession, path: String): Model =
-    Model(spark.read.parquet(s"$path/centroids").collect()
+    Model(spark.read
+      .schema("cell INT, centroid ARRAY<DOUBLE>")
+      .parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1))
 
@@ -270,9 +328,16 @@ object Ivf {
     * silently missing vectors. Steady-state cost per stamped append:
     * the tiny log read + one count of the INCOMING batch (the log's
     * expected-rows field); the landed-count scan of `cells/` runs only
-    * on the replay path. */
+    * on the replay path.
+    *
+    * `model`: the stored quantizer, when the caller already holds it
+    * (a builder that just ran fit+save, a maintainer loop keeping it
+    * resident) — skips the per-append centroid read-back. MUST be the
+    * index's own frozen model (the same rows [[save]] wrote);
+    * anything else breaks the frozen-quantizer contract that makes
+    * append ≡ one-shot save. Omitted ⇒ read from `path` as before. */
   def appendIndex(spark: SparkSession, batch: DataFrame, path: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, model: Option[Model] = None): Unit = {
     import spark.implicits._
     val logPath = s"$path/appendlog"
     val cellsPath = s"$path/cells"
@@ -285,7 +350,7 @@ object Ivf {
     if (batchId.isDefined && !logLanded)
       Seq((batchId.get, batch.count())).toDF("batch_id", "n_rows")
         .write.mode("append").parquet(logPath)
-    assign(batch, loadModel(spark, path))
+    assign(batch, model.getOrElse(loadModel(spark, path)))
       .withColumn("batch_id", bid)
       // one writer per touched cell per batch (adaptive — see
       // IndexMaintenance.oneWriterPerCell)
@@ -383,6 +448,7 @@ object Ivf {
       fs.delete(staged, true)
       fresh.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
         .toDF("cell", "centroid")
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$staged/centroids")
       assign(corpus, fresh)
         .withColumn("batch_id", lit(null).cast("long"))
@@ -423,10 +489,16 @@ object Ivf {
     * the probe scan). [[Bm25.topKIndexed]] plays the same move with
     * its term buckets. */
   def topKIndexed(index: Index, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val probed = queries
-      .select(explode(graft.expr.CentroidExprs.nearestCells(
-        asDouble(col("embedding")), matrixOf(index.model.centroids), nprobe)).as("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // nprobe ≥ nlist is a FULL probe: every query's nearestCells list is
+    // all nlist centroids, so the probed set is 0..nlist−1 by definition
+    // — resolve it without the distinct+collect job (the
+    // exact-by-construction gates probe full, so they skip it every rep)
+    val probed: Seq[Int] =
+      if (nprobe >= index.model.nlist) 0 until index.model.nlist
+      else queries
+        .select(explode(graft.expr.CentroidExprs.nearestCells(
+          asDouble(col("embedding")), matrixOf(index.model.centroids), nprobe)).as("cell"))
+        .distinct().collect().map(_.getInt(0)).toSeq
     topKFromCells(index.cells.where(col("cell").isin(probed: _*)),
       queries, index.model, k, nprobe)
   }

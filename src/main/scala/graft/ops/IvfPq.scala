@@ -38,15 +38,29 @@ object IvfPq {
       .select(col("id"), col("cell"),
         zip_with(col("vec"), col("__cent"), (a, b) => a - b).as("rvec"))
 
-  /** Train both stages on the same corpus: coarse cells first, then PQ
-    * codebooks on either the full vectors or the cell residuals. */
+  /** Train both stages on ONE shared hash-ordered sample: coarse cells
+    * first, then PQ codebooks on either the sampled vectors or their
+    * cell residuals (computed driver-side — the same
+    * v − centroid(cell(v)) arithmetic [[residuals]] runs distributed,
+    * over the same hash-order prefix the separate fits would each have
+    * collected). One distributed top-k collection pass instead of two
+    * (and instead of the pre-r19 2·iters-jobs-per-stage form). */
   def fit(corpus: DataFrame, nlist: Int = 16, m: Int = 8, k: Int = 16,
       iters: Int = 4, residual: Boolean = false): Model = {
-    val coarse = Ivf.fit(corpus, nlist, iters)
-    val pqInput =
-      if (residual) residuals(corpus, coarse).select(col("id"), col("rvec").as("embedding"))
-      else corpus
-    Model(coarse, Pq.fit(pqInput, m, k, iters), residual)
+    val samplePer = 256
+    val train = Ivf.trainingSample(corpus, math.max(nlist, k) * samplePer)
+    require(train.nonEmpty, "cannot fit an IVF-PQ model on an empty corpus")
+    val coarse = Ivf.fitOnSample(train.take(nlist * samplePer), nlist, iters)
+    val matrix = coarse.centroids.map(_._2)
+    val pqTrain0 = train.take(k * samplePer)
+    val pqTrain =
+      if (!residual) pqTrain0
+      else pqTrain0.map { v =>
+        val c = matrix(Ivf.nearestIdx(v, matrix))
+        val n = math.min(v.length, c.length)
+        Array.tabulate(v.length)(i => if (i < n) v(i) - c(i) else v(i))
+      }
+    Model(coarse, Pq.fitOnSample(pqTrain, m, k, iters), residual)
   }
 
   /** The index: (id, cell, codes). Persist `partitionBy("cell")` (see
@@ -61,14 +75,19 @@ object IvfPq {
 
   def save(spark: SparkSession, model: Model, corpus: DataFrame, path: String): Unit = {
     import spark.implicits._
+    // KB-scale model frames: one writer task, one file each (local
+    // Seqs would otherwise spread over default-parallelism tasks)
     model.coarse.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
       .toDF("cell", "centroid")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     model.pq.codebooks.zipWithIndex.toSeq
       .flatMap { case (cb, sub) => cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) } }
       .toDF("sub", "code", "centroid")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
     Seq(model.residual).toDF("residual")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
     index(corpus, model)
       // null stamp: keeps one cells schema across the save → append
@@ -106,7 +125,7 @@ object IvfPq {
     * gain a `batch_id` column on first stamped append (probes ignore
     * it; compaction's mergeSchema keeps it). */
   def appendIndex(spark: SparkSession, batch: DataFrame, path: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, model: Option[Model] = None): Unit = {
     import spark.implicits._
     val logPath = s"$path/appendlog"
     val cellsPath = s"$path/cells"
@@ -116,8 +135,11 @@ object IvfPq {
     if (batchId.isDefined && !logLanded)
       Seq((batchId.get, batch.count())).toDF("batch_id", "n_rows")
         .write.mode("append").parquet(logPath)
-    val idx = load(spark, path)
-    index(batch, idx.model)
+    // `model`: the stored quantizers when the caller already holds them
+    // (same frozen-model contract as [[Ivf.appendIndex]]); omitted ⇒
+    // read back from `path` — now via loadModel, which no longer drags
+    // the cells frame in just to encode a batch
+    index(batch, model.getOrElse(loadModel(spark, path)))
       .withColumn("batch_id",
         batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
       // one writer per touched cell per batch (adaptive — see
@@ -155,20 +177,30 @@ object IvfPq {
     IndexMaintenance.compactDir(spark, s"$path/cells",
       dedupeRows = dedupeRows, partitionCols = Seq("cell"))
 
-  def load(spark: SparkSession, path: String): Index = {
-    val centroids = spark.read.parquet(s"$path/centroids").collect()
+  /** Read the persisted model parts with their writer-fixed schemas
+    * stated explicitly ([[save]]'s own layout) — skips one
+    * footer-inference Spark job per directory. */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val centroids = spark.read
+      .schema("cell INT, centroid ARRAY<DOUBLE>")
+      .parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    val cbRows = spark.read
+      .schema("sub INT, code INT, centroid ARRAY<DOUBLE>")
+      .parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = cbRows.map(_._1).max + 1
     val codebooks = Array.tabulate(m) { sub =>
       cbRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
     }
     val dsub = codebooks(0)(0).length
-    val residual = spark.read.parquet(s"$path/meta").head().getBoolean(0)
-    Index(Model(Ivf.Model(centroids), Pq.Model(m, dsub, codebooks), residual),
-      spark.read.parquet(s"$path/cells"))
+    val residual = spark.read.schema("residual BOOLEAN")
+      .parquet(s"$path/meta").head().getBoolean(0)
+    Model(Ivf.Model(centroids), Pq.Model(m, dsub, codebooks), residual)
   }
+
+  def load(spark: SparkSession, path: String): Index =
+    Index(loadModel(spark, path), spark.read.parquet(s"$path/cells"))
 
   private def asDouble(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(c, _.cast("double"))
@@ -201,9 +233,18 @@ object IvfPq {
   def topK(cells: DataFrame, corpus: DataFrame, queries: DataFrame, model: Model,
       k: Int, nprobe: Int = 4, shortlist: Int = 4, queryChunk: Int = 1024): DataFrame = {
     val qframe = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
+    // ONE bounded head(chunk+1) sizes the chunking AND (in the common
+    // ≤-one-chunk case) already holds the vectors chunkTopK needs —
+    // the old shape collected qids first and then re-scanned the query
+    // frame for the vectors inside chunkTopK (two jobs over the same
+    // rows). Driver exposure stays the chunk, never the batch.
+    val probe = qframe.head(queryChunk + 1)
+    require(probe.nonEmpty, "no query vectors")
+    if (probe.length <= queryChunk) {
+      val qs0 = probe.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      return chunkTopKRows(cells, corpus, qframe, qs0, model, k, nprobe, shortlist)
+    }
     val qids = qframe.select("qid").collect().map(_.getLong(0)).sorted
-    require(qids.nonEmpty, "no query vectors")
-    if (qids.length <= queryChunk) return chunkTopK(cells, corpus, qframe, model, k, nprobe, shortlist)
     // multi-chunk: persist the projected queries once (each chunk is a
     // narrow filtered read), materialize per chunk, release per chunk
     val persisted = qframe.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -293,8 +334,16 @@ object IvfPq {
   /** One bounded chunk: collect its vectors, build its probes + LUTs,
     * score + re-rank. `qframe` must be (qid, qvec double[]). */
   private def chunkTopK(cells: DataFrame, corpus: DataFrame, qframe: DataFrame,
+      model: Model, k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    chunkTopKRows(cells, corpus, qframe,
+      qframe.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)),
+      model, k, nprobe, shortlist)
+
+  /** [[chunkTopK]] when the chunk's rows are ALREADY collected (the
+    * one-chunk fast path — saves re-scanning the query frame). */
+  private def chunkTopKRows(cells: DataFrame, corpus: DataFrame, qframe: DataFrame,
+      qs: Array[(Long, Array[Double])],
       model: Model, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
-    val qs = qframe.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // One LUT per (query, probed cell): for raw codes the cell makes
     // no difference (the LUT repeats nprobe×, KB-scale waste); for
     // residual codes the LUT quantizes q − centroid(cell) — the

@@ -38,73 +38,81 @@ object Pq {
   private def subvec(vec: Column, j: Int, dsub: Int): Column =
     slice(vec, j * dsub + 1, dsub)
 
-  /** Train per-subspace codebooks. `dim % m == 0` required; `k` ≤ 256
-    * keeps one-byte codes. Seeding reuses the farthest-point spread on
-    * a hash-ordered sample (per subspace), like [[Ivf.fit]]. */
-  def fit(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 5): Model = {
-    val vecs = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // deterministic seeds per subspace from one hash-ordered sample;
-      // dim comes from the sample itself (the former standalone
-      // `select(size(vec)).limit(1)` probe was one whole extra Spark
-      // job per fit — guide §1.2: don't compute things twice)
-      val sample = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k * 8)
-        .select("vec").collect().map(_.getSeq[Double](0).toArray)
-      if (sample.isEmpty)
-        throw new IllegalArgumentException("cannot fit PQ on an empty corpus")
-      val dim = sample.head.length
-      require(dim % m == 0, s"dim $dim not divisible by m=$m")
-      val dsub = dim / m
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-        s
-      }
-      var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-        val cand = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-        val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
-        while (chosen.size < k && chosen.size < cand.length)
-          chosen += cand.maxBy(v => chosen.iterator.map(c => d2(v, c)).min)
-        chosen.toArray
-      }
+  /** Train per-subspace codebooks on a BOUNDED sample, Lloyd's
+    * driver-side — the same move as [[Ivf.fit]] (FAISS-standard
+    * practice: ~`samplePerCode` training vectors per centroid). ONE
+    * distributed pass collects the hash-ordered sample
+    * (TakeOrderedAndProject; k×samplePerCode rows), then every
+    * subspace's Lloyd iterations run driver-side — m×k×dsub×|sample|
+    * multiply-adds per iteration, ms-scale. The previous form
+    * persisted the full corpus and ran one distributed
+    * explode+aggregate job pair per iteration (1 + 2·iters Spark
+    * jobs; at 100 TB, iters extra full passes). `dim % m == 0`
+    * required; `k` ≤ 256 keeps one-byte codes. Seeding is unchanged:
+    * farthest-point spread per subspace over the first 8×k sample
+    * rows (a prefix of the same hash order the old code sampled).
+    * Assignment mirrors [[graft.expr.CentroidExprs.NearestCell]]
+    * (L2 argmin, strict-< lowest-code tie-break); deterministic end
+    * to end. The gates' covering-shortlist + exact-re-rank configs
+    * make final outputs independent of codebook values; PqSpec pins
+    * recall on the approximate path. */
+  def fit(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 5,
+      samplePerCode: Int = 256): Model = {
+    require(samplePerCode >= 8, "fit: samplePerCode must be ≥ 8")
+    val train = Ivf.trainingSample(corpus, k * samplePerCode)
+    if (train.isEmpty)
+      throw new IllegalArgumentException("cannot fit PQ on an empty corpus")
+    fitOnSample(train, m, k, iters)
+  }
 
-      // per-dimension SUMS of the subvector plus one count, keyed by
-      // (sub, cell), divided driver-side (avg's own sum/count division
-      // — same IEEE op): ONE hash aggregate with map-side partial
-      // aggregation (m×k×(dsub+1) values cross the exchange). The
-      // previous form posexploded the subvectors (rows ×dim total) and
-      // needed a second exchange + sort to re-assemble arrays (guide
-      // §2.3/§2.4 — 2 Exchange → 1 per iteration). sum-not-avg keeps
-      // the aggregate buffer at dsub+1 fields, clear of the
-      // spark.sql.codegen.maxFields whole-stage-codegen cliff the
-      // dim=64 IVF form measured (see Ivf.fit). The gates'
-      // covering-shortlist configs make final outputs independent of
-      // merge-order ULPs, exactly as before.
-      val dsubSums = (0 until dsub).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
-      for (_ <- 0 until iters) {
-        // one distributed pass updates EVERY subspace: explode each row
-        // to its m (sub, cell, subvec) assignments, then one groupBy
-        val perSub = array((0 until m).map { j =>
-          struct(lit(j).as("sub"),
-            graft.expr.CentroidExprs.nearestCell(subvec(col("vec"), j, dsub), codebooks(j)).as("cell"),
-            subvec(col("vec"), j, dsub).as("sv"))
-        }: _*)
-        val updated = vecs.select(explode(perSub).as("a"))
-          .select(col("a.sub").as("sub"), col("a.cell").as("cell"), col("a.sv").as("sv"))
-          .groupBy("sub", "cell").agg(count(lit(1)).as("n"), dsubSums: _*)
-          .collect()
-          .map { r =>
-            val n = r.getLong(2).toDouble
-            (r.getInt(0), r.getInt(1)) ->
-              Array.tabulate(dsub)(i => r.getDouble(i + 3) / n)
+  private[ops] def fitOnSample(train: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): Model = {
+    val dim = train.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val sample = train.take(k * 8)
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val cand = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+      while (chosen.size < k && chosen.size < cand.length)
+        chosen += cand.maxBy(v => chosen.iterator.map(c => d2(v, c)).min)
+      chosen.toArray
+    }
+    val subs: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      train.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+    }
+    for (_ <- 0 until iters) {
+      codebooks = Array.tabulate(m) { j =>
+        val cb = codebooks(j)
+        val sums = Array.ofDim[Double](cb.length, dsub)
+        val counts = new Array[Long](cb.length)
+        subs(j).foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val d = d2(v, cb(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
           }
-          .toMap
-        codebooks = Array.tabulate(m)(j => Array.tabulate(codebooks(j).length)(c =>
-          updated.getOrElse((j, c), codebooks(j)(c)))) // empty cells keep their centroid
+          counts(best) += 1
+          val s = sums(best)
+          var i = 0
+          while (i < dsub) { s(i) += v(i); i += 1 }
+        }
+        // empty cells keep their previous centroid
+        Array.tabulate(cb.length) { c =>
+          if (counts(c) == 0L) cb(c)
+          else Array.tabulate(dsub)(i => sums(c)(i) / counts(c))
+        }
       }
-      Model(m, dsub, codebooks)
-    } finally vecs.unpersist(blocking = false)
+    }
+    Model(m, dsub, codebooks)
   }
 
   /** The m-code column for an `array<double>` vector column — exposed

@@ -247,7 +247,11 @@ object ExtensionQueries {
         val base = e.where(col("id") % 5 =!= 0)
         val model = graft.ops.Ivf.fit(base, nlist = 16, iters = 3)
         graft.ops.Ivf.save(s, model, base, idx)
-        graft.ops.Ivf.appendIndex(s, e.where(col("id") % 5 === 0), idx)
+        // the builder just fit+saved `model` — hand it to the append
+        // (same frozen quantizer the read-back would return; skips the
+        // per-append centroid read)
+        graft.ops.Ivf.appendIndex(s, e.where(col("id") % 5 === 0), idx,
+          model = Some(model))
         graft.ops.Ivf.compactIndex(s, idx)
       }
       graft.ops.Ivf.topKIndexed(graft.ops.Ivf.load(s, idx), q, k = 5, nprobe = 16)
