@@ -46,7 +46,12 @@ object Bitext {
     *
     * @param pairs     (`sid`, `tid`, `cosine`) candidate pairs — from
     *   brute force at gate scale or ANN top-k (both directions) at
-    *   production scale
+    *   production scale. Rows must be DISTINCT per (sid, tid) — every
+    *   shipped tier ends in `.distinct()`; a caller composing its own
+    *   tiers (e.g. unioning both ANN directions) must dedup first, or
+    *   duplicate rows are counted in the neighbourhood means (the
+    *   rank-pruned top-k unions would also collapse them afterward —
+    *   a silent margin shift, not a crash) (ADVICE r18)
     * @param k         neighbourhood size for the margin normalizer
     * @param threshold keep pairs with margin ≥ threshold (1.0 = "at
     *   least as close as the neighbourhood average"; the paper mines

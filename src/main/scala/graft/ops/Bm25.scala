@@ -115,7 +115,12 @@ object Bm25 {
     * own key), same df (restricted per term), same contrib doubles —
     * Bm25Spec pins the equality, null text included. [[buildStats]]
     * stays the right call when one index serves MANY queries; this is
-    * the single-query form the ad-hoc gates want. */
+    * the single-query form the ad-hoc gates want.
+    *
+    * NOTE: construction is EAGER — the totals aggregate (one corpus
+    * tokenize pass) runs at call time, not at first action on the
+    * returned frame. Callers composing several views over the same
+    * docs/terms should build this once and reuse the frame. */
   def scoreTerms(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

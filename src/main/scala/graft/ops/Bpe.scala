@@ -283,7 +283,8 @@ object Bpe {
     * stance as [[collectWordFreqs]], no guard needed because the
     * artifact was written size-bounded by [[saveMerges]]'s caller. */
   def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy("rank")
+    spark.read.schema("rank INT, left STRING, right STRING") // writer-fixed
+      .parquet(path).orderBy("rank")
       .select("left", "right")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
@@ -420,7 +421,7 @@ object Bpe {
     * path). */
   private def readFingerprints(spark: SparkSession, path: String): Set[String] = {
     import spark.implicits._
-    try spark.read.parquet(s"$path/meta")
+    try spark.read.schema("merges_md5 STRING").parquet(s"$path/meta")
       .select("merges_md5").as[String].collect().toSet
     catch {
       case e: org.apache.spark.sql.AnalysisException
@@ -454,7 +455,9 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val want = mergesFingerprint(merges, eow)
-    val got = spark.read.parquet(s"$path/meta")
+    // writer-fixed schema (writeMeta): stating it skips the
+    // footer-inference job per probe
+    val got = spark.read.schema("merges_md5 STRING").parquet(s"$path/meta")
       .select("merges_md5").as[String].collect().toSet
     require(got == Set(want),
       s"subword table at $path was built under a different merge table " +
@@ -468,7 +471,9 @@ object Bpe {
     // overlapping appends may duplicate a word; any copy is correct
     // (tokenization is a pure function of (word, merges)), so dedup by
     // first — the arrays are identical, so the pick is deterministic
-    val known0 = spark.read.parquet(s"$path/table")
+    val known0 = spark.read
+      .schema("word STRING, subwords ARRAY<STRING>") // writer-fixed
+      .parquet(s"$path/table")
       .groupBy("word").agg(first(col("subwords")).as("subwords"))
     // under appendNew, `known` MUST be pinned before the append below:
     // if the read re-resolved its file listing after the append, the

@@ -167,6 +167,53 @@ object Dsir {
       .agg(sum(coalesce(col("w"), lit(1000000L))).as("score"),
         count(lit(1)).as("n_terms"))
 
+  /** Learn + score in (adaptively) ONE tokenize pass when the target is
+    * a predicate subset of the scored corpus — the q_dsir_select shape.
+    *
+    * The two-pass form (bucketCountsWithTarget → scoreDocs) tokenizes,
+    * n-grams and hash-buckets every document TWICE — measured as the
+    * whole cost of the sf0.1 gate (5 jobs, ~1.3 s, all compute). When
+    * the corpus is small enough to bound the intermediate, the per-term
+    * (id, bkt, is_tgt) frame materializes once (localCheckpoint) and
+    * BOTH the counts and the per-doc score aggregate read it — half the
+    * hot-path work (guide §1.2: don't compute twice). Above
+    * `shareDocsCap` it stays the honest two-pass shape: the term frame
+    * is corpus-token-scale, and materializing that at 100 TB trades two
+    * cheap streaming passes for petabytes of checkpoint I/O (the
+    * q_tfidf r18 lesson). The cap is measured (one metadata-only
+    * count), not guessed, and compares doc counts — a scale-adaptive
+    * route, not a local[n] constant.
+    *
+    * Output ≡ scoreDocs(docs, …, ratioWeightsJoint(
+    * bucketCountsWithTarget(docs, …))) row-for-row on both routes
+    * (same expression chains over the same rows; DsirSpec pins it). */
+  def scoreAgainstSubsetAdaptive(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: Column, buckets: Int,
+      portable: Boolean = true, n: Int = 2,
+      shareDocsCap: Long = 100000L): DataFrame = {
+    if (docs.count() > shareDocsCap) {
+      val w = ratioWeightsJoint(
+        bucketCountsWithTarget(docs, textCol, targetPred, buckets, portable, n))
+      scoreDocs(docs, idCol, textCol, w, buckets, portable, n)
+    } else {
+      val tb = docs
+        .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("toks"),
+          targetPred.as("is_tgt"))
+        .select(col(idCol), explode(termsOf(col("toks"), n)).as("term"),
+          col("is_tgt"))
+        .select(col(idCol), bucketOf(col("term"), buckets, portable).as("bkt"),
+          col("is_tgt"))
+        .localCheckpoint(true)
+      val w = ratioWeightsJoint(tb
+        .groupBy("bkt").agg(count(lit(1)).as("c"),
+          count(when(col("is_tgt"), 1)).as("tc")))
+      tb.join(broadcast(w), Seq("bkt"), "left")
+        .groupBy(idCol)
+        .agg(sum(coalesce(col("w"), lit(1000000L))).as("score"),
+          count(lit(1)).as("n_terms"))
+    }
+  }
+
   /** Materialize a weight table as a dense `buckets`-length array —
     * driver-side but BOUNDED by B, never by corpus size (the same
     * bounded-collect stance as IVF centroids / PQ codebooks). Missing

@@ -781,12 +781,12 @@ object ExtensionQueries {
   def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val B = 4096
-    // one-pass joint counts: the target is a predicate subset, so both
-    // distributions come from a single corpus scan (DsirSpec pins
-    // equivalence with the two-pass bucketCounts form)
-    val w = Dsir.ratioWeightsJoint(
-      Dsir.bucketCountsWithTarget(docs, "text", col("lang") === "en", B))
-    val scored = Dsir.scoreDocs(docs, "doc_id", "text", w, B)
+    // adaptive one-tokenize-pass learn+score (r19): the target is a
+    // predicate subset, so counts AND scores derive from one shared
+    // per-term bucket frame when the corpus is bounded; two-pass above
+    // the cap (DsirSpec pins route equivalence)
+    val scored = Dsir.scoreAgainstSubsetAdaptive(
+      docs, "doc_id", "text", col("lang") === "en", B)
     Dsir.selectTopK(scored, "doc_id", 100)
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         col("score"), col("n_terms"))

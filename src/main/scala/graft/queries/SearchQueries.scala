@@ -222,8 +222,13 @@ object SearchQueries {
     def fmt(df: DataFrame): String =
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val docs = Tables.documents(s, dir)
-    val bm25View = fmt(ranked(Bm25.scoreTerms(docs, Terms)))
-    val hybridView = fmt(hybridFused(s, dir, Bm25.scoreTerms(docs, Terms)))
+    // ONE scoreTerms frame serves both views: its construction runs an
+    // eager totals action (a corpus tokenize pass), so building it
+    // twice paid two full scans just to format explain output (ADVICE
+    // r18)
+    val scored = Bm25.scoreTerms(docs, Terms)
+    val bm25View = fmt(ranked(scored))
+    val hybridView = fmt(hybridFused(s, dir, scored))
     var indexedView: String = ""
     Q.withTempIndex("graft-bm25plan") { idx =>
       Bm25.appendIndex(Tables.documents(s, dir), idx)

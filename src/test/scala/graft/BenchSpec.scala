@@ -90,6 +90,164 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").has("iss"), "both i_ and ss rules compose")
   }
 
+  test("line-key transform is FROZEN for the current inventory (append-only contract)") {
+    // Golden map pinned r19 (VERDICT r18 ask #2): cross-round per-key
+    // joins broke twice on renames (r14, r18). From here the transform
+    // is append-only — a NEW query may add a rule for its own key, but
+    // every key below must keep mapping exactly as recorded. Any diff
+    // here means a rename, which the next round's PERF comparison
+    // cannot join; reject it unless the stat line physically cannot
+    // fit (and then record the remap in OPTIMIZATION notes).
+    val golden = Map(
+    "q_epoch_shard" -> "epshd",
+    "q_incremental_append" -> "iapp",
+    "q_train_mix" -> "trmix",
+    "q_substring_removal" -> "ssrm",
+    "q_union_dedup" -> "undd",
+    "q_c4_lines" -> "c4lines",
+    "q_scan_project" -> "scanprj",
+    "q_fuzzy_topk" -> "fztk",
+    "q_fingerprint" -> "fp",
+    "q_pivot" -> "pivot",
+    "q1_agg" -> "q1agg",
+    "q_bitext_mine" -> "bitxtmine",
+    "q_incremental_dedup" -> "idd",
+    "q_weighted_mean" -> "wtdmean",
+    "q_tfidf" -> "tfidf",
+    "q_stratified_sample" -> "stratsmp",
+    "q_ann_lsh" -> "annlsh",
+    "q_ann_adaptive" -> "annadp",
+    "q_repetition" -> "rep",
+    "q_corpus_pipeline" -> "corppl",
+    "q_zorder_key" -> "zokey",
+    "q_math_funcs" -> "mathfn",
+    "q_minmax_dates" -> "mmdts",
+    "q_incremental_boilerplate" -> "ibp",
+    "q_doc_chunk" -> "docchk",
+    "q_cube" -> "cube",
+    "q_mix_temperature" -> "mixtemp",
+    "q_rain_pipeline" -> "rainpl",
+    "q_url_dedup" -> "urldd",
+    "q_fuzzy_lookup" -> "fzlkp",
+    "q_fuzzy_join" -> "fzjn",
+    "q_simhash" -> "simhash",
+    "q_null_positive" -> "nlpos",
+    "q_hll_distinct" -> "hlldst",
+    "q_seq_pack" -> "seqpack",
+    "q_substring_dup" -> "ssdup",
+    "q_pq_topk" -> "pqtk",
+    "q_text_norm" -> "txtnorm",
+    "q_corr_stats" -> "corrst",
+    "q_group_count" -> "grpcnt",
+    "q_json_extract" -> "jsonext",
+    "q_ppl_bucket" -> "pplbkt",
+    "q_overlap_join" -> "ovlpjn",
+    "q_weighted_sample" -> "wtdsmp",
+    "q_window_tumbling" -> "wintumb",
+    "q_train_split" -> "trspl",
+    "q_budget_fill" -> "bdgfl",
+    "q_bm25_index" -> "bm25idx",
+    "q_risk_pipeline" -> "riskpl",
+    "q_window_rownum" -> "winrn",
+    "q_lm_fluency" -> "lmflu",
+    "q_len_quantiles" -> "lenqnts",
+    "q_bpe_fertility" -> "bpefert",
+    "q_trailing_agg" -> "trlagg",
+    "q_window_nav" -> "winnav",
+    "q_incident_pipeline" -> "incpl",
+    "q_case_buckets" -> "csbkts",
+    "q_rollup" -> "rollup",
+    "q_token_count" -> "tokcnt",
+    "q_len_hist" -> "lenhist",
+    "q_boilerplate" -> "bp",
+    "q_ann_topk" -> "anntk",
+    "q_html_text" -> "htmltxt",
+    "q_prep_pipeline" -> "pppl",
+    "q_frame_sample" -> "framesmp",
+    "q_filter_range" -> "fltrng",
+    "q_resample" -> "rsmp",
+    "q_dedup_exact" -> "ddex",
+    "q_join_graph" -> "jngr",
+    "q_incremental_substring" -> "iss",
+    "q_graph_day" -> "grday",
+    "q_bpe_ids" -> "bpeids",
+    "q_sort_multi" -> "sortmlt",
+    "q_approx_quantile" -> "apxqnt",
+    "q_domain_filter" -> "domflt",
+    "q_range_join" -> "rngjn",
+    "q_annpq_delete" -> "annpqdel",
+    "q_date_parts" -> "datepts",
+    "q_media_meta" -> "mdmeta",
+    "q_quality_score" -> "qlsc",
+    "q_semi_join" -> "semijn",
+    "q_embed_cosine" -> "embcos",
+    "q_gopher" -> "gopher",
+    "q_media_features" -> "mdfeat",
+    "q_index_delete" -> "idxdel",
+    "q_list_page" -> "listpg",
+    "q_profile" -> "profile",
+    "q_running_total" -> "runtot",
+    "q_minhash_lsh" -> "mhlsh",
+    "q_funnel" -> "funnel",
+    "q_contamination" -> "contam",
+    "q_join_enrich" -> "jnenr",
+    "q_session_window" -> "sesswin",
+    "q_set_ops" -> "setops",
+    "q_keep_canonical" -> "kpcanon",
+    "q_semdedup" -> "semdd",
+    "q_cms_counts" -> "cmscnts",
+    "q_top_terms" -> "toptrm",
+    "q_bm25" -> "bm25",
+    "q_embed_centroid" -> "embctr",
+    "q_skew_agg" -> "skagg",
+    "q_filter_isin" -> "fltisin",
+    "q_lm_trigram" -> "lmtri",
+    "q_incremental_tokenize" -> "itok",
+    "q_ann_delete" -> "anndel",
+    "q_promo_revenue" -> "prrev",
+    "q_dedup_groups" -> "ddgrps",
+    "q_pii_redact" -> "piired",
+    "q_dsir_select" -> "dsirsel",
+    "q_ann_ivf" -> "annivf",
+    "q_para_dedup" -> "paradd",
+    "q_embed_cosine_lsh" -> "embcoslsh",
+    "q_anti_join" -> "antjn",
+    "q_asof_join" -> "aojn",
+    "q_ffd_summary" -> "ffdsum",
+    "q_ngram_jaccard" -> "ngjac",
+    "q_ffd_pack" -> "ffdpack",
+    "q_approx_distinct" -> "apxdst",
+    "q_ann_incremental" -> "annincr",
+    "q_topk" -> "tk",
+    "q_bpe_tokenize" -> "bpetok",
+    "q_paginate" -> "pgn",
+    "q_dedup_keys" -> "ddkeys",
+    "q_mix_upsample" -> "mixups",
+    "q_bpe_vocab" -> "bpevocab",
+    "q_lang_id" -> "langid",
+    "q_asof_fwd" -> "aofwd",
+    "q_quality_pipeline" -> "qlpl",
+    "q_hybrid_rrf" -> "hybrrf",
+    "q_tok_pack" -> "tokpack",
+    "q_coalesce_fill" -> "coalfl",
+    "q_ann_filter" -> "annflt",
+    "q_group_sample" -> "grpsmp"
+    )
+    val inv = SparkEntry.queries.keys.toSet
+    assert(golden.keySet.subsetOf(inv),
+      s"golden names missing from inventory: ${golden.keySet -- inv}")
+    val bad = golden.collect { case (n, k) if Bench.lineKey(n) != k =>
+      s"$n: ${Bench.lineKey(n)} != $k" }
+    assert(bad.isEmpty, "line-key renames detected:\n" + bad.mkString("\n"))
+  }
+
+  test("host_throttled flags only a genuinely slower end-canary") {
+    assert(!Bench.hostThrottledFlag(0.5, 0.25), "warming canary is normal")
+    assert(!Bench.hostThrottledFlag(0.5, 0.6), "1.2x is inside noise")
+    assert(Bench.hostThrottledFlag(0.5, 0.75), "1.5x end-canary = host slowed")
+    assert(!Bench.hostThrottledFlag(0.0, 1.0), "failed canary never flags")
+  }
+
   test("stat line is valid JSON with the driver-contract fields") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val line = Bench.statLine(Seq("q1_agg" -> 0.37, "q_x" -> 12.0),

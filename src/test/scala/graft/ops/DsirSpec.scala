@@ -172,6 +172,22 @@ class DsirSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("scoreAgainstSubsetAdaptive ≡ two-pass on BOTH routes (shared-frame and two-pass)") {
+    val pred = col("lab") === "tgt"
+    val expected = Dsir.scoreDocs(corpus, "doc_id", "text",
+        Dsir.ratioWeightsJoint(Dsir.bucketCountsWithTarget(corpus, "text", pred, B)), B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // shared-frame route (corpus under the cap)
+    val shared = Dsir.scoreAgainstSubsetAdaptive(corpus, "doc_id", "text", pred, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(shared == expected, "shared-frame route must equal the two-pass form")
+    // forced two-pass route (cap below the corpus size)
+    val twoPass = Dsir.scoreAgainstSubsetAdaptive(corpus, "doc_id", "text", pred, B,
+        shareDocsCap = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(twoPass == expected, "two-pass route must equal the two-pass form")
+  }
+
   test("plan shape: weight join broadcasts; scoring has one aggregate exchange") {
     val plan = Dsir.scoreDocs(corpus, "doc_id", "text", weights("ratio"), B)
       .queryExecution.executedPlan.toString
