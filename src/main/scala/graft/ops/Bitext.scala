@@ -242,7 +242,10 @@ object Bitext {
     val t = tgt.where(col("embedding").isNotNull)
       .select(col("id").as("tid"),
         transform(col("embedding"), _.cast("double")).as("__tv"))
-    s.join(broadcast(t), lit(true))
+    // spread the streamed side: the |src|×|tgt| cosine explosion is the
+    // cost, and a bounded src reads from one scan partition — one task
+    // otherwise (Tuning.spreadSmall; no-op at production partitioning)
+    Tuning.spreadSmall(s).join(broadcast(t), lit(true))
       .withColumn("cosine", Similarity.cosine(col("__sv"), col("__tv")))
       .select("sid", "tid", "cosine")
   }

@@ -46,16 +46,23 @@ object Bm25 {
     * lowercased trimmed text — `TextOps.tokens`; NULL text → no
     * postings on both engines) into `(term, doc_id, tf, dl)`. The doc
     * length is computed per ROW before the explosion (dl = the doc's
-    * token count) and rides the aggregation as a constant-per-doc
-    * `min` — postings never need a doc-keyed join to recover it, at
-    * build or at query. One shuffle total. */
+    * token count), and tf is counted INSIDE the row by the one-pass
+    * [[graft.expr.TokenCounts]] expression — the old
+    * explode → groupBy(term, doc) form shuffled one row per token
+    * occurrence just to count duplicates that all live in the same
+    * source row; counting map-side removes that exchange outright
+    * (guide §2.4) and the explosion emits |distinct terms per doc|
+    * rows instead of |tokens|. ZERO shuffles now — the bucket
+    * repartition at write time is the build's only exchange. Row set
+    * identical (Bm25Spec pins scoreTerms ≡ score(buildStats) over it;
+    * the q_bm25_index/q_index_delete oracles prove it end-to-end). */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(lower(col(textCol))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-        explode(col("ts")).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+        explode(graft.expr.TokenCounts.tokenCounts(col("ts"))).as("tc"))
+      .select(col("tc.term").as("term"), col("doc_id"),
+        col("tc.tf").as("tf"), col("dl"))
 
   /** One corpus pass → the whole index. df and the global totals
     * derive from the postings frame (|postings| ≪ |tokens|), so the
@@ -131,12 +138,16 @@ object Bm25 {
       .head()
     val nDocs = t.getLong(0)
     val avgdl = t.getLong(1).toDouble / nDocs.toDouble
+    // per-row tf via TokenCounts (see postingsOf): the query-term
+    // filter still lands before any exchange, and the old
+    // groupBy(term, doc) exchange is gone entirely — the df aggregate
+    // below is this path's only shuffle
     val postings = toks
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-        explode(col("ts")).as("term"))
+        explode(graft.expr.TokenCounts.tokenCounts(col("ts"))).as("tc"))
+      .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"))
       .where(col("term").isin(terms: _*))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
     val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
     postings
       .join(broadcast(dfT), Seq("term"))
@@ -295,8 +306,13 @@ object Bm25 {
     * is ∝ the queried terms' postings alone. */
   def topKIndexed(spark: SparkSession, path: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // meta is one row per append — a bounded driver read
-    val metaRows = spark.read.parquet(s"$path/meta")
+    // meta is one row per append — a bounded driver read. The three
+    // queried columns exist in EVERY meta writer's schema, so the read
+    // states them explicitly (a parquet projection; extra columns in
+    // any file are simply not read) and skips the footer-inference job.
+    val metaRows = spark.read
+      .schema("n_docs BIGINT, sum_dl BIGINT, n_buckets INT")
+      .parquet(s"$path/meta")
       .select("n_docs", "sum_dl", "n_buckets").collect()
     val nBucketsAll = metaRows.map(_.getInt(2)).distinct
     require(nBucketsAll.length == 1,
@@ -413,13 +429,22 @@ object Bm25 {
       // (commits never un-commit), so a retry that passed once passes
       checkpoint.foreach(cp => IndexMaintenance
         .requireBatchesCommitted(spark, hits, cp, s"Bm25.removeDocs($path)"))
-      // one action over the cached hits yields the posting count AND
-      // the per-doc totals (was a separate count() plus an aggregate)
+      // one action over the cached hits yields the posting count, the
+      // per-doc totals AND whether any stamped rows are affected (so
+      // an all-unstamped index — the build-verb case — skips the
+      // distributed batch-decrement aggregate below entirely)
+      val hasBatchCol = hits.columns.contains("batch_id")
+      val stampedOf =
+        if (hasBatchCol) count(when(col("batch_id").isNotNull, 1))
+        else lit(0L)
       val totals = hits.groupBy("doc_id")
-        .agg(min("dl").as("dl"), count(lit(1)).as("np"))
+        .agg(min("dl").as("dl"), count(lit(1)).as("np"),
+          stampedOf.as("nst"))
         .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"),
-          coalesce(sum("np"), lit(0L)).as("p")).head()
+          coalesce(sum("np"), lit(0L)).as("p"),
+          coalesce(sum("nst"), lit(0L)).as("st")).head()
       val nPost = totals.getLong(2)
+      val nStamped = totals.getLong(3)
       if (!deltaLanded) {
         if (nPost == 0 && removeId.isEmpty) return // nothing to remove
         val nBucketsAll = metaSmall.map(_.getInt(0)).distinct
@@ -441,7 +466,7 @@ object Bm25 {
         // in the SAME meta append as the global delta so the remove_id
         // stamp covers both.
         val batchDec =
-          if (!hits.columns.contains("batch_id")) globalDelta.limit(0)
+          if (!hasBatchCol || nStamped == 0L) globalDelta.limit(0)
           else hits.where(col("batch_id").isNotNull)
             .groupBy("batch_id")
             .agg((-count(lit(1))).as("n_postings"))

@@ -140,9 +140,10 @@ object Dedup {
     val haveIndex = idxDir.getFileSystem(conf).exists(idxDir)
     val fresh =
       if (haveIndex) {
-        // mergeSchema: dirs written before the batch_id stamp mix with
-        // stamped files; legacy rows read batch_id null = "seen forever"
-        val idx = spark.read.option("mergeSchema", "true").parquet(idxDir.toString)
+        // batch_id evolution handled by readStamped: one footer read
+        // when the stamp is present (every current writer stamps);
+        // legacy rows read batch_id null = "seen forever"
+        val idx = IndexMaintenance.readStamped(spark, idxDir.toString)
         val seen = batchId match {
           case Some(b) if idx.columns.contains("batch_id") =>
             idx.where(col("batch_id").isNull || col("batch_id") =!= b)
@@ -832,7 +833,10 @@ object Dedup {
 
   private def requireIndexWidth(spark: SparkSession, path: String,
       width: Int, verb: String): Unit = {
-    val stored = spark.read.parquet(s"$path/meta").select("width").head().getInt(0)
+    // writer-fixed one-column meta — stating the schema skips the
+    // footer-inference job per probe
+    val stored = spark.read.schema("width INT")
+      .parquet(s"$path/meta").select("width").head().getInt(0)
     require(stored == width,
       s"chunk index at $path was built with width=$stored; cannot $verb " +
         s"it with width=$width — chunk hashes are only comparable at the " +

@@ -171,7 +171,7 @@ object SemDedup {
     val seenRm =
       if (!haveIndex) withinRm.limit(0)
       else {
-        val idx0 = spark.read.option("mergeSchema", "true").parquet(idxDir.toString)
+        val idx0 = IndexMaintenance.readStamped(spark, idxDir.toString)
         val seen = batchId match {
           case Some(b) if idx0.columns.contains("batch_id") =>
             idx0.where(col("batch_id").isNull || col("batch_id") =!= b)
@@ -218,8 +218,7 @@ object SemDedup {
       // heal a torn compaction swap BEFORE the guard's read — the
       // strip below would heal it anyway, but the guard reads first
       IndexMaintenance.guardAppend(spark, s"$indexPath/vectors")
-      val affected = spark.read.option("mergeSchema", "true")
-        .parquet(s"$indexPath/vectors")
+      val affected = IndexMaintenance.readStamped(spark, s"$indexPath/vectors")
         .join(ids.select(col("id")), Seq("id"), "left_semi")
       IndexMaintenance.requireBatchesCommitted(spark, affected, cp,
         s"SemDedup.removeSeen($indexPath)")

@@ -39,7 +39,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("embedding")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("embedding")).as("qvec"))
-    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+    // spread a small (single-scan-partition) corpus so the
+    // |corpus|×|queries| scoring doesn't run in one task; a corpus
+    // already at the session's parallelism passes through untouched
+    val scored = Tuning.spreadSmall(c).join(broadcast(q), col("id") =!= col("qid"))
       .withColumn("cosine", cosine(col("vec"), col("qvec")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

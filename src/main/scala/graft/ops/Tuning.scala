@@ -20,4 +20,26 @@ private[graft] object Tuning {
       // context-free NumberFormatException on the former
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(256L << 20)
+
+  /** Spread the STREAMED side of a broadcast cross/theta join across
+    * the session's shuffle parallelism — the bounded brute tiers
+    * (bitext cross, n²-Jaccard, brute cosine top-k) read a small
+    * bounded frame from one scan partition, so the |side|×|other| pair
+    * EXPLOSION (the real cost) otherwise runs in a single task
+    * (measured: q_keep_canonical's verify stage 0.69 s on one core
+    * with 7 idle). Scale-adaptive, never a shrink: a frame already at
+    * or above the session's parallelism — the production-scale scan —
+    * passes through untouched, so no exchange is ever added to a big
+    * side. The partition probe runs only on exchange-free plans
+    * (Dataset.rdd on a plan with exchanges executes them — the
+    * oneWriterPerCell AQE lesson); anything already shuffled passes
+    * through too. */
+  def spreadSmall(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (!hasExchange && df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
 }

@@ -73,12 +73,17 @@ object ExtensionQueries {
       .select(col("id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+      // spread the streamed side (Tuning.spreadSmall): the bounded
+      // 1000-doc tier reads from one cached partition, and the n²/2
+      // pair explosion otherwise runs in a single task (measured
+      // 0.69 s on one core with 7 idle)
+      val a = graft.ops.Tuning.spreadSmall(
+        sh.select(col("id").as("id1"), col("sh").as("sh1")))
       val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
       // size-ratio prefilter (jaccard ≤ min/max of set sizes): provably
       // lossless at the 0.8 threshold, skips the sorted-merge for the
       // vast majority of the n²/2 pairs
-      a.join(b, col("id1") < col("id2") &&
+      a.join(broadcast(b), col("id1") < col("id2") &&
           size(col("sh1")).cast("double") >= lit(0.8) * size(col("sh2")) &&
           size(col("sh2")).cast("double") >= lit(0.8) * size(col("sh1")))
         .withColumn("jaccard", Dedup.jaccardSorted(col("sh1"), col("sh2")))
