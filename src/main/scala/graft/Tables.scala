@@ -14,8 +14,30 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Process-local memo of each base table's INFERRED schema, keyed by
+    * path. Every `spark.read.parquet` runs a footer schema-inference
+    * Spark job; the bench pays it once per table per query per rep —
+    * hundreds of identical 1-task jobs over immutable testdata files.
+    * The memo infers once per JVM and hands later reads the explicit
+    * schema (bit-identical to what inference would return — the files
+    * are the driver's read-only inputs, fixed for the process's
+    * lifetime). This caches METADATA only, never rows or results:
+    * every query still computes from the parquet files. Index/temp
+    * dirs never come through here — they mutate mid-process.
+    * `events` is EXEMPT: its schema inference is conf-dependent (the
+    * nanos flavor reads as Long only under nanosAsLong, and the
+    * loader's contract includes FAILING helpfully when the conf is
+    * off) — a memoized schema would mask both behaviors. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") return spark.read.parquet(path)
+    val schema = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Register every table as a temp view so `spark.sql` works over the
     * warehouse directly (events pre-converted to µs timestamps). */

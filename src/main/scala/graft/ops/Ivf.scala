@@ -136,6 +136,12 @@ object Ivf {
     }
     var centroids: Array[Array[Double]] = chosen.toArray
     val dim = centroids.head.length
+    // fixed dimensionality up front (ADVICE r18): a ragged vector
+    // would silently contribute partial sums while counting fully —
+    // deflated coordinates, the same hazard the old distributed
+    // update's per-dim nulls had. Fail loudly instead.
+    require(train.forall(_.length == dim),
+      s"fit: embeddings must share one dimensionality (first is $dim)")
     for (_ <- 0 until iters) {
       val sums = Array.ofDim[Double](centroids.length, dim)
       val counts = new Array[Long](centroids.length)

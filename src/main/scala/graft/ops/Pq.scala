@@ -69,6 +69,9 @@ object Pq {
       iters: Int): Model = {
     val dim = train.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    // fixed dimensionality up front (ADVICE r18) — see Ivf.fitOnSample
+    require(train.forall(_.length == dim),
+      s"fit: embeddings must share one dimensionality (first is $dim)")
     val dsub = dim / m
     def d2(a: Array[Double], b: Array[Double]): Double = {
       val n = math.min(a.length, b.length)
