@@ -60,11 +60,20 @@ object Packing {
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
+    // 0. pin the (narrow, one-row-per-doc — the caller projects) input
+    //    BEFORE the range exchange: repartitionByRange SAMPLES its
+    //    child to pick boundaries, so an unpinned input re-runs its
+    //    whole upstream pipeline twice (q_tok_pack's BPE tokenize,
+    //    q_budget_fill's quality scoring) — the buildBandIndex /
+    //    buildChunkIndex lesson applied here (guide §1.2: don't
+    //    compute twice)
+    val pinned = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // 1. contiguous key slices, sorted inside each slice; pid is stable
     //    for the lifetime of this lineage because every downstream use
     //    hangs off the SAME ranged node (range boundaries are sampled,
     //    but any contiguous partitioning yields the same global result)
-    val ranged = rangedByExprs(docs, sortExprs, nPart)
+    val ranged = rangedByExprs(pinned, sortExprs, nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
@@ -89,7 +98,10 @@ object Packing {
       //    (see the scaladoc above)
       windowStage(ranged, offsetsDf, sortExprs, tokCol, budget)
         .localCheckpoint(true)
-    } finally ranged.unpersist(blocking = false)
+    } finally {
+      ranged.unpersist(blocking = false)
+      pinned.unpersist(blocking = false)
+    }
   }
 
   private def rangedByExprs(docs: DataFrame, sortExprs: Seq[Column],
